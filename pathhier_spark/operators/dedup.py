@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's uid-dedup (pathhier/pathway.py:741-747 — first
+occurrence wins), this module provides the dedup family a 100 TB text corpus
+needs: exact hashing, MinHash+LSH, SimHash, n-gram Jaccard verification, and
+embedding-cosine near-dup. All are declarative DataFrame chains.
+
+Scale notes:
+  * exact_dedup is a single hash-groupBy — map-side partial agg, one shuffle
+    keyed by a uniform hash (no skew by construction).
+  * minhash_signatures uses md5-based per-band minima — built-in functions
+    only, whole-stage codegen; signatures are ~bands×8 bytes per doc.
+  * lsh_candidate_pairs buckets by (band, band-hash); within-bucket pair
+    enumeration is a self-join on the bucket key. Hot buckets (boilerplate
+    shingles) are capped with `max_bucket_size` — the standard guard against
+    quadratic blowup; dropped buckets are exactly the near-global-duplicate
+    clusters you handle separately (same spirit as the reference's >10-xref
+    skip, cluster_model.py:273-277).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pathhier_spark.functions.text import jaccard
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first (minimum-id) row per identical text; output adds
+    (content_hash, dup_count). First-occurrence-wins mirrors
+    pathway.py:741-747."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-token shingles of lowercased whitespace-tokenized text."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash via per-seed minima of md5(seed:shingle). md5 keeps the
+    signature engine-portable (DuckDB computes the identical value for the
+    oracle check). Output: (id, sig ARRAY<STRING> length num_hashes)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("sh"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become a candidate
+    pair (id_a < id_b). Buckets larger than max_bucket_size are dropped
+    (boilerplate guard)."""
+    sig_len = bands * rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    small = banded.join(
+        sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
+    )
+    a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard; keep pairs with
+    jaccard >= threshold. Output: (id_a, id_b, jacc)."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup chain: minhash -> LSH buckets -> exact-jaccard verify.
+    Returns verified near-duplicate pairs (id_a, id_b, jacc)."""
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=bands * rows_per_band, shingle_k=shingle_k,
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    return ngram_jaccard_pairs(
+        df, cands, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint over tokens: per bit, sum +1/-1 votes weighted by
+    token frequency; bit = 1 iff the vote is positive. Token bit source:
+    crc32 (portable, deterministic). Output: (id, simhash BIGINT)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counted = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    hashed = counted.withColumn("th", F.crc32(F.col("tok")))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for i in range(bits):
+        sh = sh + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sh.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
+    Brute-force form (for verification scale); production path buckets via
+    similarity.lsh_bucket_topk. Output: (id_a, id_b, cos)."""
+    from pathhier_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,155 @@
+"""Extraction stage: html -> text (Arrow UDF) and text -> triple mentions.
+
+Generalizes the reference's HTML tag/entity stripping
+(scripts/process_biocyc_hierarchy.py:15-27: `<[^>]+>` removal + HTML-entity
+replacement) into the page-text extractor the north rule requires, plus a
+fully-declarative (subj, pred, obj) mention extractor over the closed
+predicate vocabulary (pathhier/constants.py:213-221).
+
+Scale notes:
+  * extract_text is a vectorized pandas/Arrow UDF — one Python call per Arrow
+    batch, no per-row Python. It is the only Python hop in the pipeline's
+    hot path and is embarrassingly parallel (map-only, no shuffle).
+  * extract_mentions is pure column expressions (split/explode/regexp) —
+    whole-stage codegen, no UDF at all. explode of sentences is map-side;
+    no shuffle until linking.
+  * The extractor is a pure deterministic function html -> text; the
+    byte-identity invariant (BASELINE.json input_hint) is asserted in
+    tests/test_extract.py on every synthetic page.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pathhier_spark.sources.corpus import TRIGGER_TO_PRED
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+# scripts/process_biocyc_hierarchy.py:20-26 — entity replacements, extended
+# with the standard XML escapes
+_ENTITIES = {
+    "&alpha;": "alpha",
+    "&beta;": "beta",
+    "&gamma;": "gamma",
+    "&delta;": "delta",
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+def extract_text_py(html: bytes) -> str:
+    """Pure deterministic html -> text. Shared by the Arrow UDF and the
+    tests (SURVEY.md §1.4: implemented once, reused everywhere)."""
+    s = html.decode("utf-8", errors="replace")
+    # drop non-content blocks wholesale, then strip tags
+    s = re.sub(r"(?is)<(script|style|head)[^>]*>.*?</\1>", " ", s)
+    s = _TAG_RE.sub(" ", s)
+    for k, v in _ENTITIES.items():
+        s = s.replace(k, v)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text_udf():
+    """Arrow-batched html->text UDF. Built lazily: pandas_udf needs an
+    active SparkSession to parse its return-type DDL."""
+
+    @pandas_udf("string")
+    def _udf(html: pd.Series) -> pd.Series:
+        return html.map(extract_text_py)
+
+    return _udf
+
+
+def with_extracted_text(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """documents(+html) -> + extracted_text column (Arrow-batched)."""
+    return docs.withColumn("extracted_text", extract_text_udf()(F.col(html_col)))
+
+
+_TRIGGER_ALTERNATION = "|".join(sorted(TRIGGER_TO_PRED))
+_SENT_PATTERN = rf"^\s*(.*?)\s+({_TRIGGER_ALTERNATION})\s+(.*?)\s*$"
+
+
+def _pred_map() -> Column:
+    pairs = []
+    for k, v in sorted(TRIGGER_TO_PRED.items()):
+        pairs += [F.lit(k), F.lit(v)]
+    return F.create_map(*pairs)
+
+
+def extract_mentions(
+    docs: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """text -> one row per (subj_mention, pred, obj_mention) sentence triple.
+
+    Sentence grammar: "<subject phrase> <trigger> <object phrase>." with the
+    trigger lexicon mapped onto the closed predicate vocabulary. Output:
+    (url, sent_no INT, subj_mention STRING, pred STRING, obj_mention STRING).
+    Sentences that do not match the grammar are dropped (no nulls emitted).
+    """
+    sents = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(F.col(text_col), r"\.\s*")).alias("sent_no", "sentence"),
+    ).filter(F.length("sentence") > 0)
+    parsed = sents.select(
+        "url",
+        "sent_no",
+        F.regexp_extract("sentence", _SENT_PATTERN, 1).alias("subj_mention"),
+        F.regexp_extract("sentence", _SENT_PATTERN, 2).alias("trigger"),
+        F.regexp_extract("sentence", _SENT_PATTERN, 3).alias("obj_mention"),
+    ).filter((F.col("trigger") != "") & (F.col("subj_mention") != "") & (F.col("obj_mention") != ""))
+    return parsed.select(
+        "url",
+        "sent_no",
+        "subj_mention",
+        F.element_at(_pred_map(), F.col("trigger")).alias("pred"),
+        "obj_mention",
+    )
+
+
+def extract_token_triples(
+    docs: DataFrame,
+    trigger_to_pred: dict[str, str],
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Token-window triple extraction for free-text corpora (the driver's
+    documents table has no sentence grammar): any token triple
+    (w[i-1], trigger=w[i], w[i+1]) emits (subj, pred, obj). Pure column
+    expressions; SQL-expressible for the DuckDB oracle."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    exploded = docs.select(
+        *[F.col(c) for c in id_cols], F.posexplode(toks).alias("pos", "tok")
+    )
+    pairs = []
+    for k, v in sorted(trigger_to_pred.items()):
+        pairs += [F.lit(k), F.lit(v)]
+    pred_map = F.create_map(*pairs)
+    trig = exploded.filter(
+        F.col("tok").isin(*trigger_to_pred.keys()) & (F.col("pos") > 0)
+    ).select(
+        *[F.col(c) for c in id_cols],
+        F.col("pos"),
+        F.element_at(pred_map, F.col("tok")).alias("pred"),
+    )
+    left = exploded.select(
+        *[F.col(c) for c in id_cols], (F.col("pos") + 1).alias("pos"),
+        F.col("tok").alias("subj"),
+    )
+    right = exploded.select(
+        *[F.col(c) for c in id_cols], (F.col("pos") - 1).alias("pos"),
+        F.col("tok").alias("obj"),
+    )
+    keys = [*id_cols, "pos"]
+    return trig.join(left, keys).join(right, keys).select(
+        *id_cols, "pos", "subj", "pred", "obj"
+    )

@@ -1,0 +1,211 @@
+"""Entity linking: token inverted-index candidate join + IDF scoring +
+string-feature fusion.
+
+This is the heart of the engine — the reference's CandidateSelector
+(pathhier/candidate_selector.py:49-178) and BOW/LR scoring channels
+(pathhier/pw_aligner.py:290-326,628-660) recast as one declarative Spark
+join-and-aggregate chain:
+
+    source side:  entity_id -> distinct token set        (explode)
+    target side:  entity_id -> distinct token set        (explode)
+    candidates:   equi-join on token, groupBy(pair), sum(target idf)
+    cap:          row_number window, top-20 per source    (T1)
+    features:     5-feature string vector per pair        (M1)
+    fusion:       0.75*max(name) + 0.25*max(def)          (A2)
+    output:       threshold 0.25/0.1, top-10 per source   (T2)
+
+Scale design (100 TB / 10^12 docs):
+  * The ontology/dictionary side is small (10^4-10^6 classes) — its postings
+    table is broadcast, so candidate generation is a broadcast hash join with
+    NO shuffle of the (huge) mention side.
+  * High-document-frequency tokens are both useless (near-zero IDF) and the
+    skew bombs of this join. We prune postings with idf < IDF_LIMIT
+    (pathhier/constants.py:13 defines exactly this floor) before the join —
+    cheaper than salting and mirrors the reference's stopword+IDF discipline.
+  * The per-pair aggregation keys on (source_id, target_id) which is
+    near-unique — no skew. AQE handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pathhier_spark import config
+from pathhier_spark.functions.text import char_ngrams, idf_table, jaccard, tokenize
+
+
+def entity_token_table(
+    df: DataFrame,
+    id_col: str,
+    text_cols: list[str],
+    out_tokens: str = "tokens",
+) -> DataFrame:
+    """Tokenize one or more string columns (candidate_selector.py:60-107
+    folds aliases + definitions + parent/child aliases into one token set).
+    Pass pre-concatenated alias arrays as additional text via concat_ws
+    upstream; here each text col is tokenized and union'd."""
+    tok_arrays = [tokenize(c) for c in text_cols]
+    merged = tok_arrays[0]
+    for t in tok_arrays[1:]:
+        merged = F.concat(merged, t)
+    return df.select(F.col(id_col), F.array_distinct(merged).alias(out_tokens))
+
+
+def candidate_pairs(
+    source_tokens: DataFrame,
+    target_tokens: DataFrame,
+    *,
+    source_id: str = "s_id",
+    target_id: str = "t_id",
+    top_n: int = config.KEEP_TOP_N_CANDIDATES,
+    idf_floor: float | None = None,
+    broadcast_target: bool = True,
+    target_doc_total: int | None = None,
+) -> DataFrame:
+    """candidate_selector.py:148-178 — candidates for s = all t sharing >=1
+    token, scored by sum of target-side IDF over the shared tokens; keep the
+    top_n per source (pw_aligner.py:186,224).
+
+    Inputs: (id, tokens ARRAY<STRING>) on both sides. Output:
+    (s_id, t_id, cand_score DOUBLE, rank INT).
+    """
+    s = source_tokens.select(
+        F.col(source_tokens.columns[0]).alias(source_id),
+        F.explode(F.array_distinct(F.col(source_tokens.columns[1]))).alias("token"),
+    )
+    t_idf = idf_table(
+        target_tokens,
+        target_tokens.columns[0],
+        target_tokens.columns[1],
+        doc_total=target_doc_total,
+    )
+    t = target_tokens.select(
+        F.col(target_tokens.columns[0]).alias(target_id),
+        F.explode(F.array_distinct(F.col(target_tokens.columns[1]))).alias("token"),
+    ).join(t_idf, "token")
+    if idf_floor is not None:
+        # skew + noise pruning: drop hot tokens up front (constants.py:13)
+        t = t.filter(F.col("idf") >= idf_floor)
+    if broadcast_target:
+        t = F.broadcast(t)
+    scored = (
+        s.join(t, "token")
+        .groupBy(source_id, target_id)
+        .agg(F.sum("idf").alias("cand_score"))
+    )
+    w = Window.partitionBy(source_id).orderBy(
+        F.col("cand_score").desc(), F.col(target_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def pair_features(
+    pairs: DataFrame, left_text: str, right_text: str
+) -> DataFrame:
+    """feature_generator.py:25-50 — the exact 5-feature vector per string
+    pair, as pure column expressions (no UDF): len_diff_perc, token jaccard,
+    char-3/4/5-gram jaccard."""
+    lt, rt = F.col(left_text), F.col(right_text)
+    ltoks, rtoks = tokenize(lt), tokenize(rt)
+    out = pairs.withColumn(
+        "len_diff_perc",
+        F.when(
+            F.size(ltoks) > 0,
+            F.abs(F.size(ltoks) - F.size(rtoks)).cast("double") / F.size(ltoks),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn("token_jaccard", jaccard(ltoks, rtoks))
+    for n in (3, 4, 5):
+        out = out.withColumn(
+            f"ngram{n}_jaccard", jaccard(char_ngrams(lt, n), char_ngrams(rt, n))
+        )
+    return out
+
+
+FEATURE_COLS = [
+    "len_diff_perc",
+    "token_jaccard",
+    "ngram3_jaccard",
+    "ngram4_jaccard",
+    "ngram5_jaccard",
+]
+
+
+def lr_score(df: DataFrame, coef: list[float], intercept: float) -> DataFrame:
+    """Broadcast-coefficient logistic-regression inference: a pure column
+    expression (pw_aligner.py:213-250 predict_proba recast — the model is a
+    5-weight dot product; no reason to ship rows to Python)."""
+    z = F.lit(intercept)
+    for c, w in zip(FEATURE_COLS, coef):
+        z = z + F.col(c) * F.lit(float(w))
+    return df.withColumn("p1", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def fuse_channels(
+    scored: DataFrame,
+    *,
+    pair_cols: tuple[str, str] = ("s_id", "t_id"),
+    score_col: str = "score",
+    channel_col: str = "data_type",
+    threshold: float = config.SIMSCORE_THRESHOLD,
+) -> DataFrame:
+    """pw_aligner.py:290-326 — per pair take max score within the 'name' and
+    'def' channels, fuse 0.75*name + 0.25*def, keep >= threshold."""
+    agg = scored.groupBy(*pair_cols).agg(
+        F.max(F.when(F.col(channel_col) == "name", F.col(score_col))).alias("name_s"),
+        F.max(F.when(F.col(channel_col) == "def", F.col(score_col))).alias("def_s"),
+    )
+    return (
+        agg.select(
+            *pair_cols,
+            (
+                config.NAME_WEIGHT * F.coalesce(F.col("name_s"), F.lit(0.0))
+                + config.DEF_WEIGHT * F.coalesce(F.col("def_s"), F.lit(0.0))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def top_matches(
+    scored: DataFrame,
+    *,
+    group_col: str = "s_id",
+    score_col: str = "score",
+    tie_col: str = "t_id",
+    top_n: int = config.KEEP_TOP_N_MATCHES,
+) -> DataFrame:
+    """pw_aligner.py:453-483 — top-10 matches per source id (S11/T2)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col)
+    )
+    return (
+        scored.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") <= top_n)
+    )
+
+
+def bow_link(
+    source_tokens: DataFrame,
+    target_tokens: DataFrame,
+    *,
+    threshold: float = config.BOW_SIMSCORE_THRESHOLD,
+    top_n: int = config.KEEP_TOP_N_MATCHES,
+    idf_floor: float | None = None,
+) -> DataFrame:
+    """pw_aligner.py:628-660 run_bow_model — the minimal end-to-end linking
+    query: candidate scores normalized by the global max, filtered >= 0.1,
+    top-10 per source. Returns (s_id, t_id, score, match_rank)."""
+    cands = candidate_pairs(
+        source_tokens, target_tokens, idf_floor=idf_floor
+    )
+    global_max = cands.agg(F.max("cand_score").alias("m"))
+    normed = cands.crossJoin(F.broadcast(global_max)).select(
+        "s_id", "t_id", (F.col("cand_score") / F.col("m")).alias("score")
+    )
+    return top_matches(
+        normed.filter(F.col("score") >= threshold), top_n=top_n
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+The reference computes cosine-similarity matrices with sklearn inside its
+per-pair alignment loop (pathhier/pathway_aligner.py:490, sklearn
+cosine_similarity). At corpus scale that becomes: brute-force top-k as the
+correctness baseline, and an LSH-bucketed (random hyperplane) variant as the
+scale path — candidates only compare within a bucket, turning the O(N*M)
+cross join into bucket-local joins.
+
+All dot products are native higher-order functions (F.zip_with +
+F.aggregate) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, window top-k per query. The corpus side never
+    shuffles until the final per-query top-k (which AQE coalesces).
+    Output: (q_id, c_id, cos DOUBLE, nn_rank INT)."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
+    scored = q.crossJoin(c).select(
+        query_id, corpus_id, cosine_expr(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure Python, tiny)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket id = bit pattern of sign(v·p)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(
+            dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane buckets.
+    With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold; the
+    join is a bucket-key equi-join (shuffle both sides by bucket — uniform
+    by construction of random projections). Recall is tunable via n_planes
+    (fewer planes = bigger buckets = higher recall)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = with_lsh_bucket(
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv")),
+        planes, vec_col="qv",
+    )
+    c = with_lsh_bucket(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv")),
+        planes, vec_col="cv",
+    )
+    scored = q.join(c, "bucket").select(
+        query_id, corpus_id, cosine_expr(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )

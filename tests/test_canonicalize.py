@@ -1,0 +1,71 @@
+"""Connected components vs the union-find oracle (FIXTURES.md §4 cases)."""
+
+import random
+
+from pathhier_spark.functions.oracle import UnionFind
+from pathhier_spark.operators.canonicalize import (
+    assign_local_ids,
+    connected_components,
+    xref_cooccurrence_edges,
+)
+from pathhier_spark.sources import corpus as corpus_mod
+
+
+def _oracle_components(pairs):
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    return uf.components()
+
+
+def _check(spark, pairs):
+    df = spark.createDataFrame(pairs, "xref_a string, xref_b string")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    want = _oracle_components(pairs)
+    assert got == want, f"mismatch: {dict(sorted(got.items()))[:10]}"
+
+
+def test_fixture_graph(spark):
+    c = corpus_mod.generate(n_classes=40, n_docs=10, seed=42)
+    pairs = [(x["xref_a"], x["xref_b"]) for x in c.xref_pairs]
+    _check(spark, pairs)
+
+
+def test_random_graph_vs_oracle(spark):
+    rng = random.Random(13)
+    nodes = [f"N:{i:04d}" for i in range(300)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(250)
+    ]  # sparse -> many components, some large
+    _check(spark, pairs)
+
+
+def test_long_chain(spark):
+    # worst-case diameter: star algorithm must converge in O(log n) rounds
+    pairs = [(f"X:{i:05d}", f"X:{i + 1:05d}") for i in range(200)]
+    _check(spark, pairs)
+
+
+def test_cooccurrence_edges_degree_guard(spark):
+    rows = [
+        ("e1", ["a", "b", "c"]),
+        ("e2", ["c", "d"]),
+        ("e3", []),  # no xrefs -> skipped
+        ("e4", [f"hub{i}" for i in range(12)]),  # >10 xrefs -> skipped
+        ("e5", ["z"]),  # singleton -> self-loop survives
+    ]
+    df = spark.createDataFrame(rows, "uid string, xrefs array<string>")
+    edges = xref_cooccurrence_edges(df)
+    got = {(r["xref_a"], r["xref_b"]) for r in edges.collect()}
+    assert ("a", "b") in got and ("c", "d") in got and ("z", "z") in got
+    assert not any(x.startswith("hub") for pair in got for x in pair)
+    comps = connected_components(edges)
+    labels = {r["node"]: r["component"] for r in comps.collect()}
+    # a,b,c,d all one component; z alone
+    assert len({labels[x] for x in "abcd"}) == 1
+    assert labels["z"] == "z"
+    with_ids = assign_local_ids(comps)
+    ids = {r["node"]: r["local_id"] for r in with_ids.collect()}
+    assert ids["a"] == ids["d"] != ids["z"]

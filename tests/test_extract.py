@@ -1,0 +1,55 @@
+"""Extraction stage: byte-identical text invariant + mention/triple parsing."""
+
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.extract import (
+    extract_mentions,
+    extract_text_py,
+    extract_token_triples,
+    with_extracted_text,
+)
+from pathhier_spark.sources import corpus as corpus_mod
+
+
+def test_extract_text_pure():
+    html = b"<html><head><title>t</title></head><body><p>hello &amp; <b>world</b></p></body></html>"
+    assert extract_text_py(html) == "hello & world"
+    assert extract_text_py(b"<script>var x=1;</script><p>keep</p>") == "keep"
+
+
+def test_byte_identical_text_invariant(spark):
+    """BASELINE.json input_hint: byte-identical extracted text per url."""
+    c = corpus_mod.generate(n_classes=50, n_docs=80, seed=42)
+    docs, *_ = corpus_mod.to_spark(spark, c)
+    out = with_extracted_text(docs)
+    mism = out.filter(F.col("extracted_text") != F.col("text")).count()
+    assert mism == 0
+    assert out.count() == 80
+
+
+def test_extract_mentions_gold_parity(spark):
+    """Every gold triple's sentence must parse back to (subj, pred, obj)."""
+    c = corpus_mod.generate(n_classes=50, n_docs=80, seed=7)
+    docs, _, gold_triples, gold_mentions, *_ = corpus_mod.to_spark(spark, c)
+    mentions = extract_mentions(docs)
+    # count parity: one extracted row per gold triple
+    assert mentions.count() == gold_triples.count()
+    # predicate distribution parity
+    got = {r["pred"]: r["n"] for r in mentions.groupBy("pred").agg(F.count("*").alias("n")).collect()}
+    want = {r["pred"]: r["n"] for r in gold_triples.groupBy("pred").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_token_triples_driver_table(spark, sf_dir):
+    trig = {"join": "participant", "merge": "component", "group": "member"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_token_triples(docs, trig)
+    rows = out.filter(F.col("doc_id") == 0).orderBy("pos").collect()
+    text = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    toks = text.lower().split()
+    expected = [
+        (i, toks[i - 1], trig[toks[i]], toks[i + 1])
+        for i in range(1, len(toks) - 1)
+        if toks[i] in trig
+    ]
+    assert [(r["pos"], r["subj"], r["pred"], r["obj"]) for r in rows] == expected
