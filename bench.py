@@ -1,0 +1,122 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "docs_per_sec", "value": N, "unit": "sec"? ...,
+   "queries": {...}, "sf": ...}
+
+Headline metric: docs/sec through the KG pipeline hot path (html->text
+extraction -> token-triple extraction -> entity linking) over the driver
+documents table at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+running on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores (default 32) — set 8 vs 32 for the N-vs-4N
+                       scaling-efficiency evidence (BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pathhier_spark.session import get_spark
+
+    spark = get_spark("pathhier_spark_bench", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+
+    from pyspark.sql import functions as F
+
+    from pathhier_spark import queries as q
+    from pathhier_spark.operators.extract import (
+        extract_token_triples,
+        with_extracted_text,
+    )
+    from pathhier_spark.operators.linking import candidate_pairs
+    from pathhier_spark.functions.text import tokenize
+    from pathhier_spark.sources.corpus import wrap_driver_documents
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    # ---- headline: KG pipeline docs/sec ------------------------------------
+    docs_full = wrap_driver_documents(spark, sf_dir)
+    n_docs = docs_full.count()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dict_tokens = part.select(
+        F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
+    ).distinct()
+
+    t0 = time.time()
+    extracted = with_extracted_text(docs_full).select(
+        "url", F.col("extracted_text").alias("text")
+    )
+    triples = extract_token_triples(extracted, q.TRIGGERS, id_cols=("url",))
+    mentions = (
+        triples.select(F.col("subj").alias("mention"))
+        .union(triples.select(F.col("obj").alias("mention")))
+        .distinct()
+    )
+    m_tokens = mentions.select(
+        F.col("mention").alias("s_id"), tokenize(F.col("mention")).alias("tokens")
+    )
+    links = candidate_pairs(m_tokens, dict_tokens, top_n=1)
+    linked = triples.join(
+        links.select(F.col("s_id").alias("subj"), F.col("t_id").alias("subj_link")),
+        "subj",
+        "left",
+    )
+    _materialize(linked)
+    pipeline_sec = time.time() - t0
+    docs_per_sec = n_docs / pipeline_sec if pipeline_sec > 0 else 0.0
+
+    # ---- per-query timings ---------------------------------------------------
+    headline = [
+        "q01_pricing_summary",
+        "q04_revenue_by_nation",
+        "q06_token_idf",
+        "q07_candidate_link_parts",
+        "q08_bow_link_part_names",
+        "q09_dedup_exact",
+        "q11_neardup_pairs",
+        "q12_cosine_topk",
+        "q16_sessionize",
+        "q17_extract_triples",
+        "q18_connected_components",
+    ]
+    registry = q.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        _materialize(registry[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "docs_per_sec",
+                "value": round(docs_per_sec, 2),
+                "unit": "docs/sec",
+                "pipeline_sec": round(pipeline_sec, 3),
+                "n_docs": n_docs,
+                "cores": cores,
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

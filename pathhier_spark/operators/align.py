@@ -1,0 +1,190 @@
+"""Pairwise alignment: rule-tier scoring + greedy bipartite matching.
+
+Reproduces the reference's per-pathway-pair alignment kernel:
+  * rule tiers (pathhier/pathway_aligner.py:387-453): score 1.0 if expanded
+    xref sets intersect and types match; 0.75 if expanded name sets intersect
+    and types match; 0.5 if names intersect; 0.25 if parent xrefs intersect
+    and types match; Group-vs-non-Group pairs are type-restricted (forced 0).
+  * similarity fusion (pathway_aligner.py:455-504): cosine channel clamped at
+    >= 0, overridden upward by the rule score, zeroed on type restriction.
+  * greedy matching (pathway_aligner.py:506-562): pre-accept all cells
+    >= 0.75, then repeatedly take the argmax, co-accept ties within
+    epsilon=0.01 along its row/col, zero the row+col, stop when max < 0.5.
+  * pair score (pathway_aligner.py:769-772):
+    mean(match scores) * n_matches / (0.5 * (n1 + n2)).
+
+The greedy loop is inherently sequential per pair but independent across
+pairs — exactly the applyInPandas shape: Spark distributes pairs, numpy runs
+the small per-pair matrix loop vectorized. No per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pathhier_spark import config
+
+
+def rule_tier_score(
+    xrefs_match: Column,
+    names_match: Column,
+    parents_match: Column,
+    same_type: Column,
+    type_restricted: Column,
+) -> Column:
+    """The tier cascade as a coalesce chain (continue-semantics preserved:
+    tiers are evaluated in priority order)."""
+    return (
+        F.when(type_restricted, F.lit(0.0))
+        .when(xrefs_match & same_type, F.lit(1.0))
+        .when(names_match & same_type, F.lit(0.75))
+        .when(names_match, F.lit(0.5))
+        .when(parents_match & same_type, F.lit(0.25))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def prelim_alignments(
+    left: DataFrame,
+    right: DataFrame,
+    pair_col: str = "pair_id",
+) -> DataFrame:
+    """Within-pair entity cross product scored by the rule tiers. Inputs
+    carry (pair_id, idx, obj_type, eq_xrefs, eq_names, parent_xrefs) per
+    entity, where eq_xrefs/eq_names are the pre-unioned expanded sets
+    (pathway_aligner.py:403-431 builds these unions; at scale they arrive
+    pre-joined from the enrichment dictionary as array columns)."""
+    l = left.select(
+        F.col(pair_col),
+        F.col("idx").alias("i"),
+        F.col("obj_type").alias("lt"),
+        F.col("eq_xrefs").alias("lx"),
+        F.col("eq_names").alias("ln"),
+        F.col("parent_xrefs").alias("lp"),
+    )
+    r = right.select(
+        F.col(pair_col),
+        F.col("idx").alias("j"),
+        F.col("obj_type").alias("rt"),
+        F.col("eq_xrefs").alias("rx"),
+        F.col("eq_names").alias("rn"),
+        F.col("parent_xrefs").alias("rp"),
+    )
+    joined = l.join(r, pair_col)
+    type_restricted = (F.col("lt") == "Group") != (F.col("rt") == "Group")
+    return joined.select(
+        pair_col,
+        "i",
+        "j",
+        rule_tier_score(
+            F.arrays_overlap("lx", "rx"),
+            F.arrays_overlap("ln", "rn"),
+            F.arrays_overlap("lp", "rp"),
+            F.col("lt") == F.col("rt"),
+            type_restricted,
+        ).alias("rule_score"),
+    )
+
+
+def greedy_align_matrix(sim: np.ndarray) -> list[tuple[int, int, float]]:
+    """pathway_aligner.py:506-562 _greedy_align, including the transpose-
+    when-flipped behavior and row-major argmax tie order. Returns
+    (i, j, score) matches in acceptance order (coordinates in the original
+    orientation).
+
+    Documented divergence: the reference writes `score_mat[:][y_ind] = 0.`
+    (pathway_aligner.py:532,553) which in numpy zeroes ROW y_ind, not column
+    y_ind — its columns are never actually cleared. We implement the
+    intended semantics (zero row x and column y) per SURVEY.md §7.3."""
+    n1, n2 = sim.shape
+    flip = n1 < n2
+    mat = sim.T.copy() if flip else sim.copy()
+
+    matches: list[tuple[int, int, float]] = []
+    pos = np.transpose(np.nonzero(mat >= 0.75))
+    for x, y in pos:
+        matches.append((int(x), int(y), float(mat[x][y])))
+    for x, y in pos:
+        mat[x, :] = 0.0
+        mat[:, y] = 0.0
+
+    while mat.size and np.max(mat) > config.MIN_ALIGNMENT_THRESHOLD:
+        max_val = float(np.max(mat))
+        x, y = np.unravel_index(int(mat.argmax()), mat.shape)
+        matches.append((int(x), int(y), max_val))
+        mat[x, y] = 0.0
+        eps = config.ALIGNMENT_SCORE_EPSILON
+        for col, v in enumerate(mat[x, :]):
+            if v >= max_val - eps:
+                matches.append((int(x), int(col), float(v)))
+        for row, v in enumerate(mat[:, y]):
+            if v >= max_val - eps:
+                matches.append((int(row), int(y), float(v)))
+        mat[x, :] = 0.0
+        mat[:, y] = 0.0
+
+    if flip:
+        matches = [(j, i, s) for i, j, s in matches]
+    return matches
+
+
+def pair_alignment_score(match_scores: list[float], n1: int, n2: int) -> float:
+    """pathway_aligner.py:769-772."""
+    if not match_scores or (n1 + n2) == 0:
+        return 0.0
+    return float(np.mean(match_scores)) * len(match_scores) / (0.5 * (n1 + n2))
+
+
+def align_pairs(
+    cells: DataFrame,
+    *,
+    pair_col: str = "pair_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Distributed greedy alignment: input is the fused similarity cells
+    (pair_id, i, j, score) — sparse; missing cells are 0. applyInPandas
+    groups by pair, rebuilds the small dense matrix, runs the greedy kernel.
+
+    Output: one row per accepted match (pair_id, i, j, match_score) plus the
+    aggregate is computed downstream with pair_alignment_score semantics.
+    """
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = pdf["pair_id"].iloc[0]
+        n1 = int(pdf["i"].max()) + 1
+        n2 = int(pdf["j"].max()) + 1
+        mat = np.zeros((n1, n2))
+        mat[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf[score_col].to_numpy()
+        matches = greedy_align_matrix(mat)
+        if not matches:
+            return pd.DataFrame(columns=["pair_id", "i", "j", "match_score"])
+        out = pd.DataFrame(matches, columns=["i", "j", "match_score"])
+        out.insert(0, "pair_id", pid)
+        return out
+
+    return cells.groupBy(pair_col).applyInPandas(
+        _kernel, schema=f"{pair_col} string, i int, j int, match_score double"
+    )
+
+
+def aggregate_pair_scores(
+    matches: DataFrame, sizes: DataFrame, pair_col: str = "pair_id"
+) -> DataFrame:
+    """A3 (pathway_aligner.py:769-772) as a grouped aggregate: sizes carries
+    (pair_id, n1, n2)."""
+    agg = matches.groupBy(pair_col).agg(
+        F.avg("match_score").alias("mean_score"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return agg.join(sizes, pair_col).select(
+        pair_col,
+        (
+            F.col("mean_score")
+            * F.col("n_matches")
+            / (0.5 * (F.col("n1") + F.col("n2")))
+        ).alias("align_score"),
+        "n_matches",
+    )

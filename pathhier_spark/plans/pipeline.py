@@ -1,0 +1,305 @@
+"""The end-to-end KG-construction pipeline (north rule):
+
+    documents ──extract──> mentions ──link──> linked mentions
+        ──assemble──> triples ──canonicalize──> canonical node/edge tables
+
+Each stage is a pure DataFrame -> DataFrame function; run_pipeline wires
+them through CheckpointManager so any stage resumes idempotently.
+
+Linking semantics (reference chain): token inverted-index candidate join
+with IDF scoring (candidate_selector.py:148-178) capped at top-20
+(constants.py:16), then name/definition channel scores fused
+0.75/0.25 with max-per-channel (pw_aligner.py:290-326) and thresholded at
+SIMSCORE_THRESHOLD=0.25, finally top-1 per mention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pathhier_spark import config
+from pathhier_spark.functions.text import jaccard, tokenize
+from pathhier_spark.operators.canonicalize import (
+    assign_local_ids,
+    connected_components,
+)
+from pathhier_spark.operators.extract import extract_mentions, with_extracted_text
+from pathhier_spark.operators.linking import candidate_pairs
+from pathhier_spark.plans.checkpoint import CheckpointManager
+
+
+def ontology_token_table(ontology: DataFrame) -> DataFrame:
+    """Class token sets: aliases + definitions (candidate_selector.py:60-78;
+    parent/child token expansion J3 available via expand_structural_tokens)."""
+    return ontology.select(
+        F.col("class_id").alias("ent_id"),
+        F.array_distinct(
+            F.flatten(
+                F.array(
+                    F.flatten(F.transform(F.col("aliases"), lambda a: tokenize(a))),
+                    F.flatten(F.transform(F.col("definition"), lambda d: tokenize(d))),
+                )
+            )
+        ).alias("tokens"),
+    )
+
+
+def expand_structural_tokens(ontology: DataFrame, tokens: DataFrame) -> DataFrame:
+    """J3 (candidate_selector.py:80-107): each class's token set also
+    includes tokens of its subClassOf/part_of parents and of its children.
+    Two self-joins over the parent edge list + array_union."""
+    parents = ontology.select(
+        F.col("class_id").alias("child"),
+        F.explode(F.concat(F.col("subClassOf"), F.col("part_of"))).alias("parent"),
+    )
+    base = tokens.select(F.col("ent_id"), F.col("tokens"))
+    par_toks = (
+        parents.join(base.withColumnRenamed("ent_id", "parent"), "parent")
+        .groupBy("child")
+        .agg(F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("ptoks"))
+        .withColumnRenamed("child", "ent_id")
+    )
+    chd_toks = (
+        parents.join(base.withColumnRenamed("ent_id", "child"), "child")
+        .groupBy("parent")
+        .agg(F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("ctoks"))
+        .withColumnRenamed("parent", "ent_id")
+    )
+    return (
+        base.join(par_toks, "ent_id", "left")
+        .join(chd_toks, "ent_id", "left")
+        .select(
+            "ent_id",
+            F.array_distinct(
+                F.concat(
+                    F.col("tokens"),
+                    F.coalesce(F.col("ptoks"), F.array().cast("array<string>")),
+                    F.coalesce(F.col("ctoks"), F.array().cast("array<string>")),
+                )
+            ).alias("tokens"),
+        )
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    ontology: DataFrame,
+    *,
+    threshold: float = config.SIMSCORE_THRESHOLD,
+    top_candidates: int = config.KEEP_TOP_N_CANDIDATES,
+) -> DataFrame:
+    """mention string -> class_id. Returns (mention, class_id, link_score).
+
+    Chain: distinct mentions -> candidate join (broadcast ontology postings,
+    IDF-scored, top-20) -> name channel = max token-jaccard vs any alias,
+    def channel = max token-jaccard vs any definition -> 0.75/0.25 fusion ->
+    threshold -> top-1 per mention. The mention side is huge (one row per
+    distinct surface form) and never shuffles except the final window, which
+    keys on mention — uniform."""
+    distinct_mentions = mentions.select(F.col("mention")).distinct()
+    m_tokens = distinct_mentions.select(
+        F.col("mention").alias("s_id"), tokenize(F.col("mention")).alias("tokens")
+    )
+    o_tokens = ontology_token_table(ontology)
+    cands = candidate_pairs(
+        m_tokens, o_tokens, top_n=top_candidates, broadcast_target=True
+    )
+    # channel scores vs the class record (J5 pair expansion: mention x alias)
+    classes = ontology.select(
+        F.col("class_id").alias("t_id"),
+        F.col("aliases"),
+        F.col("definition"),
+    )
+    scored = (
+        cands.join(F.broadcast(classes), "t_id")
+        .withColumn("m_toks", tokenize(F.col("s_id")))
+        .withColumn(
+            "name_s",
+            F.array_max(
+                F.transform(
+                    F.col("aliases"), lambda a: jaccard(F.col("m_toks"), tokenize(a))
+                )
+            ),
+        )
+        .withColumn(
+            "def_s",
+            F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.col("definition"),
+                        lambda d: jaccard(F.col("m_toks"), tokenize(d)),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select(
+            "s_id",
+            "t_id",
+            (
+                config.NAME_WEIGHT * F.col("name_s")
+                + config.DEF_WEIGHT * F.col("def_s")
+            ).alias("link_score"),
+        )
+        .filter(F.col("link_score") >= threshold)
+    )
+    w = Window.partitionBy("s_id").orderBy(F.col("link_score").desc(), F.col("t_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("s_id").alias("mention"),
+            F.col("t_id").alias("class_id"),
+            "link_score",
+        )
+    )
+
+
+def assemble_triples(mentions: DataFrame, links: DataFrame) -> DataFrame:
+    """Join subj/obj mentions to their linked classes -> (url, subj_id,
+    pred, obj_id). The links table is distinct-mention-sized (small relative
+    to mentions) — broadcast both joins."""
+    subj = F.broadcast(
+        links.select(
+            F.col("mention").alias("subj_mention"), F.col("class_id").alias("subj_id")
+        )
+    )
+    obj = F.broadcast(
+        links.select(
+            F.col("mention").alias("obj_mention"), F.col("class_id").alias("obj_id")
+        )
+    )
+    return (
+        mentions.join(subj, "subj_mention")
+        .join(obj, "obj_mention")
+        .select("url", "sent_no", "subj_id", "pred", "obj_id")
+    )
+
+
+def canonicalize_classes(ontology: DataFrame) -> DataFrame:
+    """Canonical ids over the ontology synonym-xref graph: classes sharing a
+    synonym xref merge (G1-G3 semantics). Output: (class_id, canonical_id,
+    local_id)."""
+    pairs = ontology.select(
+        F.col("class_id").alias("xref_a"), F.col("class_id").alias("xref_b")
+    ).union(
+        ontology.select(
+            F.col("class_id").alias("xref_a"), F.explode("synonyms").alias("xref_b")
+        )
+    )
+    comp = connected_components(pairs)
+    with_ids = assign_local_ids(comp)
+    return (
+        ontology.select("class_id")
+        .join(with_ids, F.col("class_id") == F.col("node"))
+        .select("class_id", F.col("component").alias("canonical_id"), "local_id")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    ontology: DataFrame,
+    checkpoint_root: str,
+) -> dict[str, DataFrame]:
+    """Full checkpointed run. Returns the stage outputs keyed by name."""
+    cp = CheckpointManager(spark, checkpoint_root)
+    n_docs = documents.count()
+    fp = f"docs={n_docs}"
+
+    extracted = cp.stage(
+        "extracted",
+        lambda: with_extracted_text(documents).select(
+            "url", "warc_ts", "lang", "extracted_text"
+        ),
+        fingerprint=fp,
+    )
+    mentions = cp.stage(
+        "mentions",
+        lambda: extract_mentions(
+            extracted.withColumnRenamed("extracted_text", "text")
+        ),
+        fingerprint=fp,
+    )
+    links = cp.stage(
+        "links",
+        lambda: link_mentions(
+            mentions.select(F.col("subj_mention").alias("mention")).union(
+                mentions.select(F.col("obj_mention").alias("mention"))
+            ),
+            ontology,
+        ),
+        fingerprint=fp,
+    )
+    triples = cp.stage(
+        "triples",
+        lambda: assemble_triples(mentions, links),
+        fingerprint=fp,
+        partition_by=["pred"],
+    )
+    canon = cp.stage(
+        "canonical_nodes", lambda: canonicalize_classes(ontology), fingerprint=fp
+    )
+    edges = cp.stage(
+        "edges",
+        lambda: (
+            triples.join(
+                F.broadcast(
+                    canon.select(
+                        F.col("class_id").alias("subj_id"),
+                        F.col("canonical_id").alias("subj_canon"),
+                    )
+                ),
+                "subj_id",
+            )
+            .join(
+                F.broadcast(
+                    canon.select(
+                        F.col("class_id").alias("obj_id"),
+                        F.col("canonical_id").alias("obj_canon"),
+                    )
+                ),
+                "obj_id",
+            )
+            .select(
+                F.col("subj_canon").alias("subj"),
+                "pred",
+                F.col("obj_canon").alias("obj"),
+                "url",
+                F.lit("pathhier_spark").alias("provenance"),
+            )
+        ),
+        fingerprint=fp,
+        partition_by=["pred"],
+    )
+    return {
+        "extracted": extracted,
+        "mentions": mentions,
+        "links": links,
+        "triples": triples,
+        "canonical_nodes": canon,
+        "edges": edges,
+        "lineage": spark.createDataFrame(cp.lineage()),
+    }
+
+
+def triple_precision_recall(
+    got: DataFrame, gold: DataFrame, keys: list[str] | None = None
+) -> dict[str, float]:
+    """A4 (pw_aligner.py:137-174): P/R/F1 of emitted triples vs gold."""
+    keys = keys or ["url", "subj_id", "pred", "obj_id"]
+    g = got.select(*keys).distinct()
+    w = gold.select(*keys).distinct()
+    tp = g.join(w, keys, "inner").count()
+    n_got = g.count()
+    n_gold = w.count()
+    precision = tp / n_got if n_got else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp,
+            "n_got": n_got, "n_gold": n_gold}

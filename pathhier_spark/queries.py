@@ -1,0 +1,923 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB-equivalent ANSI-SQL oracle.
+
+Every query is a callable (spark, sf_dir) -> DataFrame; ORACLES[name] is the
+SQL DuckDB runs on the same parquet (views pre-registered by the driver).
+Column names and value rounding are aligned on both sides (the driver
+compares row-count + schema + order-insensitive value hash).
+
+Conventions:
+  * every DOUBLE is round(x, 6) on both sides;
+  * every ranking is computed on the unrounded value with a deterministic
+    integer/string tie-break, identically on both sides;
+  * tokenization parity: the SQL reproduces normalize_string + stopword
+    semantics via literals generated from the same Python constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pathhier_spark import config
+from pathhier_spark.functions.text import STOPWORDS, jaccard, tokenize
+from pathhier_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+)
+from pathhier_spark.operators.extract import extract_token_triples
+from pathhier_spark.operators.linking import candidate_pairs, entity_token_table
+from pathhier_spark.operators.similarity import brute_force_topk, cosine_expr
+from pathhier_spark.operators.textstats import (
+    with_lang_id,
+    with_quality_features,
+    with_token_counts,
+)
+
+# ---------------------------------------------------------------------------
+# shared literals (Python constants -> SQL literals, guaranteeing parity)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# tokenize_string SQL (DuckDB): normalize + regex tokens + stopword drop with
+# fallback (string_utils.py:5-24)
+def _sql_norm(col: str) -> str:
+    return (
+        f"replace(replace(replace(replace(lower(trim({col})),"
+        f"'-',' '),'_',' '),'/',' '),':',' ')"
+    )
+
+
+def _sql_raw_tokens(col: str) -> str:
+    return f"regexp_extract_all({_sql_norm(col)}, '[A-Za-z0-9]+')"
+
+
+def _sql_tokens(col: str) -> str:
+    raw = _sql_raw_tokens(col)
+    kept = f"list_filter({raw}, t -> not list_contains({_STOP_SQL}, t))"
+    return f"(case when len({kept}) = 0 then {raw} else {kept} end)"
+
+
+TRIGGERS = {
+    "join": "participant",
+    "filter": "controller",
+    "merge": "component",
+    "group": "member",
+    "order": "to",
+    "hash": "other",
+}
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (A-class aggregates + filters; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — top-N per group window (T1/T2 semantics)
+# ---------------------------------------------------------------------------
+
+
+def q02_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "rn",
+        )
+    )
+
+
+Q02_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — anti join (E5 done-set exclusion)
+# ---------------------------------------------------------------------------
+
+
+def q03_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+Q03_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — multi-join + agg over broadcast dims (J4/J8)
+# ---------------------------------------------------------------------------
+
+
+def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    n = spark.read.parquet(_t(sf_dir, "nation"))
+    r = spark.read.parquet(_t(sf_dir, "region"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q04_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — channel fusion (A2: max-per-channel + 0.75/0.25 weighting)
+# ---------------------------------------------------------------------------
+
+
+def q05_channel_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(_t(sf_dir, "events"))
+    agg = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_s"),
+            F.max(F.when(F.col("event_type") == "view", F.col("value"))).alias("view_s"),
+        )
+    )
+    return (
+        agg.select(
+            "user_id",
+            F.round(
+                config.NAME_WEIGHT * F.coalesce(F.col("click_s"), F.lit(0.0))
+                + config.DEF_WEIGHT * F.coalesce(F.col("view_s"), F.lit(0.0)),
+                6,
+            ).alias("fused_score"),
+        )
+        .filter(F.col("fused_score") >= config.SIMSCORE_THRESHOLD)
+    )
+
+
+Q05_SQL = f"""
+SELECT user_id,
+       round({config.NAME_WEIGHT} * coalesce(max(CASE WHEN event_type = 'click' THEN value END), 0)
+           + {config.DEF_WEIGHT} * coalesce(max(CASE WHEN event_type = 'view' THEN value END), 0), 6)
+       AS fused_score
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY user_id
+HAVING round({config.NAME_WEIGHT} * coalesce(max(CASE WHEN event_type = 'click' THEN value END), 0)
+           + {config.DEF_WEIGHT} * coalesce(max(CASE WHEN event_type = 'view' THEN value END), 0), 6)
+       >= {config.SIMSCORE_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — token IDF (J2, exact formula ln((N+1)/(df+1)))
+# ---------------------------------------------------------------------------
+
+
+def q06_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6).alias("idf"),
+        )
+        .orderBy("token")
+    )
+
+
+def _q06_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_sql_tokens('text')}) AS token FROM documents
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, count(*) AS df,
+       round(ln((n.n_docs + 1)::double / (count(*) + 1)), 6) AS idf
+FROM tok, n GROUP BY token, n.n_docs ORDER BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — inverted-index candidate join (J1/A1/T1): documents vs part dictionary
+# ---------------------------------------------------------------------------
+
+
+def q07_candidate_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    n_parts = part.count()
+    src = docs.select(
+        F.col("doc_id").alias("s_id"), tokenize(F.col("text")).alias("tokens")
+    )
+    tgt = part.select(
+        F.col("p_partkey").alias("ent_id"),
+        tokenize(F.concat_ws(" ", "p_name", "p_type")).alias("tokens"),
+    )
+    cands = candidate_pairs(
+        src, tgt, top_n=5, broadcast_target=True, target_doc_total=n_parts + 1
+    )
+    return cands.select(
+        F.col("s_id").alias("doc_id"),
+        F.col("t_id").alias("p_partkey"),
+        F.round("cand_score", 6).alias("cand_score"),
+        F.col("rank"),
+    )
+
+
+def _q07_sql() -> str:
+    return f"""
+WITH src AS (
+  SELECT DISTINCT doc_id AS s_id, unnest({_sql_tokens('text')}) AS token
+  FROM documents
+), tgt AS (
+  SELECT DISTINCT p_partkey AS t_id,
+         unnest({_sql_tokens("(p_name || ' ' || p_type)")}) AS token
+  FROM part
+), n AS (SELECT count(*) + 1 AS total FROM part),
+idf AS (
+  SELECT token, ln(n.total::double / (count(*) + 1)) AS idf
+  FROM tgt, n GROUP BY token, n.total
+), scored AS (
+  SELECT s.s_id, t.t_id, sum(i.idf) AS cand_score
+  FROM src s JOIN tgt t USING (token) JOIN idf i USING (token)
+  GROUP BY s.s_id, t.t_id
+), ranked AS (
+  SELECT s_id, t_id, cand_score,
+         row_number() OVER (PARTITION BY s_id
+                            ORDER BY cand_score DESC, t_id) AS rank
+  FROM scored
+)
+SELECT s_id AS doc_id, t_id AS p_partkey,
+       round(cand_score, 6) AS cand_score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — BOW linking end-to-end (pw_aligner.py:628-660 run_bow_model) on the
+# part-name dictionary: 64 distinct names linked against themselves
+# ---------------------------------------------------------------------------
+
+
+def q08_bow_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    names = part.select(F.col("p_name")).distinct()
+    n_names = names.count()
+    toks = names.select(
+        F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
+    )
+    cands = candidate_pairs(
+        toks,
+        toks,
+        top_n=config.KEEP_TOP_N_CANDIDATES,
+        broadcast_target=True,
+        target_doc_total=n_names + 1,
+    )
+    mx = cands.agg(F.max("cand_score").alias("m"))
+    normed = cands.crossJoin(F.broadcast(mx)).select(
+        F.col("s_id").alias("src_name"),
+        F.col("t_id").alias("match_name"),
+        (F.col("cand_score") / F.col("m")).alias("score"),
+    ).filter(F.col("score") >= config.BOW_SIMSCORE_THRESHOLD)
+    w = Window.partitionBy("src_name").orderBy(
+        F.col("score").desc(), F.col("match_name")
+    )
+    return (
+        normed.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") <= config.KEEP_TOP_N_MATCHES)
+        .select("src_name", "match_name", F.round("score", 6).alias("score"), "match_rank")
+    )
+
+
+def _q08_sql() -> str:
+    return f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+tok AS (
+  SELECT DISTINCT p_name AS ent_id, unnest({_sql_tokens('p_name')}) AS token
+  FROM names
+), n AS (SELECT count(*) + 1 AS total FROM names),
+idf AS (
+  SELECT token, ln(n.total::double / (count(*) + 1)) AS idf
+  FROM tok, n GROUP BY token, n.total
+), scored AS (
+  SELECT s.ent_id AS src_name, t.ent_id AS match_name, sum(i.idf) AS raw
+  FROM tok s JOIN tok t USING (token) JOIN idf i USING (token)
+  GROUP BY 1, 2
+), capped AS (
+  SELECT src_name, match_name, raw,
+         row_number() OVER (PARTITION BY src_name ORDER BY raw DESC, match_name) AS cr
+  FROM scored
+), topc AS (SELECT * FROM capped WHERE cr <= {config.KEEP_TOP_N_CANDIDATES}),
+mx AS (SELECT max(raw) AS m FROM topc),
+normed AS (
+  SELECT src_name, match_name, raw / mx.m AS score FROM topc, mx
+  WHERE raw / mx.m >= {config.BOW_SIMSCORE_THRESHOLD}
+), ranked AS (
+  SELECT src_name, match_name, score,
+         row_number() OVER (PARTITION BY src_name ORDER BY score DESC, match_name) AS match_rank
+  FROM normed
+)
+SELECT src_name, match_name, round(score, 6) AS score, match_rank
+FROM ranked WHERE match_rank <= {config.KEEP_TOP_N_MATCHES}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def q09_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return exact_dedup(docs).select("doc_id", "content_hash", "dup_count")
+
+
+Q09_SQL = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — minhash signatures (long format)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SEEDS = 16
+_SHINGLE_K = 3
+
+
+def q10_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", _SHINGLE_K)).alias("sh")
+    )
+    seeded = sh.crossJoin(
+        spark.range(_MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    )
+    return (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("sh")))).alias("mh"))
+        .orderBy("doc_id", "seed")
+    )
+
+
+def _q10_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= {_SHINGLE_K}
+              THEN array_to_string(t[i:i+{_SHINGLE_K - 1}], ' ')
+              ELSE array_to_string(t, ' ') END AS sh
+  FROM toks, range(1, greatest(len(t) - {_SHINGLE_K - 1}, 1) + 1) r(i)
+  WHERE i <= greatest(len(t) - {_SHINGLE_K - 1}, 1)
+)
+SELECT doc_id, seed::int AS seed, min(md5(seed || ':' || sh)) AS mh
+FROM sh, range(0, {_MINHASH_SEEDS}) s(seed)
+GROUP BY doc_id, seed ORDER BY doc_id, seed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — near-dup pairs: LSH bucket join + exact shingle-jaccard verify
+# ---------------------------------------------------------------------------
+
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+_NEARDUP_T = 0.5
+
+
+def q11_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=50
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jacc", 6).alias("jacc")
+    )
+
+
+def _q11_sql() -> str:
+    nh = _LSH_BANDS * _LSH_ROWS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= {_SHINGLE_K}
+              THEN array_to_string(t[i:i+{_SHINGLE_K - 1}], ' ')
+              ELSE array_to_string(t, ' ') END AS sh
+  FROM toks, range(1, greatest(len(t) - {_SHINGLE_K - 1}, 1) + 1) r(i)
+  WHERE i <= greatest(len(t) - {_SHINGLE_K - 1}, 1)
+), mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+  FROM sh, range(0, {nh}) s(seed) GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {_LSH_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+  FROM mh GROUP BY doc_id, seed // {_LSH_ROWS}
+), sized AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= 50
+), small AS (
+  SELECT b.* FROM banded b JOIN sized USING (band, bucket)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM small a JOIN small b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), shs AS (
+  SELECT doc_id, list(DISTINCT sh) AS shset FROM sh GROUP BY doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(x.shset, y.shset))::double
+             / len(list_distinct(list_concat(x.shset, y.shset))), 6) AS jacc
+FROM pairs p JOIN shs x ON p.id_a = x.doc_id JOIN shs y ON p.id_b = y.doc_id
+WHERE len(list_intersect(x.shset, y.shset))::double
+      / len(list_distinct(list_concat(x.shset, y.shset))) >= {_NEARDUP_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — brute-force cosine top-k (similarity search baseline)
+# ---------------------------------------------------------------------------
+
+
+def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    out = brute_force_topk(queries, corpus, k=5)
+    return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "nn_rank")
+
+
+Q12_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS cos FROM q, c
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS nn_rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos, 6) AS cos, nn_rank FROM ranked WHERE nn_rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — embedding centroids per label (array aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+Q13_SQL = """
+SELECT label, (i - 1)::int AS dim, round(avg(embedding[i]), 6) AS centroid_val,
+       count(*) AS n_vecs
+FROM embeddings, range(1, len(embedding) + 1) r(i)
+GROUP BY label, i ORDER BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — text quality features
+# ---------------------------------------------------------------------------
+
+
+def q14_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = with_quality_features(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+def _q14_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks)::bigint AS n_tokens,
+       round(CASE WHEN len(toks) > 0 THEN
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::double / len(toks)
+         ELSE 0 END, 6) AS stopword_ratio,
+       round(CASE WHEN len(toks) > 0 THEN
+         len(list_distinct(toks))::double / len(toks) ELSE 0 END, 6) AS distinct_ratio,
+       round(CASE WHEN len(toks) > 0 THEN
+         len(array_to_string(toks, ''))::double / len(toks) ELSE 0 END, 6) AS mean_token_len
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — language-ID heuristic + confusion counts
+# ---------------------------------------------------------------------------
+
+
+def q15_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (
+        with_lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _q15_sql() -> str:
+    from pathhier_spark.operators.textstats import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_exprs.append(
+            f"len(list_intersect(toks, {lit}))::double / {len(markers)} AS score_{lang}"
+        )
+    # argmax with lexicographic tie-break, mirroring textstats.with_lang_id
+    langs = sorted(LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest(score_{lang}, {best})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM t
+), pred AS (
+  SELECT lang, {pred} AS lang_pred FROM scored
+)
+SELECT lang, lang_pred, count(*) AS n FROM pred
+GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — sessionization (gap > 30 min) over events
+# ---------------------------------------------------------------------------
+
+
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1).over(w)
+            > 1800,
+            1,
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("session_no") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q16_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, max(session_no) + 1 AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — token-window triple extraction (the extract stage on driver docs)
+# ---------------------------------------------------------------------------
+
+
+def q17_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return extract_token_triples(docs, TRIGGERS).select(
+        "doc_id", "pos", "subj", "pred", "obj"
+    )
+
+
+def _q17_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(TRIGGERS.items())
+    )
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id, (i - 1)::int AS pos, t[i-1] AS subj,
+       CASE t[i] {cases} END AS pred, t[i+1] AS obj
+FROM toks, range(2, len(t)) r(i)
+WHERE t[i] IN {trig_list}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — connected components over a derived customer graph (G1-G3)
+# ---------------------------------------------------------------------------
+
+
+def q18_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.canonicalize import connected_components
+
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    # zero-pad keys so string min == numeric min inside the CC kernel
+    pad = lambda col: F.lpad(col.cast("string"), 10, "0")  # noqa: E731
+    a = c.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n")
+    )
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("k"), F.col("c_nationkey").alias("n2"),
+        F.col("c_custkey").alias("k2"),
+    )
+    edges = a.join(b, ["k"]).filter(F.col("n") == F.col("n2")).select(
+        pad(F.col("k")).alias("xref_a"), pad(F.col("k2")).alias("xref_b")
+    )
+    nodes_all = c.select(pad(F.col("c_custkey")).alias("xref_a")).select(
+        "xref_a", F.col("xref_a").alias("xref_b")
+    )
+    comp = connected_components(edges.union(nodes_all))
+    return comp.select(
+        F.col("node").cast("bigint").alias("c_custkey"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("c_custkey")
+
+
+Q18_SQL = """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON b.c_custkey = a.c_custkey + 1 AND a.c_nationkey = b.c_nationkey
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v, u FROM e
+), reach(n, m) AS (
+    SELECT c_custkey, c_custkey FROM customer
+    UNION
+    SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+)
+SELECT n::bigint AS c_custkey, min(m)::bigint AS component
+FROM reach GROUP BY n ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — grouped collect (A7 gene-set style): suppliers per nation
+# ---------------------------------------------------------------------------
+
+
+def q19_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(_t(sf_dir, "supplier"))
+    n = spark.read.parquet(_t(sf_dir, "nation"))
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("s_name"))).alias("members"),
+            F.countDistinct("s_name").alias("n_members"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q19_SQL = """
+SELECT n_name, string_agg(DISTINCT s_name, ',' ORDER BY s_name) AS members,
+       count(DISTINCT s_name) AS n_members
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — pivot (A2's pivot shape) + set ops
+# ---------------------------------------------------------------------------
+
+
+def q20_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )
+
+
+Q20_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — token counts (whitespace + BPE-ish estimate)
+# ---------------------------------------------------------------------------
+
+
+def q21_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return with_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens_est")
+
+
+Q21_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks)::bigint AS ws_tokens,
+       coalesce(list_sum(list_transform(toks, x -> ceil(len(x) / 4.0)::bigint)), 0)::bigint
+         AS bpe_tokens_est
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_orders_per_customer": q02_top_orders_per_customer,
+        "q03_customers_without_orders": q03_customers_without_orders,
+        "q04_revenue_by_nation": q04_revenue_by_nation,
+        "q05_channel_fusion": q05_channel_fusion,
+        "q06_token_idf": q06_token_idf,
+        "q07_candidate_link_parts": q07_candidate_link_parts,
+        "q08_bow_link_part_names": q08_bow_link_part_names,
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_minhash": q10_minhash,
+        "q11_neardup_pairs": q11_neardup_pairs,
+        "q12_cosine_topk": q12_cosine_topk,
+        "q13_label_centroids": q13_label_centroids,
+        "q14_text_quality": q14_text_quality,
+        "q15_lang_confusion": q15_lang_confusion,
+        "q16_sessionize": q16_sessionize,
+        "q17_extract_triples": q17_extract_triples,
+        "q18_connected_components": q18_connected_components,
+        "q19_grouped_collect": q19_grouped_collect,
+        "q20_pivot_returnflag": q20_pivot_returnflag,
+        "q21_token_counts": q21_token_counts,
+    }
+
+
+def oracle_sql():
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_top_orders_per_customer": Q02_SQL,
+        "q03_customers_without_orders": Q03_SQL,
+        "q04_revenue_by_nation": Q04_SQL,
+        "q05_channel_fusion": Q05_SQL,
+        "q06_token_idf": _q06_sql(),
+        "q07_candidate_link_parts": _q07_sql(),
+        "q08_bow_link_part_names": _q08_sql(),
+        "q09_dedup_exact": Q09_SQL,
+        "q10_minhash": _q10_sql(),
+        "q11_neardup_pairs": _q11_sql(),
+        "q12_cosine_topk": Q12_SQL,
+        "q13_label_centroids": Q13_SQL,
+        "q14_text_quality": _q14_sql(),
+        "q15_lang_confusion": _q15_sql(),
+        "q16_sessionize": Q16_SQL,
+        "q17_extract_triples": _q17_sql(),
+        "q18_connected_components": Q18_SQL,
+        "q19_grouped_collect": Q19_SQL,
+        "q20_pivot_returnflag": Q20_SQL,
+        "q21_token_counts": Q21_SQL,
+    }

@@ -1,0 +1,102 @@
+"""Rule-tier scoring + greedy bipartite matching vs hand-computed goldens."""
+
+import numpy as np
+import pytest
+
+from pathhier_spark.operators.align import (
+    aggregate_pair_scores,
+    align_pairs,
+    greedy_align_matrix,
+    pair_alignment_score,
+    prelim_alignments,
+)
+
+
+def test_rule_tiers(spark):
+    # FIXTURES.md §8: tiers 1.0 / 0.75 / 0.5 / 0.25 / blocked
+    left = spark.createDataFrame(
+        [
+            ("p", 0, "Protein", ["X:1"], ["alpha"], ["P:1"]),
+            ("p", 1, "Protein", ["X:9"], ["beta"], ["P:2"]),
+            ("p", 2, "Group", ["X:5"], ["gamma"], ["P:3"]),
+        ],
+        "pair_id string, idx int, obj_type string, eq_xrefs array<string>,"
+        " eq_names array<string>, parent_xrefs array<string>",
+    ).withColumnRenamed("idx", "idx")
+    right = spark.createDataFrame(
+        [
+            ("p", 0, "Protein", ["X:1"], ["other"], ["P:9"]),   # xref tier vs l0
+            ("p", 1, "SmallMolecule", ["X:7"], ["beta"], []),   # names-only vs l1
+            ("p", 2, "Protein", ["X:8"], ["beta"], []),          # names+type vs l1
+            ("p", 3, "Protein", [], [], ["P:2"]),                # parent tier vs l1
+            ("p", 4, "Protein", ["X:5"], ["gamma"], []),         # blocked vs l2 (Group)
+        ],
+        "pair_id string, idx int, obj_type string, eq_xrefs array<string>,"
+        " eq_names array<string>, parent_xrefs array<string>",
+    )
+    got = {
+        (r["i"], r["j"]): r["rule_score"]
+        for r in prelim_alignments(left, right).collect()
+    }
+    assert got[(0, 0)] == 1.0
+    assert got[(1, 1)] == 0.5
+    assert got[(1, 2)] == 0.75
+    assert got[(1, 3)] == 0.25
+    assert got[(2, 4)] == 0.0  # Group vs non-Group restricted
+
+
+def test_greedy_align_simple():
+    sim = np.array(
+        [
+            [0.9, 0.1, 0.0],
+            [0.2, 0.8, 0.0],
+            [0.0, 0.0, 0.3],  # below 0.5 floor -> unmatched
+        ]
+    )
+    got = greedy_align_matrix(sim)
+    assert {(i, j) for i, j, _ in got} == {(0, 0), (1, 1)}
+
+
+def test_greedy_align_preaccepts_and_ties():
+    sim = np.array([[1.0, 0.0], [0.0, 0.76]])
+    got = greedy_align_matrix(sim)
+    assert {(i, j) for i, j, _ in got} == {(0, 0), (1, 1)}
+    # epsilon co-keep: two cells within 1e-2 on the same row both accepted
+    sim2 = np.array([[0.70, 0.695], [0.0, 0.0]])
+    got2 = {(i, j) for i, j, _ in greedy_align_matrix(sim2)}
+    assert got2 == {(0, 0), (0, 1)}
+
+
+def test_greedy_align_flip_orientation():
+    sim = np.array([[0.9, 0.2, 0.6]])  # n1=1 < n2=3 -> internal transpose
+    got = greedy_align_matrix(sim)
+    assert (0, 0) in {(i, j) for i, j, _ in got}
+    assert all(i == 0 for i, _, _ in got)
+
+
+def test_pair_alignment_score_formula():
+    # pathway_aligner.py:769-772: mean * n / (0.5*(n1+n2))
+    assert pair_alignment_score([1.0, 0.5], 2, 2) == pytest.approx(
+        0.75 * 2 / 2.0
+    )
+    assert pair_alignment_score([], 2, 2) == 0.0
+
+
+def test_align_pairs_distributed(spark):
+    cells = spark.createDataFrame(
+        [
+            ("a", 0, 0, 0.9),
+            ("a", 1, 1, 0.8),
+            ("a", 1, 0, 0.2),
+            ("b", 0, 0, 0.3),  # all below floor -> no matches for b
+        ],
+        "pair_id string, i int, j int, score double",
+    )
+    got = align_pairs(cells).collect()
+    by_pair = {}
+    for r in got:
+        by_pair.setdefault(r["pair_id"], set()).add((r["i"], r["j"]))
+    assert by_pair == {"a": {(0, 0), (1, 1)}}
+    sizes = spark.createDataFrame([("a", 2, 2)], "pair_id string, n1 int, n2 int")
+    agg = aggregate_pair_scores(align_pairs(cells), sizes).collect()
+    assert agg[0]["align_score"] == pytest.approx(((0.9 + 0.8) / 2) * 2 / 2.0)

@@ -1,0 +1,95 @@
+"""Dedup family: exact, minhash+LSH, simhash, ngram-jaccard, cosine near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different content about spark query engines and joins"),
+        (4, "another unrelated document mentioning databases and storage"),
+        (5, base),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [0, 2, 3, 4]
+    assert [r["dup_count"] for r in out if r["doc_id"] == 0] == [3]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_dedup(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # all pairs among {0,1,5} (identical) plus near-dup 2 with each
+    assert {(0, 1), (0, 5), (1, 5)} <= got
+    assert (0, 2) in got or (1, 2) in got  # near-dup found by LSH
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    s1 = minhash_signatures(docs, num_hashes=16)
+    s2 = minhash_signatures(docs, num_hashes=16)
+    r1 = {r["doc_id"]: r["sig"] for r in s1.collect()}
+    r2 = {r["doc_id"]: r["sig"] for r in s2.collect()}
+    assert r1 == r2
+    assert all(len(v) == 16 for v in r1.values())
+    assert r1[0] == r1[1] == r1[5]  # identical docs -> identical signatures
+
+
+def test_ngram_jaccard_direct(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in ngram_jaccard_pairs(docs, pairs, threshold=0.0).collect()
+    }
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert out[(0, 3)] == pytest.approx(0.0)
+
+
+def test_simhash_similarity(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[0] == out[1] == out[5]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[0], out[2]) < hamming(out[0], out[3])
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df).collect()}
+    assert got == {(0, 1)}
+
+
+def test_lsh_bucket_cap(spark):
+    # 60 identical docs -> one giant bucket; cap drops it entirely
+    rows = [(i, "same same same same text") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, max_bucket_size=50)
+    assert pairs.count() == 0

@@ -1,0 +1,91 @@
+"""Replicates the driver's correctness gate locally: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count + column names + order-insensitive value hash."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(_canon(r[i]) for i in idx) for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck(SF_DIR)
+    yield con
+    con.close()
+
+
+ALL_QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_vs_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    sdf = qfn(spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+    res = duck.execute(sql)
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+    sset = _rowset(scols, srows)
+    dset = _rowset(dcols, drows)
+    if sset != dset:
+        diff = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0

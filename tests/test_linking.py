@@ -171,4 +171,6 @@ def test_entity_token_table(spark):
         "uid string, name string, definition string",
     )
     got = entity_token_table(df, "uid", ["name", "definition"]).collect()[0]
-    assert got["tokens"] == ["mapk", "signaling", "cascade", "events"]
+    # 'a' survives: the stopword set keeps only len>1 words
+    # (candidate_selector.py:32 — one-letter words are meaningful here)
+    assert got["tokens"] == ["mapk", "signaling", "a", "cascade", "events"]

@@ -1,0 +1,80 @@
+"""End-to-end KG pipeline: P/R >= 0.95 vs gold triples, byte-identical text,
+idempotent resume, determinism (SURVEY.md §5 items 2/5/6)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.plans.pipeline import run_pipeline, triple_precision_recall
+from pathhier_spark.sources import corpus as corpus_mod
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = corpus_mod.generate(n_classes=120, n_docs=300, seed=42)
+    return corpus_mod.to_spark(spark, c)
+
+
+def test_pipeline_pr_and_resume(spark, corpus, tmp_path_factory):
+    docs, onto, gold_triples, gold_mentions, xref_pairs, gold_components = corpus
+    root = str(tmp_path_factory.mktemp("ckpt"))
+
+    out = run_pipeline(spark, docs, onto, root)
+
+    # --- triple P/R >= 0.95 (BASELINE.json metric) ---
+    pr = triple_precision_recall(out["triples"], gold_triples,
+                                 keys=["url", "subj_id", "pred", "obj_id"])
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+    # --- lineage rows exist for every stage ---
+    lineage = out["lineage"].collect()
+    stages = {r["stage"] for r in lineage}
+    assert {"extracted", "mentions", "links", "triples", "canonical_nodes",
+            "edges"} <= stages
+    assert all(r["wall_ms"] >= 0 and r["rows"] > 0 for r in lineage)
+
+    # --- resume: rerun skips all stages (no new lineage rows), same rows ---
+    n_lineage_before = len(lineage)
+    out2 = run_pipeline(spark, docs, onto, root)
+    assert len(out2["lineage"].collect()) == n_lineage_before
+    assert out2["triples"].count() == out["triples"].count()
+
+    # --- edges are partitioned by pred on disk ---
+    assert any(
+        p.startswith("pred=") for p in os.listdir(os.path.join(root, "edges"))
+    )
+
+
+def test_pipeline_determinism(spark, corpus, tmp_path_factory):
+    docs, onto, *_ = corpus
+    r1 = str(tmp_path_factory.mktemp("d1"))
+    r2 = str(tmp_path_factory.mktemp("d2"))
+    t1 = run_pipeline(spark, docs, onto, r1)["triples"]
+    t2 = run_pipeline(spark, docs, onto, r2)["triples"]
+    h1 = t1.select(F.sum(F.xxhash64("url", "subj_id", "pred", "obj_id").cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
+    h2 = t2.select(F.sum(F.xxhash64("url", "subj_id", "pred", "obj_id").cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
+    assert h1 == h2
+    assert t1.count() == t2.count()
+
+
+def test_canonical_components_match_oracle(spark, corpus):
+    from pathhier_spark.operators.canonicalize import connected_components
+
+    *_, xref_pairs, gold_components = corpus
+    got = connected_components(xref_pairs)
+    # same partition of nodes into components as the gold labeling
+    joined = got.join(gold_components, got["node"] == gold_components["xref"])
+    # map: our component label -> gold component label must be 1:1
+    pairs = joined.select("component", F.col("component").alias("c2"), "xref",
+                          gold_components["component"].alias("gold_c")) if False else joined
+    m = pairs.groupBy(got["component"]).agg(
+        F.countDistinct(gold_components["component"]).alias("n_gold")
+    )
+    assert m.filter(F.col("n_gold") > 1).count() == 0
+    m2 = pairs.groupBy(gold_components["component"]).agg(
+        F.countDistinct(got["component"]).alias("n_ours")
+    )
+    assert m2.filter(F.col("n_ours") > 1).count() == 0

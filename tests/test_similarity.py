@@ -1,0 +1,72 @@
+"""Similarity search: brute-force cosine top-k + LSH-bucketed variant."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    lsh_bucket_topk,
+)
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def test_cosine_expr_matches_python(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    rows = emb.collect()
+    a = rows[0]["embedding"]
+    df = spark.createDataFrame(
+        [(list(map(float, a)), list(map(float, r["embedding"]))) for r in rows],
+        "va array<double>, vb array<double>",
+    )
+    got = [r[0] for r in df.select(cosine_expr(F.col("va"), F.col("vb"))).collect()]
+    want = [_cos(a, r["embedding"]) for r in rows]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-6)
+
+
+def test_brute_force_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    got = brute_force_topk(queries, corpus, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["nn_rank"], r["c_id"], r["cos"]))
+    all_rows = emb.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in all_rows}
+    for q in (0, 1, 2):
+        want = sorted(
+            ((c, _cos(vecs[q], v)) for c, v in vecs.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        got_ids = [c for _, c, _ in sorted(by_q[q])]
+        assert got_ids == [c for c, _ in want]
+        # self is always rank 1 with cos ~1
+        assert got_ids[0] == q
+
+
+def test_lsh_recall_at_least_half(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = brute_force_topk(queries, corpus, k=5)
+    approx = lsh_bucket_topk(queries, corpus, k=5, n_planes=4)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 4 planes = 16 buckets on 500 vecs; self always found
+    # every query finds itself (same bucket by construction)
+    assert all((q, q) in a for q in range(20))
