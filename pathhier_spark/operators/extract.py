@@ -87,7 +87,10 @@ def _pred_map() -> Column:
 
 
 def extract_mentions(
-    docs: DataFrame, text_col: str = "text", url_col: str = "url"
+    docs: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """text -> one row per (subj_mention, pred, obj_mention) sentence triple.
 
@@ -96,12 +99,15 @@ def extract_mentions(
     (url, sent_no INT, subj_mention STRING, pred STRING, obj_mention STRING).
     Sentences that do not match the grammar are dropped (no nulls emitted).
     """
+    extra = [F.col(c) for c in passthrough]
     sents = docs.select(
         F.col(url_col).alias("url"),
+        *extra,
         F.posexplode(F.split(F.col(text_col), r"\.\s*")).alias("sent_no", "sentence"),
     ).filter(F.length("sentence") > 0)
     parsed = sents.select(
         "url",
+        *passthrough,
         "sent_no",
         F.regexp_extract("sentence", _SENT_PATTERN, 1).alias("subj_mention"),
         F.regexp_extract("sentence", _SENT_PATTERN, 2).alias("trigger"),
@@ -109,6 +115,7 @@ def extract_mentions(
     ).filter((F.col("trigger") != "") & (F.col("subj_mention") != "") & (F.col("obj_mention") != ""))
     return parsed.select(
         "url",
+        *passthrough,
         "sent_no",
         "subj_mention",
         F.element_at(_pred_map(), F.col("trigger")).alias("pred"),

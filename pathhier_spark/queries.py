@@ -41,7 +41,7 @@ from pathhier_spark.operators.textstats import (
 # shared literals (Python constants -> SQL literals, guaranteeing parity)
 # ---------------------------------------------------------------------------
 
-_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_STOP_SQL = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS) + "]"
 
 # tokenize_string SQL (DuckDB): normalize + regex tokens + stopword drop with
 # fallback (string_utils.py:5-24)
@@ -443,22 +443,33 @@ def q10_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q10_sql() -> str:
+def _sql_shingles() -> str:
+    """Shingle list per doc, matching operators.dedup.shingles (k=3,
+    distinct, space-joined)."""
+    k = _SHINGLE_K
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN len(t) >= {_SHINGLE_K}
-              THEN array_to_string(t[i:i+{_SHINGLE_K - 1}], ' ')
-              ELSE array_to_string(t, ' ') END AS sh
-  FROM toks, range(1, greatest(len(t) - {_SHINGLE_K - 1}, 1) + 1) r(i)
-  WHERE i <= greatest(len(t) - {_SHINGLE_K - 1}, 1)
-)
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {k}
+         THEN list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+                            i -> array_to_string(t[i:i+{k - 1}], ' ')))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS sh
+  FROM toks
+)"""
+
+
+def _q10_sql() -> str:
+    return (
+        _sql_shingles()
+        + f"""
 SELECT doc_id, seed::int AS seed, min(md5(seed || ':' || sh)) AS mh
 FROM sh, range(0, {_MINHASH_SEEDS}) s(seed)
 GROUP BY doc_id, seed ORDER BY doc_id, seed
 """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -488,17 +499,8 @@ def q11_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q11_sql() -> str:
     nh = _LSH_BANDS * _LSH_ROWS
-    return f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN len(t) >= {_SHINGLE_K}
-              THEN array_to_string(t[i:i+{_SHINGLE_K - 1}], ' ')
-              ELSE array_to_string(t, ' ') END AS sh
-  FROM toks, range(1, greatest(len(t) - {_SHINGLE_K - 1}, 1) + 1) r(i)
-  WHERE i <= greatest(len(t) - {_SHINGLE_K - 1}, 1)
-), mh AS (
+    return _sql_shingles().rstrip() + f""",
+mh AS (
   SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
   FROM sh, range(0, {nh}) s(seed) GROUP BY doc_id, seed
 ), banded AS (
@@ -545,7 +547,11 @@ Q12_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
 scored AS (
-  SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS cos FROM q, c
+  SELECT q_id, c_id,
+         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]::double * cv[i]::double))
+         / (sqrt(list_sum(list_transform(qv, x -> x::double * x::double)))
+            * sqrt(list_sum(list_transform(cv, x -> x::double * x::double)))) AS cos
+  FROM q, c
 ), ranked AS (
   SELECT q_id, c_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS nn_rank
@@ -574,9 +580,13 @@ def q13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q13_SQL = """
-SELECT label, (i - 1)::int AS dim, round(avg(embedding[i]), 6) AS centroid_val,
+SELECT label, (i - 1)::int AS dim, round(avg(v), 6) AS centroid_val,
        count(*) AS n_vecs
-FROM embeddings, range(1, len(embedding) + 1) r(i)
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
 GROUP BY label, i ORDER BY label, dim
 """
 
@@ -675,8 +685,8 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1).over(w)
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_timestamp(F.col("ts").cast("timestamp")), 1).over(w)
             > 1800,
             1,
         ).otherwise(0),
@@ -738,7 +748,9 @@ WITH toks AS (
 )
 SELECT doc_id, (i - 1)::int AS pos, t[i-1] AS subj,
        CASE t[i] {cases} END AS pred, t[i+1] AS obj
-FROM toks, range(2, len(t)) r(i)
+FROM (
+  SELECT doc_id, t, unnest(generate_series(2, len(t) - 1)) AS i FROM toks
+)
 WHERE t[i] IN {trig_list}
 """
 
