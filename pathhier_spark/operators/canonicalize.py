@@ -114,14 +114,17 @@ def connected_components(
         .union(edges.select(F.col(b).alias("node")))
         .distinct()
     )
-    cur = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
-        F.col("u") != F.col("v")
+    cur = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for i in range(max_iterations):
-        cur = _small_star(_large_star(cur))
-        if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        # eager localCheckpoint every round: without it each star op would
+        # re-execute the whole prior lineage several times (both star ops
+        # reference their input twice), and Catalyst plans grow superlinearly
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
