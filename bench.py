@@ -50,7 +50,20 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
     # ---- headline: KG pipeline docs/sec ------------------------------------
+    # SPARK_GRAFT_REPLICATE multiplies the corpus deterministically (distinct
+    # urls) so the pipeline has cluster-scale work per core; the same input
+    # is used at both parallelism levels, per the two-cluster-size rule.
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
     docs_full = wrap_driver_documents(spark, sf_dir)
+    if replicate > 1:
+        docs_full = docs_full.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).select(
+            F.concat(F.col("url"), F.lit("#"), F.col("rep")).alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+    # simulate a many-file table: spread input across the cores before timing
+    docs_full = docs_full.repartition(cores * 2).persist()
     n_docs = docs_full.count()
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     dict_tokens = part.select(
