@@ -53,15 +53,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     return (
         triples.join(
-            links.withColumnRenamed("mention", "subj").withColumnRenamed(
-                "linked_name", "subj_link"
+            F.broadcast(
+                links.withColumnRenamed("mention", "subj").withColumnRenamed(
+                    "linked_name", "subj_link"
+                )
             ),
             "subj",
             "left",
         )
         .join(
-            links.withColumnRenamed("mention", "obj").withColumnRenamed(
-                "linked_name", "obj_link"
+            F.broadcast(
+                links.withColumnRenamed("mention", "obj").withColumnRenamed(
+                    "linked_name", "obj_link"
+                )
             ),
             "obj",
             "left",

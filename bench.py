@@ -85,7 +85,9 @@ def main() -> None:
     )
     links = candidate_pairs(m_tokens, dict_tokens, top_n=1)
     linked = triples.join(
-        links.select(F.col("s_id").alias("subj"), F.col("t_id").alias("subj_link")),
+        F.broadcast(
+            links.select(F.col("s_id").alias("subj"), F.col("t_id").alias("subj_link"))
+        ),
         "subj",
         "left",
     )

@@ -131,32 +131,39 @@ def extract_token_triples(
 ) -> DataFrame:
     """Token-window triple extraction for free-text corpora (the driver's
     documents table has no sentence grammar): any token triple
-    (w[i-1], trigger=w[i], w[i+1]) emits (subj, pred, obj). Pure column
-    expressions; SQL-expressible for the DuckDB oracle."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    exploded = docs.select(
-        *[F.col(c) for c in id_cols], F.posexplode(toks).alias("pos", "tok")
-    )
+    (w[i-1], trigger=w[i], w[i+1]) emits (subj, pred, obj).
+
+    Map-only: the window scan happens INSIDE the token array (transform over
+    the index range + filter + one explode) — no shuffle at all, so the
+    stage scales linearly with cores/executors. The earlier explode+self-join
+    formulation shuffled |tokens| rows twice and capped scaling at ~1.3x
+    from 8->32 cores; this version is embarrassingly parallel."""
     pairs = []
     for k, v in sorted(trigger_to_pred.items()):
         pairs += [F.lit(k), F.lit(v)]
     pred_map = F.create_map(*pairs)
-    trig = exploded.filter(
-        F.col("tok").isin(*trigger_to_pred.keys()) & (F.col("pos") > 0)
-    ).select(
-        *[F.col(c) for c in id_cols],
-        F.col("pos"),
-        F.element_at(pred_map, F.col("tok")).alias("pred"),
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    windows = F.filter(
+        F.transform(
+            # 0-based trigger positions 1 .. n-2
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.element_at(toks, i).alias("subj"),
+                F.element_at(pred_map, F.element_at(toks, i + 1)).alias("pred"),
+                F.element_at(toks, i + 2).alias("obj"),
+            ),
+        ),
+        lambda s: s["pred"].isNotNull(),
     )
-    left = exploded.select(
-        *[F.col(c) for c in id_cols], (F.col("pos") + 1).alias("pos"),
-        F.col("tok").alias("subj"),
-    )
-    right = exploded.select(
-        *[F.col(c) for c in id_cols], (F.col("pos") - 1).alias("pos"),
-        F.col("tok").alias("obj"),
-    )
-    keys = [*id_cols, "pos"]
-    return trig.join(left, keys).join(right, keys).select(
-        *id_cols, "pos", "subj", "pred", "obj"
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select(*[F.col(c) for c in id_cols], F.explode(windows).alias("w"))
+        .select(
+            *id_cols,
+            F.col("w.pos").alias("pos"),
+            F.col("w.subj").alias("subj"),
+            F.col("w.pred").alias("pred"),
+            F.col("w.obj").alias("obj"),
+        )
     )
