@@ -23,8 +23,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _materialize(df) -> int:
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -70,7 +70,6 @@ def main() -> None:
         F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
     ).distinct()
 
-    t0 = time.time()
     extracted = with_extracted_text(docs_full).select(
         "url", F.col("extracted_text").alias("text")
     )
@@ -91,8 +90,16 @@ def main() -> None:
         "subj",
         "left",
     )
+    # one untimed warm-up materialization (python-worker pool spin-up + JIT),
+    # then two timed runs; report their mean — steady-state throughput is
+    # what a long-running 100 TB job sees
     _materialize(linked)
-    pipeline_sec = time.time() - t0
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        _materialize(linked)
+        runs.append(time.time() - t0)
+    pipeline_sec = sum(runs) / len(runs)
     docs_per_sec = n_docs / pipeline_sec if pipeline_sec > 0 else 0.0
 
     # ---- per-query timings ---------------------------------------------------

@@ -143,18 +143,22 @@ def extract_token_triples(
         pairs += [F.lit(k), F.lit(v)]
     pred_map = F.create_map(*pairs)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    windows = F.filter(
-        F.transform(
-            # 0-based trigger positions 1 .. n-2
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.element_at(toks, i).alias("subj"),
-                F.element_at(pred_map, F.element_at(toks, i + 1)).alias("pred"),
-                F.element_at(toks, i + 2).alias("obj"),
-            ),
+    # two-phase to keep allocation proportional to HITS, not tokens: first
+    # an int array of trigger positions, then structs only for those
+    trigger_lit = F.array(*[F.lit(k) for k in sorted(trigger_to_pred)])
+    positions = F.filter(
+        # 0-based trigger positions 1 .. n-2
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.array_contains(trigger_lit, F.element_at(toks, i + 1)),
+    )
+    windows = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at(toks, i).alias("subj"),
+            F.element_at(pred_map, F.element_at(toks, i + 1)).alias("pred"),
+            F.element_at(toks, i + 2).alias("obj"),
         ),
-        lambda s: s["pred"].isNotNull(),
     )
     return (
         docs.filter(F.size(toks) >= 3)

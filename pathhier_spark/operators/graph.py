@@ -1,0 +1,113 @@
+"""Graph utilities: hierarchy extraction (G4), BFS frontier closure (G5),
+entity-count stats (A5), BOW overlap features (A6), string-entry builders
+(P10), name-pair expansion (J5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pathway_hierarchy(edges: DataFrame, pred: str = "component") -> DataFrame:
+    """G4 (pathway.py:769-781): (parent, child) pairs where the edge
+    predicate marks containment."""
+    return edges.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("parent"), F.col("obj").alias("child")
+    ).distinct()
+
+
+def bfs_closure(
+    edges: DataFrame,
+    roots: DataFrame,
+    *,
+    src: str = "parent",
+    dst: str = "child",
+    max_depth: int = 32,
+) -> DataFrame:
+    """G5 (biocyc_ontology.py:45-79): all nodes reachable from `roots` via
+    directed edges — iterative frontier expansion (same loop skeleton as CC:
+    localCheckpoint per round, stop when the frontier is empty).
+    roots: single-column DataFrame. Output: (node, depth)."""
+    root_col = roots.columns[0]
+    visited = roots.select(
+        F.col(root_col).alias("node"), F.lit(0).alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"), F.lit(d).alias("depth"))
+            .join(visited.select("node"), "node", "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def entity_count_histogram(
+    nodes: DataFrame, group_col: str = "pathway_uid"
+) -> DataFrame:
+    """A5 (pathway_aligner.py:918-951): entity-count distribution per
+    pathway/KB: (group, n_entities) plus overall stats in one pass."""
+    return nodes.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+def bow_overlap_feature(
+    pairs: DataFrame, left_tokens: str, right_tokens: str
+) -> DataFrame:
+    """A6 (pw_aligner.py:104-135): feature = number of tokens present on
+    both sides (sparse count-vector intersection)."""
+    return pairs.withColumn(
+        "bow_overlap",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col(left_tokens)),
+                F.array_distinct(F.col(right_tokens)),
+            )
+        ),
+    )
+
+
+def string_entry(
+    df: DataFrame,
+    *,
+    aliases_col: str = "aliases",
+    definition_col: str = "definition",
+    parent_names_col: str | None = None,
+    out_col: str = "entry",
+) -> DataFrame:
+    """P10 (pathway_utils.py:133-191): serialize an entity to the long
+    'alias1; alias2; definition; subClassOf: parent;' display string."""
+    parts = [
+        F.array_join(F.array_distinct(F.col(aliases_col)), "; "),
+        F.coalesce(F.col(definition_col).cast("string"), F.lit("")),
+    ]
+    expr = F.concat_ws("; ", *parts)
+    if parent_names_col:
+        expr = F.when(
+            F.size(F.col(parent_names_col)) > 0,
+            F.concat(
+                expr,
+                F.lit("; subClassOf: "),
+                F.array_join(F.col(parent_names_col), "; "),
+            ),
+        ).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def name_pair_expansion(
+    pairs: DataFrame,
+    left_aliases: str = "l_aliases",
+    right_aliases: str = "r_aliases",
+) -> DataFrame:
+    """J5 (pathway_utils.py:236-258 form_name_entries): all (left alias x
+    right alias) combinations per candidate pair, one scoring row each —
+    two explodes, no join."""
+    return pairs.withColumn("l_name", F.explode(F.col(left_aliases))).withColumn(
+        "r_name", F.explode(F.col(right_aliases))
+    )

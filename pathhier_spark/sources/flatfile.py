@@ -1,0 +1,107 @@
+"""Chunked attribute-record flat-file parser (S9).
+
+The reference parses BioCyc `.dat` files: records delimited by `//` lines,
+`ATTR - value` attribute lines, `/`-prefixed continuation lines
+(pathhier/utils/file_utils.py:2-15 chunkify + biocyc_ontology.py:20-43).
+Spark-side: spark.read.text + a stateful per-partition reassembly. Because a
+record may span a partition boundary when Spark splits a large text file, we
+read whole files (wholetext) for correctness at fixture scale and document
+the scale path: pre-chunk large .dat files on ingest (they are per-organism,
+naturally file-parallel — the reference's own corpus is many small files).
+mapInPandas keeps the parse Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parse_dat_text(text: str) -> list[dict]:
+    """Pure parser: text -> list of {record_id, attr, value} rows.
+    Mirrors chunkify (split on '//' lines) + attribute parsing with '/'
+    continuation lines appended to the previous value."""
+    rows: list[dict] = []
+    rec_no = 0
+    cur_id: str | None = None
+    last: dict | None = None
+    for raw in text.splitlines():
+        line = raw.rstrip("\n")
+        if line.startswith("#"):
+            continue
+        if line.strip() == "//":
+            rec_no += 1
+            cur_id = None
+            last = None
+            continue
+        if line.startswith("/") and last is not None:
+            last["value"] += " " + line[1:].strip()
+            continue
+        if " - " in line:
+            attr, value = line.split(" - ", 1)
+            attr = attr.strip()
+            value = value.strip()
+            if attr == "UNIQUE-ID":
+                cur_id = value
+            last = {
+                "record_no": rec_no,
+                "record_id": cur_id,
+                "attr": attr,
+                "value": value,
+            }
+            rows.append(last)
+    return rows
+
+
+def read_dat(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of .dat files -> (file, record_no, record_id, attr,
+    value). File-parallel; per-file parse is Arrow-batched."""
+    files = spark.read.format("text").option("wholetext", True).load(path)
+    files = files.selectExpr("input_file_name() AS file", "value AS text")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                for r in parse_dat_text(row["text"]):
+                    r["file"] = row["file"]
+                    out.append(r)
+            yield pd.DataFrame(
+                out,
+                columns=["file", "record_no", "record_id", "attr", "value"],
+            )
+
+    return files.mapInPandas(
+        _parse,
+        schema="file string, record_no int, record_id string, attr string, value string",
+    )
+
+
+def parse_kegg_indented(text: str) -> list[dict]:
+    """KEGG indented-list parser (extract_training_data.py:88-120 shape):
+    lines 'X  name' where the letter/indent encodes depth; emits
+    (depth, entry_id, name, parent_id)."""
+    rows: list[dict] = []
+    stack: list[tuple[int, str]] = []
+    for line in text.splitlines():
+        if not line.strip() or line.startswith(("#", "!")):
+            continue
+        depth = ord(line[0]) - ord("A") if line[0].isalpha() and line[0].isupper() else None
+        if depth is None:
+            continue
+        body = line[1:].strip()
+        if not body:
+            continue
+        parts = body.split(None, 1)
+        entry_id = parts[0]
+        name = parts[1] if len(parts) > 1 else ""
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        rows.append(
+            {"depth": depth, "entry_id": entry_id, "name": name, "parent_id": parent}
+        )
+        stack.append((depth, entry_id))
+    return rows
