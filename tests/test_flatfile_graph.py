@@ -51,8 +51,9 @@ def test_parse_kegg_indented():
     rows = parse_kegg_indented(text)
     by = {r["entry_id"]: r for r in rows}
     assert by["00010"]["parent_id"] == "09101"
-    assert by["09101"]["parent_id"] == "A09100"
-    assert by["09102"]["parent_id"] == "A09100"
+    assert by["09101"]["parent_id"] == "09100"
+    assert by["09102"]["parent_id"] == "09100"
+    assert by["09100"]["parent_id"] is None and by["09100"]["depth"] == 0
 
 
 def test_hierarchy_and_bfs(spark):
