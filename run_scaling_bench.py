@@ -38,17 +38,20 @@ def run_bench(cores: int) -> dict:
     return json.loads(line)
 
 
+def _burn(_):
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < 3.0:
+        x += 1
+    return x
+
+
 def calibrate_cpu_ceiling() -> dict:
     """Pure-CPU burn at 8 vs 32 worker processes -> achievable speedup."""
     import multiprocessing as mp
     import time as _t
-
-    def _burn(_):
-        t0 = _t.time()
-        x = 0
-        while _t.time() - t0 < 3.0:
-            x += 1
-        return x
 
     rates = {}
     for n in (8, 32):
