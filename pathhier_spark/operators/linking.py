@@ -103,6 +103,79 @@ def candidate_pairs(
     )
 
 
+def salted_candidate_pairs(
+    source_tokens: DataFrame,
+    target_tokens: DataFrame,
+    *,
+    source_id: str = "s_id",
+    target_id: str = "t_id",
+    top_n: int = config.KEEP_TOP_N_CANDIDATES,
+    hot_df_threshold: int = 1000,
+    salt_buckets: int = config.EngineConfig.skew_salt_buckets,
+    target_doc_total: int | None = None,
+) -> DataFrame:
+    """candidate_pairs with explicit hot-key salting for the case where the
+    target side is too large to broadcast (north rule: "salted hash-join-
+    and-score stage").
+
+    Tokens whose source-side document frequency exceeds hot_df_threshold are
+    split into `salt_buckets` sub-keys: the source row's salt is derived from
+    hash(source_id) (deterministic), and the target postings for hot tokens
+    are replicated once per bucket. The shuffle key becomes (token, salt), so
+    a token that would land 10^8 rows on one reducer spreads over k reducers.
+    Results are identical to candidate_pairs (verified in tests); cold tokens
+    pay nothing.
+    """
+    s = source_tokens.select(
+        F.col(source_tokens.columns[0]).alias(source_id),
+        F.explode(F.array_distinct(F.col(source_tokens.columns[1]))).alias("token"),
+    )
+    t_idf = idf_table(
+        target_tokens,
+        target_tokens.columns[0],
+        target_tokens.columns[1],
+        doc_total=target_doc_total,
+    )
+    t = target_tokens.select(
+        F.col(target_tokens.columns[0]).alias(target_id),
+        F.explode(F.array_distinct(F.col(target_tokens.columns[1]))).alias("token"),
+    ).join(t_idf, "token")
+
+    hot = s.groupBy("token").agg(F.count(F.lit(1)).alias("sdf")).filter(
+        F.col("sdf") > hot_df_threshold
+    ).select("token")
+    s_salted = s.join(F.broadcast(hot.withColumn("is_hot", F.lit(True))), "token", "left").select(
+        source_id,
+        "token",
+        F.when(
+            F.col("is_hot"),
+            F.pmod(F.xxhash64(F.col(source_id)), F.lit(salt_buckets)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    buckets = F.broadcast(
+        hot.select(
+            "token", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt")
+        )
+    )
+    t_salted = t.join(buckets, "token", "left").select(
+        target_id, "token", "idf", F.coalesce(F.col("salt"), F.lit(0)).alias("salt")
+    )
+    scored = (
+        s_salted.join(t_salted, ["token", "salt"])
+        .groupBy(source_id, target_id)
+        .agg(F.sum("idf").alias("cand_score"))
+    )
+    w = Window.partitionBy(source_id).orderBy(
+        F.col("cand_score").desc(), F.col(target_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def pair_features(
     pairs: DataFrame, left_text: str, right_text: str
 ) -> DataFrame:

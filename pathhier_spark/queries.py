@@ -76,6 +76,15 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, spread across the session's full parallelism: the
+    driver testdata is a single parquet file (1-2 scan splits), which would
+    cap every downstream explode/join at 2 tasks regardless of cores."""
+    return spark.read.parquet(_t(sf_dir, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary (A-class aggregates + filters; TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -250,7 +259,7 @@ HAVING round({config.NAME_WEIGHT} * coalesce(max(CASE WHEN event_type = 'click' 
 
 
 def q06_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     n_docs = docs.count()
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
@@ -284,7 +293,7 @@ FROM tok, n GROUP BY token, n.n_docs ORDER BY token
 
 
 def q07_candidate_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     part = spark.read.parquet(_t(sf_dir, "part"))
     n_parts = part.count()
     src = docs.select(
@@ -409,7 +418,7 @@ FROM ranked WHERE match_rank <= {config.KEEP_TOP_N_MATCHES}
 
 
 def q09_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs).select("doc_id", "content_hash", "dup_count")
 
 
@@ -429,7 +438,7 @@ _SHINGLE_K = 3
 
 
 def q10_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(shingles("text", _SHINGLE_K)).alias("sh")
     )
@@ -482,7 +491,7 @@ _NEARDUP_T = 0.5
 
 
 def q11_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(
         docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
     )
@@ -597,7 +606,7 @@ GROUP BY label, i ORDER BY label, dim
 
 
 def q14_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     out = with_quality_features(docs)
     return out.select(
         "doc_id",
@@ -633,7 +642,7 @@ FROM t
 
 
 def q15_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return (
         with_lang_id(docs)
         .groupBy("lang", "lang_pred")
@@ -731,7 +740,7 @@ FROM s GROUP BY user_id ORDER BY user_id
 
 
 def q17_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return extract_token_triples(docs, TRIGGERS).select(
         "doc_id", "pos", "subj", "pred", "obj"
     )
@@ -861,7 +870,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 def q21_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return with_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens_est")
 
 

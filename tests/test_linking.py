@@ -174,3 +174,16 @@ def test_entity_token_table(spark):
     # 'a' survives: the stopword set keeps only len>1 words
     # (candidate_selector.py:32 — one-letter words are meaningful here)
     assert got["tokens"] == ["mapk", "signaling", "a", "cascade", "events"]
+
+
+def test_salted_candidates_equal_unsalted(spark):
+    from pathhier_spark.operators.linking import salted_candidate_pairs
+
+    plain = candidate_pairs(_tok_df(spark, SOURCE), _tok_df(spark, TARGET))
+    salted = salted_candidate_pairs(
+        _tok_df(spark, SOURCE), _tok_df(spark, TARGET),
+        hot_df_threshold=1, salt_buckets=4,  # force salting of every token
+    )
+    a = {(r["s_id"], r["t_id"]): (round(r["cand_score"], 9), r["rank"]) for r in plain.collect()}
+    b = {(r["s_id"], r["t_id"]): (round(r["cand_score"], 9), r["rank"]) for r in salted.collect()}
+    assert a == b
