@@ -888,6 +888,81 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# Q22-Q25 — rows-only checks (no SQL-expressible oracle): simhash (crc32 not
+# in DuckDB), winnowing fingerprints, LSH-bucketed ANN (approximate by
+# design), multimodal mapInPandas plumbing. Each is pytest-verified instead.
+# ---------------------------------------------------------------------------
+
+
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", F.concat_ws(",", F.col("fingerprint")).alias("fingerprint")
+    )
+
+
+def q24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return lsh_bucket_topk(queries_df, corpus, k=5, n_planes=4).select(
+        "q_id", "c_id", F.round("cos", 6).alias("cos"), "nn_rank"
+    )
+
+
+def q25_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media,
+    )
+
+    return extract_media_features(synthetic_media(spark, n=64)).select(
+        "media_id", "kind", "checksum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — rollup aggregate (hierarchical totals)
+# ---------------------------------------------------------------------------
+
+
+def q26_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q26_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -915,6 +990,11 @@ def queries():
         "q19_grouped_collect": q19_grouped_collect,
         "q20_pivot_returnflag": q20_pivot_returnflag,
         "q21_token_counts": q21_token_counts,
+        "q22_simhash": q22_simhash,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_lsh_topk": q24_lsh_topk,
+        "q25_media_features": q25_media_features,
+        "q26_rollup_revenue": q26_rollup_revenue,
     }
 
 
@@ -941,4 +1021,5 @@ def oracle_sql():
         "q19_grouped_collect": Q19_SQL,
         "q20_pivot_returnflag": Q20_SQL,
         "q21_token_counts": Q21_SQL,
+        "q26_rollup_revenue": Q26_SQL,
     }
