@@ -75,7 +75,22 @@ class CheckpointManager:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
         committed = self.spark.read.parquet(out)
-        n = committed.count()
+        # per-partition lineage rows (north rule): row counts per partition
+        # value for partitioned stages, one total row otherwise
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            part_rows = [
+                {"partition": "/".join(f"{c}={r[c]}" for c in partition_by),
+                 "rows": r["n"]}
+                for r in committed.groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            n = sum(p["rows"] for p in part_rows)
+        else:
+            n = committed.count()
+            part_rows = [{"partition": "*", "rows": n}]
         self._append_lineage(
             {
                 "stage": name,
@@ -84,6 +99,7 @@ class CheckpointManager:
                 "wall_ms": int((time.time() - t0) * 1000),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "partitions": partition_by or [],
+                "partition_rows": json.dumps(part_rows),
             }
         )
         return committed

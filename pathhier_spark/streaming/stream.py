@@ -57,6 +57,18 @@ def streaming_mention_counts(
     )
 
 
+def streaming_dedup(
+    docs_stream: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming dedup: first occurrence per url wins within the
+    watermark horizon (the streaming analog of dedup.exact_dedup /
+    pathway.py:741-747). State is bounded by the watermark — late
+    re-crawls beyond it are treated as new versions by design."""
+    return docs_stream.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url"]
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, query_name: str = "mention_counts"
 ):
