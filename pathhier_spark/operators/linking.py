@@ -177,11 +177,13 @@ def salted_candidate_pairs(
 
 
 def pair_features(
-    pairs: DataFrame, left_text: str, right_text: str
+    pairs: DataFrame, left_text: str, right_text: str, pad: str = "\x00"
 ) -> DataFrame:
     """feature_generator.py:25-50 — the exact 5-feature vector per string
     pair, as pure column expressions (no UDF): len_diff_perc, token jaccard,
-    char-3/4/5-gram jaccard."""
+    char-3/4/5-gram jaccard. `pad` defaults to the reference's NUL; pass a
+    different char only for SQL-oracle parity (jaccard is pad-invariant as
+    long as the char cannot occur in normalized text)."""
     lt, rt = F.col(left_text), F.col(right_text)
     ltoks, rtoks = tokenize(lt), tokenize(rt)
     out = pairs.withColumn(
@@ -193,7 +195,8 @@ def pair_features(
     ).withColumn("token_jaccard", jaccard(ltoks, rtoks))
     for n in (3, 4, 5):
         out = out.withColumn(
-            f"ngram{n}_jaccard", jaccard(char_ngrams(lt, n), char_ngrams(rt, n))
+            f"ngram{n}_jaccard",
+            jaccard(char_ngrams(lt, n, pad=pad), char_ngrams(rt, n, pad=pad)),
         )
     return out
 

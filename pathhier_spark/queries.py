@@ -963,6 +963,140 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# Q27 — LR-channel linking (the pw_aligner.py:213-250 _apply_lr_to_kb chain):
+# candidates -> exact 5-feature vector (feature_generator.py:25-50) ->
+# broadcast-coefficient logistic scoring -> SIMSCORE threshold -> rank.
+# Coefficients are fixed literals so the oracle is deterministic.
+# ---------------------------------------------------------------------------
+
+_LR_COEF = [0.5, 3.0, 1.0, 1.0, 1.0]  # len_diff, tok_jac, 3/4/5-gram jac
+_LR_INTERCEPT = -2.0
+
+
+def q27_lr_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.linking import lr_score, pair_features
+
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    names = part.select(F.col("p_name")).distinct()
+    n_names = names.count()
+    toks = names.select(
+        F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
+    )
+    cands = candidate_pairs(
+        toks, toks, top_n=config.KEEP_TOP_N_CANDIDATES,
+        broadcast_target=True, target_doc_total=n_names + 1,
+    ).select(
+        F.col("s_id").alias("src_name"), F.col("t_id").alias("match_name")
+    )
+    feats = pair_features(cands, "src_name", "match_name", pad="_")
+    scored = lr_score(feats, _LR_COEF, _LR_INTERCEPT)
+    w = Window.partitionBy("src_name").orderBy(
+        F.col("p1").desc(), F.col("match_name")
+    )
+    return (
+        scored.filter(F.col("p1") > config.SIMSCORE_THRESHOLD)
+        .withColumn("lr_rank", F.row_number().over(w))
+        .filter(F.col("lr_rank") <= config.KEEP_TOP_N_MATCHES)
+        .select(
+            "src_name", "match_name",
+            F.round("p1", 6).alias("p1"),
+            F.round("token_jaccard", 6).alias("token_jaccard"),
+            F.round("ngram3_jaccard", 6).alias("ngram3_jaccard"),
+            "lr_rank",
+        )
+    )
+
+
+def _sql_char_ngrams(col: str, n: int) -> str:
+    """Char n-grams of the normalized string with '_' padding ('_' cannot
+    survive normalize_string, so jaccard is unchanged vs NUL padding)."""
+    norm = _sql_norm(col)
+    pad = "'" + "_" * (n - 1) + "'"
+    padded = f"({pad} || {norm} || {pad})"
+    return (
+        f"list_transform(generate_series(1, len({norm}) + {n - 1}),"
+        f" i -> substr({padded}, i, {n}))"
+    )
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"(case when len(list_distinct(list_concat({a}, {b}))) > 0 then "
+        f"len(list_intersect(list_distinct({a}), list_distinct({b})))::double"
+        f" / len(list_distinct(list_concat({a}, {b}))) else 0 end)"
+    )
+
+
+def _q27_sql() -> str:
+    z = f"{_LR_INTERCEPT}"
+    feats = {
+        "len_diff_perc": (
+            "(case when len(s_toks) > 0 then "
+            "abs(len(s_toks) - len(m_toks))::double / len(s_toks) else 0 end)"
+        ),
+        "token_jaccard": _sql_jaccard("s_toks", "m_toks"),
+        "ngram3_jaccard": _sql_jaccard(
+            _sql_char_ngrams("src_name", 3), _sql_char_ngrams("match_name", 3)
+        ),
+        "ngram4_jaccard": _sql_jaccard(
+            _sql_char_ngrams("src_name", 4), _sql_char_ngrams("match_name", 4)
+        ),
+        "ngram5_jaccard": _sql_jaccard(
+            _sql_char_ngrams("src_name", 5), _sql_char_ngrams("match_name", 5)
+        ),
+    }
+    for c, name in zip(_LR_COEF, feats):
+        z += f" + {c} * {name}"
+    return f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+tok AS (
+  SELECT DISTINCT p_name AS ent_id, unnest({_sql_tokens('p_name')}) AS token
+  FROM names
+), n AS (SELECT count(*) + 1 AS total FROM names),
+idf AS (
+  SELECT token, ln(n.total::double / (count(*) + 1)) AS idf
+  FROM tok, n GROUP BY token, n.total
+), scored0 AS (
+  SELECT s.ent_id AS src_name, t.ent_id AS match_name, sum(i.idf) AS raw
+  FROM tok s JOIN tok t USING (token) JOIN idf i USING (token)
+  GROUP BY 1, 2
+), capped AS (
+  SELECT src_name, match_name,
+         row_number() OVER (PARTITION BY src_name ORDER BY raw DESC, match_name) AS cr
+  FROM scored0
+), cands AS (SELECT src_name, match_name FROM capped WHERE cr <= {config.KEEP_TOP_N_CANDIDATES}),
+featured AS (
+  SELECT src_name, match_name,
+         {_sql_tokens('src_name')} AS s_toks,
+         {_sql_tokens('match_name')} AS m_toks
+  FROM cands
+), f2 AS (
+  SELECT src_name, match_name,
+         {feats['len_diff_perc']} AS len_diff_perc,
+         {feats['token_jaccard']} AS token_jaccard,
+         {feats['ngram3_jaccard']} AS ngram3_jaccard,
+         {feats['ngram4_jaccard']} AS ngram4_jaccard,
+         {feats['ngram5_jaccard']} AS ngram5_jaccard
+  FROM featured
+), lr AS (
+  SELECT src_name, match_name, token_jaccard, ngram3_jaccard,
+         1.0 / (1.0 + exp(-({_LR_INTERCEPT} + {_LR_COEF[0]} * len_diff_perc
+               + {_LR_COEF[1]} * token_jaccard + {_LR_COEF[2]} * ngram3_jaccard
+               + {_LR_COEF[3]} * ngram4_jaccard + {_LR_COEF[4]} * ngram5_jaccard))) AS p1
+  FROM f2
+), ranked AS (
+  SELECT src_name, match_name, p1, token_jaccard, ngram3_jaccard,
+         row_number() OVER (PARTITION BY src_name ORDER BY p1 DESC, match_name) AS lr_rank
+  FROM lr WHERE p1 > {config.SIMSCORE_THRESHOLD}
+)
+SELECT src_name, match_name, round(p1, 6) AS p1,
+       round(token_jaccard, 6) AS token_jaccard,
+       round(ngram3_jaccard, 6) AS ngram3_jaccard, lr_rank
+FROM ranked WHERE lr_rank <= {config.KEEP_TOP_N_MATCHES}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -995,6 +1129,7 @@ def queries():
         "q24_lsh_topk": q24_lsh_topk,
         "q25_media_features": q25_media_features,
         "q26_rollup_revenue": q26_rollup_revenue,
+        "q27_lr_link_part_names": q27_lr_link_part_names,
     }
 
 
@@ -1022,4 +1157,5 @@ def oracle_sql():
         "q20_pivot_returnflag": Q20_SQL,
         "q21_token_counts": Q21_SQL,
         "q26_rollup_revenue": Q26_SQL,
+        "q27_lr_link_part_names": _q27_sql(),
     }
