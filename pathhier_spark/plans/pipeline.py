@@ -238,6 +238,11 @@ def run_pipeline(
         fingerprint=fp,
         partition_by=["pred"],
     )
+    rescored = cp.stage(
+        "links_rescored",
+        lambda: bootstrap_rescore_links(spark, links, ontology),
+        fingerprint=fp,
+    )
     canon = cp.stage(
         "canonical_nodes", lambda: canonicalize_classes(ontology), fingerprint=fp
     )
@@ -277,11 +282,62 @@ def run_pipeline(
         "extracted": extracted,
         "mentions": mentions,
         "links": links,
+        "links_rescored": rescored,
         "triples": triples,
         "canonical_nodes": canon,
         "edges": edges,
         "lineage": spark.createDataFrame(cp.lineage()),
     }
+
+
+def bootstrap_rescore_links(
+    spark: SparkSession,
+    links: DataFrame,
+    ontology: DataFrame,
+    *,
+    n_iterations: int = 3,
+) -> DataFrame:
+    """Bootstrap re-scoring stage (M3, pw_aligner.py:485-530 recast): the
+    link table's (mention, class name) pairs are featurized with the exact
+    5-feature vector; seed labels come from the rule-tier extremes (fused
+    link_score >= 0.75 -> positive, <= 0.3 -> negative — the self-training
+    seed the reference draws from PW synonym annotations); the LR loop then
+    re-scores every link. Output: links + (p1 DOUBLE) calibrated score."""
+    from pathhier_spark.operators.bootstrap import bootstrap_loop
+    from pathhier_spark.operators.linking import (
+        FEATURE_COLS,
+        lr_score,
+        pair_features,
+    )
+
+    named = links.join(
+        F.broadcast(ontology.select(F.col("class_id"), F.col("name"))),
+        "class_id",
+    )
+    feats = pair_features(named, "mention", "name").select(
+        F.col("mention").alias("s_id"),
+        F.col("class_id").alias("t_id"),
+        F.col("link_score"),
+        *FEATURE_COLS,
+    ).localCheckpoint(eager=True)
+    seed = feats.filter(
+        (F.col("link_score") >= 0.75) | (F.col("link_score") <= 0.3)
+    ).select(
+        *FEATURE_COLS,
+        F.when(F.col("link_score") >= 0.75, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    model, _train = bootstrap_loop(
+        spark,
+        feats.select("s_id", "t_id", *FEATURE_COLS),
+        seed,
+        n_iterations=n_iterations,
+    )
+    return lr_score(feats, model.coef, model.intercept).select(
+        F.col("s_id").alias("mention"),
+        F.col("t_id").alias("class_id"),
+        "link_score",
+        F.round("p1", 6).alias("p1"),
+    )
 
 
 def triple_precision_recall(

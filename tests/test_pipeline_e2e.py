@@ -32,8 +32,17 @@ def test_pipeline_pr_and_resume(spark, corpus, tmp_path_factory):
     # --- lineage rows exist for every stage ---
     lineage = out["lineage"].collect()
     stages = {r["stage"] for r in lineage}
-    assert {"extracted", "mentions", "links", "triples", "canonical_nodes",
-            "edges"} <= stages
+    assert {"extracted", "mentions", "links", "links_rescored", "triples",
+            "canonical_nodes", "edges"} <= stages
+
+    # bootstrap re-scoring calibrates: correct links (high fused score)
+    # must receive higher mean p1 than the sub-threshold tail
+    rescored = out["links_rescored"]
+    hi = rescored.filter(F.col("link_score") >= 0.75).agg(F.avg("p1")).collect()[0][0]
+    lo_rows = rescored.filter(F.col("link_score") < 0.5).agg(F.avg("p1")).collect()[0]
+    if lo_rows[0] is not None:
+        assert hi > lo_rows[0]
+    assert hi is not None and hi > 0.5
     assert all(r["wall_ms"] >= 0 and r["rows"] > 0 for r in lineage)
 
     # --- resume: rerun skips all stages (no new lineage rows), same rows ---
