@@ -30,6 +30,8 @@ def _materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # 32 codegen threads churn arrays; the default 16g heap GC-thrashes
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
     from pathhier_spark.session import get_spark
 
@@ -53,7 +55,7 @@ def main() -> None:
     # SPARK_GRAFT_REPLICATE multiplies the corpus deterministically (distinct
     # urls) so the pipeline has cluster-scale work per core; the same input
     # is used at both parallelism levels, per the two-cluster-size rule.
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
     docs_full = wrap_driver_documents(spark, sf_dir)
     if replicate > 1:
         docs_full = docs_full.withColumn(
