@@ -29,8 +29,8 @@ from pathhier_spark.operators.dedup import (
     shingles,
 )
 from pathhier_spark.operators.extract import extract_token_triples
-from pathhier_spark.operators.linking import candidate_pairs, entity_token_table
-from pathhier_spark.operators.similarity import brute_force_topk, cosine_expr
+from pathhier_spark.operators.linking import candidate_pairs
+from pathhier_spark.operators.similarity import brute_force_topk
 from pathhier_spark.operators.textstats import (
     with_lang_id,
     with_quality_features,
