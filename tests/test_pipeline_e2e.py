@@ -87,3 +87,28 @@ def test_canonical_components_match_oracle(spark, corpus):
         F.countDistinct(got["component"]).alias("n_ours")
     )
     assert m2.filter(F.col("n_ours") > 1).count() == 0
+
+
+def test_crash_resume_recomputes_only_missing_stage(spark, corpus, tmp_path_factory):
+    """SURVEY §5 item 6: kill after stage k, rerun, identical output. We
+    simulate the crash by deleting a late stage's committed output; the rerun
+    must recompute ONLY that stage and reproduce identical rows."""
+    import shutil
+
+    docs, onto, *_ = corpus
+    root = str(tmp_path_factory.mktemp("crash"))
+    out1 = run_pipeline(spark, docs, onto, root)
+    h = lambda df: df.select(  # noqa: E731
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h")
+    ).collect()[0]["h"]
+    edges_hash = h(out1["edges"])
+    n_lineage = len(out1["lineage"].collect())
+
+    shutil.rmtree(os.path.join(root, "edges"))  # "crash" lost the last stage
+
+    out2 = run_pipeline(spark, docs, onto, root)
+    lineage2 = out2["lineage"].collect()
+    # exactly one new lineage row (the recomputed edges stage)
+    assert len(lineage2) == n_lineage + 1
+    assert lineage2[-1]["stage"] == "edges"
+    assert h(out2["edges"]) == edges_hash
