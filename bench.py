@@ -65,7 +65,11 @@ def main() -> None:
             "warc_ts", "html", "text", "lang",
         )
     # simulate a many-file table: spread input across the cores before timing
-    docs_full = docs_full.repartition(cores * 2).persist()
+    # (only when the scan has fewer files than cores — a real many-file table
+    # is already split and must not pay a full shuffle)
+    if len(docs_full.inputFiles()) < cores:
+        docs_full = docs_full.repartition(cores * 2)
+    docs_full = docs_full.persist()
     n_docs = docs_full.count()
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     dict_tokens = part.select(

@@ -153,8 +153,19 @@ def connected_components(
 
 def assign_local_ids(components: DataFrame) -> DataFrame:
     """pathway_kb_loader.py:208-234 (G2): dense local integer id per
-    component. dense_rank over component labels — deterministic."""
-    from pyspark.sql import Window
+    component, deterministic (ids ordered by component label).
 
-    w = Window.orderBy("component")
-    return components.withColumn("local_id", F.dense_rank().over(w) - 1)
+    No global window (a Window.orderBy with no partition funnels every row
+    through one task — VERDICT r1 item 3): distinct component labels are
+    range-partition sorted, zipWithIndex assigns contiguous ids via
+    per-partition offsets (one tiny count job), then ids join back to the
+    full table by component key — every step is distributed."""
+    distinct_comps = components.select("component").distinct().sort("component")
+    ids = (
+        distinct_comps.rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .toDF(["component", "local_id"])
+    )
+    return components.join(ids, "component").select(
+        *components.columns, "local_id"
+    )

@@ -172,13 +172,17 @@ def simhash(
     bits: int = 32,
 ) -> DataFrame:
     """SimHash fingerprint over tokens: per bit, sum +1/-1 votes weighted by
-    token frequency; bit = 1 iff the vote is positive. Token bit source:
-    crc32 (portable, deterministic). Output: (id, simhash BIGINT)."""
+    token frequency; bit = 1 iff the vote is positive. Token bit source: the
+    first 8 hex chars of md5 read as a 32-bit int — portable, deterministic,
+    and computable by DuckDB for the oracle check (crc32 is not).
+    Output: (id, simhash BIGINT)."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     counted = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
-    hashed = counted.withColumn("th", F.crc32(F.col("tok")))
+    hashed = counted.withColumn(
+        "th", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    )
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(

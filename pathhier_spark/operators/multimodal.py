@@ -12,7 +12,6 @@ shape) is real and tested.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,10 +46,12 @@ def _decode_payload(payload: bytes) -> list[float]:
 
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction: (media_id, kind, features ARRAY<FLOAT>,
-    checksum LONG). Batches arrive as Arrow; one Python call per batch."""
+    checksum STRING = md5 hex of the payload bytes — engine-portable so the
+    DuckDB oracle can recompute it). Batches arrive as Arrow; one Python call
+    per batch."""
 
     out_schema = (
-        "media_id long, kind string, features array<float>, checksum long"
+        "media_id long, kind string, features array<float>, checksum string"
     )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,12 +63,34 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                     "kind": ok["kind"],
                     "features": ok["payload"].map(_decode_payload),
                     "checksum": ok["payload"].map(
-                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )
 
     return media.mapInPandas(_batches, schema=out_schema)
+
+
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media table derived from the documents table: payload =
+    the UTF-8 bytes of the text (an opaque binary stand-in for real codec
+    bytes), kind cycles image/audio/video by id. Gives the mapInPandas
+    plumbing a driver-table-sized input whose checksums a SQL oracle can
+    verify (md5(payload) == md5(text))."""
+    m = F.col(id_col) % 3
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.when(m == 0, F.lit("image"))
+        .when(m == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
 
 
 def sample_video_frames(

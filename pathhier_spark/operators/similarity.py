@@ -95,6 +95,32 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes_per_band: list[list[list[float]]],
+) -> DataFrame:
+    """One (id, band, bucket) row per band: bucket = sign-random-projection
+    bit pattern under that band's independent plane set. Single projection
+    of the vector column — the band structs are computed in one pass and
+    exploded (same shape as dedup.lsh_candidate_pairs)."""
+    band_structs = []
+    for b, planes in enumerate(planes_per_band):
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.when(
+                dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -103,28 +129,41 @@ def lsh_bucket_topk(
     corpus_id: str = "c_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_bands: int = 8,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: compare only within matching hyperplane buckets.
-    With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold; the
-    join is a bucket-key equi-join (shuffle both sides by bucket — uniform
-    by construction of random projections). Recall is tunable via n_planes
-    (fewer planes = bigger buckets = higher recall)."""
+    """Approximate top-k with OR-amplified sign-random-projection LSH:
+    n_bands independent plane sets; a corpus vector is a candidate for a
+    query if they collide in ANY band (union of band buckets), then exact
+    cosine re-ranks the candidates. Single-probe SRP loses recall as the
+    corpus grows; banding restores it the same way the MinHash-LSH dedup
+    does (candidate probability 1-(1-p^n_planes)^n_bands).
+
+    Shuffle shape: the banded query table (n_queries x n_bands rows, 3 narrow
+    columns) broadcasts; the corpus's banded rows never shuffle before the
+    bucket join. Only the deduped candidate id-pairs shuffle for the vector
+    join + per-query top-k window."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    q = with_lsh_bucket(
-        queries.select(F.col(query_id), F.col(vec_col).alias("qv")),
-        planes, vec_col="qv",
+    planes_per_band = [
+        random_hyperplanes(dim, n_planes, seed + 7919 * b) for b in range(n_bands)
+    ]
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
+    qb = _banded_buckets(q, query_id, "qv", planes_per_band)
+    cb = _banded_buckets(c, corpus_id, "cv", planes_per_band)
+    cands = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bucket"])
+        .select(query_id, corpus_id)
+        .distinct()
     )
-    c = with_lsh_bucket(
-        corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv")),
-        planes, vec_col="cv",
-    )
-    scored = q.join(c, "bucket").select(
-        query_id, corpus_id, cosine_expr(F.col("qv"), F.col("cv")).alias("cos")
+    scored = (
+        cands.join(F.broadcast(q), query_id)
+        .join(c, corpus_id)
+        .select(query_id, corpus_id, cosine_expr(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return (

@@ -113,18 +113,20 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: the minimum crc32 over each
-    sliding window of `window` tokens, collected as a sorted distinct set.
-    Robust to small edits; equality of fingerprints => near-identical docs."""
+    """Winnowing-style document fingerprint: the minimum md5 (lexicographic)
+    over each sliding window of `window` tokens, collected as a sorted
+    distinct set. md5 hex strings are engine-portable (DuckDB computes the
+    identical value for the oracle check). Robust to small edits; equality
+    of fingerprints => near-identical docs."""
     toks = _tokens(text_col)
     n = F.size(toks)
     grams = F.when(
         n >= window,
         F.transform(
             F.sequence(F.lit(0), n - window),
-            lambda i: F.crc32(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         ),
-    ).otherwise(F.array(F.crc32(F.concat_ws(" ", toks))))
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
     return df.withColumn(
         "fingerprint", F.sort_array(F.array_distinct(F.slice(F.sort_array(grams), 1, 16)))
     )

@@ -158,17 +158,15 @@ def link_mentions(
 
 def assemble_triples(mentions: DataFrame, links: DataFrame) -> DataFrame:
     """Join subj/obj mentions to their linked classes -> (url, subj_id,
-    pred, obj_id). The links table is distinct-mention-sized (small relative
-    to mentions) — broadcast both joins."""
-    subj = F.broadcast(
-        links.select(
-            F.col("mention").alias("subj_mention"), F.col("class_id").alias("subj_id")
-        )
+    pred, obj_id). links is distinct-surface-form-sized — at corpus scale
+    that is billions of rows, so NO forced broadcast (VERDICT r1 item 3):
+    plain equi-joins, and AQE picks broadcast at runtime iff links actually
+    fits (spark.sql.adaptive.autoBroadcastJoinThreshold)."""
+    subj = links.select(
+        F.col("mention").alias("subj_mention"), F.col("class_id").alias("subj_id")
     )
-    obj = F.broadcast(
-        links.select(
-            F.col("mention").alias("obj_mention"), F.col("class_id").alias("obj_id")
-        )
+    obj = links.select(
+        F.col("mention").alias("obj_mention"), F.col("class_id").alias("obj_id")
     )
     return (
         mentions.join(subj, "subj_mention")

@@ -79,10 +79,14 @@ def _t(sf_dir: str, name: str) -> str:
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table, spread across the session's full parallelism: the
     driver testdata is a single parquet file (1-2 scan splits), which would
-    cap every downstream explode/join at 2 tasks regardless of cores."""
-    return spark.read.parquet(_t(sf_dir, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    cap every downstream explode/join at 2 tasks regardless of cores. The
+    repartition is conditional on the scan's file count — a real many-file
+    table at scale must not pay a pointless full shuffle."""
+    df = spark.read.parquet(_t(sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -438,16 +442,16 @@ _SHINGLE_K = 3
 
 
 def q10_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format signatures straight from the minhash_signatures operator
+    (one groupBy with N min-aggregates — no seed crossJoin, so the shuffle
+    carries each shingle once instead of N times)."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", _SHINGLE_K)).alias("sh")
-    )
-    seeded = sh.crossJoin(
-        spark.range(_MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    sigs = minhash_signatures(
+        docs, num_hashes=_MINHASH_SEEDS, shingle_k=_SHINGLE_K
     )
     return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("sh")))).alias("mh"))
+        sigs.select("doc_id", F.posexplode("sig").alias("seed", "mh"))
+        .select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
         .orderBy("doc_id", "seed")
     )
 
@@ -729,7 +733,7 @@ WITH g AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g
 )
-SELECT user_id, max(session_no) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, (max(session_no) + 1)::bigint AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
@@ -888,10 +892,17 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
-# Q22-Q25 — rows-only checks (no SQL-expressible oracle): simhash (crc32 not
-# in DuckDB), winnowing fingerprints, LSH-bucketed ANN (approximate by
-# design), multimodal mapInPandas plumbing. Each is pytest-verified instead.
+# Q22 — simhash (md5-derived 32-bit token hashes; DuckDB recomputes them)
 # ---------------------------------------------------------------------------
+
+# DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): read the
+# first 8 hex chars of md5 as a big-endian 32-bit integer
+def _sql_hex32(expr: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, 8), j -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), j, 1)) - 1)::bigint"
+        f" * (1::bigint << (4 * (8 - j)))))::bigint"
+    )
 
 
 def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,12 +911,69 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q22_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counted AS (
+  SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok
+), hashed AS (
+  SELECT doc_id, w, {_sql_hex32('tok')} AS th FROM counted
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit::int) & 1 = 1 THEN w ELSE -w END) AS v
+  FROM hashed, range(0, 32) b(bit) GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::bigint << bit::int) ELSE 0 END)::bigint AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23 — winnowing fingerprint (md5 window-grams, sorted distinct top-16)
+# ---------------------------------------------------------------------------
+
+_FP_WINDOW = 8
+
+
 def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.textstats import with_fingerprint
 
-    return with_fingerprint(_docs(spark, sf_dir)).select(
+    return with_fingerprint(_docs(spark, sf_dir), window=_FP_WINDOW).select(
         "doc_id", F.concat_ws(",", F.col("fingerprint")).alias("fingerprint")
     )
+
+
+def _q23_sql() -> str:
+    w = _FP_WINDOW
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {w}
+              THEN list_transform(generate_series(1, len(toks) - {w - 1}),
+                                  i -> md5(array_to_string(toks[i:i+{w - 1}], ' ')))
+              ELSE [md5(array_to_string(toks, ' '))] END AS g
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list_sort(g)[1:16])), ',') AS fingerprint
+FROM grams
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q24 — LSH-bucketed ANN: approximate by design, so no value oracle; the
+# gate replica (tests/test_entry_oracle.py) asserts recall >= 0.9 vs the
+# exact brute_force_topk instead.
+# ---------------------------------------------------------------------------
 
 
 def q24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,20 +984,33 @@ def q24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
-    return lsh_bucket_topk(queries_df, corpus, k=5, n_planes=4).select(
+    return lsh_bucket_topk(queries_df, corpus, k=5, n_planes=4, n_bands=24).select(
         "q_id", "c_id", F.round("cos", 6).alias("cos"), "nn_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — multimodal mapInPandas plumbing over a documents-derived media table
+# (payload = UTF-8 text bytes, so the md5 checksum is SQL-verifiable)
+# ---------------------------------------------------------------------------
 
 
 def q25_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.multimodal import (
         extract_media_features,
-        synthetic_media,
+        media_from_documents,
     )
 
-    return extract_media_features(synthetic_media(spark, n=64)).select(
-        "media_id", "kind", "checksum"
-    )
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_media_features(media).select("media_id", "kind", "checksum")
+
+
+Q25_SQL = """
+SELECT doc_id::bigint AS media_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       md5(text) AS checksum
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1156,6 +1237,9 @@ def oracle_sql():
         "q19_grouped_collect": Q19_SQL,
         "q20_pivot_returnflag": Q20_SQL,
         "q21_token_counts": Q21_SQL,
+        "q22_simhash": _q22_sql(),
+        "q23_fingerprint": _q23_sql(),
+        "q25_media_features": Q25_SQL,
         "q26_rollup_revenue": Q26_SQL,
         "q27_lr_link_part_names": _q27_sql(),
     }

@@ -89,3 +89,28 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+def test_q24_recall_vs_bruteforce(spark):
+    """q24 is approximate by design (no value oracle); the gate instead
+    asserts recall >= 0.9 against the exact brute-force top-k on the same
+    queries (VERDICT r1 item 2)."""
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.similarity import brute_force_topk
+    from pathhier_spark.queries import q24_lsh_topk
+
+    approx = {
+        (r["q_id"], r["c_id"]) for r in q24_lsh_topk(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"q24 recall {recall:.3f} < 0.9"

@@ -56,17 +56,34 @@ def test_brute_force_topk_exact(spark, sf_dir):
         assert got_ids[0] == q
 
 
-def test_lsh_recall_at_least_half(spark, sf_dir):
+def test_lsh_banded_recall(spark, sf_dir):
+    """OR-amplified banding (24 bands x 4 planes) must reach recall >= 0.9 vs
+    exact brute force — the VERDICT r1 bar for the ANN scale path (measured:
+    0.99 at sf0.001, 0.98 at sf0.01; 8 bands was 0.73)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     exact = brute_force_topk(queries, corpus, k=5)
-    approx = lsh_bucket_topk(queries, corpus, k=5, n_planes=4)
+    approx = lsh_bucket_topk(queries, corpus, k=5, n_planes=4, n_bands=24)
     e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
     a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.3  # 4 planes = 16 buckets on 500 vecs; self always found
-    # every query finds itself (same bucket by construction)
+    assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"
+    # every query finds itself (same bucket in every band by construction)
     assert all((q, q) in a for q in range(20))
+
+
+def test_lsh_single_band_still_works(spark, sf_dir):
+    """n_bands=1 degenerates to single-probe SRP (the old behavior)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    a = {
+        (r["q_id"], r["c_id"])
+        for r in lsh_bucket_topk(queries, corpus, k=5, n_planes=4, n_bands=1).collect()
+    }
+    assert all((q, q) in a for q in range(5))
