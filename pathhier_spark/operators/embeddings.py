@@ -7,7 +7,8 @@ pathway_aligner.py:323-338); we seed per-token so runs are reproducible
 (SURVEY.md §7.3 divergence note).
 
 Implementation is a broadcast join + posexplode + per-dimension mean — all
-JVM-side; the OOV vector is a column expression over xxhash64.
+JVM-side; the OOV vector is a column expression over md5 (engine-portable:
+DuckDB recomputes the identical components for the oracle check).
 """
 
 from __future__ import annotations
@@ -17,17 +18,16 @@ from pyspark.sql import functions as F
 
 
 def oov_vector(token_col, dim: int):
-    """Deterministic pseudo-random vector in (-1,1): component i =
-    fract(hash(token, i)) scaled. Pure column expression."""
-    return F.array(
-        *[
-            (
-                (F.pmod(F.xxhash64(token_col, F.lit(i)), F.lit(2_000_000)) / 1_000_000.0)
-                - 1.0
-            )
-            for i in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random vector in (-1,1): component i derives
+    from the first 8 hex chars of md5(token:i) read as a 32-bit int. Pure
+    column expression; only evaluated for the (small) OOV vocabulary."""
+    comps = []
+    for i in range(dim):
+        h = F.conv(
+            F.substring(F.md5(F.concat(token_col, F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        comps.append((h % 2_000_000) / 1_000_000.0 - 1.0)
+    return F.array(*comps)
 
 
 def entity_bow_embeddings(

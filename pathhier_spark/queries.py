@@ -1178,6 +1178,229 @@ FROM ranked WHERE lr_rank <= {config.KEEP_TOP_N_MATCHES}
 
 
 # ---------------------------------------------------------------------------
+# Q28 — J6 rule-tier scoring (pathway_aligner.py:387-453) over entity pairs
+# synthesized from part: pair groups by size bucket, sides by key parity,
+# xrefs/names/parents/types derived deterministically from part columns so
+# every tier (1.0 / 0.75 / 0.5 / 0.25 / type-restricted 0) is exercised.
+# ---------------------------------------------------------------------------
+
+
+def q28_rule_tier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.align import prelim_alignments
+
+    part = spark.read.parquet(_t(sf_dir, "part")).filter(F.col("p_partkey") % 7 < 2)
+    first_type = F.split(F.col("p_type"), " ").getItem(0)
+    base = part.select(
+        F.concat(F.lit("g"), (F.col("p_size") % 5).cast("string")).alias("pair_id"),
+        F.col("p_partkey"),
+        F.when(F.col("p_size") % 11 == 0, F.lit("Group"))
+        .otherwise(first_type)
+        .alias("obj_type"),
+        F.array(F.col("p_brand")).alias("eq_xrefs"),
+        tokenize(F.col("p_name")).alias("eq_names"),
+        F.array(
+            F.concat(F.lit("sz"), (F.col("p_size") % 10).cast("string"))
+        ).alias("parent_xrefs"),
+        (F.col("p_partkey") % 2).alias("side"),
+    )
+    w = Window.partitionBy("pair_id", "side").orderBy("p_partkey")
+    sided = base.withColumn("idx", F.row_number().over(w) - 1)
+    left = sided.filter(F.col("side") == 0)
+    right = sided.filter(F.col("side") == 1)
+    out = prelim_alignments(left, right)
+    return out.filter(F.col("rule_score") > 0).select(
+        "pair_id", "i", "j", F.round("rule_score", 6).alias("rule_score")
+    )
+
+
+def _q28_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT 'g' || (p_size % 5)::varchar AS pair_id,
+         p_partkey,
+         CASE WHEN p_size % 11 = 0 THEN 'Group'
+              ELSE split_part(p_type, ' ', 1) END AS obj_type,
+         [p_brand] AS eq_xrefs,
+         {_sql_tokens('p_name')} AS eq_names,
+         ['sz' || (p_size % 10)::varchar] AS parent_xrefs,
+         p_partkey % 2 AS side
+  FROM part WHERE p_partkey % 7 < 2
+), sided AS (
+  SELECT *, row_number() OVER (PARTITION BY pair_id, side ORDER BY p_partkey) - 1 AS idx
+  FROM base
+), scored AS (
+  SELECT l.pair_id, l.idx AS i, r.idx AS j,
+         CASE WHEN (l.obj_type = 'Group') <> (r.obj_type = 'Group') THEN 0.0
+              WHEN len(list_intersect(l.eq_xrefs, r.eq_xrefs)) > 0
+                   AND l.obj_type = r.obj_type THEN 1.0
+              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0
+                   AND l.obj_type = r.obj_type THEN 0.75
+              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0 THEN 0.5
+              WHEN len(list_intersect(l.parent_xrefs, r.parent_xrefs)) > 0
+                   AND l.obj_type = r.obj_type THEN 0.25
+              ELSE 0.0 END AS rule_score
+  FROM sided l JOIN sided r ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
+)
+SELECT pair_id, i::int AS i, j::int AS j,
+       round(rule_score, 6)::double AS rule_score
+FROM scored WHERE rule_score > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q29 — J9 pathway-pair set-similarity join (cluster_model.py:370-425) + A3
+# pair-score aggregate (pathway_aligner.py:769-772): suppliers as pathways
+# (entity set = distinct parts supplied), KBs from nationkey buckets;
+# align_score aggregates matched pairs per KB pair.
+# ---------------------------------------------------------------------------
+
+_Q29_THRESHOLD = 0.2  # fused-score match floor (sf0.01 median ~0.20)
+
+
+def q29_pathway_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.align import aggregate_pair_scores
+    from pathhier_spark.operators.genesets import score_pathway_pairs
+
+    s = spark.read.parquet(_t(sf_dir, "supplier"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    ents = li.groupBy("l_suppkey").agg(F.collect_set("l_partkey").alias("entities"))
+    members = s.join(ents, s["s_suppkey"] == ents["l_suppkey"], "left").select(
+        F.col("s_suppkey").cast("string").alias("pathway_id"),
+        F.concat(F.lit("kb"), (F.col("s_nationkey") % 3).cast("string")).alias("kb"),
+        F.coalesce(F.col("entities"), F.array().cast("array<bigint>")).alias(
+            "entities"
+        ),
+    )
+    scored = score_pathway_pairs(members)
+    matches = scored.filter(F.col("fused") >= _Q29_THRESHOLD).select(
+        F.concat_ws(
+            "|", F.least("kb_a", "kb_b"), F.greatest("kb_a", "kb_b")
+        ).alias("pair_id"),
+        "id_a", "id_b", "sim", "overlap", "fused",
+    )
+    kb_sizes = members.groupBy("kb").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        kb_sizes.select(F.col("kb").alias("kb1"), F.col("n").alias("n1"))
+        .crossJoin(kb_sizes.select(F.col("kb").alias("kb2"), F.col("n").alias("n2")))
+        .filter(F.col("kb1") < F.col("kb2"))
+        .select(F.concat_ws("|", "kb1", "kb2").alias("pair_id"), "n1", "n2")
+    )
+    agg = aggregate_pair_scores(
+        matches.select("pair_id", F.col("fused").alias("match_score")), sizes
+    )
+    return matches.join(agg, "pair_id").select(
+        "pair_id", "id_a", "id_b",
+        F.round("sim", 6).alias("sim"),
+        F.round("overlap", 6).alias("overlap"),
+        F.round("fused", 6).alias("fused"),
+        F.round("align_score", 6).alias("align_score"),
+        "n_matches",
+    )
+
+
+def _q29_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT l_suppkey, list(DISTINCT l_partkey) AS ents FROM lineitem GROUP BY l_suppkey
+), m AS (
+  SELECT s_suppkey::varchar AS pid, 'kb' || (s_nationkey % 3)::varchar AS kb,
+         coalesce(ents, []) AS ents
+  FROM supplier LEFT JOIN e ON l_suppkey = s_suppkey
+), p AS (
+  SELECT least(a.kb, b.kb) || '|' || greatest(a.kb, b.kb) AS pair_id,
+         a.pid AS id_a, b.pid AS id_b,
+         CASE WHEN len(list_distinct(list_concat(a.ents, b.ents))) > 0 THEN
+           len(list_intersect(a.ents, b.ents))::double
+             / len(list_distinct(list_concat(a.ents, b.ents)))
+         ELSE 0 END AS sim,
+         CASE WHEN len(a.ents) > 0 AND len(b.ents) > 0 THEN
+           2.0 * len(list_intersect(a.ents, b.ents))
+             / (len(list_distinct(a.ents)) + len(list_distinct(b.ents)))
+         ELSE 0 END AS overlap
+  FROM m a JOIN m b ON a.pid < b.pid AND a.kb <> b.kb
+), matches AS (
+  SELECT pair_id, id_a, id_b, sim, overlap, (sim + overlap) / 2.0 AS fused
+  FROM p WHERE (sim + overlap) / 2.0 >= {_Q29_THRESHOLD}
+), kb_sizes AS (SELECT kb, count(*) AS n FROM m GROUP BY kb),
+sizes AS (
+  SELECT a.kb || '|' || b.kb AS pair_id, a.n AS n1, b.n AS n2
+  FROM kb_sizes a JOIN kb_sizes b ON a.kb < b.kb
+), agg AS (
+  SELECT pair_id, avg(fused) * count(*) AS num, count(*) AS n_matches
+  FROM matches GROUP BY pair_id
+)
+SELECT mt.pair_id, mt.id_a, mt.id_b,
+       round(mt.sim, 6) AS sim, round(mt.overlap, 6) AS overlap,
+       round(mt.fused, 6) AS fused,
+       round(a.num / (0.5 * (s.n1 + s.n2)), 6) AS align_score,
+       a.n_matches
+FROM matches mt JOIN agg a USING (pair_id) JOIN sizes s USING (pair_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q30 — M5 BOW embedding averaging (pathway_aligner.py:299-340): part-name
+# entities averaged over a token->vector table hashed into the embeddings
+# corpus (half the vocabulary misses -> exercises the seeded-OOV path).
+# ---------------------------------------------------------------------------
+
+
+def q30_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.embeddings import entity_bow_embeddings
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    names = spark.read.parquet(_t(sf_dir, "part")).select("p_name").distinct()
+    ent_tokens = names.select(
+        F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
+    )
+    vocab = ent_tokens.select(F.explode("tokens").alias("token")).distinct()
+    vid = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % (
+        2 * n_vecs
+    )
+    token_vectors = (
+        vocab.withColumn("vid", vid)
+        .join(emb, F.col("vid") == F.col("vec_id"))
+        .select("token", F.col("embedding").cast("array<double>").alias("vector"))
+    )
+    out = entity_bow_embeddings(ent_tokens, token_vectors, dim=dim)
+    # round to 4: the mean's float summation order differs between engines,
+    # so the 6th decimal can land on a rounding boundary (~1 ulp apart)
+    return out.select(
+        "ent_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("ent_id", "dim", F.round("val", 4).alias("val"))
+
+
+def _q30_sql() -> str:
+    # Spark's oov_vector component i = hex32(md5(token || ':<i>')) scaled
+    oov_arg = "token || ':' || i.i::varchar"
+    oov = f"({_sql_hex32(oov_arg)} % 2000000) / 1000000.0 - 1.0"
+    return f"""
+WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+names AS (SELECT DISTINCT p_name FROM part),
+ent_tok AS (
+  SELECT p_name AS ent_id, unnest({_sql_tokens('p_name')}) AS token FROM names
+), tv AS (
+  SELECT t.token, e.embedding
+  FROM (SELECT DISTINCT token FROM ent_tok) t
+  CROSS JOIN n
+  JOIN embeddings e ON e.vec_id = ({_sql_hex32('t.token')} % (2 * n.n_vecs))
+), vecs AS (
+  SELECT et.ent_id, et.token, tv.embedding
+  FROM ent_tok et LEFT JOIN tv ON et.token = tv.token
+), dims AS (
+  SELECT ent_id, i.i AS dim,
+         CASE WHEN embedding IS NULL THEN {oov}
+              ELSE embedding[(i.i + 1)::int]::double END AS val
+  FROM vecs, range(0, 64) i(i)
+)
+SELECT ent_id, dim::int AS dim, round(avg(val), 4) AS val
+FROM dims GROUP BY ent_id, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1211,6 +1434,9 @@ def queries():
         "q25_media_features": q25_media_features,
         "q26_rollup_revenue": q26_rollup_revenue,
         "q27_lr_link_part_names": q27_lr_link_part_names,
+        "q28_rule_tier_scores": q28_rule_tier_scores,
+        "q29_pathway_pair_scores": q29_pathway_pair_scores,
+        "q30_bow_embeddings": q30_bow_embeddings,
     }
 
 
@@ -1242,4 +1468,7 @@ def oracle_sql():
         "q25_media_features": Q25_SQL,
         "q26_rollup_revenue": Q26_SQL,
         "q27_lr_link_part_names": _q27_sql(),
+        "q28_rule_tier_scores": _q28_sql(),
+        "q29_pathway_pair_scores": _q29_sql(),
+        "q30_bow_embeddings": _q30_sql(),
     }
