@@ -21,11 +21,10 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import math
 import random
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pathhier_spark import config
@@ -39,30 +38,42 @@ class LRModel:
 
 
 def fit_lr(rows: list[tuple[list[float], int]], *, iters: int = 300, lr: float = 0.5) -> LRModel:
-    """Plain batch gradient-descent logistic regression on the driver.
-    Deterministic (fixed init, fixed iteration count)."""
+    """Batch gradient-descent logistic regression on the driver, vectorized
+    with numpy (the training set is driver-sized by construction — see
+    collect_training_rows). Deterministic (fixed init, fixed iteration
+    count)."""
     if not rows:
         return LRModel([0.0] * len(FEATURE_COLS), 0.0)
-    n_feat = len(rows[0][0])
-    w = [0.0] * n_feat
+    import numpy as np
+
+    X = np.asarray([x for x, _ in rows], dtype=np.float64)
+    y = np.asarray([float(label) for _, label in rows], dtype=np.float64)
+    w = np.zeros(X.shape[1])
     b = 0.0
-    n = len(rows)
+    n = float(len(y))
     for _ in range(iters):
-        gw = [0.0] * n_feat
-        gb = 0.0
-        for x, y in rows:
-            z = sum(wi * xi for wi, xi in zip(w, x)) + b
-            p = 1.0 / (1.0 + math.exp(-max(min(z, 35.0), -35.0)))
-            d = p - y
-            for i in range(n_feat):
-                gw[i] += d * x[i]
-            gb += d
-        w = [wi - lr * gi / n for wi, gi in zip(w, gw)]
-        b = b - lr * gb / n
-    return LRModel(w, b)
+        z = np.clip(X @ w + b, -35.0, 35.0)
+        d = 1.0 / (1.0 + np.exp(-z)) - y
+        w = w - lr * (X.T @ d) / n
+        b = b - lr * float(d.sum()) / n
+    return LRModel(w.tolist(), float(b))
 
 
-def collect_training_rows(train_df: DataFrame, label_col: str = "label") -> list:
+def collect_training_rows(
+    train_df: DataFrame, label_col: str = "label", max_rows: int = 10_000
+) -> list:
+    """Collect the training table to the driver, capped: an unbounded seed
+    (e.g. the link-score-extremes fallback over a web-scale link table)
+    must never be collected whole — above max_rows a deterministic hash
+    filter keeps a ~max_rows subsample (stable across runs and cluster
+    sizes), so driver memory and fit time stay O(max_rows) at any corpus
+    scale."""
+    n = train_df.count()
+    if n > max_rows:
+        k = n // max_rows + 1
+        train_df = train_df.filter(
+            F.pmod(F.xxhash64(*FEATURE_COLS, label_col), F.lit(k)) == 0
+        )
     rows = train_df.select(*FEATURE_COLS, label_col).collect()
     return [([r[c] for c in FEATURE_COLS], int(r[label_col])) for r in rows]
 
@@ -77,6 +88,91 @@ def split_train_dev(
     rng.shuffle(shuffled)
     n_dev = int(len(shuffled) * dev_frac)
     return shuffled[n_dev:], shuffled[:n_dev]
+
+
+def bootstrap_seed_labels(
+    mentions: DataFrame,
+    ontology: DataFrame,
+    *,
+    n_hard: int = 2,
+    n_easy: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference-faithful seed labels (extract_training_data.py:179-271):
+
+      * positives — mention surface forms that exactly equal an ontology
+        alias after normalize_string (the analog of PW synonym-annotation
+        pairs, _extract_positive_mappings:178-210);
+      * hard negatives — for each positive mention, candidate-selector ranks
+        4..3+n_hard (the reference slices select(pw_id)[3:2+num_neg], i.e.
+        skips the top 3), excluding positive pairs;
+      * easy negatives — n_easy deterministic pseudo-random classes per
+        positive mention (seeded stand-in for the reference's unseeded
+        random.sample, SURVEY.md §7.3), excluding positives and candidates.
+
+    All sets are bounded by the ontology side (positives <= aliases), so the
+    seed table stays small no matter how large the mention corpus is.
+    Output: (mention, class_id, label INT, provenance STRING)."""
+    from pathhier_spark.functions.text import normalize_string, tokenize
+    from pathhier_spark.operators.linking import candidate_pairs
+
+    aliases = ontology.select(
+        F.col("class_id"), F.explode("aliases").alias("alias")
+    ).select("class_id", normalize_string(F.col("alias")).alias("norm_alias"))
+    m = mentions.select(
+        F.col("mention"), normalize_string(F.col("mention")).alias("norm_m")
+    ).distinct()
+    positives = (
+        m.join(F.broadcast(aliases), m["norm_m"] == aliases["norm_alias"])
+        .select("mention", "class_id")
+        .distinct()
+    )
+    pos_mentions = positives.select("mention").distinct()
+
+    m_tokens = pos_mentions.select(
+        F.col("mention").alias("s_id"), tokenize(F.col("mention")).alias("tokens")
+    )
+    o_tokens = ontology.select(
+        F.col("class_id").alias("ent_id"),
+        F.array_distinct(
+            F.flatten(F.transform(F.col("aliases"), lambda a: tokenize(a)))
+        ).alias("tokens"),
+    )
+    cands = candidate_pairs(m_tokens, o_tokens, top_n=3 + n_hard).select(
+        F.col("s_id").alias("mention"), F.col("t_id").alias("class_id"), "rank"
+    )
+    hard = (
+        cands.filter(F.col("rank") > 3)
+        .join(positives, ["mention", "class_id"], "left_anti")
+        .select("mention", "class_id")
+    )
+
+    classes = ontology.select("class_id")
+    hw = Window.partitionBy("mention").orderBy(
+        F.xxhash64("mention", "class_id", F.lit(seed)), F.col("class_id")
+    )
+    easy = (
+        pos_mentions.crossJoin(F.broadcast(classes))
+        .withColumn("hr", F.row_number().over(hw))
+        .filter(F.col("hr") <= n_easy)
+        .select("mention", "class_id")
+        .join(positives, ["mention", "class_id"], "left_anti")
+        .join(cands.select("mention", "class_id"), ["mention", "class_id"], "left_anti")
+    )
+    return (
+        positives.select(
+            "mention", "class_id", F.lit(1).alias("label"),
+            F.lit("seed_pos").alias("provenance"),
+        )
+        .union(hard.select(
+            "mention", "class_id", F.lit(0).alias("label"),
+            F.lit("seed_hardneg").alias("provenance"),
+        ))
+        .union(easy.select(
+            "mention", "class_id", F.lit(0).alias("label"),
+            F.lit("seed_easyneg").alias("provenance"),
+        ))
+    )
 
 
 def bootstrap_loop(
@@ -106,17 +202,29 @@ def bootstrap_loop(
     for it in range(n_iterations):
         model = fit_lr(collect_training_rows(train))
         scored = lr_score(featurized_candidates, model.coef, model.intercept)
-        fresh = scored.join(added, ["s_id", "t_id"], "left_anti")
-        pos = fresh.filter(F.col("p1") > threshold)
-        neg = fresh.filter((1.0 - F.col("p1")) > threshold)
-        n_pos = pos.count()
-        n_neg = neg.count()
+        # one scoring pass per iteration: cache the anti-joined table, fold
+        # both side-counts into a single agg action (VERDICT r1 item 8 —
+        # previously two counts + a limit(1).count scanned `scored` 3x)
+        fresh = scored.join(added, ["s_id", "t_id"], "left_anti").persist()
+        cnt = fresh.agg(
+            F.sum(F.when(F.col("p1") > threshold, 1).otherwise(0)).alias("n_pos"),
+            F.sum(
+                F.when((1.0 - F.col("p1")) > threshold, 1).otherwise(0)
+            ).alias("n_neg"),
+        ).collect()[0]
+        n_pos = cnt["n_pos"] or 0
+        n_neg = cnt["n_neg"] or 0
+        if n_pos == 0 and n_neg == 0:
+            fresh.unpersist()
+            break
         keep_pos = int(keep_frac * n_pos / 2)
         keep_neg = int(keep_frac * n_neg / 2)
         # at test scale the 0.25% fraction rounds to zero — keep at least one
         # per side so the loop makes progress (documented test-scale floor)
         keep_pos = max(keep_pos, 1 if n_pos else 0)
         keep_neg = max(keep_neg, 1 if n_neg else 0)
+        pos = fresh.filter(F.col("p1") > threshold)
+        neg = fresh.filter((1.0 - F.col("p1")) > threshold)
         new_pos = pos.orderBy(F.col("p1").desc(), "s_id", "t_id").limit(keep_pos)
         new_neg = neg.orderBy(F.col("p1").asc(), "s_id", "t_id").limit(keep_neg)
         new_rows = new_pos.select(
@@ -124,14 +232,13 @@ def bootstrap_loop(
         ).union(
             new_neg.select("s_id", "t_id", *FEATURE_COLS, F.lit(0).alias("label"))
         )
-        if new_rows.limit(1).count() == 0:
-            break
         added = added.union(new_rows.select("s_id", "t_id")).distinct().localCheckpoint()
         train = train.union(
             new_rows.select(
                 *FEATURE_COLS, "label", F.lit(f"lr_iter{it}").alias("provenance")
             )
         ).localCheckpoint()
+        fresh.unpersist()
 
     # final model drops bootstrap-generated rows (pw_aligner.py:587, P8)
     final_train = train.filter(~F.col("provenance").startswith("lr_iter"))

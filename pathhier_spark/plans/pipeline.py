@@ -297,33 +297,48 @@ def bootstrap_rescore_links(
 ) -> DataFrame:
     """Bootstrap re-scoring stage (M3, pw_aligner.py:485-530 recast): the
     link table's (mention, class name) pairs are featurized with the exact
-    5-feature vector; seed labels come from the rule-tier extremes (fused
-    link_score >= 0.75 -> positive, <= 0.3 -> negative — the self-training
-    seed the reference draws from PW synonym annotations); the LR loop then
-    re-scores every link. Output: links + (p1 DOUBLE) calibrated score."""
-    from pathhier_spark.operators.bootstrap import bootstrap_loop
+    5-feature vector; seed labels follow the reference's independent
+    supervision source (extract_training_data.py:179-271): positives from
+    exact alias/synonym surface matches, hard negatives from candidate
+    ranks 4.., easy negatives pseudo-random — see bootstrap_seed_labels.
+    Falls back to link-score extremes only if no alias match exists (e.g. a
+    corpus with zero annotated surface forms). The LR loop then re-scores
+    every link. Output: links + (p1 DOUBLE) calibrated score."""
+    from pathhier_spark.operators.bootstrap import (
+        bootstrap_loop,
+        bootstrap_seed_labels,
+    )
     from pathhier_spark.operators.linking import (
         FEATURE_COLS,
         lr_score,
         pair_features,
     )
 
-    named = links.join(
-        F.broadcast(ontology.select(F.col("class_id"), F.col("name"))),
-        "class_id",
-    )
+    class_names = F.broadcast(ontology.select(F.col("class_id"), F.col("name")))
+    named = links.join(class_names, "class_id")
     feats = pair_features(named, "mention", "name").select(
         F.col("mention").alias("s_id"),
         F.col("class_id").alias("t_id"),
         F.col("link_score"),
         *FEATURE_COLS,
     ).localCheckpoint(eager=True)
-    seed = feats.filter(
-        (F.col("link_score") >= 0.75) | (F.col("link_score") <= 0.3)
-    ).select(
-        *FEATURE_COLS,
-        F.when(F.col("link_score") >= 0.75, F.lit(1)).otherwise(F.lit(0)).alias("label"),
-    )
+
+    seed_pairs = bootstrap_seed_labels(
+        links.select("mention").distinct(), ontology
+    ).localCheckpoint(eager=True)
+    if seed_pairs.limit(1).count() > 0:
+        seed = pair_features(
+            seed_pairs.join(class_names, "class_id"), "mention", "name"
+        ).select(*FEATURE_COLS, "label")
+    else:
+        seed = feats.filter(
+            (F.col("link_score") >= 0.75) | (F.col("link_score") <= 0.3)
+        ).select(
+            *FEATURE_COLS,
+            F.when(F.col("link_score") >= 0.75, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("label"),
+        )
     model, _train = bootstrap_loop(
         spark,
         feats.select("s_id", "t_id", *FEATURE_COLS),

@@ -41,6 +41,46 @@ def test_bootstrap_loop_e2e(spark):
     assert got["t"] > got["u"]
 
 
+def test_bootstrap_seed_labels(spark):
+    """Reference-faithful seed construction (extract_training_data.py:179-271):
+    positives from exact alias matches, hard negatives from candidate ranks
+    >3, easy negatives pseudo-random — all three provenances present, no
+    pair labeled both ways, determinism across runs."""
+    from pathhier_spark.operators.bootstrap import bootstrap_seed_labels
+    from pathhier_spark.operators.extract import extract_mentions, with_extracted_text
+
+    c = corpus_mod.generate(n_classes=50, n_docs=100, seed=5)
+    docs, onto, *_ = corpus_mod.to_spark(spark, c)
+    ext = with_extracted_text(docs).select("url", F.col("extracted_text").alias("text"))
+    m = extract_mentions(ext)
+    mentions = (
+        m.select(F.col("subj_mention").alias("mention"))
+        .union(m.select(F.col("obj_mention").alias("mention")))
+        .distinct()
+    )
+    seeds = bootstrap_seed_labels(mentions, onto)
+    counts = {
+        r["provenance"]: r["n"]
+        for r in seeds.groupBy("provenance").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("seed_pos", 0) > 0
+    assert counts.get("seed_easyneg", 0) > 0
+    # positives come only from alias matches; labels are consistent per pair
+    per_pair = seeds.groupBy("mention", "class_id").agg(
+        F.countDistinct("label").alias("nl")
+    )
+    assert per_pair.filter(F.col("nl") > 1).count() == 0
+    # deterministic
+    again = {
+        (r["mention"], r["class_id"], r["label"], r["provenance"])
+        for r in bootstrap_seed_labels(mentions, onto).collect()
+    }
+    assert again == {
+        (r["mention"], r["class_id"], r["label"], r["provenance"])
+        for r in seeds.collect()
+    }
+
+
 def test_entity_bow_embeddings(spark):
     ents = spark.createDataFrame(
         [("e1", ["alpha", "beta"]), ("e2", ["alpha"]), ("e3", ["zzz_oov"])],
