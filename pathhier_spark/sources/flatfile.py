@@ -105,3 +105,50 @@ def parse_kegg_indented(text: str) -> list[dict]:
         )
         stack.append((depth, entry_id))
     return rows
+
+
+def read_pathway_pairs_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """3-line record-group TSV reader (S8) — the format of the reference's
+    clustering output consumed by load_pathway_pairs
+    (pathhier/utils/pathway_utils.py:391-417): a header line, then per
+    record three lines:
+
+      1. sim_score \\t overlap \\t pw_id \\t kb1_id \\t kb2_id
+      2. _ \\t _ \\t _ \\t kb1_name \\t kb2_name
+      3. separator (blank)
+
+    A truncated trailing record (ids line without its names line) is
+    dropped, matching the reference's StopIteration-before-append behavior.
+
+    Distributed form: line numbers via zipWithIndex (per-partition offsets,
+    order-preserving over the text source), record id = (line-1) // 3, then
+    the ids and names lines of each record equi-join on the record id.
+    Output: (rec BIGINT, sim_score DOUBLE, overlap DOUBLE, pw_id, kb1_id,
+    kb2_id, kb1_name, kb2_name)."""
+    from pyspark.sql import functions as F
+
+    lines = (
+        spark.sparkContext.textFile(path)
+        .zipWithIndex()
+        .toDF(["line", "idx"])
+    )
+    body = (
+        lines.filter(F.col("idx") > 0)
+        .withColumn("rec", ((F.col("idx") - 1) / 3).cast("long"))
+        .withColumn("pos", (F.col("idx") - 1) % 3)
+        .withColumn("f", F.split("line", "\t"))
+    )
+    ids = body.filter(F.col("pos") == 0).select(
+        "rec",
+        F.col("f").getItem(0).cast("double").alias("sim_score"),
+        F.col("f").getItem(1).cast("double").alias("overlap"),
+        F.col("f").getItem(2).alias("pw_id"),
+        F.col("f").getItem(3).alias("kb1_id"),
+        F.col("f").getItem(4).alias("kb2_id"),
+    )
+    names = body.filter(F.col("pos") == 1).select(
+        "rec",
+        F.col("f").getItem(3).alias("kb1_name"),
+        F.col("f").getItem(4).alias("kb2_name"),
+    )
+    return ids.join(names, "rec").orderBy("rec")

@@ -69,6 +69,83 @@ def streaming_dedup(
     )
 
 
+def _duration_ms(spec: str) -> int:
+    """'30 minutes' / '10 seconds' / '1 hour' -> milliseconds."""
+    n, unit = spec.split()
+    mult = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(n) * mult
+
+
+def streaming_stateful_dedup(
+    docs_stream: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    expire_after: str = "30 minutes",
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    explicit-state analog of streaming_dedup: per-key state (occurrence
+    count) with an event-time timeout. Emits ('first', n) when a key is
+    first seen, ('expired', n) when its state times out `expire_after` past
+    the watermark; duplicates within the horizon update state silently; a
+    key reappearing after expiry emits 'first' again. State stays bounded by
+    the expiry horizon — the contract a continuously-crawled 100 TB corpus
+    needs (state size ~ keys per horizon, not total keys ever seen)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon_ms = _duration_ms(expire_after)
+    out_schema = f"{id_col} string, event string, n_seen long"
+    state_schema = "n_seen long, last_ms long"
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {id_col: [key[0]], "event": ["expired"], "n_seen": [n]}
+            )
+        else:
+            n_new = 0
+            batch_max_ms = 0
+            for p in pdfs:
+                n_new += len(p)
+                if len(p):
+                    batch_max_ms = max(
+                        batch_max_ms, int(p[ts_col].max().timestamp() * 1000)
+                    )
+            first = not state.exists
+            n_prev, last_prev = state.get if state.exists else (0, 0)
+            n = n_prev + n_new
+            last_ms = max(last_prev, batch_max_ms)
+            state.update((n, last_ms))
+            # expire `expire_after` past the key's last event time, anchored
+            # to event time (NOT the watermark — at the first trigger the
+            # watermark is still epoch 0 and the state would expire
+            # instantly); clamp above the watermark as the API requires
+            state.setTimeoutTimestamp(
+                max(last_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+            )
+            if first:
+                yield pd.DataFrame(
+                    {id_col: [key[0]], "event": ["first"], "n_seen": [n]}
+                )
+
+    return (
+        docs_stream.withWatermark(ts_col, watermark)
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, query_name: str = "mention_counts"
 ):

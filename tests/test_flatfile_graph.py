@@ -102,3 +102,28 @@ def test_string_entry_and_name_pairs(spark):
     )
     got = {(r["l_name"], r["r_name"]) for r in name_pair_expansion(pairs).collect()}
     assert got == {("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")}
+
+
+def test_read_pathway_pairs_tsv(spark, tmp_path):
+    """3-line record-group format (pathway_utils.py:391-417): header, then
+    (ids, names, separator) triplets; truncated trailing record dropped."""
+    from pathhier_spark.sources.flatfile import read_pathway_pairs_tsv
+
+    f = tmp_path / "pairs.tsv"
+    lines = [
+        "sim_score\toverlap\tpw_id\tkb1_id\tkb2_id",
+        "0.9\t0.8\tPW:1\tkegg:hsa1\tsmp:SMP1",
+        "_\t_\t_\tGlycolysis\tGlycolysis I",
+        "",
+        "0.5\t0.4\tPW:2\tkegg:hsa2\tpid:p2",
+        "_\t_\t_\tTCA\tCitric acid cycle",
+        "",
+        "0.1\t0.1\tPW:3\tkegg:hsa3\tsmp:SMP3",  # truncated: no names line
+    ]
+    f.write_text("\n".join(lines) + "\n")
+    got = read_pathway_pairs_tsv(spark, str(f)).collect()
+    assert [(r["pw_id"], r["sim_score"], r["kb1_name"]) for r in got] == [
+        ("PW:1", 0.9, "Glycolysis"),
+        ("PW:2", 0.5, "TCA"),
+    ]
+    assert got[0]["kb2_id"] == "smp:SMP1" and got[1]["overlap"] == 0.4

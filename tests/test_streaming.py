@@ -31,3 +31,68 @@ def test_streaming_mention_counts(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_stateful_dedup_with_expiry(spark, tmp_path):
+    """applyInPandasWithState dedup: first-sight emits 'first', duplicates
+    within the horizon are silent, watermark-driven timeout emits 'expired'
+    with the seen-count, and a key reappearing after expiry emits 'first'
+    again (state is bounded by the horizon)."""
+    from datetime import datetime, timedelta
+
+    from pathhier_spark.streaming.stream import streaming_stateful_dedup
+
+    input_dir = tmp_path / "state_stream"
+    input_dir.mkdir()
+    schema = "url string, warc_ts timestamp"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(input_dir))
+
+    # batch 1 must exist before the stream starts (file source needs data)
+    write_batch("b1", [("u1", t0), ("u2", t0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    out = streaming_stateful_dedup(
+        stream, watermark="10 minutes", expire_after="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: u1 duplicate (silent), u9 far ahead advances the watermark
+        write_batch("b2", [("u1", t0 + timedelta(minutes=5)),
+                           ("u9", t0 + timedelta(hours=1))])
+        q.processAllAvailable()
+        # batch 3: far-future event -> watermark sweeps past u1/u2 timeouts
+        write_batch("b3", [("u5", t0 + timedelta(hours=3))])
+        q.processAllAvailable()
+        # batch 4: u1 reappears after expiry -> 'first' again
+        write_batch("b4", [("u1", t0 + timedelta(hours=3, minutes=1))])
+        q.processAllAvailable()
+
+        rows = spark.sql("select * from state_test").collect()
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append((r["event"], r["n_seen"]))
+        assert ("first", 1) in by_url["u1"]
+        # u1 seen twice before expiry -> expired carries n_seen=2
+        assert ("expired", 2) in by_url["u1"]
+        # reappearance after expiry -> a second 'first'
+        assert [e for e, _ in by_url["u1"]].count("first") == 2
+        assert ("expired", 1) in by_url["u2"]
+        # u2 never reappears: exactly one first + one expired
+        assert sorted(e for e, _ in by_url["u2"]) == ["expired", "first"]
+    finally:
+        q.stop()
