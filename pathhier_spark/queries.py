@@ -1401,6 +1401,121 @@ FROM dims GROUP BY ent_id, dim
 
 
 # ---------------------------------------------------------------------------
+# Q31 — near-dup doc clustering: the full dedup composition (minhash -> LSH
+# bucket pairs -> exact-jaccard verify -> connected components -> canonical
+# doc = component minimum). The canonical-selection step is what a training
+# pipeline actually keeps; oracle = q11's pair SQL + a recursive-CTE CC.
+# ---------------------------------------------------------------------------
+
+
+def q31_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.canonicalize import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(
+        docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=50
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
+    )
+    pad = lambda c: F.lpad(c.cast("string"), 10, "0")  # noqa: E731
+    edges = verified.select(
+        pad(F.col("id_a")).alias("xref_a"), pad(F.col("id_b")).alias("xref_b")
+    )
+    nodes = docs.select(pad(F.col("doc_id")).alias("xref_a")).select(
+        "xref_a", F.col("xref_a").alias("xref_b")
+    )
+    comp = connected_components(edges.union(nodes))
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster"),
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("cluster")).orderBy(
+        "doc_id"
+    )
+
+
+def _q31_sql() -> str:
+    nh = _LSH_BANDS * _LSH_ROWS
+    # the whole chain needs WITH RECURSIVE for the reach() CTE at the end
+    shingle_ctes = _sql_shingles().rstrip().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return shingle_ctes + f""",
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+  FROM sh, range(0, {nh}) s(seed) GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {_LSH_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+  FROM mh GROUP BY doc_id, seed // {_LSH_ROWS}
+), sized AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= 50
+), small AS (
+  SELECT b.* FROM banded b JOIN sized USING (band, bucket)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM small a JOIN small b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), shs AS (
+  SELECT doc_id, list(DISTINCT sh) AS shset FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN shs x ON p.id_a = x.doc_id JOIN shs y ON p.id_b = y.doc_id
+  WHERE len(list_intersect(x.shset, y.shset))::double
+        / len(list_distinct(list_concat(x.shset, y.shset))) >= {_NEARDUP_T}
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION SELECT id_b, id_a FROM verified
+), reach(n, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+)
+SELECT n::bigint AS doc_id, min(m)::bigint AS cluster,
+       (n = min(m)) AS is_canonical
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32 — embedding-cosine near-dup pairs (brute-force verification form;
+# the production path buckets via q24's banded LSH)
+# ---------------------------------------------------------------------------
+
+# production near-dup would use ~0.9+; the driver's synthetic embeddings
+# have no true near-dup pairs (max pairwise cosine ~0.5), so the gate
+# threshold selects the top ~0.1% tail to verify real rows
+_EMB_NEARDUP_T = 0.35
+
+
+def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    # round to 4: float32->double cosine sums in different orders across
+    # engines (~1 ulp), which can land on the 6th-decimal rounding boundary
+    return embedding_neardup_pairs(emb, threshold=_EMB_NEARDUP_T).select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    )
+
+
+Q32_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                 i -> a.embedding[i]::double * b.embedding[i]::double))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 4) AS cos FROM scored WHERE cos >= {_EMB_NEARDUP_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1437,6 +1552,8 @@ def queries():
         "q28_rule_tier_scores": q28_rule_tier_scores,
         "q29_pathway_pair_scores": q29_pathway_pair_scores,
         "q30_bow_embeddings": q30_bow_embeddings,
+        "q31_neardup_clusters": q31_neardup_clusters,
+        "q32_embedding_neardup": q32_embedding_neardup,
     }
 
 
@@ -1471,4 +1588,6 @@ def oracle_sql():
         "q28_rule_tier_scores": _q28_sql(),
         "q29_pathway_pair_scores": _q29_sql(),
         "q30_bow_embeddings": _q30_sql(),
+        "q31_neardup_clusters": _q31_sql(),
+        "q32_embedding_neardup": Q32_SQL,
     }

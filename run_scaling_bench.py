@@ -30,10 +30,15 @@ def run_bench(cores: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_CPUS=str(cores),
                SPARK_GRAFT_REPLICATE=REPLICATE,
                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3000,
-    )
+    # pin the process tree to exactly `cores` CPUs: local[N] caps only the
+    # JVM task threads — Arrow/pandas UDF python workers are separate
+    # processes that would otherwise overflow onto the remaining cores and
+    # inflate the small-N leg (an honest N-executor cluster has no spare
+    # cores to leak onto)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3000)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -70,11 +75,15 @@ def main() -> None:
     hw = calibrate_cpu_ceiling()
     print(f"hw ceiling: {hw['hw_speedup']:.2f}x from 8->32 procs", file=sys.stderr)
     results = {}
-    for cores in (8, 32):
+    # 32 first: the wide leg is the one frequency throttling hurts, so it
+    # runs on a cool box; a cooldown separates the legs so the first leg's
+    # thermal state doesn't bleed into the second
+    for cores in (32, 8):
         t0 = time.time()
         results[cores] = run_bench(cores)
         print(f"cores={cores}: {results[cores]['value']} docs/sec "
               f"(bench wall {time.time() - t0:.0f}s)", file=sys.stderr)
+        time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "90")))
 
     n, n4 = results[8], results[32]
     eff = (n4["value"] / n["value"]) / 4 if n["value"] else 0.0
