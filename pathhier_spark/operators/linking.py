@@ -162,8 +162,12 @@ def salted_candidate_pairs(
     t_salted = t.join(buckets, "token", "left").select(
         target_id, "token", "idf", F.coalesce(F.col("salt"), F.lit(0)).alias("salt")
     )
+    # merge hint: this operator exists for the huge-source x huge-target
+    # regime where the join MUST be a shuffle join on (token, salt) — at
+    # small (test/bench) sizes Catalyst would otherwise auto-broadcast the
+    # SOURCE side (BuildLeft), a pathological inversion of the real plan
     scored = (
-        s_salted.join(t_salted, ["token", "salt"])
+        s_salted.join(t_salted.hint("merge"), ["token", "salt"])
         .groupBy(source_id, target_id)
         .agg(F.sum("idf").alias("cand_score"))
     )

@@ -1,0 +1,149 @@
+"""Skew evidence (SURVEY §2.3 J1 / north-rule "salted hash-join"): time the
+candidate join on a synthetically hot-keyed corpus, plain vs salted.
+
+The inverted-index join's skew bomb is a token shared by a large fraction of
+sources AND many targets: every (source, target) pair sharing it lands in
+one shuffle partition. We synthesize that worst case — `HOT_FRACTION` of
+source rows all carry one token that also appears in `HOT_TARGETS` targets —
+and compare:
+
+  * plain `candidate_pairs` with broadcast disabled session-wide (the
+    regime where the target is too big to broadcast — broadcast postings
+    make skew moot, which is exactly why it is the default; this bench
+    isolates the non-broadcastable shuffle-join path),
+  * `salted_candidate_pairs`, which detects hot tokens by df and fans each
+    one out over `salt_buckets` shuffle keys.
+
+Writes BENCH/SKEW.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_SOURCES = int(os.environ.get("SKEW_SOURCES", "200000"))
+N_TARGETS = int(os.environ.get("SKEW_TARGETS", "20000"))
+HOT_FRACTION = 0.5   # half of all sources carry the hot token
+HOT_TARGETS = int(os.environ.get("SKEW_HOT_TARGETS", "200"))  # hot token appears in this many targets
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.linking import (
+        candidate_pairs,
+        salted_candidate_pairs,
+    )
+    from pathhier_spark.session import get_spark
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # disable auto-broadcast entirely: this bench measures the regime the
+    # salted operator exists for — BOTH sides too large to broadcast, so
+    # every path is a shuffle join. (With broadcast available, the skewed
+    # key never shuffles and salting is moot — that is the default path.)
+    spark = get_spark(
+        "skew_bench", cores=cores, shuffle_partitions=cores,
+        extra={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+
+    # sources: every row has 2 unique-ish tokens; half also carry 'hotkey'
+    src = spark.range(N_SOURCES).select(
+        F.col("id").alias("s_id"),
+        F.when(
+            F.col("id") % int(1 / HOT_FRACTION) == 0,
+            F.array(
+                F.lit("hotkey"),
+                F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")),
+                F.concat(F.lit("v"), (F.col("id") % 7000).cast("string")),
+            )
+        )
+        .alias("tokens"),
+    )
+    tgt = spark.range(N_TARGETS).select(
+        F.col("id").alias("ent_id"),
+        F.when(
+            F.col("id") < HOT_TARGETS,
+            F.array(
+                F.lit("hotkey"),
+                F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")),
+                F.concat(F.lit("v"), (F.col("id") % 7000).cast("string")),
+            )
+        )
+        .alias("tokens"),
+    )
+    src = src.persist()
+    tgt = tgt.persist()
+    src.count(), tgt.count()
+
+    def timed(fn) -> float:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # warm-up both paths once (worker spawn / codegen)
+    timed(lambda: candidate_pairs(src, tgt, top_n=5, broadcast_target=False))
+    timed(lambda: salted_candidate_pairs(src, tgt, top_n=5, hot_df_threshold=100))
+
+    plain = min(
+        timed(lambda: candidate_pairs(src, tgt, top_n=5, broadcast_target=False))
+        for _ in range(2)
+    )
+    salted = min(
+        timed(lambda: salted_candidate_pairs(src, tgt, top_n=5, hot_df_threshold=100))
+        for _ in range(2)
+    )
+
+    result = {
+        "metric": "skew_join_sec",
+        "plain_sec": plain,
+        "salted_sec": salted,
+        "speedup": round(plain / salted, 2) if salted else None,
+        "n_sources": N_SOURCES,
+        "n_targets": N_TARGETS,
+        "hot_pairs": int(N_SOURCES * HOT_FRACTION) * HOT_TARGETS,
+        "cores": cores,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SKEW.md", "w") as f:
+        f.write(
+            "# BENCH/SKEW — hot-key candidate join, plain vs salted\n\n"
+            f"Synthetic worst case: {int(HOT_FRACTION*100)}% of {N_SOURCES:,} "
+            f"sources share one token that appears in {HOT_TARGETS} of "
+            f"{N_TARGETS:,} targets -> {result['hot_pairs']:,} pairs through "
+            "one shuffle key. Broadcast of the target side is disabled to "
+            "isolate the non-broadcastable regime (with broadcast postings — "
+            "the default — the skewed key never shuffles at all).\n\n"
+            "| path | sec (min of 2, warm) |\n|---|---|\n"
+            f"| plain candidate_pairs (no broadcast) | {plain} |\n"
+            f"| salted_candidate_pairs (salt fan-out) | {salted} |\n\n"
+            f"**Salting speedup on the skewed corpus: {result['speedup']}x** "
+            f"(local[{cores}]).\n\n"
+            "At 1000 executors the plain path is strictly worse than local "
+            "mode shows: the hot key serializes onto ONE task while 999 "
+            "executors idle, so the gap grows with cluster size; the salted "
+            "path spreads the same pairs over `salt_buckets` keys.\n"
+        )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
