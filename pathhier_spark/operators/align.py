@@ -86,6 +86,61 @@ def prelim_alignments(
             F.col("lt") == F.col("rt"),
             type_restricted,
         ).alias("rule_score"),
+        type_restricted.alias("type_restricted"),
+    )
+
+
+def fused_similarity_cells(
+    left_emb: DataFrame,
+    right_emb: DataFrame,
+    rule_cells: DataFrame,
+    *,
+    pair_col: str = "pair_id",
+    emb_col: str = "emb",
+    top_col: str = "top_emb",
+) -> DataFrame:
+    """The embedding similarity channel fused with the rule tiers —
+    pathway_aligner.py:455-504 `_run_graph_aligner` as DataFrame ops, and
+    the functional counterpart of the reference's M4 NN channel (the NN
+    model's learned entity encodings are out of scope — 2018 allennlp +
+    pretrained PubMed vectors — but the channel's role in the fusion is
+    reproduced with BOW embeddings from operators.embeddings):
+
+      1. per-entity vector = ent_embedding ++ top_embedding (concat,
+         pathway_aligner.py:481-486);
+      2. cell score = cosine over the within-pair cross product, negatives
+         clamped to 0 (line 494);
+      3. rule-tier alignments override upward: max(cos, rule_score)
+         (lines 497-498);
+      4. type-restricted cells forced to 0 even if cosine is high
+         (lines 500-502).
+
+    Inputs: left_emb/right_emb (pair_id, idx, emb ARRAY<DOUBLE>,
+    top_emb ARRAY<DOUBLE>), rule_cells = prelim_alignments output.
+    Output: (pair_id, i, j, score) — ready for align_pairs."""
+    l = left_emb.select(
+        F.col(pair_col),
+        F.col("idx").alias("i"),
+        F.concat(F.col(emb_col), F.col(top_col)).alias("ev_l"),
+    )
+    r = right_emb.select(
+        F.col(pair_col),
+        F.col("idx").alias("j"),
+        F.concat(F.col(emb_col), F.col(top_col)).alias("ev_r"),
+    )
+    from pathhier_spark.operators.similarity import cosine_expr
+
+    cells = l.join(r, pair_col).select(
+        pair_col, "i", "j",
+        F.greatest(cosine_expr(F.col("ev_l"), F.col("ev_r")), F.lit(0.0)).alias("cos"),
+    )
+    return cells.join(rule_cells, [pair_col, "i", "j"], "left").select(
+        pair_col, "i", "j",
+        F.when(F.coalesce(F.col("type_restricted"), F.lit(False)), F.lit(0.0))
+        .otherwise(
+            F.greatest(F.col("cos"), F.coalesce(F.col("rule_score"), F.lit(0.0)))
+        )
+        .alias("score"),
     )
 
 

@@ -170,3 +170,110 @@ def lsh_bucket_topk(
         scored.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next to
+    lsh_bucket_topk: partition the corpus into n_centroids Voronoi cells via
+    a small distributed k-means, then compare each query only against its
+    n_probe nearest cells.
+
+    Shuffle shape at scale: the corpus is scanned map-side to assign cells
+    (centroids are a broadcast literal — n_centroids x dim doubles), k-means
+    iterations are one groupBy(cell) mean each, and the probe join is a
+    cell-key equi-join feeding the exact re-rank. Centroid count is the
+    recall/cost dial: cells ~ sqrt(N) at production scale.
+
+    Deterministic: centroids init from the corpus rows with the smallest
+    xxhash64(id, seed) (a seeded sample), Lloyd updates are means."""
+    import math
+
+    def _dot(a, b_lit):
+        return dot_expr(F.col(a), F.array(*[F.lit(float(x)) for x in b_lit]))
+
+    def _norm_lit(v):
+        return math.sqrt(sum(x * x for x in v)) or 1.0
+
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
+    # seeded deterministic init: n_centroids corpus vectors by hash order
+    init_rows = (
+        c.withColumn("h", F.xxhash64(F.col(corpus_id), F.lit(seed)))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(map(float, r["cv"])) for r in init_rows]
+
+    def assign_expr(vec_alias, cents):
+        # argmin squared-L2 == argmax (dot - |c|^2/2); struct array_max picks
+        # the best (score, -cid) deterministically
+        scored = [
+            F.struct(
+                (_dot(vec_alias, cv) - F.lit(_norm_lit(cv) ** 2 / 2.0)).alias("s"),
+                F.lit(-i).alias("negcid"),
+            )
+            for i, cv in enumerate(cents)
+        ]
+        best = F.array_max(F.array(*scored))
+        return (-best["negcid"]).cast("int")
+
+    for _ in range(kmeans_iters):
+        assigned = c.withColumn("cell", assign_expr("cv", centroids))
+        means = (
+            assigned.select("cell", F.posexplode("cv").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))),
+                    lambda s: s["m"],
+                ).alias("mv"),
+            )
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["cell"]] = [float(x) for x in r["mv"]]
+        centroids = new_cents
+
+    corpus_cells = c.withColumn("cell", assign_expr("cv", centroids))
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+    # top-n_probe cells per query: explode per-centroid scores, window
+    probe_scores = [
+        F.struct(
+            (_dot("qv", cv) / F.lit(_norm_lit(cv))).alias("s"),
+            F.lit(i).alias("cell"),
+        )
+        for i, cv in enumerate(centroids)
+    ]
+    q_cells = q.select(
+        query_id, "qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*probe_scores))), 1, n_probe)
+        ).alias("pc"),
+    ).select(query_id, "qv", F.col("pc.cell").alias("cell"))
+
+    scored = (
+        F.broadcast(q_cells)
+        .join(corpus_cells, "cell")
+        .select(query_id, corpus_id, cosine_expr(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )

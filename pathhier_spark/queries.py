@@ -1516,8 +1516,143 @@ SELECT id_a, id_b, round(cos, 4) AS cos FROM scored WHERE cos >= {_EMB_NEARDUP_T
 
 
 # ---------------------------------------------------------------------------
-# registry
+# Q33 — fused similarity cells (pathway_aligner.py:455-504, the M4-channel
+# fusion): q28's rule-tier entities + q30-style BOW name embeddings, with
+# the structural ("top") vector = the seeded hash vector of the parent xref.
+# score = 0 if type-restricted else max(clamped cosine, rule tier).
 # ---------------------------------------------------------------------------
+
+
+def q33_fused_alignment_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.align import (
+        fused_similarity_cells,
+        prelim_alignments,
+    )
+    from pathhier_spark.operators.embeddings import entity_bow_embeddings, oov_vector
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+
+    part = spark.read.parquet(_t(sf_dir, "part")).filter(F.col("p_partkey") % 7 < 2)
+    first_type = F.split(F.col("p_type"), " ").getItem(0)
+    base = part.select(
+        F.concat(F.lit("g"), (F.col("p_size") % 5).cast("string")).alias("pair_id"),
+        F.col("p_partkey"),
+        F.col("p_name"),
+        F.when(F.col("p_size") % 11 == 0, F.lit("Group"))
+        .otherwise(first_type)
+        .alias("obj_type"),
+        F.array(F.col("p_brand")).alias("eq_xrefs"),
+        tokenize(F.col("p_name")).alias("eq_names"),
+        F.concat(F.lit("sz"), (F.col("p_size") % 10).cast("string")).alias("parent_str"),
+        (F.col("p_partkey") % 2).alias("side"),
+    ).withColumn("parent_xrefs", F.array(F.col("parent_str")))
+    w = Window.partitionBy("pair_id", "side").orderBy("p_partkey")
+    sided = base.withColumn("idx", F.row_number().over(w) - 1)
+    left = sided.filter(F.col("side") == 0)
+    right = sided.filter(F.col("side") == 1)
+    rules = prelim_alignments(left, right)
+
+    # name embedding: q30's construction (tokens hashed into the embeddings
+    # corpus, misses -> seeded OOV)
+    names = part.select("p_name").distinct()
+    ent_tokens = names.select(
+        F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
+    )
+    vocab = ent_tokens.select(F.explode("tokens").alias("token")).distinct()
+    vid = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % (
+        2 * n_vecs
+    )
+    token_vectors = (
+        vocab.withColumn("vid", vid)
+        .join(emb, F.col("vid") == F.col("vec_id"))
+        .select("token", F.col("embedding").cast("array<double>").alias("vector"))
+    )
+    name_emb = entity_bow_embeddings(ent_tokens, token_vectors, dim=dim)
+
+    def side_emb(s):
+        return s.join(
+            F.broadcast(name_emb), s["p_name"] == name_emb["ent_id"]
+        ).select(
+            "pair_id", "idx",
+            F.col("embedding").alias("emb"),
+            oov_vector(F.col("parent_str"), dim).alias("top_emb"),
+        )
+
+    cells = fused_similarity_cells(side_emb(left), side_emb(right), rules)
+    # round to 4: cross-engine float summation order (see q30/q32)
+    return cells.select("pair_id", "i", "j", F.round("score", 4).alias("score"))
+
+
+def _q33_sql() -> str:
+    tok_oov = "token || ':' || i.i::varchar"
+    par_oov = "parent_str || ':' || (i - 1)::varchar"
+    return f"""
+WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+ent_tok AS (
+  SELECT p_name AS ent_id, unnest({_sql_tokens('p_name')}) AS token
+  FROM (SELECT DISTINCT p_name FROM part)
+), tv AS (
+  SELECT t.token, e.embedding
+  FROM (SELECT DISTINCT token FROM ent_tok) t
+  CROSS JOIN n
+  JOIN embeddings e ON e.vec_id = ({_sql_hex32('t.token')} % (2 * n.n_vecs))
+), vecs AS (
+  SELECT et.ent_id, et.token, tv.embedding
+  FROM ent_tok et LEFT JOIN tv ON et.token = tv.token
+), dims AS (
+  SELECT ent_id, i.i AS dim,
+         CASE WHEN embedding IS NULL
+              THEN ({_sql_hex32(tok_oov)} % 2000000) / 1000000.0 - 1.0
+              ELSE embedding[(i.i + 1)::int]::double END AS val
+  FROM vecs, range(0, 64) i(i)
+), name_emb AS (
+  SELECT ent_id, list(avg_val ORDER BY dim) AS nv
+  FROM (SELECT ent_id, dim, avg(val) AS avg_val FROM dims GROUP BY ent_id, dim)
+  GROUP BY ent_id
+), base AS (
+  SELECT 'g' || (p_size % 5)::varchar AS pair_id,
+         p_partkey, p_name,
+         CASE WHEN p_size % 11 = 0 THEN 'Group'
+              ELSE split_part(p_type, ' ', 1) END AS obj_type,
+         [p_brand] AS eq_xrefs,
+         {_sql_tokens('p_name')} AS eq_names,
+         'sz' || (p_size % 10)::varchar AS parent_str,
+         p_partkey % 2 AS side
+  FROM part WHERE p_partkey % 7 < 2
+), sided AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY pair_id, side ORDER BY p_partkey) - 1 AS idx,
+         list_concat(
+           (SELECT nv FROM name_emb WHERE ent_id = p_name),
+           list_transform(generate_series(1, 64),
+             i -> ({_sql_hex32(par_oov)} % 2000000) / 1000000.0 - 1.0)
+         ) AS ev
+  FROM base
+), cells AS (
+  SELECT l.pair_id, l.idx AS i, r.idx AS j,
+         (l.obj_type = 'Group') <> (r.obj_type = 'Group') AS restricted,
+         CASE WHEN (l.obj_type = 'Group') <> (r.obj_type = 'Group') THEN 0.0
+              WHEN len(list_intersect(l.eq_xrefs, r.eq_xrefs)) > 0
+                   AND l.obj_type = r.obj_type THEN 1.0
+              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0
+                   AND l.obj_type = r.obj_type THEN 0.75
+              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0 THEN 0.5
+              WHEN l.parent_str = r.parent_str
+                   AND l.obj_type = r.obj_type THEN 0.25
+              ELSE 0.0 END AS rule_score,
+         list_sum(list_transform(generate_series(1, 128), k -> l.ev[k] * r.ev[k]))
+           / (sqrt(list_sum(list_transform(l.ev, x -> x * x)))
+              * sqrt(list_sum(list_transform(r.ev, x -> x * x)))) AS cos
+  FROM sided l JOIN sided r ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
+)
+SELECT pair_id, i::int AS i, j::int AS j,
+       round(CASE WHEN restricted THEN 0.0
+                  ELSE greatest(greatest(cos, 0.0), rule_score) END, 4)::double
+         AS score
+FROM cells
+"""
 
 
 def queries():
@@ -1554,6 +1689,7 @@ def queries():
         "q30_bow_embeddings": q30_bow_embeddings,
         "q31_neardup_clusters": q31_neardup_clusters,
         "q32_embedding_neardup": q32_embedding_neardup,
+        "q33_fused_alignment_cells": q33_fused_alignment_cells,
     }
 
 
@@ -1590,4 +1726,5 @@ def oracle_sql():
         "q30_bow_embeddings": _q30_sql(),
         "q31_neardup_clusters": _q31_sql(),
         "q32_embedding_neardup": Q32_SQL,
+        "q33_fused_alignment_cells": _q33_sql(),
     }

@@ -159,3 +159,30 @@ def run_stream_to_memory(
         .outputMode("complete")
         .start()
     )
+
+
+def streaming_session_counts(
+    docs_stream: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming sessionization — the streaming analog of the batch q16
+    gap-sessionize: Spark's native session_window merges events per key into
+    sessions that close after `gap` of event-time silence; the watermark
+    bounds state and finalizes sessions. Output: (key, session_start,
+    session_end, n_events), emitted in append mode once the watermark passes
+    a session's end."""
+    return (
+        docs_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -100,3 +100,76 @@ def test_align_pairs_distributed(spark):
     sizes = spark.createDataFrame([("a", 2, 2)], "pair_id string, n1 int, n2 int")
     agg = aggregate_pair_scores(align_pairs(cells), sizes).collect()
     assert agg[0]["align_score"] == pytest.approx(((0.9 + 0.8) / 2) * 2 / 2.0)
+
+
+def test_fused_similarity_cells_matches_numpy_reference(spark):
+    """fused_similarity_cells reproduces _run_graph_aligner
+    (pathway_aligner.py:455-504): cosine of concatenated embeddings,
+    negatives clamped, rule score overrides upward, type-restricted zeroed —
+    verified cell-by-cell against a numpy replica, then driven through
+    align_pairs end-to-end."""
+    import numpy as np
+
+    from pathhier_spark.operators.align import (
+        align_pairs,
+        fused_similarity_cells,
+        prelim_alignments,
+    )
+
+    rng = np.random.RandomState(7)
+    n1, n2, d = 4, 3, 6
+    e1 = rng.randn(n1, d)
+    t1 = rng.randn(n1, d)
+    e2 = rng.randn(n2, d)
+    t2 = rng.randn(n2, d)
+
+    def mkrows(e, t):
+        return [
+            ("p", i, [float(x) for x in e[i]], [float(x) for x in t[i]])
+            for i in range(len(e))
+        ]
+
+    schema = "pair_id string, idx int, emb array<double>, top_emb array<double>"
+    left_emb = spark.createDataFrame(mkrows(e1, t1), schema)
+    right_emb = spark.createDataFrame(mkrows(e2, t2), schema)
+
+    # rule side: entity 0<->0 shares an xref (tier 1.0); left entity 3 is a
+    # Group vs non-Group rights (type-restricted -> forced 0)
+    def ent(i, typ, xr, nm, side):
+        return ("p", i, typ, [xr], [nm], [f"{side}par{i}"])
+
+    eschema = ("pair_id string, idx int, obj_type string, eq_xrefs array<string>,"
+               " eq_names array<string>, parent_xrefs array<string>")
+    left = spark.createDataFrame(
+        [ent(0, "Protein", "X:1", "alpha", "l"), ent(1, "Protein", "X:2", "beta", "l"),
+         ent(2, "Protein", "X:3", "gamma", "l"), ent(3, "Group", "X:4", "delta", "l")],
+        eschema,
+    )
+    right = spark.createDataFrame(
+        [ent(0, "Protein", "X:1", "zeta", "r"), ent(1, "Protein", "X:9", "eta", "r"),
+         ent(2, "Protein", "X:8", "delta", "r")],
+        eschema,
+    )
+    rules = prelim_alignments(left, right)
+    cells = fused_similarity_cells(left_emb, right_emb, rules)
+    got = {(r["i"], r["j"]): r["score"] for r in cells.collect()}
+
+    # numpy replica of the reference kernel
+    c1 = np.concatenate([e1, t1], axis=1)
+    c2 = np.concatenate([e2, t2], axis=1)
+    sim = (c1 @ c2.T) / (
+        np.linalg.norm(c1, axis=1)[:, None] * np.linalg.norm(c2, axis=1)[None, :]
+    )
+    sim[sim < 0.0] = 0.0
+    sim[0, 0] = max(sim[0, 0], 1.0)  # xref tier override
+    sim[3, :] = 0.0                  # Group vs non-Group restriction
+    for i in range(n1):
+        for j in range(n2):
+            assert got[(i, j)] == pytest.approx(sim[i, j], abs=1e-9), (i, j)
+
+    # e2e: the fused cells drive the greedy matcher; (0,0) is pre-accepted
+    matches = {
+        (r["i"], r["j"]) for r in align_pairs(cells).collect()
+    }
+    assert (0, 0) in matches
+    assert all(i != 3 for i, _ in matches)  # restricted row never matches

@@ -96,3 +96,60 @@ def test_stateful_dedup_with_expiry(spark, tmp_path):
         assert sorted(e for e, _ in by_url["u2"]) == ["expired", "first"]
     finally:
         q.stop()
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    """Native session_window streaming sessionization: events within the gap
+    merge into one session; a gap larger than `gap` starts a new session;
+    sessions finalize (append-mode emit) once the watermark passes them."""
+    from datetime import datetime, timedelta
+
+    from pathhier_spark.streaming.stream import streaming_session_counts
+
+    input_dir = tmp_path / "sess_stream"
+    input_dir.mkdir()
+    schema = "url string, warc_ts timestamp"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(input_dir))
+
+    # session 1 for u1: three events within the 30-min gap
+    wb([("u1", t0), ("u1", t0 + timedelta(minutes=10)),
+        ("u1", t0 + timedelta(minutes=20)), ("u2", t0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    out = streaming_session_counts(stream, watermark="10 minutes", gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # session 2 for u1 after a >30-min silence; far-future row advances
+        # the watermark so both u1 sessions + u2's finalize
+        wb([("u1", t0 + timedelta(hours=2))])
+        q.processAllAvailable()
+        wb([("u9", t0 + timedelta(hours=6))])
+        q.processAllAvailable()
+
+        rows = spark.sql(
+            "select * from sess_test order by url, session_start"
+        ).collect()
+        u1 = [r for r in rows if r["url"] == "u1"]
+        assert len(u1) == 2, f"expected 2 finalized u1 sessions, got {u1}"
+        assert u1[0]["n_events"] == 3 and u1[1]["n_events"] == 1
+        # session extends gap past the last event
+        assert u1[0]["session_end"] == t0 + timedelta(minutes=50)
+        u2 = [r for r in rows if r["url"] == "u2"]
+        assert len(u2) == 1 and u2[0]["n_events"] == 1
+    finally:
+        q.stop()
