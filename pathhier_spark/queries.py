@@ -1255,13 +1255,18 @@ FROM scored WHERE rule_score > 0
 # ---------------------------------------------------------------------------
 
 _Q29_THRESHOLD = 0.2  # fused-score match floor (sf0.01 median ~0.20)
+_Q29_MAX_SUPPKEY = 200  # J9's contract input is cluster-corpus-sized
+# (pathway pairs, not document pairs — genesets.py docstring); bound the
+# synthetic pathway set so the all-pairs join stays O(bounded^2) at any sf
 
 
 def q29_pathway_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.align import aggregate_pair_scores
     from pathhier_spark.operators.genesets import score_pathway_pairs
 
-    s = spark.read.parquet(_t(sf_dir, "supplier"))
+    s = spark.read.parquet(_t(sf_dir, "supplier")).filter(
+        F.col("s_suppkey") <= _Q29_MAX_SUPPKEY
+    )
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     ents = li.groupBy("l_suppkey").agg(F.collect_set("l_partkey").alias("entities"))
     members = s.join(ents, s["s_suppkey"] == ents["l_suppkey"], "left").select(
@@ -1306,6 +1311,7 @@ WITH e AS (
   SELECT s_suppkey::varchar AS pid, 'kb' || (s_nationkey % 3)::varchar AS kb,
          coalesce(ents, []) AS ents
   FROM supplier LEFT JOIN e ON l_suppkey = s_suppkey
+  WHERE s_suppkey <= {_Q29_MAX_SUPPKEY}
 ), p AS (
   SELECT least(a.kb, b.kb) || '|' || greatest(a.kb, b.kb) AS pair_id,
          a.pid AS id_a, b.pid AS id_b,
