@@ -103,3 +103,76 @@ class Warehouse:
         if man["format"] == "iceberg":
             return self.spark.read.table(man["snapshot"].split(":", 1)[1])
         return self.spark.read.parquet(man["snapshot"])
+
+    def compact(
+        self,
+        table: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_within_by: list[str] | None = None,
+    ) -> dict:
+        """Small-files compaction — the Iceberg `rewrite_data_files` analog.
+        A long-running ingest (streaming micro-batches, per-stage commits)
+        accumulates many small parquet files; at 100 TB that kills scan
+        parallelism bookkeeping and NameNode/manifest pressure. Rewrite the
+        current snapshot into ceil(bytes / target_file_bytes) files in a NEW
+        snapshot directory and swap the manifest pointer atomically — readers
+        of the old snapshot are unaffected (time-travel semantics), and a
+        crash mid-compaction leaves the table on the old snapshot.
+
+        sort_within_by optionally clusters rows within each output file
+        (the z-order-lite analog) so downstream point-lookups prune files.
+        Returns {files_before, files_after, bytes}."""
+        import math
+
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if man["format"] == "iceberg":
+            raise NotImplementedError(
+                "iceberg backend compaction = CALL rewrite_data_files; "
+                "no iceberg runtime in this sandbox"
+            )
+        snap = man["snapshot"]
+        files = []
+        for root, _dirs, names in os.walk(snap):
+            files += [
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            ]
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = self.spark.read.parquet(snap)
+        partition_by = man.get("partition_by") or []
+        if partition_by:
+            df = df.repartition(n_out, *partition_by)
+        else:
+            df = df.repartition(n_out)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        new_dir = os.path.join(
+            self._table_dir(table), f"data_compacted_{int(time.time() * 1000)}"
+        )
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(new_dir)
+        files_after = sum(
+            1
+            for root, _d, names in os.walk(new_dir)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        man = dict(man)
+        man["snapshot"] = new_dir
+        man["compaction"] = {
+            "files_before": len(files),
+            "files_after": files_after,
+            "bytes": total_bytes,
+            "previous_snapshot": snap,
+        }
+        man["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path(table))
+        return man["compaction"]

@@ -186,3 +186,26 @@ def streaming_session_counts(
             "n_events",
         )
     )
+
+
+def streaming_join_annotations(
+    docs_stream: DataFrame,
+    ann_stream: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    join_window: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: a crawl stream (url, warc_ts)
+    joins an annotation stream (ann_url, label, ann_ts) on url within an
+    event-time interval |ann_ts - warc_ts| <= join_window. Watermarks on
+    BOTH sides + the interval condition let Spark bound the join state (rows
+    older than watermark + window are evicted) — without them a stream-stream
+    join buffers forever. Output: (url, warc_ts, label, ann_ts)."""
+    d = docs_stream.withWatermark("warc_ts", watermark)
+    a = ann_stream.withWatermark("ann_ts", watermark)
+    cond = (
+        (F.col("url") == F.col("ann_url"))
+        & (F.col("ann_ts") >= F.expr(f"warc_ts - interval {join_window}"))
+        & (F.col("ann_ts") <= F.expr(f"warc_ts + interval {join_window}"))
+    )
+    return d.join(a, cond).select("url", "warc_ts", "label", "ann_ts")

@@ -153,3 +153,43 @@ def test_streaming_session_counts(spark, tmp_path):
         assert len(u2) == 1 and u2[0]["n_events"] == 1
     finally:
         q.stop()
+
+
+def test_streaming_join_annotations(spark, tmp_path):
+    """Stream-stream interval join: annotations within +-30 min of the crawl
+    join; one outside the interval does not."""
+    from datetime import datetime, timedelta
+
+    from pathhier_spark.streaming.stream import streaming_join_annotations
+
+    ddir, adir = tmp_path / "docs", tmp_path / "anns"
+    ddir.mkdir(); adir.mkdir()
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [("u1", t0), ("u2", t0)], "url string, warc_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(ddir))
+    spark.createDataFrame(
+        [("u1", "good", t0 + timedelta(minutes=10)),     # in window
+         ("u1", "stale", t0 + timedelta(hours=2)),       # outside window
+         ("u2", "early", t0 - timedelta(minutes=20))],   # in window (before)
+        "ann_url string, label string, ann_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(adir))
+
+    ds = spark.readStream.schema("url string, warc_ts timestamp").parquet(str(ddir))
+    as_ = spark.readStream.schema(
+        "ann_url string, label string, ann_ts timestamp"
+    ).parquet(str(adir))
+    out = streaming_join_annotations(ds, as_, watermark="10 minutes",
+                                     join_window="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["url"], r["label"]) for r in spark.sql("select * from ssj_test").collect()}
+        assert rows == {("u1", "good"), ("u2", "early")}
+    finally:
+        q.stop()

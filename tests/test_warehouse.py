@@ -72,3 +72,44 @@ def test_streaming_dedup(spark, tmp_path):
         assert n["n"] == 30 and n["c"] == 30  # duplicates dropped
     finally:
         q.stop()
+
+
+def test_compaction(spark, tmp_path):
+    """Small-files compaction: a 64-file table rewrites to few files in a new
+    snapshot, the manifest pointer swaps atomically, rows are identical, and
+    the old snapshot stays on disk (time-travel/crash safety)."""
+    import os
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS k")
+    wh.write(df.repartition(64), "tiny", fingerprint="v1")
+    old_snap = wh.manifest("tiny")["snapshot"]
+
+    stats = wh.compact("tiny", target_file_bytes=64 * 1024 * 1024,
+                       sort_within_by=["k"])
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] < stats["files_before"]
+    man = wh.manifest("tiny")
+    assert man["snapshot"] != old_snap and man["compaction"]["files_after"] == stats["files_after"]
+    # rows identical through the swapped pointer
+    got = wh.read("tiny")
+    assert got.count() == 10000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
+    # old snapshot untouched (readers of it are unaffected)
+    assert os.path.exists(os.path.join(old_snap, "_SUCCESS"))
+
+
+def test_compaction_partitioned(spark, tmp_path):
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh2"), fmt="parquet")
+    df = spark.range(5000).selectExpr("id", "id % 3 AS part")
+    wh.write(df.repartition(32), "ptab", partition_by=["part"], fingerprint="v1")
+    stats = wh.compact("ptab")
+    assert stats["files_after"] <= stats["files_before"]
+    got = wh.read("ptab")
+    assert got.count() == 5000
+    # partition column survives the rewrite
+    assert {r["part"] for r in got.select("part").distinct().collect()} == {0, 1, 2}
