@@ -218,3 +218,51 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """C4-style cross-document segment dedup: split every document into
+    non-overlapping `seg_tokens`-token segments; an identical segment keeps
+    only its FIRST corpus-wide occurrence (ordered by doc id, then position
+    — the distributed analog of C4's keep-first line dedup); each document
+    is reassembled from its surviving segments in order.
+
+    Scale shape: one shuffle keyed by the segment text (uniform — boilerplate
+    mega-segments are exactly what gets deduped), one shuffle back by doc id
+    for reassembly. Output: (id, text_dedup, n_kept, n_dropped)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy(F.col(id_col), F.col("pos"))
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1,
+                                   F.struct(F.col("pos"), F.col("seg")))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("text_dedup"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+    )

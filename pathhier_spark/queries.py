@@ -1661,6 +1661,51 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Q34 — C4-style cross-document segment dedup: identical 8-token segments
+# keep only their first corpus-wide occurrence; documents are reassembled
+# from surviving segments.
+# ---------------------------------------------------------------------------
+
+_SEG_TOKENS = 8
+
+
+def q34_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import segment_dedup
+
+    docs = _docs(spark, sf_dir)
+    return segment_dedup(docs, seg_tokens=_SEG_TOKENS).select(
+        "doc_id", "text_dedup", "n_kept", "n_dropped"
+    )
+
+
+def _q34_sql() -> str:
+    k = _SEG_TOKENS
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+), segs AS (
+  SELECT doc_id, (i - 1)::int AS pos,
+         array_to_string(toks[(i-1)*{k}+1 : (i-1)*{k}+{k}], ' ') AS seg
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, ceil(len(toks) / {k}.0)::int)) AS i
+    FROM t
+  )
+), flagged AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '')
+         AS text_dedup,
+       count(*) FILTER (rn = 1) AS n_kept,
+       count(*) FILTER (rn > 1) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1696,6 +1741,7 @@ def queries():
         "q31_neardup_clusters": q31_neardup_clusters,
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_fused_alignment_cells": q33_fused_alignment_cells,
+        "q34_segment_dedup": q34_segment_dedup,
     }
 
 
@@ -1733,4 +1779,5 @@ def oracle_sql():
         "q31_neardup_clusters": _q31_sql(),
         "q32_embedding_neardup": Q32_SQL,
         "q33_fused_alignment_cells": _q33_sql(),
+        "q34_segment_dedup": _q34_sql(),
     }

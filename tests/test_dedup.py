@@ -93,3 +93,28 @@ def test_lsh_bucket_cap(spark):
     sigs = minhash_signatures(df, num_hashes=32)
     pairs = lsh_candidate_pairs(sigs, max_bucket_size=50)
     assert pairs.count() == 0
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    """Cross-document segment dedup: a segment repeated across (and within)
+    documents survives only at its first (doc_id, pos) occurrence; documents
+    reassemble from surviving segments in order."""
+    from pathhier_spark.operators.dedup import segment_dedup
+
+    boiler = "a b c d"  # 4-token segment (seg_tokens=4)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} unique one two three"),     # segs: boiler, 'unique one two three'
+            (2, f"{boiler} other words here now"),     # boiler dropped
+            (3, f"fresh text pad pad {boiler}"),       # boiler dropped (later doc)
+            (4, f"{boiler} {boiler}"),                 # second copy within doc dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=4).collect()}
+    assert out[1]["text_dedup"] == f"{boiler} unique one two three"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text_dedup"] == "other words here now"
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["text_dedup"] == "fresh text pad pad"
+    assert out[4]["text_dedup"] == "" and out[4]["n_dropped"] == 2
