@@ -1706,6 +1706,87 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q35 — training-corpus preparation composition: quality scoring -> language
+# filter -> exact dedup, in one pass (the standard pretraining-data prep
+# funnel, assembled from the textstats + dedup operators).
+# ---------------------------------------------------------------------------
+
+_Q35_QUALITY_FLOOR = 0.5
+
+
+def q35_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import exact_dedup
+    from pathhier_spark.operators.textstats import (
+        with_lang_id,
+        with_quality_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = with_lang_id(with_quality_features(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= _Q35_QUALITY_FLOOR)
+        & (F.col("lang_pred") == "en")
+    )
+    deduped = exact_dedup(kept)
+    return deduped.select(
+        "doc_id",
+        F.col("lang_pred"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "n_tokens",
+        "dup_count",
+    )
+
+
+def _q35_sql() -> str:
+    from pathhier_spark.operators.textstats import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_exprs.append(
+            f"len(list_intersect(dtoks, {lit}))::double / {len(markers)} AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest(score_{lang}, {best})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, toks,
+         list_distinct(toks) AS dtoks,
+         len(toks)::bigint AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::double / len(toks) ELSE 0 END AS distinct_ratio,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))::double / len(text)
+              ELSE 0 END AS punct_ratio
+  FROM t
+), scored AS (
+  SELECT doc_id, text, n_tokens, {', '.join(score_exprs)},
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * distinct_ratio
+             + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
+  FROM feat
+), pred AS (
+  SELECT doc_id, text, n_tokens, quality_score, {pred} AS lang_pred FROM scored
+), kept AS (
+  SELECT * FROM pred
+  WHERE quality_score >= {_Q35_QUALITY_FLOOR} AND lang_pred = 'en'
+)
+SELECT min(doc_id) AS doc_id, any_value(lang_pred) AS lang_pred,
+       any_value(quality_score) AS quality_score, any_value(n_tokens) AS n_tokens,
+       count(*) AS dup_count
+FROM kept GROUP BY md5(text)
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1742,6 +1823,7 @@ def queries():
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_fused_alignment_cells": q33_fused_alignment_cells,
         "q34_segment_dedup": q34_segment_dedup,
+        "q35_training_corpus": q35_training_corpus,
     }
 
 
@@ -1780,4 +1862,5 @@ def oracle_sql():
         "q32_embedding_neardup": Q32_SQL,
         "q33_fused_alignment_cells": _q33_sql(),
         "q34_segment_dedup": _q34_sql(),
+        "q35_training_corpus": _q35_sql(),
     }
