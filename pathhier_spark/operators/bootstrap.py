@@ -64,16 +64,19 @@ def collect_training_rows(
 ) -> list:
     """Collect the training table to the driver, capped: an unbounded seed
     (e.g. the link-score-extremes fallback over a web-scale link table)
-    must never be collected whole — above max_rows a deterministic hash
-    filter keeps a ~max_rows subsample (stable across runs and cluster
-    sizes), so driver memory and fit time stay O(max_rows) at any corpus
-    scale."""
+    must never be collected whole. Above max_rows, a hash filter over the
+    feature values thins the table ~max_rows-fold, and a limit() is the
+    HARD driver-memory bound — the hash alone is not one, because
+    featurized string-pair tables are duplicate-heavy (many pairs share
+    e.g. the all-zeros vector) and identical vectors hash identically, so
+    one popular vector could otherwise drag its entire block through the
+    filter."""
     n = train_df.count()
     if n > max_rows:
         k = n // max_rows + 1
         train_df = train_df.filter(
             F.pmod(F.xxhash64(*FEATURE_COLS, label_col), F.lit(k)) == 0
-        )
+        ).limit(max_rows)
     rows = train_df.select(*FEATURE_COLS, label_col).collect()
     return [([r[c] for c in FEATURE_COLS], int(r[label_col])) for r in rows]
 
@@ -151,13 +154,23 @@ def bootstrap_seed_labels(
     hw = Window.partitionBy("mention").orderBy(
         F.xxhash64("mention", "class_id", F.lit(seed)), F.col("class_id")
     )
-    easy = (
+    # over-draw by a buffer, THEN exclude positives/candidates, THEN take
+    # n_easy — an excluded pick is replaced by the next hash-ranked class
+    # (the reference's random.sample-with-exclusion semantics), instead of
+    # silently shrinking the easy-negative set
+    buffer = n_easy + 8
+    drawn = (
         pos_mentions.crossJoin(F.broadcast(classes))
         .withColumn("hr", F.row_number().over(hw))
-        .filter(F.col("hr") <= n_easy)
-        .select("mention", "class_id")
+        .filter(F.col("hr") <= buffer)
         .join(positives, ["mention", "class_id"], "left_anti")
         .join(cands.select("mention", "class_id"), ["mention", "class_id"], "left_anti")
+    )
+    rw = Window.partitionBy("mention").orderBy("hr")
+    easy = (
+        drawn.withColumn("rr", F.row_number().over(rw))
+        .filter(F.col("rr") <= n_easy)
+        .select("mention", "class_id")
     )
     return (
         positives.select(

@@ -160,11 +160,20 @@ def assign_local_ids(components: DataFrame) -> DataFrame:
     range-partition sorted, zipWithIndex assigns contiguous ids via
     per-partition offsets (one tiny count job), then ids join back to the
     full table by component key — every step is distributed."""
+    from pyspark.sql import types as T
+
+    comp_type = components.schema["component"].dataType
+    id_schema = T.StructType(
+        [
+            T.StructField("component", comp_type, True),
+            T.StructField("local_id", T.LongType(), False),
+        ]
+    )
     distinct_comps = components.select("component").distinct().sort("component")
-    ids = (
-        distinct_comps.rdd.map(lambda r: r[0])
-        .zipWithIndex()
-        .toDF(["component", "local_id"])
+    # explicit schema: toDF's inference raises on an empty RDD, and an empty
+    # components table is a legal input (corpus with zero xref edges)
+    ids = components.sparkSession.createDataFrame(
+        distinct_comps.rdd.map(lambda r: r[0]).zipWithIndex(), id_schema
     )
     return components.join(ids, "component").select(
         *components.columns, "local_id"

@@ -233,9 +233,12 @@ def segment_dedup(
     — the distributed analog of C4's keep-first line dedup); each document
     is reassembled from its surviving segments in order.
 
-    Scale shape: one shuffle keyed by the segment text (uniform — boilerplate
-    mega-segments are exactly what gets deduped), one shuffle back by doc id
-    for reassembly. Output: (id, text_dedup, n_kept, n_dropped)."""
+    Scale shape: the first-occurrence winner per segment is a
+    map-side-combinable min-aggregation (NOT a window — a window partitioned
+    by segment would funnel every copy of a hot boilerplate segment through
+    one task with no combiner); the winner table then equi-joins back, which
+    AQE's skew-join can split on the probe side. One more shuffle by doc id
+    reassembles. Output: (id, text_dedup, n_kept, n_dropped)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
@@ -245,8 +248,14 @@ def segment_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("pos", "seg")
     )
-    w = Window.partitionBy("seg").orderBy(F.col(id_col), F.col("pos"))
-    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    firsts = exploded.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    flagged = exploded.join(firsts, "seg").withColumn(
+        "is_first",
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -255,14 +264,14 @@ def segment_dedup(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(F.col("rn") == 1,
+                            F.when(F.col("is_first"),
                                    F.struct(F.col("pos"), F.col("seg")))
                         )
                     ),
                     lambda s: s["seg"],
                 ),
             ).alias("text_dedup"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).alias("n_dropped"),
         )
     )

@@ -133,6 +133,7 @@ def lsh_bucket_topk(
     n_bands: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k with OR-amplified sign-random-projection LSH:
     n_bands independent plane sets; a corpus vector is a candidate for a
@@ -141,10 +142,14 @@ def lsh_bucket_topk(
     corpus grows; banding restores it the same way the MinHash-LSH dedup
     does (candidate probability 1-(1-p^n_planes)^n_bands).
 
-    Shuffle shape: the banded query table (n_queries x n_bands rows, 3 narrow
-    columns) broadcasts; the corpus's banded rows never shuffle before the
-    bucket join. Only the deduped candidate id-pairs shuffle for the vector
-    join + per-query top-k window."""
+    Shuffle shape with broadcast_queries=True (the small-query-set regime):
+    the banded query table (n_queries x n_bands rows, 3 narrow columns)
+    broadcasts; the corpus's banded rows never shuffle before the bucket
+    join. Only the deduped candidate id-pairs shuffle for the vector join +
+    per-query top-k window. For query sets too large to broadcast (e.g. the
+    self-join all-pairs ANN shape), pass broadcast_queries=False: both
+    banded sides shuffle on (band, bucket) — uniform keys by construction of
+    the random projections."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes_per_band = [
@@ -154,14 +159,16 @@ def lsh_bucket_topk(
     c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
     qb = _banded_buckets(q, query_id, "qv", planes_per_band)
     cb = _banded_buckets(c, corpus_id, "cv", planes_per_band)
+    if broadcast_queries:
+        qb = F.broadcast(qb)
     cands = (
-        F.broadcast(qb)
-        .join(cb, ["band", "bucket"])
+        qb.join(cb, ["band", "bucket"])
         .select(query_id, corpus_id)
         .distinct()
     )
+    qv = F.broadcast(q) if broadcast_queries else q
     scored = (
-        cands.join(F.broadcast(q), query_id)
+        cands.join(qv, query_id)
         .join(c, corpus_id)
         .select(query_id, corpus_id, cosine_expr(F.col("qv"), F.col("cv")).alias("cos"))
     )

@@ -778,7 +778,9 @@ def q18_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = spark.read.parquet(_t(sf_dir, "customer"))
     # zero-pad keys so string min == numeric min inside the CC kernel
-    pad = lambda col: F.lpad(col.cast("string"), 10, "0")  # noqa: E731
+    # 20-char pad: F.lpad TRUNCATES inputs longer than the pad width, which
+    # would silently merge distinct ids; bigints are at most 19 digits
+    pad = lambda col: F.lpad(col.cast("string"), 20, "0")  # noqa: E731
     a = c.select(
         F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n")
     )
@@ -1185,28 +1187,71 @@ FROM ranked WHERE lr_rank <= {config.KEEP_TOP_N_MATCHES}
 # ---------------------------------------------------------------------------
 
 
-def q28_rule_tier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pathhier_spark.operators.align import prelim_alignments
-
+def _part_rule_entities(spark: SparkSession, sf_dir: str):
+    """Shared q28/q33 synthetic rule-tier entity construction: pair groups
+    by size bucket, sides by key parity, xrefs/names/parents/types derived
+    deterministically from part columns. Returns (left, right) sided
+    DataFrames carrying the prelim_alignments columns plus (p_name,
+    parent_str) for embedding-based consumers."""
     part = spark.read.parquet(_t(sf_dir, "part")).filter(F.col("p_partkey") % 7 < 2)
     first_type = F.split(F.col("p_type"), " ").getItem(0)
     base = part.select(
         F.concat(F.lit("g"), (F.col("p_size") % 5).cast("string")).alias("pair_id"),
         F.col("p_partkey"),
+        F.col("p_name"),
         F.when(F.col("p_size") % 11 == 0, F.lit("Group"))
         .otherwise(first_type)
         .alias("obj_type"),
         F.array(F.col("p_brand")).alias("eq_xrefs"),
         tokenize(F.col("p_name")).alias("eq_names"),
-        F.array(
-            F.concat(F.lit("sz"), (F.col("p_size") % 10).cast("string"))
-        ).alias("parent_xrefs"),
+        F.concat(F.lit("sz"), (F.col("p_size") % 10).cast("string")).alias(
+            "parent_str"
+        ),
         (F.col("p_partkey") % 2).alias("side"),
-    )
+    ).withColumn("parent_xrefs", F.array(F.col("parent_str")))
     w = Window.partitionBy("pair_id", "side").orderBy("p_partkey")
     sided = base.withColumn("idx", F.row_number().over(w) - 1)
-    left = sided.filter(F.col("side") == 0)
-    right = sided.filter(F.col("side") == 1)
+    return sided.filter(F.col("side") == 0), sided.filter(F.col("side") == 1)
+
+
+# shared SQL fragments for the same construction (q28/q33 oracles)
+_SQL_BASE_SIDED = """base AS (
+  SELECT 'g' || (p_size % 5)::varchar AS pair_id,
+         p_partkey, p_name,
+         CASE WHEN p_size % 11 = 0 THEN 'Group'
+              ELSE split_part(p_type, ' ', 1) END AS obj_type,
+         [p_brand] AS eq_xrefs,
+         {eq_names} AS eq_names,
+         'sz' || (p_size % 10)::varchar AS parent_str,
+         p_partkey % 2 AS side
+  FROM part WHERE p_partkey % 7 < 2
+), sided AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY pair_id, side ORDER BY p_partkey) - 1 AS idx
+  FROM base
+)"""
+
+# the J6 tier cascade over sided aliases l/r (parent_str equality ==
+# single-element parent_xrefs overlap)
+_SQL_RULE_CASE = """CASE WHEN (l.obj_type = 'Group') <> (r.obj_type = 'Group') THEN 0.0
+              WHEN len(list_intersect(l.eq_xrefs, r.eq_xrefs)) > 0
+                   AND l.obj_type = r.obj_type THEN 1.0
+              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0
+                   AND l.obj_type = r.obj_type THEN 0.75
+              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0 THEN 0.5
+              WHEN l.parent_str = r.parent_str
+                   AND l.obj_type = r.obj_type THEN 0.25
+              ELSE 0.0 END"""
+
+
+def _sql_base_sided() -> str:
+    return _SQL_BASE_SIDED.format(eq_names=_sql_tokens("p_name"))
+
+
+def q28_rule_tier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.align import prelim_alignments
+
+    left, right = _part_rule_entities(spark, sf_dir)
     out = prelim_alignments(left, right)
     return out.filter(F.col("rule_score") > 0).select(
         "pair_id", "i", "j", F.round("rule_score", 6).alias("rule_score")
@@ -1215,30 +1260,9 @@ def q28_rule_tier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q28_sql() -> str:
     return f"""
-WITH base AS (
-  SELECT 'g' || (p_size % 5)::varchar AS pair_id,
-         p_partkey,
-         CASE WHEN p_size % 11 = 0 THEN 'Group'
-              ELSE split_part(p_type, ' ', 1) END AS obj_type,
-         [p_brand] AS eq_xrefs,
-         {_sql_tokens('p_name')} AS eq_names,
-         ['sz' || (p_size % 10)::varchar] AS parent_xrefs,
-         p_partkey % 2 AS side
-  FROM part WHERE p_partkey % 7 < 2
-), sided AS (
-  SELECT *, row_number() OVER (PARTITION BY pair_id, side ORDER BY p_partkey) - 1 AS idx
-  FROM base
-), scored AS (
+WITH {_sql_base_sided()}, scored AS (
   SELECT l.pair_id, l.idx AS i, r.idx AS j,
-         CASE WHEN (l.obj_type = 'Group') <> (r.obj_type = 'Group') THEN 0.0
-              WHEN len(list_intersect(l.eq_xrefs, r.eq_xrefs)) > 0
-                   AND l.obj_type = r.obj_type THEN 1.0
-              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0
-                   AND l.obj_type = r.obj_type THEN 0.75
-              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0 THEN 0.5
-              WHEN len(list_intersect(l.parent_xrefs, r.parent_xrefs)) > 0
-                   AND l.obj_type = r.obj_type THEN 0.25
-              ELSE 0.0 END AS rule_score
+         {_SQL_RULE_CASE} AS rule_score
   FROM sided l JOIN sided r ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
 )
 SELECT pair_id, i::int AS i, j::int AS j,
@@ -1351,9 +1375,12 @@ FROM matches mt JOIN agg a USING (pair_id) JOIN sizes s USING (pair_id)
 # ---------------------------------------------------------------------------
 
 
-def q30_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pathhier_spark.operators.embeddings import entity_bow_embeddings
-
+def _hashed_token_vectors(spark: SparkSession, sf_dir: str):
+    """Shared q30/q33 construction: part-name entity token sets + a
+    token->vector table hashed into the embeddings corpus (vid =
+    hex32(md5(token)) % 2*n_vecs; ~half the vocabulary misses and falls to
+    the md5-seeded OOV path inside entity_bow_embeddings). Returns
+    (ent_tokens, token_vectors, dim)."""
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     n_vecs = emb.count()
     dim = len(emb.select("embedding").first()[0])
@@ -1370,6 +1397,13 @@ def q30_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, F.col("vid") == F.col("vec_id"))
         .select("token", F.col("embedding").cast("array<double>").alias("vector"))
     )
+    return ent_tokens, token_vectors, dim
+
+
+def q30_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.embeddings import entity_bow_embeddings
+
+    ent_tokens, token_vectors, dim = _hashed_token_vectors(spark, sf_dir)
     out = entity_bow_embeddings(ent_tokens, token_vectors, dim=dim)
     # round to 4: the mean's float summation order differs between engines,
     # so the 6th decimal can land on a rounding boundary (~1 ulp apart)
@@ -1378,12 +1412,15 @@ def q30_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("ent_id", "dim", F.round("val", 4).alias("val"))
 
 
-def _q30_sql() -> str:
+def _sql_bow_dims_ctes() -> str:
+    """Shared q30/q33 CTE chain: hashed token->embedding vectors with the
+    md5-seeded OOV path, expanded to one (ent_id, dim, val) row per part-name
+    entity per dimension. Spark counterpart: _hashed_token_vectors +
+    entity_bow_embeddings."""
     # Spark's oov_vector component i = hex32(md5(token || ':<i>')) scaled
     oov_arg = "token || ':' || i.i::varchar"
     oov = f"({_sql_hex32(oov_arg)} % 2000000) / 1000000.0 - 1.0"
-    return f"""
-WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+    return f"""n AS (SELECT count(*) AS n_vecs FROM embeddings),
 names AS (SELECT DISTINCT p_name FROM part),
 ent_tok AS (
   SELECT p_name AS ent_id, unnest({_sql_tokens('p_name')}) AS token FROM names
@@ -1400,7 +1437,12 @@ ent_tok AS (
          CASE WHEN embedding IS NULL THEN {oov}
               ELSE embedding[(i.i + 1)::int]::double END AS val
   FROM vecs, range(0, 64) i(i)
-)
+)"""
+
+
+def _q30_sql() -> str:
+    return f"""
+WITH {_sql_bow_dims_ctes()}
 SELECT ent_id, dim::int AS dim, round(avg(val), 4) AS val
 FROM dims GROUP BY ent_id, dim
 """
@@ -1427,7 +1469,8 @@ def q31_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
     )
-    pad = lambda c: F.lpad(c.cast("string"), 10, "0")  # noqa: E731
+    # 20-char pad — see q18: lpad truncates beyond the width; 19-digit safe
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
     edges = verified.select(
         pad(F.col("id_a")).alias("xref_a"), pad(F.col("id_b")).alias("xref_b")
     )
@@ -1536,45 +1579,12 @@ def q33_fused_alignment_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pathhier_spark.operators.embeddings import entity_bow_embeddings, oov_vector
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    n_vecs = emb.count()
-    dim = len(emb.select("embedding").first()[0])
-
-    part = spark.read.parquet(_t(sf_dir, "part")).filter(F.col("p_partkey") % 7 < 2)
-    first_type = F.split(F.col("p_type"), " ").getItem(0)
-    base = part.select(
-        F.concat(F.lit("g"), (F.col("p_size") % 5).cast("string")).alias("pair_id"),
-        F.col("p_partkey"),
-        F.col("p_name"),
-        F.when(F.col("p_size") % 11 == 0, F.lit("Group"))
-        .otherwise(first_type)
-        .alias("obj_type"),
-        F.array(F.col("p_brand")).alias("eq_xrefs"),
-        tokenize(F.col("p_name")).alias("eq_names"),
-        F.concat(F.lit("sz"), (F.col("p_size") % 10).cast("string")).alias("parent_str"),
-        (F.col("p_partkey") % 2).alias("side"),
-    ).withColumn("parent_xrefs", F.array(F.col("parent_str")))
-    w = Window.partitionBy("pair_id", "side").orderBy("p_partkey")
-    sided = base.withColumn("idx", F.row_number().over(w) - 1)
-    left = sided.filter(F.col("side") == 0)
-    right = sided.filter(F.col("side") == 1)
+    left, right = _part_rule_entities(spark, sf_dir)
     rules = prelim_alignments(left, right)
 
     # name embedding: q30's construction (tokens hashed into the embeddings
     # corpus, misses -> seeded OOV)
-    names = part.select("p_name").distinct()
-    ent_tokens = names.select(
-        F.col("p_name").alias("ent_id"), tokenize(F.col("p_name")).alias("tokens")
-    )
-    vocab = ent_tokens.select(F.explode("tokens").alias("token")).distinct()
-    vid = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % (
-        2 * n_vecs
-    )
-    token_vectors = (
-        vocab.withColumn("vid", vid)
-        .join(emb, F.col("vid") == F.col("vec_id"))
-        .select("token", F.col("embedding").cast("array<double>").alias("vector"))
-    )
+    ent_tokens, token_vectors, dim = _hashed_token_vectors(spark, sf_dir)
     name_emb = entity_bow_embeddings(ent_tokens, token_vectors, dim=dim)
 
     def side_emb(s):
@@ -1592,66 +1602,29 @@ def q33_fused_alignment_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q33_sql() -> str:
-    tok_oov = "token || ':' || i.i::varchar"
     par_oov = "parent_str || ':' || (i - 1)::varchar"
     return f"""
-WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
-ent_tok AS (
-  SELECT p_name AS ent_id, unnest({_sql_tokens('p_name')}) AS token
-  FROM (SELECT DISTINCT p_name FROM part)
-), tv AS (
-  SELECT t.token, e.embedding
-  FROM (SELECT DISTINCT token FROM ent_tok) t
-  CROSS JOIN n
-  JOIN embeddings e ON e.vec_id = ({_sql_hex32('t.token')} % (2 * n.n_vecs))
-), vecs AS (
-  SELECT et.ent_id, et.token, tv.embedding
-  FROM ent_tok et LEFT JOIN tv ON et.token = tv.token
-), dims AS (
-  SELECT ent_id, i.i AS dim,
-         CASE WHEN embedding IS NULL
-              THEN ({_sql_hex32(tok_oov)} % 2000000) / 1000000.0 - 1.0
-              ELSE embedding[(i.i + 1)::int]::double END AS val
-  FROM vecs, range(0, 64) i(i)
-), name_emb AS (
+WITH {_sql_bow_dims_ctes()}, name_emb AS (
   SELECT ent_id, list(avg_val ORDER BY dim) AS nv
   FROM (SELECT ent_id, dim, avg(val) AS avg_val FROM dims GROUP BY ent_id, dim)
   GROUP BY ent_id
-), base AS (
-  SELECT 'g' || (p_size % 5)::varchar AS pair_id,
-         p_partkey, p_name,
-         CASE WHEN p_size % 11 = 0 THEN 'Group'
-              ELSE split_part(p_type, ' ', 1) END AS obj_type,
-         [p_brand] AS eq_xrefs,
-         {_sql_tokens('p_name')} AS eq_names,
-         'sz' || (p_size % 10)::varchar AS parent_str,
-         p_partkey % 2 AS side
-  FROM part WHERE p_partkey % 7 < 2
-), sided AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY pair_id, side ORDER BY p_partkey) - 1 AS idx,
+), {_sql_base_sided()}, sided_ev AS (
+  SELECT s.*,
          list_concat(
-           (SELECT nv FROM name_emb WHERE ent_id = p_name),
+           (SELECT nv FROM name_emb WHERE ent_id = s.p_name),
            list_transform(generate_series(1, 64),
              i -> ({_sql_hex32(par_oov)} % 2000000) / 1000000.0 - 1.0)
          ) AS ev
-  FROM base
+  FROM sided s
 ), cells AS (
   SELECT l.pair_id, l.idx AS i, r.idx AS j,
          (l.obj_type = 'Group') <> (r.obj_type = 'Group') AS restricted,
-         CASE WHEN (l.obj_type = 'Group') <> (r.obj_type = 'Group') THEN 0.0
-              WHEN len(list_intersect(l.eq_xrefs, r.eq_xrefs)) > 0
-                   AND l.obj_type = r.obj_type THEN 1.0
-              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0
-                   AND l.obj_type = r.obj_type THEN 0.75
-              WHEN len(list_intersect(l.eq_names, r.eq_names)) > 0 THEN 0.5
-              WHEN l.parent_str = r.parent_str
-                   AND l.obj_type = r.obj_type THEN 0.25
-              ELSE 0.0 END AS rule_score,
+         {_SQL_RULE_CASE} AS rule_score,
          list_sum(list_transform(generate_series(1, 128), k -> l.ev[k] * r.ev[k]))
            / (sqrt(list_sum(list_transform(l.ev, x -> x * x)))
               * sqrt(list_sum(list_transform(r.ev, x -> x * x)))) AS cos
-  FROM sided l JOIN sided r ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
+  FROM sided_ev l JOIN sided_ev r
+    ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
 )
 SELECT pair_id, i::int AS i, j::int AS j,
        round(CASE WHEN restricted THEN 0.0

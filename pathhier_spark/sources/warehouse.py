@@ -144,7 +144,21 @@ class Warehouse:
         df = self.spark.read.parquet(snap)
         partition_by = man.get("partition_by") or []
         if partition_by:
-            df = df.repartition(n_out, *partition_by)
+            # repartition(n_out, *partition_by) would hash ONLY on the
+            # partition columns — every row of one partition value lands in
+            # a single task and is written as one file, however large. Add
+            # a row-hash salt bounded by ceil(n_out / n_values) so each
+            # partition value splits into enough files to respect
+            # target_file_bytes (approximation: assumes roughly even value
+            # sizes; a skew-aware version would size salts per value).
+            from pyspark.sql import functions as F
+
+            n_values = max(
+                1, df.select(*partition_by).distinct().count()
+            )
+            per_value = max(1, math.ceil(n_out / n_values))
+            salt = F.pmod(F.xxhash64(*df.columns), F.lit(per_value))
+            df = df.repartition(n_out, *partition_by, salt)
         else:
             df = df.repartition(n_out)
         if sort_within_by:

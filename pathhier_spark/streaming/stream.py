@@ -102,6 +102,13 @@ def streaming_stateful_dedup(
     horizon_ms = _duration_ms(expire_after)
     out_schema = f"{id_col} string, event string, n_seen long"
     state_schema = "n_seen long, last_ms long"
+    # Arrow hands the worker tz-NAIVE timestamps rendered in the session
+    # timezone, while getCurrentWatermarkMs is epoch-UTC — localize with the
+    # session tz before converting, or every expiry is shifted by the tz
+    # offset (pd.Timestamp.timestamp() treats naive as UTC)
+    session_tz = docs_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
@@ -116,9 +123,10 @@ def streaming_stateful_dedup(
             for p in pdfs:
                 n_new += len(p)
                 if len(p):
-                    batch_max_ms = max(
-                        batch_max_ms, int(p[ts_col].max().timestamp() * 1000)
-                    )
+                    ts = p[ts_col].max()
+                    if ts.tzinfo is None:
+                        ts = ts.tz_localize(session_tz)
+                    batch_max_ms = max(batch_max_ms, int(ts.timestamp() * 1000))
             first = not state.exists
             n_prev, last_prev = state.get if state.exists else (0, 0)
             n = n_prev + n_new

@@ -78,12 +78,14 @@ def main() -> None:
     # 32 first: the wide leg is the one frequency throttling hurts, so it
     # runs on a cool box; a cooldown separates the legs so the first leg's
     # thermal state doesn't bleed into the second
-    for cores in (32, 8):
+    legs = (32, 8)
+    for i, cores in enumerate(legs):
         t0 = time.time()
         results[cores] = run_bench(cores)
         print(f"cores={cores}: {results[cores]['value']} docs/sec "
               f"(bench wall {time.time() - t0:.0f}s)", file=sys.stderr)
-        time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "90")))
+        if i < len(legs) - 1:  # cooldown only BETWEEN legs
+            time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "90")))
 
     n, n4 = results[8], results[32]
     eff = (n4["value"] / n["value"]) / 4 if n["value"] else 0.0
