@@ -64,6 +64,24 @@ def brute_force_topk(
     )
 
 
+def _empty_topk(queries: DataFrame, corpus: DataFrame,
+                query_id: str, corpus_id: str) -> DataFrame:
+    """Typed empty (q_id, c_id, cos, nn_rank) result — the approximate-top-k
+    operators infer vector dims / init centroids from the corpus, which is
+    impossible (and semantically moot) when it is empty."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType, True),
+            T.StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+            T.StructField("cos", T.DoubleType(), True),
+            T.StructField("nn_rank", T.IntegerType(), True),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure Python, tiny)."""
     import math
@@ -151,7 +169,10 @@ def lsh_bucket_topk(
     banded sides shuffle on (band, bucket) — uniform keys by construction of
     the random projections."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        row = corpus.select(vec_col).first()
+        if row is None:
+            return _empty_topk(queries, corpus, query_id, corpus_id)
+        dim = len(row[0])
     planes_per_band = [
         random_hyperplanes(dim, n_planes, seed + 7919 * b) for b in range(n_bands)
     ]
@@ -221,6 +242,8 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     )
+    if not init_rows:
+        return _empty_topk(queries, corpus, query_id, corpus_id)
     centroids = [list(map(float, r["cv"])) for r in init_rows]
 
     def assign_expr(vec_alias, cents):

@@ -59,9 +59,12 @@ class Warehouse:
         fingerprint: str = "static",
     ) -> None:
         """Commit = data write + manifest pointer swap. A re-run with the
-        same fingerprint is a no-op (idempotent resume)."""
+        same fingerprint is a no-op (idempotent resume) — for BOTH modes:
+        an append whose fingerprint equals the last committed one is a
+        streaming micro-batch replay (restart between the data write and
+        the offset commit) and must not duplicate rows."""
         man = self.manifest(table)
-        if mode == "overwrite" and man and man.get("fingerprint") == fingerprint:
+        if man and man.get("fingerprint") == fingerprint:
             return
         if self.fmt == "iceberg":
             writer = df.writeTo(f"local.{table}")

@@ -217,3 +217,33 @@ def streaming_join_annotations(
         & (F.col("ann_ts") <= F.expr(f"warc_ts + interval {join_window}"))
     )
     return d.join(a, cond).select("url", "warc_ts", "label", "ann_ts")
+
+
+def stream_to_warehouse(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    *,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """foreachBatch sink committing each micro-batch into the Warehouse as
+    an append with fingerprint 'batch:<id>'. Combined with the streaming
+    checkpoint this is exactly-once at the table level: after a crash
+    between the data write and the offset commit, Spark replays the batch
+    with the SAME batch_id and Warehouse.write skips the matching
+    fingerprint instead of duplicating rows. Returns the StreamingQuery."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        warehouse.write(
+            batch_df, table,
+            partition_by=partition_by, mode="append",
+            fingerprint=f"batch:{batch_id}",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -107,3 +107,38 @@ def test_split_seeded():
     t1, d1 = split_train_dev(rows, 0.3, seed=7)
     t2, d2 = split_train_dev(rows, 0.3, seed=7)
     assert t1 == t2 and d1 == d2 and len(d1) == 30
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty-input sweep: every operator family returns an empty result
+    cleanly instead of crashing (a corpus shard or filtered stage can
+    legitimately be empty at scale)."""
+    from pathhier_spark.operators.canonicalize import assign_local_ids
+    from pathhier_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup,
+        segment_dedup,
+        simhash,
+    )
+    from pathhier_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+    from pathhier_spark.operators.textstats import with_quality_features
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    eq = spark.createDataFrame([], "q_id long, embedding array<double>")
+    ec = spark.createDataFrame([], "c_id long, embedding array<double>")
+    ecomp = spark.createDataFrame([], "node string, component string")
+    assert exact_dedup(edocs).count() == 0
+    assert simhash(edocs).count() == 0
+    assert segment_dedup(edocs).count() == 0
+    assert minhash_dedup(edocs).count() == 0
+    assert with_quality_features(edocs).count() == 0
+    assert brute_force_topk(eq, ec, k=3).count() == 0
+    assert lsh_bucket_topk(eq, ec, k=3).count() == 0
+    assert ivf_topk(eq, ec, k=3).count() == 0
+    assert assign_local_ids(ecomp).count() == 0
+    # schema is preserved on the typed-empty paths
+    assert lsh_bucket_topk(eq, ec, k=3).columns == ["q_id", "c_id", "cos", "nn_rank"]

@@ -193,3 +193,52 @@ def test_streaming_join_annotations(spark, tmp_path):
         assert rows == {("u1", "good"), ("u2", "early")}
     finally:
         q.stop()
+
+
+def test_stream_to_warehouse_exactly_once(spark, tmp_path):
+    """Streaming micro-batches commit into the Warehouse; a replayed batch
+    (same fingerprint) does not duplicate rows; a restarted stream with the
+    same checkpoint only appends NEW batches."""
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import stream_to_warehouse
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, n long"
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(input_dir))
+
+    wb([("u1", 1), ("u2", 2)])
+    stream = spark.readStream.schema(schema).parquet(str(input_dir))
+    q = stream_to_warehouse(stream, wh, "events", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        assert wh.read("events").count() == 2
+        wb([("u3", 3)])
+        q.processAllAvailable()
+        assert wh.read("events").count() == 3
+    finally:
+        q.stop()
+
+    # direct replay of the last committed batch fingerprint -> no-op
+    last_fp = wh.manifest("events")["fingerprint"]
+    extra = spark.createDataFrame([("dup", 9)], schema)
+    wh.write(extra, "events", mode="append", fingerprint=last_fp)
+    assert wh.read("events").count() == 3
+
+    # restart with the same checkpoint: only the new batch is processed
+    wb([("u4", 4)])
+    stream2 = spark.readStream.schema(schema).parquet(str(input_dir))
+    q2 = stream_to_warehouse(stream2, wh, "events", checkpoint_dir=ckpt)
+    try:
+        q2.processAllAvailable()
+        got = {r["url"] for r in wh.read("events").collect()}
+        assert got == {"u1", "u2", "u3", "u4"}
+        assert wh.read("events").count() == 4
+    finally:
+        q2.stop()
