@@ -152,3 +152,44 @@ def read_pathway_pairs_tsv(spark: SparkSession, path: str) -> DataFrame:
         F.col("f").getItem(4).alias("kb2_name"),
     )
     return ids.join(names, "rec").orderBy("rec")
+
+
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".json": "json",
+    ".jsonl": "json",
+    ".csv": "csv",
+    ".tsv": "csv",
+}
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "auto",
+    schema: str | None = None,
+):
+    """Extension-dispatch document reader (the S4 generalization — the
+    reference routes files to parsers by extension,
+    pathhier/pathway_kb_loader.py's per-format loaders). fmt='auto' infers
+    from the path suffix; self-describing container formats (parquet/orc)
+    ignore `schema`, text formats (json/csv/tsv) apply it when given.
+    TSV gets tab delimiter + header; CSV gets header."""
+    if fmt == "auto":
+        import os as _os
+
+        ext = _os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _EXT_FORMATS.get(ext, "parquet")
+        is_tsv = ext == ".tsv"
+    else:
+        is_tsv = fmt == "tsv"
+        fmt = "csv" if fmt == "tsv" else fmt
+    reader = spark.read
+    if schema and fmt in ("json", "csv"):
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if is_tsv:
+            reader = reader.option("sep", "\t")
+    return reader.format(fmt).load(path)

@@ -127,3 +127,33 @@ def test_read_pathway_pairs_tsv(spark, tmp_path):
         ("PW:2", 0.5, "TCA"),
     ]
     assert got[0]["kb2_id"] == "smp:SMP1" and got[1]["overlap"] == 0.4
+
+
+def test_read_documents_format_dispatch(spark, tmp_path, sf_dir):
+    """S4 extension dispatch: the same documents round-trip through parquet,
+    orc, json, and tsv and read back identically via read_documents."""
+    from pathhier_spark.sources.flatfile import read_documents
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .filter("doc_id < 50")
+    )
+    want = {(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()}
+    schema = "doc_id long, text string, lang string"
+
+    p = str(tmp_path / "d.parquet")
+    docs.write.parquet(p)
+    o = str(tmp_path / "d.orc")
+    docs.write.orc(o)
+    j = str(tmp_path / "d.json")
+    docs.write.json(j)
+    t = str(tmp_path / "d.tsv")
+    docs.write.option("header", "true").option("sep", "\t").csv(t)
+
+    for path in (p, o, j, t):
+        got = {
+            (r["doc_id"], r["text"], r["lang"])
+            for r in read_documents(spark, path, schema=schema).collect()
+        }
+        assert got == want, f"round-trip mismatch for {path}"
