@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pathhier_spark.functions.text import jaccard
@@ -31,16 +31,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the first (minimum-id) row per identical text; output adds
     (content_hash, dup_count). First-occurrence-wins mirrors
-    pathway.py:741-747."""
-    h = F.md5(F.col(text_col)).alias("content_hash")
-    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
-    return (
-        df.withColumn("content_hash", h)
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    pathway.py:741-747.
+
+    Scale shape: NOT a Window.partitionBy(content_hash) — a window has no
+    map-side combine, so one massively-duplicated text (hot boilerplate page
+    at corpus scale) funnels every full row through a single task. Instead
+    the winner per hash is a combiner-friendly groupBy/min aggregate (partial
+    agg collapses the hot key on the map side), joined back on the composite
+    (content_hash, id) key — near-unique, so the join shuffle spreads a hot
+    hash's rows across partitions instead of re-concentrating them, and AQE
+    can split any residual skew (it can split join partitions, never window
+    partitions). Same pattern as segment_dedup below."""
+    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    winners = hashed.groupBy("content_hash").agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
     )
+    return hashed.join(winners, on=["content_hash", id_col])
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:

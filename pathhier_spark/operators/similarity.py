@@ -96,6 +96,41 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+_QUANT = 1_000_000  # embedding quantization scale for engine-portable sign(dot)
+
+
+def md5_hyperplanes(dim: int, n_planes: int, band: int) -> list[list[int]]:
+    """SRP planes with INTEGER coefficients in [-1000, 1000], each component
+    derived from md5('plane:<band>:<p>:<i>') — the same engine-portable
+    hex32 trick powering the simhash/fingerprint/OOV oracles, so the banded
+    bucket assignment is exactly reproducible in DuckDB SQL (q24's oracle).
+
+    Why integers: sign(v . p) is invariant under positive scaling, so
+    unnormalized uniform-integer planes partition directions like unit
+    Gaussians do for hashing purposes; and with the vector quantized to
+    int64 (floor(x * 1e6)) the dot product is pure integer arithmetic —
+    bit-exact across engines, immune to float summation-order flips of
+    sign(dot) at the bucket boundary."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane:{band}:{p}:{i}".encode()).hexdigest()[:8], 16)
+            % 2001
+            - 1000
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _quantized(vec: Column) -> Column:
+    """floor(x * 1e6) as long — floor on both engines (DuckDB's ::bigint
+    ROUNDS while Spark's ANSI cast truncates, so neither raw cast is
+    portable)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * _QUANT))
+
+
 def with_lsh_bucket(
     df: DataFrame,
     planes: list[list[float]],
@@ -117,24 +152,32 @@ def _banded_buckets(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    planes_per_band: list[list[list[float]]],
+    planes_per_band: list[list[list[int]]],
 ) -> DataFrame:
     """One (id, band, bucket) row per band: bucket = sign-random-projection
-    bit pattern under that band's independent plane set. Single projection
-    of the vector column — the band structs are computed in one pass and
-    exploded (same shape as dedup.lsh_candidate_pairs)."""
+    bit pattern under that band's independent integer plane set (see
+    md5_hyperplanes). Single quantization of the vector column — the band
+    structs are computed in one pass and exploded (same shape as
+    dedup.lsh_candidate_pairs). All-integer dots: bit-exact, JVM-side."""
+    zero = F.lit(0).cast("long")
+    qdf = df.withColumn("_qv", _quantized(F.col(vec_col)))
     band_structs = []
     for b, planes in enumerate(planes_per_band):
-        bucket = F.lit(0).cast("long")
+        bucket = zero
         for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(float(x)) for x in p])
+            plane = F.array(*[F.lit(int(x)).cast("long") for x in p])
+            dot = F.aggregate(
+                F.zip_with(F.col("_qv"), plane, lambda x, y: x * y),
+                zero,
+                lambda acc, x: acc + x,
+            )
             bucket = bucket + F.when(
-                dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+                dot >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(zero)
         band_structs.append(
             F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
-    return df.select(
+    return qdf.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
@@ -150,11 +193,12 @@ def lsh_bucket_topk(
     n_planes: int = 4,
     n_bands: int = 8,
     dim: int | None = None,
-    seed: int = 42,
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k with OR-amplified sign-random-projection LSH:
-    n_bands independent plane sets; a corpus vector is a candidate for a
+    n_bands independent md5-derived plane sets (md5_hyperplanes — fully
+    deterministic and DuckDB-reproducible, so q24 carries a full value
+    oracle); a corpus vector is a candidate for a
     query if they collide in ANY band (union of band buckets), then exact
     cosine re-ranks the candidates. Single-probe SRP loses recall as the
     corpus grows; banding restores it the same way the MinHash-LSH dedup
@@ -173,9 +217,7 @@ def lsh_bucket_topk(
         if row is None:
             return _empty_topk(queries, corpus, query_id, corpus_id)
         dim = len(row[0])
-    planes_per_band = [
-        random_hyperplanes(dim, n_planes, seed + 7919 * b) for b in range(n_bands)
-    ]
+    planes_per_band = [md5_hyperplanes(dim, n_planes, b) for b in range(n_bands)]
     q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
     qb = _banded_buckets(q, query_id, "qv", planes_per_band)

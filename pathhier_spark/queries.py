@@ -76,6 +76,16 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _rz(col, n: int):
+    """Round, then normalize -0.0 -> +0.0 (IEEE-754: -0.0 + 0.0 == +0.0).
+    DuckDB's round() can emit -0.0 where Spark emits +0.0 for the same
+    numerically-zero value, and the driver's value hash distinguishes the
+    sign bit (CORRECTNESS_r02 q30: one row, ent_id='hot ring' dim 51).
+    Applied to every rounded double that can straddle zero; the SQL oracles
+    add `+ 0.0` after their round() for the same reason."""
+    return F.round(col, n) + F.lit(0.0)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table, spread across the session's full parallelism: the
     driver testdata is a single parquet file (1-2 scan splits), which would
@@ -553,7 +563,7 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     out = brute_force_topk(queries, corpus, k=5)
-    return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "nn_rank")
+    return out.select("q_id", "c_id", _rz(F.col("cos"), 6).alias("cos"), "nn_rank")
 
 
 Q12_SQL = """
@@ -570,7 +580,7 @@ scored AS (
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS nn_rank
   FROM scored
 )
-SELECT q_id, c_id, round(cos, 6) AS cos, nn_rank FROM ranked WHERE nn_rank <= 5
+SELECT q_id, c_id, (round(cos, 6) + 0.0) AS cos, nn_rank FROM ranked WHERE nn_rank <= 5
 """
 
 
@@ -585,7 +595,7 @@ def q13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid_val"),
+            _rz(F.avg("val"), 6).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
         .orderBy("label", "dim")
@@ -593,7 +603,7 @@ def q13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q13_SQL = """
-SELECT label, (i - 1)::int AS dim, round(avg(v), 6) AS centroid_val,
+SELECT label, (i - 1)::int AS dim, (round(avg(v), 6) + 0.0) AS centroid_val,
        count(*) AS n_vecs
 FROM (
   SELECT label, unnest(embedding) AS v,
@@ -972,10 +982,16 @@ FROM grams
 
 
 # ---------------------------------------------------------------------------
-# Q24 — LSH-bucketed ANN: approximate by design, so no value oracle; the
-# gate replica (tests/test_entry_oracle.py) asserts recall >= 0.9 vs the
-# exact brute_force_topk instead.
+# Q24 — LSH-bucketed ANN. Approximate vs brute force (recall >= 0.9 asserted
+# in tests/test_entry_oracle.py), but DETERMINISTIC: the SRP planes are
+# md5-derived integers and the bucket dot products are all-integer
+# (similarity.md5_hyperplanes / _quantized), so the full banding + bucket
+# join + exact-cosine re-rank is reproducible in DuckDB SQL below.
 # ---------------------------------------------------------------------------
+
+_ANN_BANDS = 24
+_ANN_PLANES = 4
+_EMB_DIM = 64  # driver embeddings table dimension (same constant as q30's SQL)
 
 
 def q24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,9 +1002,54 @@ def q24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
-    return lsh_bucket_topk(queries_df, corpus, k=5, n_planes=4, n_bands=24).select(
-        "q_id", "c_id", F.round("cos", 6).alias("cos"), "nn_rank"
+    return lsh_bucket_topk(
+        queries_df, corpus, k=5, n_planes=_ANN_PLANES, n_bands=_ANN_BANDS
+    ).select("q_id", "c_id", _rz(F.col("cos"), 6).alias("cos"), "nn_rank")
+
+
+def _q24_sql() -> str:
+    d = _EMB_DIM
+    plane_key = "'plane:' || b.b::varchar || ':' || p.p::varchar || ':' || i.i::varchar"
+    quant = "list_transform(embedding, x -> floor(x::double * 1000000)::bigint)"
+    bucket = (
+        "sum(CASE WHEN list_sum(list_transform(generate_series(1, {d}),"
+        " i -> {v}[i] * cs[i])) >= 0 THEN (1::bigint << plane) ELSE 0 END)"
     )
+    return f"""
+WITH coef AS (
+  SELECT b.b AS band, p.p AS plane, i.i AS i,
+         ({_sql_hex32(plane_key)} % 2001) - 1000 AS c
+  FROM range(0, {_ANN_BANDS}) b(b), range(0, {_ANN_PLANES}) p(p), range(0, {d}) i(i)
+), planes AS (
+  SELECT band, plane, list(c ORDER BY i) AS cs FROM coef GROUP BY band, plane
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qe, {quant} AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS c_id, embedding AS ce, {quant} AS cv FROM embeddings
+), qb AS (
+  SELECT q_id, band, {bucket.format(d=d, v='qv')} AS bucket
+  FROM q, planes GROUP BY q_id, band
+), cb AS (
+  SELECT c_id, band, {bucket.format(d=d, v='cv')} AS bucket
+  FROM c, planes GROUP BY c_id, band
+), cands AS (
+  SELECT DISTINCT q_id, c_id FROM qb JOIN cb USING (band, bucket)
+), scored AS (
+  SELECT cands.q_id, cands.c_id,
+         list_sum(list_transform(generate_series(1, {d}),
+                                 i -> qe[i]::double * ce[i]::double))
+         / (sqrt(list_sum(list_transform(qe, x -> x::double * x::double)))
+            * sqrt(list_sum(list_transform(ce, x -> x::double * x::double)))) AS cos
+  FROM cands JOIN q ON cands.q_id = q.q_id JOIN c ON cands.c_id = c.c_id
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS nn_rank
+  FROM scored
+)
+SELECT q_id, c_id, (round(cos, 6) + 0.0) AS cos, nn_rank
+FROM ranked WHERE nn_rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1254,7 +1315,7 @@ def q28_rule_tier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right = _part_rule_entities(spark, sf_dir)
     out = prelim_alignments(left, right)
     return out.filter(F.col("rule_score") > 0).select(
-        "pair_id", "i", "j", F.round("rule_score", 6).alias("rule_score")
+        "pair_id", "i", "j", _rz(F.col("rule_score"), 6).alias("rule_score")
     )
 
 
@@ -1266,7 +1327,7 @@ WITH {_sql_base_sided()}, scored AS (
   FROM sided l JOIN sided r ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
 )
 SELECT pair_id, i::int AS i, j::int AS j,
-       round(rule_score, 6)::double AS rule_score
+       (round(rule_score, 6) + 0.0)::double AS rule_score
 FROM scored WHERE rule_score > 0
 """
 
@@ -1409,7 +1470,7 @@ def q30_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the 6th decimal can land on a rounding boundary (~1 ulp apart)
     return out.select(
         "ent_id", F.posexplode("embedding").alias("dim", "val")
-    ).select("ent_id", "dim", F.round("val", 4).alias("val"))
+    ).select("ent_id", "dim", _rz(F.col("val"), 4).alias("val"))
 
 
 def _sql_bow_dims_ctes() -> str:
@@ -1443,7 +1504,7 @@ ent_tok AS (
 def _q30_sql() -> str:
     return f"""
 WITH {_sql_bow_dims_ctes()}
-SELECT ent_id, dim::int AS dim, round(avg(val), 4) AS val
+SELECT ent_id, dim::int AS dim, (round(avg(val), 4) + 0.0) AS val
 FROM dims GROUP BY ent_id, dim
 """
 
@@ -1546,7 +1607,7 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round to 4: float32->double cosine sums in different orders across
     # engines (~1 ulp), which can land on the 6th-decimal rounding boundary
     return embedding_neardup_pairs(emb, threshold=_EMB_NEARDUP_T).select(
-        "id_a", "id_b", F.round("cos", 4).alias("cos")
+        "id_a", "id_b", _rz(F.col("cos"), 4).alias("cos")
     )
 
 
@@ -1560,7 +1621,7 @@ scored AS (
             * sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))) AS cos
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, round(cos, 4) AS cos FROM scored WHERE cos >= {_EMB_NEARDUP_T}
+SELECT id_a, id_b, (round(cos, 4) + 0.0) AS cos FROM scored WHERE cos >= {_EMB_NEARDUP_T}
 """
 
 
@@ -1598,7 +1659,7 @@ def q33_fused_alignment_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = fused_similarity_cells(side_emb(left), side_emb(right), rules)
     # round to 4: cross-engine float summation order (see q30/q32)
-    return cells.select("pair_id", "i", "j", F.round("score", 4).alias("score"))
+    return cells.select("pair_id", "i", "j", _rz(F.col("score"), 4).alias("score"))
 
 
 def _q33_sql() -> str:
@@ -1627,8 +1688,8 @@ WITH {_sql_bow_dims_ctes()}, name_emb AS (
     ON l.pair_id = r.pair_id AND l.side = 0 AND r.side = 1
 )
 SELECT pair_id, i::int AS i, j::int AS j,
-       round(CASE WHEN restricted THEN 0.0
-                  ELSE greatest(greatest(cos, 0.0), rule_score) END, 4)::double
+       (round(CASE WHEN restricted THEN 0.0
+                   ELSE greatest(greatest(cos, 0.0), rule_score) END, 4) + 0.0)::double
          AS score
 FROM cells
 """
@@ -1825,6 +1886,7 @@ def oracle_sql():
         "q21_token_counts": Q21_SQL,
         "q22_simhash": _q22_sql(),
         "q23_fingerprint": _q23_sql(),
+        "q24_lsh_topk": _q24_sql(),
         "q25_media_features": Q25_SQL,
         "q26_rollup_revenue": Q26_SQL,
         "q27_lr_link_part_names": _q27_sql(),
