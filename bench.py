@@ -70,6 +70,10 @@ def main() -> None:
     # is already split and must not pay a full shuffle)
     if len(docs_full.inputFiles()) < cores:
         docs_full = docs_full.repartition(cores * 2)
+    if len(docs_base.inputFiles()) < cores:
+        # the bootstrap stage extracts from the non-replicated corpus; a
+        # single-file scan would cap its whole chain at 1-2 tasks
+        docs_base = docs_base.repartition(cores)
     docs_full = docs_full.persist()
     n_docs = docs_full.count()
     part = spark.read.parquet(f"{sf_dir}/part.parquet")

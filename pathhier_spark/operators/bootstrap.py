@@ -60,7 +60,10 @@ def fit_lr(rows: list[tuple[list[float], int]], *, iters: int = 300, lr: float =
 
 
 def collect_training_rows(
-    train_df: DataFrame, label_col: str = "label", max_rows: int = 10_000
+    train_df: DataFrame,
+    label_col: str = "label",
+    max_rows: int = 10_000,
+    n: int | None = None,
 ) -> list:
     """Collect the training table to the driver, capped: an unbounded seed
     (e.g. the link-score-extremes fallback over a web-scale link table)
@@ -70,8 +73,12 @@ def collect_training_rows(
     featurized string-pair tables are duplicate-heavy (many pairs share
     e.g. the all-zeros vector) and identical vectors hash identically, so
     one popular vector could otherwise drag its entire block through the
-    filter."""
-    n = train_df.count()
+    filter.
+
+    Pass n when the caller already knows the row count (the bootstrap loop
+    tracks it exactly) — saves one Spark action per call."""
+    if n is None:
+        n = train_df.count()
     if n > max_rows:
         k = n // max_rows + 1
         train_df = train_df.filter(
@@ -107,11 +114,16 @@ def bootstrap_seed_labels(
         alias after normalize_string (the analog of PW synonym-annotation
         pairs, _extract_positive_mappings:178-210);
       * hard negatives — for each positive mention, candidate-selector ranks
-        4..3+n_hard (the reference slices select(pw_id)[3:2+num_neg], i.e.
-        skips the top 3), excluding positive pairs;
+        4..2+n_hard, i.e. n_hard-1 pairs: the reference slices
+        select(pw_id)[3:2+num_neg], a half-open Python slice that skips the
+        top 3 AND yields one FEWER than num_neg — reproduced exactly
+        (ADVICE r2: the previous rank <= 3+n_hard took n_hard items);
+        excludes positive pairs;
       * easy negatives — n_easy deterministic pseudo-random classes per
         positive mention (seeded stand-in for the reference's unseeded
-        random.sample, SURVEY.md §7.3), excluding positives and candidates.
+        random.sample, SURVEY.md §7.3), excluding positives and candidates;
+        the over-draw buffer is sized from each mention's ACTUAL exclusion
+        count, so exclusion-heavy mentions cannot undershoot n_easy.
 
     All sets are bounded by the ontology side (positives <= aliases), so the
     seed table stays small no matter how large the mention corpus is.
@@ -141,11 +153,12 @@ def bootstrap_seed_labels(
             F.flatten(F.transform(F.col("aliases"), lambda a: tokenize(a)))
         ).alias("tokens"),
     )
-    cands = candidate_pairs(m_tokens, o_tokens, top_n=3 + n_hard).select(
+    cands = candidate_pairs(m_tokens, o_tokens, top_n=2 + n_hard).select(
         F.col("s_id").alias("mention"), F.col("t_id").alias("class_id"), "rank"
     )
+    # reference slice [3:2+num_neg]: ranks 4..2+n_hard (n_hard-1 items)
     hard = (
-        cands.filter(F.col("rank") > 3)
+        cands.filter((F.col("rank") > 3) & (F.col("rank") <= 2 + n_hard))
         .join(positives, ["mention", "class_id"], "left_anti")
         .select("mention", "class_id")
     )
@@ -154,15 +167,32 @@ def bootstrap_seed_labels(
     hw = Window.partitionBy("mention").orderBy(
         F.xxhash64("mention", "class_id", F.lit(seed)), F.col("class_id")
     )
-    # over-draw by a buffer, THEN exclude positives/candidates, THEN take
-    # n_easy — an excluded pick is replaced by the next hash-ranked class
-    # (the reference's random.sample-with-exclusion semantics), instead of
-    # silently shrinking the easy-negative set
-    buffer = n_easy + 8
+    # over-draw by each mention's exact exclusion count, THEN exclude
+    # positives/candidates, THEN take n_easy — an excluded pick is replaced
+    # by the next hash-ranked class (the reference's
+    # random.sample-with-exclusion semantics); drawing n_easy + n_excluded
+    # guarantees n_easy survivors whenever the ontology has that many
+    # eligible classes (a fixed constant buffer could undershoot for
+    # exclusion-heavy mentions)
+    excl_counts = (
+        positives.select("mention", "class_id")
+        .union(cands.select("mention", "class_id"))
+        .distinct()
+        .groupBy("mention")
+        .agg(F.count(F.lit(1)).alias("n_excl"))
+    )
+    # constant pre-bound first (max over mentions, one tiny bounded agg):
+    # a CONSTANT rank filter keeps Spark's WindowGroupLimit pushdown (the
+    # crossJoin never materializes more than the bound per mention map-side);
+    # the per-mention column filter then trims to the exact buffer
+    max_excl = excl_counts.agg(F.max("n_excl")).collect()[0][0] or 0
     drawn = (
-        pos_mentions.crossJoin(F.broadcast(classes))
+        pos_mentions.join(F.broadcast(excl_counts), "mention", "left")
+        .select("mention", F.coalesce("n_excl", F.lit(0)).alias("n_excl"))
+        .crossJoin(F.broadcast(classes))
         .withColumn("hr", F.row_number().over(hw))
-        .filter(F.col("hr") <= buffer)
+        .filter(F.col("hr") <= n_easy + max_excl)
+        .filter(F.col("hr") <= F.lit(n_easy) + F.col("n_excl"))
         .join(positives, ["mention", "class_id"], "left_anti")
         .join(cands.select("mention", "class_id"), ["mention", "class_id"], "left_anti")
     )
@@ -207,13 +237,27 @@ def bootstrap_loop(
     Returns the final model and the accumulated training DataFrame. The
     `added` anti-join mirrors pw_aligner.py:495,521-528; keep-top fractions
     mirror _keep_new_predictions (pw_aligner.py:328-341).
-    """
-    train = seed_train.select(*FEATURE_COLS, "label", F.lit("seed").alias("provenance"))
+
+    Iteration-latency shape (BENCH r2 follow-up — bootstrap_sec was 2.4x
+    the whole pipeline): exactly THREE Spark actions per iteration — the
+    training collect, the single pos/neg count agg, and ONE eager
+    localCheckpoint of that iteration's new rows. `added` and `train` are
+    plain unions over the per-iteration checkpointed pieces (every piece is
+    already materialized, so lineage stays one union deep and needs no
+    checkpoint of its own), and the training row count is tracked exactly
+    on the driver (each iteration adds keep_pos + keep_neg rows by
+    construction), so collect_training_rows never re-counts."""
+    train_seed = seed_train.select(
+        *FEATURE_COLS, "label", F.lit("seed").alias("provenance")
+    ).localCheckpoint()
+    n_seed = train_seed.count()
+    n_train = n_seed
+    train = train_seed
     added = featurized_candidates.select("s_id", "t_id").limit(0)
     model = LRModel([0.0] * len(FEATURE_COLS), 0.0)
 
     for it in range(n_iterations):
-        model = fit_lr(collect_training_rows(train))
+        model = fit_lr(collect_training_rows(train, n=n_train))
         scored = lr_score(featurized_candidates, model.coef, model.intercept)
         # one scoring pass per iteration: cache the anti-joined table, fold
         # both side-counts into a single agg action (VERDICT r1 item 8 —
@@ -241,19 +285,22 @@ def bootstrap_loop(
         new_pos = pos.orderBy(F.col("p1").desc(), "s_id", "t_id").limit(keep_pos)
         new_neg = neg.orderBy(F.col("p1").asc(), "s_id", "t_id").limit(keep_neg)
         new_rows = new_pos.select(
-            "s_id", "t_id", *FEATURE_COLS, F.lit(1).alias("label")
+            "s_id", "t_id", *FEATURE_COLS, F.lit(1).alias("label"),
+            F.lit(f"lr_iter{it}").alias("provenance"),
         ).union(
-            new_neg.select("s_id", "t_id", *FEATURE_COLS, F.lit(0).alias("label"))
-        )
-        added = added.union(new_rows.select("s_id", "t_id")).distinct().localCheckpoint()
-        train = train.union(
-            new_rows.select(
-                *FEATURE_COLS, "label", F.lit(f"lr_iter{it}").alias("provenance")
+            new_neg.select(
+                "s_id", "t_id", *FEATURE_COLS, F.lit(0).alias("label"),
+                F.lit(f"lr_iter{it}").alias("provenance"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint()  # the iteration's ONE materialization
+        # keep_* never exceed the filtered side counts, so the row count is
+        # exact without another action
+        n_train += keep_pos + keep_neg
+        added = added.union(new_rows.select("s_id", "t_id"))
+        train = train.union(new_rows.select(*FEATURE_COLS, "label", "provenance"))
         fresh.unpersist()
 
     # final model drops bootstrap-generated rows (pw_aligner.py:587, P8)
     final_train = train.filter(~F.col("provenance").startswith("lr_iter"))
-    model = fit_lr(collect_training_rows(final_train))
+    model = fit_lr(collect_training_rows(final_train, n=n_seed))
     return model, train

@@ -88,6 +88,7 @@ def link_mentions(
     *,
     threshold: float = config.SIMSCORE_THRESHOLD,
     top_candidates: int = config.KEEP_TOP_N_CANDIDATES,
+    structural_tokens: bool = True,
 ) -> DataFrame:
     """mention string -> class_id. Returns (mention, class_id, link_score).
 
@@ -96,12 +97,21 @@ def link_mentions(
     def channel = max token-jaccard vs any definition -> 0.75/0.25 fusion ->
     threshold -> top-1 per mention. The mention side is huge (one row per
     distinct surface form) and never shuffles except the final window, which
-    keys on mention — uniform."""
+    keys on mention — uniform.
+
+    structural_tokens=True folds each class's parent/child tokens into its
+    candidate-generation token set (J3, candidate_selector.py:80-107 — the
+    reference ALWAYS does this), so a mention sharing tokens only with a
+    class's parent can still surface that class as a candidate. Channel
+    scoring is unchanged: structural tokens widen recall of the candidate
+    stage, the alias/definition jaccard channels still decide the link."""
     distinct_mentions = mentions.select(F.col("mention")).distinct()
     m_tokens = distinct_mentions.select(
         F.col("mention").alias("s_id"), tokenize(F.col("mention")).alias("tokens")
     )
     o_tokens = ontology_token_table(ontology)
+    if structural_tokens:
+        o_tokens = expand_structural_tokens(ontology, o_tokens)
     cands = candidate_pairs(
         m_tokens, o_tokens, top_n=top_candidates, broadcast_target=True
     )
@@ -323,8 +333,13 @@ def bootstrap_rescore_links(
         *FEATURE_COLS,
     ).localCheckpoint(eager=True)
 
+    # mentions come from the CHECKPOINTED feats, not from `links` — links'
+    # lineage is the whole upstream extraction chain, and re-deriving the
+    # mention vocabulary from it would recompute that chain a second time.
+    # Same set: feats = links ⋈ class_names on class_id, and every link
+    # class_id exists in the ontology by construction of candidate_pairs.
     seed_pairs = bootstrap_seed_labels(
-        links.select("mention").distinct(), ontology
+        feats.select(F.col("s_id").alias("mention")).distinct(), ontology
     ).localCheckpoint(eager=True)
     if seed_pairs.limit(1).count() > 0:
         seed = pair_features(

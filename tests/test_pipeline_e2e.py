@@ -112,3 +112,38 @@ def test_crash_resume_recomputes_only_missing_stage(spark, corpus, tmp_path_fact
     assert len(lineage2) == n_lineage + 1
     assert lineage2[-1]["stage"] == "edges"
     assert h(out2["edges"]) == edges_hash
+
+
+def test_structural_tokens_widen_candidate_recall(spark):
+    """J3 wired into the default link path (candidate_selector.py:80-107):
+    a class crowded out of the candidate top-n by its own tokens alone is
+    linked once its parent's tokens join its candidate-generation set."""
+    from pathhier_spark.plans.pipeline import link_mentions
+    from pathhier_spark.sources.corpus import ONTOLOGY_SCHEMA
+
+    def klass(cid, aliases, parents=()):
+        return (cid, cid, aliases, [], [], list(parents), [], [])
+
+    onto = spark.createDataFrame(
+        [
+            klass("A_child", ["greeting"], ["P_parent"]),
+            klass("P_parent", ["uniquetok"]),
+            klass("D_decoy", ["uniquetok filler"]),
+            klass("D_g1", ["greeting one"]),
+            klass("D_g2", ["greeting two"]),
+        ],
+        ONTOLOGY_SCHEMA,
+    )
+    mentions = spark.createDataFrame([("uniquetok greeting",)], "mention string")
+
+    def link(structural):
+        rows = link_mentions(
+            mentions, onto, top_candidates=1, structural_tokens=structural
+        ).collect()
+        return {r["mention"]: r["class_id"] for r in rows}
+
+    # without J3 the mention's single greeting-token candidate score loses
+    # the top-1 cut to the uniquetok decoy; the true class never gets scored
+    assert link(False).get("uniquetok greeting") != "A_child"
+    # with parent tokens folded in, A_child tops candidates and links
+    assert link(True).get("uniquetok greeting") == "A_child"
