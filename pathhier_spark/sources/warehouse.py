@@ -49,6 +49,10 @@ class Warehouse:
         with open(p) as f:
             return json.load(f)
 
+    @staticmethod
+    def _snapshot_dirs(man: dict) -> list[str]:
+        return list(man.get("snapshots") or [man["snapshot"]])
+
     def write(
         self,
         df: DataFrame,
@@ -58,13 +62,37 @@ class Warehouse:
         mode: str = "overwrite",
         fingerprint: str = "static",
     ) -> None:
-        """Commit = data write + manifest pointer swap. A re-run with the
-        same fingerprint is a no-op (idempotent resume) — for BOTH modes:
-        an append whose fingerprint equals the last committed one is a
-        streaming micro-batch replay (restart between the data write and
-        the offset commit) and must not duplicate rows."""
+        """Commit = data write into the write's OWN sub-directory + atomic
+        manifest swap adding that directory to the snapshot list. Uncommitted
+        data is therefore invisible — readers only see directories the
+        manifest lists — and a crash anywhere between the parquet job and
+        the manifest swap is safe: the replayed write targets the same
+        fingerprint-derived directory and overwrites its own half-written
+        files, never duplicating committed rows. This closes the
+        parquet-backend hole where an append into a shared data/ dir became
+        visible the moment the parquet job committed, BEFORE the fingerprint
+        swap.
+
+        Replay dedup: an overwrite is skipped iff its fingerprint equals the
+        last committed one; an append is skipped iff its fingerprint is in
+        applied_fingerprints (ALL appends since the last overwrite), so two
+        successive appends of different data are both applied. Append mode
+        REQUIRES an explicit fingerprint — with the 'static' default every
+        second append would silently dedupe against the first (data loss)."""
+        import hashlib
+
         man = self.manifest(table)
-        if man and man.get("fingerprint") == fingerprint:
+        applied = set(man.get("applied_fingerprints", [man["fingerprint"]])) if man else set()
+        if mode == "append":
+            if fingerprint == "static":
+                raise ValueError(
+                    "append mode requires an explicit fingerprint (e.g. "
+                    "'batch:<id>'): the 'static' default would silently "
+                    "dedupe every append after the first"
+                )
+            if man and fingerprint in applied:
+                return
+        elif man and man.get("fingerprint") == fingerprint:
             return
         if self.fmt == "iceberg":
             writer = df.writeTo(f"local.{table}")
@@ -72,15 +100,27 @@ class Warehouse:
                 from pyspark.sql import functions as F
 
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            writer.createOrReplace()
+            if mode == "append" and man:
+                writer.append()
+            else:
+                writer.createOrReplace()
             snapshot = f"iceberg:local.{table}"
+            snapshots = [snapshot]
         else:
-            data_dir = os.path.join(self._table_dir(table), "data")
-            writer = df.write.mode(mode)
+            suffix = hashlib.md5(fingerprint.encode()).hexdigest()[:16]
+            snapshot = os.path.join(self._table_dir(table), f"data_{suffix}")
+            writer = df.write.mode("overwrite")  # a write owns its dir
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            writer.parquet(data_dir)
-            snapshot = data_dir
+            writer.parquet(snapshot)
+            if mode == "append" and man:
+                snapshots = self._snapshot_dirs(man) + [snapshot]
+            else:
+                snapshots = [snapshot]
+        if mode == "append" and man:
+            applied.add(fingerprint)
+        else:
+            applied = {fingerprint}
         tmp = self._manifest_path(table) + ".tmp"
         os.makedirs(self._table_dir(table), exist_ok=True)
         with open(tmp, "w") as f:
@@ -89,7 +129,9 @@ class Warehouse:
                     "table": table,
                     "format": self.fmt,
                     "snapshot": snapshot,
+                    "snapshots": snapshots,
                     "fingerprint": fingerprint,
+                    "applied_fingerprints": sorted(applied),
                     "partition_by": partition_by or [],
                     "committed_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
@@ -105,7 +147,7 @@ class Warehouse:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         if man["format"] == "iceberg":
             return self.spark.read.table(man["snapshot"].split(":", 1)[1])
-        return self.spark.read.parquet(man["snapshot"])
+        return self.spark.read.parquet(*self._snapshot_dirs(man))
 
     def compact(
         self,
@@ -136,15 +178,16 @@ class Warehouse:
                 "iceberg backend compaction = CALL rewrite_data_files; "
                 "no iceberg runtime in this sandbox"
             )
-        snap = man["snapshot"]
+        snaps = self._snapshot_dirs(man)
         files = []
-        for root, _dirs, names in os.walk(snap):
-            files += [
-                os.path.join(root, n) for n in names if n.endswith(".parquet")
-            ]
+        for snap in snaps:
+            for root, _dirs, names in os.walk(snap):
+                files += [
+                    os.path.join(root, n) for n in names if n.endswith(".parquet")
+                ]
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-        df = self.spark.read.parquet(snap)
+        df = self.spark.read.parquet(*snaps)
         partition_by = man.get("partition_by") or []
         if partition_by:
             # repartition(n_out, *partition_by) would hash ONLY on the
@@ -179,13 +222,28 @@ class Warehouse:
             for n in names
             if n.endswith(".parquet")
         )
-        man = dict(man)
+        # optimistic-concurrency guard: a commit (e.g. a streaming append)
+        # that landed between our manifest read and this swap would be
+        # silently dropped by the pointer swap — re-read and abort instead
+        # of losing it; the caller reruns compaction. The orphaned compacted
+        # dir is invisible (never entered the manifest).
+        current = self.manifest(table)
+        if current is None or (
+            current.get("fingerprint") != man.get("fingerprint")
+            or self._snapshot_dirs(current) != snaps
+        ):
+            raise RuntimeError(
+                f"concurrent commit to '{table}' during compaction; "
+                "rerun compact()"
+            )
+        man = dict(current)
         man["snapshot"] = new_dir
+        man["snapshots"] = [new_dir]
         man["compaction"] = {
             "files_before": len(files),
             "files_after": files_after,
             "bytes": total_bytes,
-            "previous_snapshot": snap,
+            "previous_snapshots": snaps,
         }
         man["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         tmp = self._manifest_path(table) + ".tmp"

@@ -113,3 +113,82 @@ def test_compaction_partitioned(spark, tmp_path):
     assert got.count() == 5000
     # partition column survives the rewrite
     assert {r["part"] for r in got.select("part").distinct().collect()} == {0, 1, 2}
+
+
+def test_append_fingerprint_discipline(spark, tmp_path):
+    """ADVICE r2: (a) append requires an explicit fingerprint — the 'static'
+    default would silently dedupe the second append; (b) appends dedupe
+    against ALL applied append fingerprints, not just the last; (c) each
+    write owns its own sub-directory, so uncommitted data is invisible and
+    a replayed batch overwrites itself instead of duplicating."""
+    import os
+
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh3"), fmt="parquet")
+    df1 = spark.createDataFrame([(1,), (2,)], "id long")
+    df2 = spark.createDataFrame([(3,)], "id long")
+
+    wh.write(df1, "t", fingerprint="base")
+    with _pytest.raises(ValueError, match="explicit fingerprint"):
+        wh.write(df2, "t", mode="append")
+
+    wh.write(df2, "t", mode="append", fingerprint="batch:0")
+    assert wh.read("t").count() == 3
+    # replay of an OLD batch (not the latest) is still skipped
+    wh.write(df2, "t", mode="append", fingerprint="batch:0")
+    assert wh.read("t").count() == 3
+    wh.write(df2, "t", mode="append", fingerprint="batch:1")
+    assert wh.read("t").count() == 4
+    wh.write(df2, "t", mode="append", fingerprint="batch:0")
+    assert wh.read("t").count() == 4
+
+    man = wh.manifest("t")
+    assert len(man["snapshots"]) == 3
+    assert set(man["applied_fingerprints"]) == {"base", "batch:0", "batch:1"}
+
+    # crash-window safety: a data dir NOT in the manifest is invisible
+    orphan = os.path.join(str(tmp_path / "wh3"), "t", "data_deadbeefdeadbeef")
+    df2.write.mode("overwrite").parquet(orphan)
+    assert wh.read("t").count() == 4
+
+    # an overwrite resets the snapshot list and the applied set
+    wh.write(df1, "t", fingerprint="base2")
+    assert wh.read("t").count() == 2
+    assert wh.manifest("t")["snapshots"] == [wh.manifest("t")["snapshot"]]
+
+
+def test_compaction_conflict_detection(spark, tmp_path):
+    """compact() aborts (instead of dropping the commit) when another write
+    lands between its manifest read and its pointer swap."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse as W
+
+    wh = W(spark, str(tmp_path / "wh4"), fmt="parquet")
+    df = spark.range(100).selectExpr("id")
+    wh.write(df.repartition(8), "t", fingerprint="v1")
+
+    real_manifest = W.manifest
+    state = {"injected": False}
+
+    def racing_manifest(self, table):
+        man = real_manifest(self, table)
+        if not state["injected"]:
+            # first read inside compact(): sneak a concurrent append in
+            # AFTER compact has captured this manifest
+            state["injected"] = True
+            real_write = W.write
+            real_write(
+                self, df.limit(5), table, mode="append", fingerprint="race"
+            )
+        return man
+
+    try:
+        W.manifest = racing_manifest
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            wh.compact("t")
+    finally:
+        W.manifest = real_manifest
+    # the racing append survived, nothing was lost
+    assert wh.read("t").count() == 105
