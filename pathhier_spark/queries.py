@@ -1821,6 +1821,35 @@ FROM kept GROUP BY md5(text)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q36 — IVF (inverted-file) approximate top-k, the second ANN scale path
+# next to q24's banded LSH. No SQL oracle: the seeded k-means init keys on
+# Spark's xxhash64, which DuckDB cannot reproduce — the driver records a
+# rows-only check, and tests/test_entry_oracle.py asserts recall >= 0.9 vs
+# the exact brute_force_topk at the gate scales. n_probe=14/16 because the
+# driver embeddings are near-uniform random (the ANN worst case: every
+# neighbor is marginal, cells are ~arbitrary — measured recall 0.96-0.98 at
+# sf0.001/0.01/0.1); on clustered production corpora n_probe=4 already
+# reaches recall 1.0 (tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 14
+
+
+def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return ivf_topk(
+        queries_df, corpus, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+    ).select("q_id", "c_id", _rz(F.col("cos"), 6).alias("cos"), "nn_rank")
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1858,6 +1887,7 @@ def queries():
         "q33_fused_alignment_cells": q33_fused_alignment_cells,
         "q34_segment_dedup": q34_segment_dedup,
         "q35_training_corpus": q35_training_corpus,
+        "q36_ivf_topk": q36_ivf_topk,
     }
 
 

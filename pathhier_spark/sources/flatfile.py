@@ -161,7 +161,24 @@ _EXT_FORMATS = {
     ".jsonl": "json",
     ".csv": "csv",
     ".tsv": "csv",
+    ".avro": "avro",
 }
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """The avro DataSource lives in the external spark-avro module (not
+    bundled with pyspark's jars in this sandbox — only avro-core is).
+    Capability-probe it like the warehouse probes the Iceberg runtime.
+    A Class.forName probe is NOT enough: some avro SQL classes ship in the
+    bundled jars while the data-source registration does not — probe the
+    actual source lookup and classify the failure."""
+    try:
+        spark.read.format("avro").schema("probe int").load(
+            "/nonexistent-avro-capability-probe"
+        )
+        return True
+    except Exception as e:
+        return "Failed to find data source" not in str(e)
 
 
 def read_documents(
@@ -185,6 +202,12 @@ def read_documents(
     else:
         is_tsv = fmt == "tsv"
         fmt = "csv" if fmt == "tsv" else fmt
+    if fmt == "avro" and not avro_available(spark):
+        raise NotImplementedError(
+            "avro input needs the external spark-avro module on the "
+            "classpath (--packages org.apache.spark:spark-avro_2.13); "
+            "it is not bundled in this sandbox"
+        )
     reader = spark.read
     if schema and fmt in ("json", "csv"):
         reader = reader.schema(schema)

@@ -157,3 +157,29 @@ def test_read_documents_format_dispatch(spark, tmp_path, sf_dir):
             for r in read_documents(spark, path, schema=schema).collect()
         }
         assert got == want, f"round-trip mismatch for {path}"
+
+
+def test_read_documents_avro_guard(spark, tmp_path, sf_dir):
+    """S4 avro branch: round-trips when the spark-avro module is on the
+    classpath; otherwise raises the documented capability guard (the module
+    is external to pyspark's bundled jars — sandbox has only avro-core)."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.flatfile import avro_available, read_documents
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .filter("doc_id < 20")
+    )
+    path = str(tmp_path / "d.avro")
+    if avro_available(spark):
+        docs.write.format("avro").save(path)
+        got = {
+            (r["doc_id"], r["text"], r["lang"])
+            for r in read_documents(spark, path).collect()
+        }
+        assert got == {(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()}
+    else:
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            read_documents(spark, path)
