@@ -1,9 +1,12 @@
 """Text analysis operators: quality scoring, language ID, token counting,
-document fingerprinting.
+document fingerprinting, PII scrubbing, repetition signals, boilerplate
+phrase mining.
 
-All pure column expressions (whole-stage codegen; no UDFs) so they run at
-scan speed over a 100 TB documents table — these are the per-document map
-stage of a training-data pipeline and must not shuffle at all.
+All per-document operators are pure column expressions (whole-stage
+codegen; no UDFs) so they run at scan speed over a 100 TB documents table —
+they are the map stage of a training-data pipeline and do not shuffle. The
+one exception is the corpus-level `boilerplate_ngrams`, whose single
+combiner-friendly groupBy is its whole point.
 """
 
 from __future__ import annotations
@@ -129,4 +132,169 @@ def with_fingerprint(
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
     return df.withColumn(
         "fingerprint", F.sort_array(F.array_distinct(F.slice(F.sort_array(grams), 1, 16)))
+    )
+
+
+# --- PII scrubbing (training-data prep: redact before the corpus ships) ---
+
+# conservative, engine-portable patterns (identical semantics under Java
+# regex and RE2): emails and IPv4 literals. Broader PII classes (phones,
+# physical addresses) need locale-aware models, out of scope here.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails -> <EMAIL> and IPv4 literals -> <IP>, keeping
+    per-document match counts (n_emails, n_ipv4) for pipeline metrics.
+    Pure column expressions — map-only, scan-speed. Email scrub runs first:
+    the address part of user@host can itself contain dotted digits."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+    )
+    return (
+        df.withColumn(
+            "n_emails",
+            # idx=0 = whole match (the default idx=1 expects a capture group)
+            F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("long"),
+        )
+        .withColumn(
+            "n_ipv4", F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0)).cast("long")
+        )
+        .withColumn("text_scrubbed", scrubbed)
+    )
+
+
+# --- n-gram repetition (Gopher-style quality signal) ---
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_ngram_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate word-n-gram fractions (1 - distinct/total for n=2,3) — the
+    Gopher repetition signals used to drop looping/boilerplate documents.
+    Map-only column expressions; docs shorter than n grams score 0."""
+    toks = _tokens(text_col)
+
+    def frac(n: int) -> Column:
+        grams = _word_ngrams(toks, n)
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return df.withColumn("dup_2gram_frac", frac(2)).withColumn(
+        "dup_3gram_frac", frac(3)
+    )
+
+
+# --- corpus-level boilerplate phrase mining ---
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_freq: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide boilerplate n-gram mining: the distinct word-n-grams of
+    each document, aggregated to (gram, doc_freq), thresholded, top_k by
+    document frequency. The standard first step of boilerplate removal at
+    corpus scale (find the hot phrases, then strip them per-document —
+    segment_dedup's cousin that targets RECURRING phrases rather than
+    first-occurrence keeps).
+
+    Scale shape: per-doc distinct BEFORE the explode bounds a document's
+    contribution to 1 per gram; the groupBy count has map-side partial
+    aggregation (hot boilerplate grams combine per task, never funneling);
+    the final top_k is a global TakeOrdered on the already-aggregated
+    (gram, doc_freq) table — no window, no skew. This is the module's one
+    deliberately-shuffling operator."""
+    toks = _tokens(text_col)
+    grams = F.array_distinct(_word_ngrams(toks, n))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.col("doc_freq").desc(), F.col("gram"))
+        .limit(top_k)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    phrases: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Remove every occurrence of the mined boilerplate n-grams (the
+    `boilerplate_ngrams` output, column `gram`) from each document —
+    the strip half of corpus boilerplate removal: mine hot phrases once,
+    then clean the whole corpus against them.
+
+    A token is dropped iff it is covered by ANY occurrence of a boilerplate
+    n-gram (overlapping occurrences union). Output adds (text_stripped,
+    n_stripped_tokens).
+
+    Scale shape: documents explode to (doc_id, pos, gram) rows and
+    broadcast-join the phrase table (top-k mined phrases — tiny by
+    construction); matched start positions come back via one
+    groupBy(doc_id) collect_set, and the per-token coverage test is a pure
+    column expression (exists over the starts array). The document side
+    shuffles once, keyed by doc_id — uniform."""
+    toks = _tokens(text_col)
+    with_toks = df.withColumn("_toks", toks)
+    grams = with_toks.select(
+        F.col(id_col),
+        F.posexplode(_word_ngrams(F.col("_toks"), n)).alias("pos", "gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(phrases.select("gram")), "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    joined = with_toks.join(hits, id_col, "left").withColumn(
+        "_starts",
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+    )
+    # sequence(0, -1) would DESCEND for an empty token list — guard it
+    idx = F.when(
+        F.size(F.col("_toks")) > 0,
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("_starts"), lambda s: (i >= s) & (i < s + n)
+        ),
+    )
+    return (
+        joined.withColumn(
+            "text_stripped",
+            F.concat_ws(
+                " ", F.transform(kept, lambda i: F.element_at(F.col("_toks"), i + 1))
+            ),
+        )
+        .withColumn(
+            "n_stripped_tokens",
+            (F.size(F.col("_toks")) - F.size(kept)).cast("long"),
+        )
+        .drop("_toks", "_starts")
     )

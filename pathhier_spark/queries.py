@@ -1850,6 +1850,201 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "c_id", _rz(F.col("cos"), 6).alias("cos"), "nn_rank")
 
 
+# ---------------------------------------------------------------------------
+# Q37 — PII scrubbing (training-data prep: redact emails/IPv4 before the
+# corpus ships). The driver corpus contains no PII, so both engines inject
+# the SAME deterministic addresses into 2 of every 3 documents first — the
+# redaction paths are then exercised on identical non-trivial input.
+# ---------------------------------------------------------------------------
+
+
+def q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import with_pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.7"),
+            )
+        )
+        .alias("text"),
+    )
+    return with_pii_scrub(injected).select(
+        "doc_id", "n_emails", "n_ipv4", F.md5("text_scrubbed").alias("scrub_md5")
+    )
+
+
+def _q37_sql() -> str:
+    from pathhier_spark.operators.textstats import PII_EMAIL_RE, PII_IPV4_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' contact user' || doc_id::varchar
+                   || '@example.com from 10.' || (doc_id % 256)::varchar
+                   || '.0.7'
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::bigint AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4_RE}'))::bigint AS n_ipv4,
+       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_IPV4_RE}', '<IP>', 'g')) AS scrub_md5
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q38 — duplicate word-n-gram fractions (Gopher repetition quality signal).
+# ---------------------------------------------------------------------------
+
+_SQL_WS_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _sql_word_ngrams(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+        f"ELSE []::varchar[] END"
+    )
+
+
+def q38_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import with_ngram_repetition
+
+    docs = _docs(spark, sf_dir)
+    return with_ngram_repetition(docs).select(
+        "doc_id",
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+    )
+
+
+def _q38_sql() -> str:
+    frac = (
+        "round(CASE WHEN len({g}) > 0 THEN "
+        "1.0 - len(list_distinct({g})) / len({g})::double "
+        "ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, {_sql_word_ngrams(2)} AS g2, {_sql_word_ngrams(3)} AS g3
+  FROM t
+)
+SELECT doc_id, {frac.format(g='g2')} AS dup_2gram_frac,
+       {frac.format(g='g3')} AS dup_3gram_frac
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q39 — corpus-level boilerplate phrase mining: distinct 3-grams per doc ->
+# document frequency -> threshold -> deterministic top-50.
+# ---------------------------------------------------------------------------
+
+_BP_N = 3
+_BP_MIN_DF = 2
+_BP_TOP_K = 50
+
+
+def q39_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import boilerplate_ngrams
+
+    docs = _docs(spark, sf_dir)
+    return boilerplate_ngrams(
+        docs, n=_BP_N, min_doc_freq=_BP_MIN_DF, top_k=_BP_TOP_K
+    )
+
+
+def _q39_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct({_sql_word_ngrams(_BP_N)}) AS grams FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+SELECT gram, count(*) AS doc_freq
+FROM e GROUP BY gram
+HAVING count(*) >= {_BP_MIN_DF}
+ORDER BY doc_freq DESC, gram
+LIMIT {_BP_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q40 — boilerplate removal END-TO-END: mine the corpus's hot 3-grams (q39)
+# and strip every occurrence from every document (union of covered token
+# positions). The mined phrase table broadcasts; the document side shuffles
+# once on doc_id.
+# ---------------------------------------------------------------------------
+
+
+def q40_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import (
+        boilerplate_ngrams,
+        strip_boilerplate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    phrases = boilerplate_ngrams(
+        docs, n=_BP_N, min_doc_freq=_BP_MIN_DF, top_k=_BP_TOP_K
+    )
+    return strip_boilerplate(docs, phrases, n=_BP_N).select(
+        "doc_id", F.md5("text_stripped").alias("stripped_md5"), "n_stripped_tokens"
+    )
+
+
+def _q40_sql() -> str:
+    n = _BP_N
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents),
+gd AS (SELECT doc_id, list_distinct({_sql_word_ngrams(n)}) AS grams FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM gd),
+bp AS (
+  SELECT gram FROM e GROUP BY gram HAVING count(*) >= {_BP_MIN_DF}
+  ORDER BY count(*) DESC, gram LIMIT {_BP_TOP_K}
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+),
+starts AS (
+  SELECT doc_id, i FROM pos
+  WHERE len(toks) - i >= {n - 1}
+    AND array_to_string(toks[i:i+{n - 1}], ' ') IN (SELECT gram FROM bp)
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.i + d.d AS i
+  FROM starts s, range(0, {n}) d(d)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.toks[p.i] AS tok
+  FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.i = c.i
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_stripped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(coalesce(a.text_stripped, '')) AS stripped_md5,
+       (len(t.toks) - coalesce(a.n_kept, 0))::bigint AS n_stripped_tokens
+FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1888,6 +2083,10 @@ def queries():
         "q34_segment_dedup": q34_segment_dedup,
         "q35_training_corpus": q35_training_corpus,
         "q36_ivf_topk": q36_ivf_topk,
+        "q37_pii_scrub": q37_pii_scrub,
+        "q38_ngram_repetition": q38_ngram_repetition,
+        "q39_boilerplate_ngrams": q39_boilerplate_ngrams,
+        "q40_strip_boilerplate": q40_strip_boilerplate,
     }
 
 
@@ -1928,4 +2127,8 @@ def oracle_sql():
         "q33_fused_alignment_cells": _q33_sql(),
         "q34_segment_dedup": _q34_sql(),
         "q35_training_corpus": _q35_sql(),
+        "q37_pii_scrub": _q37_sql(),
+        "q38_ngram_repetition": _q38_sql(),
+        "q39_boilerplate_ngrams": _q39_sql(),
+        "q40_strip_boilerplate": _q40_sql(),
     }

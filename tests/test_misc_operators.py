@@ -142,3 +142,86 @@ def test_operators_handle_empty_inputs(spark):
     assert assign_local_ids(ecomp).count() == 0
     # schema is preserved on the typed-empty paths
     assert lsh_bucket_topk(eq, ec, k=3).columns == ["q_id", "c_id", "cos", "nn_rank"]
+
+
+def test_pii_scrub(spark):
+    from pathhier_spark.operators.textstats import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or ping 192.168.0.1 now"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.co and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[1]["text_scrubbed"] == "mail me at <EMAIL> or ping <IP> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ipv4"] == 0
+    assert out[2]["text_scrubbed"] == "no pii here at all"
+    assert out[3]["n_emails"] == 2 and out[3]["n_ipv4"] == 1
+    assert out[3]["text_scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_ngram_repetition(spark):
+    from pathhier_spark.operators.textstats import with_ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in with_ngram_repetition(df).collect()}
+    # 2-grams: [a b, b a, a b, b a] -> 4 total, 2 distinct -> 0.5 dup
+    assert out[1]["dup_2gram_frac"] == pytest.approx(0.5)
+    # 3-grams: [a b a, b a b, a b a] -> 3 total, 2 distinct -> 1/3 dup
+    assert out[1]["dup_3gram_frac"] == pytest.approx(1 / 3)
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+
+
+def test_boilerplate_ngrams(spark):
+    from pathhier_spark.operators.textstats import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "foo bar baz qux"),
+            (2, "foo bar baz zap"),
+            (3, "nothing shared here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = boilerplate_ngrams(df, n=3, min_doc_freq=2, top_k=10).collect()
+    assert [(r["gram"], r["doc_freq"]) for r in got] == [("foo bar baz", 2)]
+    # a doc repeating a gram internally still counts once (per-doc distinct)
+    df2 = spark.createDataFrame(
+        [(1, "p q r p q r"), (2, "p q r only")], "doc_id long, text string"
+    )
+    got2 = {r["gram"]: r["doc_freq"] for r in
+            boilerplate_ngrams(df2, n=3, min_doc_freq=2, top_k=10).collect()}
+    assert got2["p q r"] == 2
+
+
+def test_strip_boilerplate(spark):
+    from pathhier_spark.operators.textstats import (
+        boilerplate_ngrams,
+        strip_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "foo bar baz qux"),
+            (2, "foo bar baz zap"),
+            (3, "solo words only here"),
+            (4, "p q p q p"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = boilerplate_ngrams(df, n=3, min_doc_freq=2, top_k=10)
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, phrases, n=3).collect()}
+    assert out[1]["text_stripped"] == "qux" and out[1]["n_stripped_tokens"] == 3
+    assert out[2]["text_stripped"] == "zap" and out[2]["n_stripped_tokens"] == 3
+    assert out[3]["text_stripped"] == "solo words only here"
+    assert out[3]["n_stripped_tokens"] == 0
+    # overlapping occurrences union: "p q p" starts at 0 and 2 -> all covered
+    pq = spark.createDataFrame([("p q p",)], "gram string")
+    got4 = {r["doc_id"]: r for r in strip_boilerplate(df, pq, n=3).collect()}
+    assert got4[4]["text_stripped"] == "" and got4[4]["n_stripped_tokens"] == 5
