@@ -192,19 +192,42 @@ class Warehouse:
         if partition_by:
             # repartition(n_out, *partition_by) would hash ONLY on the
             # partition columns — every row of one partition value lands in
-            # a single task and is written as one file, however large. Add
-            # a row-hash salt bounded by ceil(n_out / n_values) so each
-            # partition value splits into enough files to respect
-            # target_file_bytes (approximation: assumes roughly even value
-            # sizes; a skew-aware version would size salts per value).
+            # a single task and is written as one file, however large.
+            # Size-AWARE salting: each partition value v gets a salt modulus
+            # proportional to its row share (k_v ~ n_out * rows_v / total),
+            # so a value holding 90% of the table splits into ~90% of the
+            # output files while tiny values stay single-file — a uniform
+            # per-value modulus would over-split the small values and leave
+            # the hot one in oversized files. The per-value count collect is
+            # bounded by the number of distinct partition values (small by
+            # definition of a sane partition layout).
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
-            n_values = max(
-                1, df.select(*partition_by).distinct().count()
+            data_cols = list(df.columns)
+            counts = (
+                df.groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("_rows"))
+                .collect()
             )
-            per_value = max(1, math.ceil(n_out / n_values))
-            salt = F.pmod(F.xxhash64(*df.columns), F.lit(per_value))
-            df = df.repartition(n_out, *partition_by, salt)
+            if counts:
+                total_rows = sum(r["_rows"] for r in counts) or 1
+                base = df.select(*partition_by).schema
+                salt_schema = T.StructType(
+                    list(base.fields)
+                    + [T.StructField("_salt_k", T.LongType(), False)]
+                )
+                salt_rows = [
+                    tuple(r[c] for c in partition_by)
+                    + (max(1, round(n_out * r["_rows"] / total_rows)),)
+                    for r in counts
+                ]
+                salt_src = self.spark.createDataFrame(salt_rows, salt_schema)
+                df = df.join(F.broadcast(salt_src), partition_by)
+                salt = F.pmod(F.xxhash64(*data_cols), F.col("_salt_k"))
+                df = df.repartition(n_out, *partition_by, salt).drop("_salt_k")
+            else:
+                df = df.repartition(n_out)
         else:
             df = df.repartition(n_out)
         if sort_within_by:

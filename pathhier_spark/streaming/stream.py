@@ -247,3 +247,35 @@ def stream_to_warehouse(
         .outputMode("append")
         .start()
     )
+
+
+def stream_training_corpus(
+    docs_stream: DataFrame,
+    *,
+    quality_floor: float = 0.5,
+    lang: str = "en",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming analog of the q35 batch prep funnel: quality scoring +
+    language ID (stateless column expressions — the exact batch operators,
+    legal in streaming) -> content-hash exact dedup (stateful
+    dropDuplicates). A continuously-crawled corpus flows through the same
+    funnel the batch pipeline applies, with dedup state bounded by the
+    watermark horizon (the first copy of a text wins within it; a re-crawl
+    beyond the horizon is a new version by design — same contract as
+    streaming_dedup). Output: the surviving documents plus their quality /
+    language / hash columns."""
+    from pathhier_spark.operators.textstats import (
+        with_lang_id,
+        with_quality_features,
+    )
+
+    scored = with_lang_id(with_quality_features(docs_stream))
+    kept = scored.filter(
+        (F.col("quality_score") >= quality_floor) & (F.col("lang_pred") == lang)
+    )
+    return (
+        kept.withColumn("content_hash", F.md5(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicates(["content_hash"])
+    )

@@ -242,3 +242,53 @@ def test_stream_to_warehouse_exactly_once(spark, tmp_path):
         assert wh.read("events").count() == 4
     finally:
         q2.stop()
+
+
+def test_stream_training_corpus(spark, tmp_path):
+    """The streaming prep funnel keeps exactly the quality-passing,
+    target-language, first-copy documents across micro-batches."""
+    import datetime
+
+    from pathhier_spark.streaming.stream import (
+        stream_documents,
+        stream_training_corpus,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    good = "the data is good and it is in the set that we keep for it"
+    gibber = "zz zz zz zz zz zz"
+    german = "der hund und die katze das ist nicht ein zu haus der die das und"
+
+    def doc(url, text):
+        return (url, ts, text.encode(), text, "xx")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    b1 = spark.createDataFrame(
+        [doc("u1", good), doc("u2", good), doc("u3", gibber), doc("u4", german)],
+        schema,
+    )
+    fresh = "the second good text that we also keep in the end of it all"
+    b2 = spark.createDataFrame(
+        [doc("u5", good), doc("u6", fresh)], schema
+    )
+    input_dir = str(tmp_path / "stream_in")
+    b1.coalesce(1).write.mode("append").parquet(input_dir)
+    b2.coalesce(1).write.mode("append").parquet(input_dir)
+
+    out = stream_training_corpus(stream_documents(spark, input_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("prep_funnel")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select text, count(*) n from prep_funnel group by text"
+        ).collect()
+        got = {r["text"]: r["n"] for r in rows}
+        # exactly one copy of each surviving text; gibberish and German gone
+        assert got == {good: 1, fresh: 1}
+    finally:
+        q.stop()

@@ -192,3 +192,33 @@ def test_compaction_conflict_detection(spark, tmp_path):
         W.manifest = real_manifest
     # the racing append survived, nothing was lost
     assert wh.read("t").count() == 105
+
+
+def test_compaction_size_aware_salting(spark, tmp_path):
+    """A partition value holding ~95% of rows must split into more output
+    files than the tiny values (size-aware salt moduli), and tiny values
+    must not be over-split."""
+    import os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh5"), fmt="parquet")
+    # value 0: 95k rows; values 1..5: 1k each
+    df = spark.range(100000).selectExpr(
+        "id", "CASE WHEN id < 95000 THEN 0 ELSE 1 + id % 5 END AS part"
+    )
+    wh.write(df.repartition(64), "skewed", partition_by=["part"], fingerprint="v1")
+
+    # small target -> several output files; the hot value should claim most
+    stats = wh.compact("skewed", target_file_bytes=64 * 1024)
+    man = wh.manifest("skewed")
+    snap = man["snapshot"]
+
+    def files_in(value):
+        d = _os.path.join(snap, f"part={value}")
+        return sum(1 for n in _os.listdir(d) if n.endswith(".parquet"))
+
+    hot, cold = files_in(0), max(files_in(v) for v in range(1, 6))
+    assert hot > cold, (hot, cold)
+    assert cold <= 2  # tiny values stay at ~one file
+    got = wh.read("skewed")
+    assert got.count() == 100000
+    assert stats["files_after"] < stats["files_before"]
