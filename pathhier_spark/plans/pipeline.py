@@ -89,6 +89,7 @@ def link_mentions(
     threshold: float = config.SIMSCORE_THRESHOLD,
     top_candidates: int = config.KEEP_TOP_N_CANDIDATES,
     structural_tokens: bool = True,
+    broadcast_ontology: bool = True,
 ) -> DataFrame:
     """mention string -> class_id. Returns (mention, class_id, link_score).
 
@@ -104,7 +105,13 @@ def link_mentions(
     reference ALWAYS does this), so a mention sharing tokens only with a
     class's parent can still surface that class as a candidate. Channel
     scoring is unchanged: structural tokens widen recall of the candidate
-    stage, the alias/definition jaccard channels still decide the link."""
+    stage, the alias/definition jaccard channels still decide the link.
+
+    broadcast_ontology=False is the scale knob for dictionaries too large
+    to broadcast: the candidate join switches to salted_candidate_pairs
+    (hot-token splitting, shuffle join) and the class-record join drops its
+    broadcast hint so AQE picks the strategy. Identical output either way
+    (asserted in tests)."""
     distinct_mentions = mentions.select(F.col("mention")).distinct()
     m_tokens = distinct_mentions.select(
         F.col("mention").alias("s_id"), tokenize(F.col("mention")).alias("tokens")
@@ -112,17 +119,26 @@ def link_mentions(
     o_tokens = ontology_token_table(ontology)
     if structural_tokens:
         o_tokens = expand_structural_tokens(ontology, o_tokens)
-    cands = candidate_pairs(
-        m_tokens, o_tokens, top_n=top_candidates, broadcast_target=True
-    )
+    if broadcast_ontology:
+        cands = candidate_pairs(
+            m_tokens, o_tokens, top_n=top_candidates, broadcast_target=True
+        )
+    else:
+        # dictionary too large to broadcast (the non-broadcastable regime):
+        # salted shuffle join with hot-token splitting — same output,
+        # BENCH/SKEW.md documents the 2.96x hot-key win
+        from pathhier_spark.operators.linking import salted_candidate_pairs
+
+        cands = salted_candidate_pairs(m_tokens, o_tokens, top_n=top_candidates)
     # channel scores vs the class record (J5 pair expansion: mention x alias)
     classes = ontology.select(
         F.col("class_id").alias("t_id"),
         F.col("aliases"),
         F.col("definition"),
     )
+    cls = F.broadcast(classes) if broadcast_ontology else classes
     scored = (
-        cands.join(F.broadcast(classes), "t_id")
+        cands.join(cls, "t_id")
         .withColumn("m_toks", tokenize(F.col("s_id")))
         .withColumn(
             "name_s",

@@ -147,7 +147,20 @@ class Warehouse:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         if man["format"] == "iceberg":
             return self.spark.read.table(man["snapshot"].split(":", 1)[1])
-        return self.spark.read.parquet(*self._snapshot_dirs(man))
+        return self._read_dirs(self._snapshot_dirs(man))
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        """Per-dir reads unioned by name: a single multi-path read REFUSES
+        partitioned layouts across several roots
+        (CONFLICTING_DIRECTORY_STRUCTURES — partition discovery needs one
+        basePath). Per-branch reads keep each dir's own discovery, and
+        filters/pruning push into every branch scan."""
+        out = self.spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(
+                self.spark.read.parquet(d), allowMissingColumns=True
+            )
+        return out
 
     def compact(
         self,
@@ -187,7 +200,7 @@ class Warehouse:
                 ]
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-        df = self.spark.read.parquet(*snaps)
+        df = self._read_dirs(snaps)
         partition_by = man.get("partition_by") or []
         if partition_by:
             # repartition(n_out, *partition_by) would hash ONLY on the

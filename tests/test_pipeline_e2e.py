@@ -147,3 +147,28 @@ def test_structural_tokens_widen_candidate_recall(spark):
     assert link(False).get("uniquetok greeting") != "A_child"
     # with parent tokens folded in, A_child tops candidates and links
     assert link(True).get("uniquetok greeting") == "A_child"
+
+
+def test_link_mentions_nonbroadcast_regime_identical(spark, corpus):
+    """broadcast_ontology=False (salted shuffle join for dictionaries too
+    large to broadcast) must produce the same links as the broadcast path."""
+    from pathhier_spark.operators.extract import extract_mentions, with_extracted_text
+    from pathhier_spark.plans.pipeline import link_mentions
+
+    docs, onto, *_ = corpus
+    ext = with_extracted_text(docs).select("url", F.col("extracted_text").alias("text"))
+    m = extract_mentions(ext)
+    mentions = (
+        m.select(F.col("subj_mention").alias("mention"))
+        .union(m.select(F.col("obj_mention").alias("mention")))
+    )
+
+    def rows(broadcast):
+        return {
+            (r["mention"], r["class_id"], round(r["link_score"], 9))
+            for r in link_mentions(
+                mentions, onto, broadcast_ontology=broadcast
+            ).collect()
+        }
+
+    assert rows(True) == rows(False)

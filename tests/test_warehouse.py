@@ -222,3 +222,24 @@ def test_compaction_size_aware_salting(spark, tmp_path):
     got = wh.read("skewed")
     assert got.count() == 100000
     assert stats["files_after"] < stats["files_before"]
+
+
+def test_partitioned_append_read_and_compact(spark, tmp_path):
+    """Appends to a PARTITIONED table: the multi-snapshot read unions
+    per-directory (one multi-root read refuses partitioned layouts), and
+    compaction collapses the snapshots back to one partitioned dir."""
+    wh = Warehouse(spark, str(tmp_path / "wh6"), fmt="parquet")
+    df1 = spark.range(10).selectExpr("id", "id % 2 AS part")
+    df2 = spark.range(10, 15).selectExpr("id", "id % 2 AS part")
+    wh.write(df1, "t", partition_by=["part"], fingerprint="base")
+    wh.write(df2, "t", partition_by=["part"], mode="append", fingerprint="b1")
+    got = wh.read("t")
+    assert got.count() == 15
+    assert sorted(r["part"] for r in got.select("part").distinct().collect()) == [0, 1]
+    stats = wh.compact("t")
+    assert stats["files_after"] >= 1
+    man = wh.manifest("t")
+    assert man["snapshots"] == [man["snapshot"]]
+    back = wh.read("t")
+    assert back.count() == 15
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(15))
