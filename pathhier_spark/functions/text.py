@@ -55,6 +55,13 @@ STOPWORDS = sorted(
 
 TOKEN_PATTERN = "[A-Za-z0-9]+"
 
+# Whitespace for oracle-gated splits: RE2's \s is [\t\n\f\r ] while Java's
+# \s also matches \x0B (vertical tab) — splitting on Java \s+ would diverge
+# from the DuckDB oracles' string_split_regex('\s+') on any document
+# containing \x0B. Every Spark-side whitespace split that feeds an oracle
+# query uses this explicit RE2-equivalent class instead.
+WS_SPLIT_RE = r"[ \t\n\f\r]+"
+
 
 def _stop_lit() -> Column:
     return F.array(*[F.lit(w) for w in STOPWORDS])

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pathhier_spark.functions.text import jaccard
+from pathhier_spark.functions.text import WS_SPLIT_RE, jaccard
 
 
 def exact_dedup(
@@ -35,24 +35,33 @@ def exact_dedup(
 
     Scale shape: NOT a Window.partitionBy(content_hash) — a window has no
     map-side combine, so one massively-duplicated text (hot boilerplate page
-    at corpus scale) funnels every full row through a single task. Instead
-    the winner per hash is a combiner-friendly groupBy/min aggregate (partial
-    agg collapses the hot key on the map side), joined back on the composite
-    (content_hash, id) key — near-unique, so the join shuffle spreads a hot
-    hash's rows across partitions instead of re-concentrating them, and AQE
-    can split any residual skew (it can split join partitions, never window
-    partitions). Same pattern as segment_dedup below."""
+    at corpus scale) funnels every full row through a single task. The whole
+    winner ROW is the min(struct(id, ...)) of one combiner-friendly
+    aggregation (partial agg collapses the hot key map-side; a hash
+    duplicated 10^9 times ships one candidate row per map task), and there
+    is no join back at all — which also guarantees EXACTLY one output row
+    per content_hash even when the input holds physically duplicated
+    (id, text) rows (a join back on (hash, id) would emit each copy).
+    Same pattern as segment_dedup below."""
+    cols = df.columns
     hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
-    winners = hashed.groupBy("content_hash").agg(
-        F.min(F.col(id_col)).alias(id_col),
-        F.count(F.lit(1)).alias("dup_count"),
+    winner = F.min(
+        F.struct(F.col(id_col), *[F.col(c) for c in cols if c != id_col])
+    ).alias("_w")
+    return (
+        hashed.groupBy("content_hash")
+        .agg(winner, F.count(F.lit(1)).alias("dup_count"))
+        .select(
+            *[F.col(f"_w.{c}").alias(c) for c in cols],
+            "content_hash",
+            "dup_count",
+        )
     )
-    return hashed.join(winners, on=["content_hash", id_col])
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:
     """k-token shingles of lowercased whitespace-tokenized text."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
     n = F.size(toks)
     return F.when(n >= k, F.array_distinct(
         F.transform(
@@ -184,7 +193,7 @@ def simhash(
     and computable by DuckDB for the oracle check (crc32 is not).
     Output: (id, simhash BIGINT)."""
     toks = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)).alias("tok")
     ).filter(F.col("tok") != "")
     counted = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
     hashed = counted.withColumn(
@@ -246,7 +255,7 @@ def segment_dedup(
     one task with no combiner); the winner table then equi-joins back, which
     AQE's skew-join can split on the probe side. One more shuffle by doc id
     reassembles. Output: (id, text_dedup, n_kept, n_dropped)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),

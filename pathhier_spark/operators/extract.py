@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pathhier_spark.functions.text import WS_SPLIT_RE
 from pathhier_spark.sources.corpus import TRIGGER_TO_PRED
 
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -142,7 +143,7 @@ def extract_token_triples(
     for k, v in sorted(trigger_to_pred.items()):
         pairs += [F.lit(k), F.lit(v)]
     pred_map = F.create_map(*pairs)
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
     # two-phase to keep allocation proportional to HITS, not tokens: first
     # an int array of trigger positions, then structs only for those
     trigger_lit = F.array(*[F.lit(k) for k in sorted(trigger_to_pred)])

@@ -82,20 +82,6 @@ def _empty_topk(queries: DataFrame, corpus: DataFrame,
     return corpus.sparkSession.createDataFrame([], schema)
 
 
-def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (pure Python, tiny)."""
-    import math
-    import random
-
-    rng = random.Random(seed)
-    planes = []
-    for _ in range(n_planes):
-        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        planes.append([x / n for x in v])
-    return planes
-
-
 _QUANT = 1_000_000  # embedding quantization scale for engine-portable sign(dot)
 
 
@@ -129,23 +115,6 @@ def _quantized(vec: Column) -> Column:
     ROUNDS while Spark's ANSI cast truncates, so neither raw cast is
     portable)."""
     return F.transform(vec, lambda x: F.floor(x.cast("double") * _QUANT))
-
-
-def with_lsh_bucket(
-    df: DataFrame,
-    planes: list[list[float]],
-    *,
-    vec_col: str = "embedding",
-    out_col: str = "bucket",
-) -> DataFrame:
-    """Sign-random-projection LSH: bucket id = bit pattern of sign(v·p)."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(
-            dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, bucket)
 
 
 def _banded_buckets(

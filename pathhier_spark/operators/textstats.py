@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pathhier_spark.functions.text import STOPWORDS
+from pathhier_spark.functions.text import STOPWORDS, WS_SPLIT_RE
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
 # language-ID (public common knowledge; deterministic)
@@ -28,7 +28,7 @@ LANG_MARKERS = {
 
 def _tokens(text_col: str) -> Column:
     return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_RE), lambda t: t != ""
     )
 
 
@@ -150,9 +150,8 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure column expressions — map-only, scan-speed. Email scrub runs first:
     the address part of user@host can itself contain dotted digits."""
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
-    )
+    email_scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(email_scrubbed, PII_IPV4_RE, "<IP>")
     return (
         df.withColumn(
             "n_emails",
@@ -160,7 +159,14 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("long"),
         )
         .withColumn(
-            "n_ipv4", F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0)).cast("long")
+            # counted on the EMAIL-SCRUBBED intermediate so the count equals
+            # the replacements actually made: dotted digits inside an
+            # address (a@1.2.3.4.win) are consumed by the email pass and
+            # must not also report an IP redaction that never happened
+            "n_ipv4",
+            F.size(
+                F.regexp_extract_all(email_scrubbed, F.lit(PII_IPV4_RE), 0)
+            ).cast("long"),
         )
         .withColumn("text_scrubbed", scrubbed)
     )

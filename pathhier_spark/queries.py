@@ -1897,7 +1897,8 @@ WITH t AS (
 )
 SELECT doc_id,
        len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::bigint AS n_emails,
-       len(regexp_extract_all(text, '{PII_IPV4_RE}'))::bigint AS n_ipv4,
+       len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PII_IPV4_RE}'))::bigint AS n_ipv4,
        md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
                           '{PII_IPV4_RE}', '<IP>', 'g')) AS scrub_md5
 FROM t

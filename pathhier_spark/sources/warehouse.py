@@ -107,8 +107,21 @@ class Warehouse:
             snapshot = f"iceberg:local.{table}"
             snapshots = [snapshot]
         else:
-            suffix = hashlib.md5(fingerprint.encode()).hexdigest()[:16]
+            # dir name keyed by (mode, fingerprint): a crash-replay of the
+            # SAME write deterministically overwrites its own directory,
+            # while an overwrite can never silently target an append's dir
+            suffix = hashlib.md5(f"{mode}:{fingerprint}".encode()).hexdigest()[:16]
             snapshot = os.path.join(self._table_dir(table), f"data_{suffix}")
+            if man and snapshot in self._snapshot_dirs(man):
+                # the target dir is LIVE (e.g. overwrite reusing a
+                # fingerprint that was committed earlier and appended over):
+                # mode('overwrite') would destroy committed data BEFORE the
+                # manifest swap, breaking the crash-safety invariant
+                raise ValueError(
+                    f"write to '{table}' reuses fingerprint {fingerprint!r} "
+                    "whose data directory is still in the live snapshot "
+                    "list; pick a fresh fingerprint"
+                )
             writer = df.write.mode("overwrite")  # a write owns its dir
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
@@ -236,7 +249,18 @@ class Warehouse:
                     for r in counts
                 ]
                 salt_src = self.spark.createDataFrame(salt_rows, salt_schema)
-                df = df.join(F.broadcast(salt_src), partition_by)
+                # NULL-safe join condition: rows with a NULL partition value
+                # (__HIVE_DEFAULT_PARTITION__ on disk) must survive — a
+                # plain equi-join silently DROPS them (NULL = NULL is never
+                # true), and compact() would commit a snapshot missing them
+                cond = None
+                for c in partition_by:
+                    eq = df[c].eqNullSafe(salt_src[c])
+                    cond = eq if cond is None else (cond & eq)
+                joined = df.join(F.broadcast(salt_src), cond)
+                df = joined.select(
+                    *[df[c] for c in data_cols], salt_src["_salt_k"]
+                )
                 salt = F.pmod(F.xxhash64(*data_cols), F.col("_salt_k"))
                 df = df.repartition(n_out, *partition_by, salt).drop("_salt_k")
             else:

@@ -62,11 +62,16 @@ def streaming_dedup(
 ) -> DataFrame:
     """Stateful streaming dedup: first occurrence per url wins within the
     watermark horizon (the streaming analog of dedup.exact_dedup /
-    pathway.py:741-747). State is bounded by the watermark — late
-    re-crawls beyond it are treated as new versions by design."""
-    return docs_stream.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url"]
-    )
+    pathway.py:741-747). dropDuplicatesWithinWatermark — NOT plain
+    dropDuplicates(subset) — because with a subset that excludes the
+    event-time column the watermark never evicts dedup state: a
+    continuously-crawled corpus would accumulate one state row per key
+    forever. WithinWatermark evicts each key once it falls behind the
+    horizon, so state size ~ keys per horizon and a late re-crawl beyond it
+    is a new version by design."""
+    return docs_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
 
 
 def _duration_ms(spec: str) -> int:
@@ -259,7 +264,7 @@ def stream_training_corpus(
     """Streaming analog of the q35 batch prep funnel: quality scoring +
     language ID (stateless column expressions — the exact batch operators,
     legal in streaming) -> content-hash exact dedup (stateful
-    dropDuplicates). A continuously-crawled corpus flows through the same
+    dropDuplicatesWithinWatermark). A continuously-crawled corpus flows through the same
     funnel the batch pipeline applies, with dedup state bounded by the
     watermark horizon (the first copy of a text wins within it; a re-crawl
     beyond the horizon is a new version by design — same contract as
@@ -274,8 +279,10 @@ def stream_training_corpus(
     kept = scored.filter(
         (F.col("quality_score") >= quality_floor) & (F.col("lang_pred") == lang)
     )
+    # WithinWatermark, not dropDuplicates(subset): see streaming_dedup —
+    # a subset without the event-time column is never evicted from state
     return (
         kept.withColumn("content_hash", F.md5(F.col("text")))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )

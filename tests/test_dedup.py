@@ -118,3 +118,14 @@ def test_segment_dedup_first_occurrence_wins(spark):
     assert out[2]["n_dropped"] == 1
     assert out[3]["text_dedup"] == "fresh text pad pad"
     assert out[4]["text_dedup"] == "" and out[4]["n_dropped"] == 2
+
+
+def test_exact_dedup_physical_duplicate_rows(spark):
+    """Physically duplicated (id, text) rows — e.g. a replayed ingest —
+    still yield exactly ONE output row per content hash."""
+    rows = [(1, "same text"), (1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    assert len(out) == 2
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["dup_count"] == 3 and by_id[3]["dup_count"] == 1

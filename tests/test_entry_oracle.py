@@ -91,27 +91,37 @@ def test_query_vs_oracle(spark, duck, name):
 
 # --- opt-in tri-scale gate (VERDICT r2 item 7): `pytest -m sf001` /
 # `pytest -m sf01` pin the sf0.01 / sf0.1 hash-match claims as CI-shaped
-# markers so scale regressions surface without the external driver ---
+# markers so scale regressions surface without the external driver.
+# Module-scoped connections (one view setup per scale, not per query) and
+# testdata root honoring the same env override as conftest. ---
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="module")
+def duck_sf001():
+    con = _duck(f"{TESTDATA}/sf0.01")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def duck_sf01():
+    con = _duck(f"{TESTDATA}/sf0.1")
+    yield con
+    con.close()
 
 
 @pytest.mark.sf001
 @pytest.mark.parametrize("name", ALL_QUERIES)
-def test_query_vs_oracle_sf001(spark, name):
-    con = _duck("/root/testdata/sf0.01")
-    try:
-        _gate_one(spark, con, name, "/root/testdata/sf0.01")
-    finally:
-        con.close()
+def test_query_vs_oracle_sf001(spark, duck_sf001, name):
+    _gate_one(spark, duck_sf001, name, f"{TESTDATA}/sf0.01")
 
 
 @pytest.mark.sf01
 @pytest.mark.parametrize("name", ALL_QUERIES)
-def test_query_vs_oracle_sf01(spark, name):
-    con = _duck("/root/testdata/sf0.1")
-    try:
-        _gate_one(spark, con, name, "/root/testdata/sf0.1")
-    finally:
-        con.close()
+def test_query_vs_oracle_sf01(spark, duck_sf01, name):
+    _gate_one(spark, duck_sf01, name, f"{TESTDATA}/sf0.1")
 
 
 def test_entry_smoke(spark):

@@ -164,6 +164,23 @@ def test_pii_scrub(spark):
     assert out[3]["text_scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
 
 
+def test_pii_scrub_counts_match_redactions(spark):
+    """Dotted digits consumed by the email pass (a@1.2.3.4.win) must not be
+    reported as an IP redaction — n_ipv4 counts what the IP pass actually
+    replaces in the email-scrubbed text."""
+    from pathhier_spark.operators.textstats import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@1.2.3.4.win now"), (2, "plain 1.2.3.4 here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[1]["text_scrubbed"] == "mail <EMAIL> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ipv4"] == 1
+    assert out[2]["text_scrubbed"] == "plain <IP> here"
+
+
 def test_ngram_repetition(spark):
     from pathhier_spark.operators.textstats import with_ngram_repetition
 

@@ -243,3 +243,38 @@ def test_partitioned_append_read_and_compact(spark, tmp_path):
     back = wh.read("t")
     assert back.count() == 15
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(15))
+
+
+def test_compaction_keeps_null_partition_rows(spark, tmp_path):
+    """Rows with a NULL partition value must survive compaction (the salt
+    join is NULL-safe; a plain equi-join would silently drop them)."""
+    wh = Warehouse(spark, str(tmp_path / "wh7"), fmt="parquet")
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 3 END AS part"
+    )
+    wh.write(df.repartition(8), "t", partition_by=["part"], fingerprint="v1")
+    assert wh.read("t").count() == 100
+    wh.compact("t")
+    got = wh.read("t")
+    assert got.count() == 100
+    assert got.filter("part IS NULL").count() == 10
+
+
+def test_overwrite_cannot_destroy_live_snapshot_dir(spark, tmp_path):
+    """An overwrite reusing a fingerprint whose directory is still in the
+    live snapshot list must refuse instead of destroying committed data
+    before the manifest swap."""
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh8"), fmt="parquet")
+    df = spark.range(10).selectExpr("id")
+    wh.write(df, "t", fingerprint="base")
+    wh.write(df, "t", mode="append", fingerprint="b1")
+    # man.fingerprint is now 'b1', so an overwrite with 'base' is NOT the
+    # idempotent-skip case — but its dir is live; must raise, data intact
+    with _pytest.raises(ValueError, match="live snapshot"):
+        wh.write(spark.range(1).selectExpr("id"), "t", fingerprint="base")
+    assert wh.read("t").count() == 20  # 10 base + 10 appended, all intact
+    # a fresh fingerprint overwrites cleanly
+    wh.write(spark.range(3).selectExpr("id"), "t", fingerprint="base2")
+    assert wh.read("t").count() == 3
