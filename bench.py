@@ -192,9 +192,17 @@ def main() -> None:
     registry = q.queries()
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        _materialize(registry[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2: a single-shot timing under this VM's co-tenant load is
+        # a lottery ticket (observed 4-5x spikes that migrate randomly
+        # between queries run-to-run); the min of two runs is the
+        # steady-state number, matching the headline's warm-up+min framing
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(registry[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
