@@ -35,28 +35,39 @@ def exact_dedup(
 
     Scale shape: NOT a Window.partitionBy(content_hash) — a window has no
     map-side combine, so one massively-duplicated text (hot boilerplate page
-    at corpus scale) funnels every full row through a single task. The whole
-    winner ROW is the min(struct(id, ...)) of one combiner-friendly
-    aggregation (partial agg collapses the hot key map-side; a hash
-    duplicated 10^9 times ships one candidate row per map task), and there
-    is no join back at all — which also guarantees EXACTLY one output row
-    per content_hash even when the input holds physically duplicated
-    (id, text) rows (a join back on (hash, id) would emit each copy).
-    Same pattern as segment_dedup below."""
+    at corpus scale) funnels every full row through a single task. The
+    winner id per hash is a combiner-friendly min/count aggregate over TWO
+    narrow columns (Catalyst prunes everything else into the scan — a
+    full-row min(struct) would drag text and binary payloads through the
+    shuffle and refuse unorderable column types), joined back NULL-safely on
+    the composite (content_hash, id) key — near-unique, so a hot hash's rows
+    spread across partitions and AQE can split residual skew. The final
+    dropDuplicates(content_hash) collapses physically duplicated winner rows
+    (same (id, text) ingested twice) so the output is EXACTLY one row per
+    hash; its partial aggregation collapses copies map-side, and it sees
+    only winner rows. When several DISTINCT rows tie on (hash, min id) the
+    kept one among them is arbitrary — the reference's dict-insertion
+    semantics are equally order-dependent there."""
     cols = df.columns
     hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
-    winner = F.min(
-        F.struct(F.col(id_col), *[F.col(c) for c in cols if c != id_col])
-    ).alias("_w")
-    return (
+    winners = (
         hashed.groupBy("content_hash")
-        .agg(winner, F.count(F.lit(1)).alias("dup_count"))
-        .select(
-            *[F.col(f"_w.{c}").alias(c) for c in cols],
-            "content_hash",
-            "dup_count",
+        .agg(
+            F.min(F.col(id_col)).alias("_win_id"),
+            F.count(F.lit(1)).alias("dup_count"),
         )
+        .withColumnRenamed("content_hash", "_win_hash")
     )
+    joined = hashed.join(
+        winners,
+        (F.col("content_hash") == F.col("_win_hash"))
+        # eqNullSafe: a hash group whose ids are ALL NULL still emits its
+        # (NULL-id) winner instead of vanishing from the output
+        & F.col(id_col).eqNullSafe(F.col("_win_id")),
+    )
+    return joined.select(
+        *cols, "content_hash", "dup_count"
+    ).dropDuplicates(["content_hash"])
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:

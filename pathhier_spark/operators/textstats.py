@@ -43,7 +43,11 @@ def with_quality_features(
     n_tokens = F.size(toks)
     stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    # explicit whitespace class, not \s: Java's \s matches \x0B, RE2's (the
+    # DuckDB oracle's) does not — same parity rule as WS_SPLIT_RE
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w \t\n\f\r]", "")
+    )
     distinct_ratio = F.when(
         n_tokens > 0, F.size(F.array_distinct(toks)).cast("double") / n_tokens
     ).otherwise(F.lit(0.0))

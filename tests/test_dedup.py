@@ -129,3 +129,23 @@ def test_exact_dedup_physical_duplicate_rows(spark):
     assert len(out) == 2
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[1]["dup_count"] == 3 and by_id[3]["dup_count"] == 1
+
+
+def test_exact_dedup_null_ids_and_complex_types(spark):
+    """All-NULL-id hash groups still emit their winner (NULL-safe join),
+    mixed groups pick the min non-null id (matching SQL min), and
+    unorderable column types (maps) pass through untouched."""
+    rows = [
+        (None, "ghost text", {"k": "a"}),
+        (None, "ghost text", {"k": "a"}),
+        (None, "mixed text", {"k": "b"}),
+        (7, "mixed text", {"k": "c"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, meta map<string,string>"
+    )
+    out = {r["text"]: r for r in exact_dedup(df).collect()}
+    assert out["ghost text"]["doc_id"] is None
+    assert out["ghost text"]["dup_count"] == 2
+    assert out["mixed text"]["doc_id"] == 7
+    assert out["mixed text"]["dup_count"] == 2
