@@ -222,60 +222,108 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 2,
-    seed: int = 42,
+    literal_plan_limit: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next to
     lsh_bucket_topk: partition the corpus into n_centroids Voronoi cells via
     a small distributed k-means, then compare each query only against its
-    n_probe nearest cells.
+    n_probe nearest cells (L2-nearest, the standard IVF probe metric).
 
-    Shuffle shape at scale: the corpus is scanned map-side to assign cells
-    (centroids are a broadcast literal — n_centroids x dim doubles), k-means
-    iterations are one groupBy(cell) mean each, and the probe join is a
-    cell-key equi-join feeding the exact re-rank. Centroid count is the
-    recall/cost dial: cells ~ sqrt(N) at production scale.
+    Engine-portable by construction (q36's full DuckDB value oracle): init
+    centroids are the n_centroids corpus vectors with the smallest
+    md5('ivf:' || id) (deterministic, reproducible in any engine with md5);
+    vectors quantize to int64 (floor(x*1e6), same trick as the q24 LSH
+    planes), so cell assignment = argmin of an all-integer squared-L2 — no
+    float summation-order flips at Voronoi boundaries — and Lloyd updates
+    are floor(sum/count) per dimension, which keeps centroids integral.
+    Integer sums stay exact while per-cell sum(|q|) < 2^53 (|x|<=~1e3 at
+    1e6 quantization leaves ~9e15 headroom, millions of rows per cell at
+    production dims). The final re-rank is exact double cosine on the
+    ORIGINAL vectors, identical to brute_force_topk.
 
-    Deterministic: centroids init from the corpus rows with the smallest
-    xxhash64(id, seed) (a seeded sample), Lloyd updates are means."""
-    import math
+    Shuffle shape at scale: corpus cell-assignment is map-side — centroids
+    ride either inline literals (small models) or ONE broadcast row carrying
+    array<array<bigint>> crossJoined in (large models; the literal plan at
+    4096 centroids x 768 dims would be ~3M expression nodes, so
+    n_centroids*dim > literal_plan_limit switches automatically — identical
+    output, asserted in tests). K-means iterations are one
+    groupBy(cell, dim) partial-agg each; the probe join is a cell equi-join
+    feeding the exact re-rank. Centroid count is the recall/cost dial:
+    cells ~ sqrt(N) at production scale."""
+    spark = corpus.sparkSession
+    zero = F.lit(0).cast("long")
 
-    def _dot(a, b_lit):
-        return dot_expr(F.col(a), F.array(*[F.lit(float(x)) for x in b_lit]))
-
-    def _norm_lit(v):
-        return math.sqrt(sum(x * x for x in v)) or 1.0
-
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
-    # seeded deterministic init: n_centroids corpus vectors by hash order
+    c = (
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
+        .withColumn("_qv", _quantized(F.col("cv")))
+    )
+    # deterministic engine-portable init: n smallest md5('ivf:' || id)
     init_rows = (
-        c.withColumn("h", F.xxhash64(F.col(corpus_id), F.lit(seed)))
-        .orderBy("h")
+        c.select(
+            corpus_id,
+            "_qv",
+            F.md5(
+                F.concat(F.lit("ivf:"), F.col(corpus_id).cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", corpus_id)
         .limit(n_centroids)
         .collect()
     )
     if not init_rows:
         return _empty_topk(queries, corpus, query_id, corpus_id)
-    centroids = [list(map(float, r["cv"])) for r in init_rows]
+    centroids = [[int(x) for x in r["_qv"]] for r in init_rows]
+    dim = len(centroids[0])
+    use_literal = len(centroids) * dim <= literal_plan_limit
 
-    def assign_expr(vec_alias, cents):
-        # argmin squared-L2 == argmax (dot - |c|^2/2); struct array_max picks
-        # the best (score, -cid) deterministically
-        scored = [
-            F.struct(
-                (_dot(vec_alias, cv) - F.lit(_norm_lit(cv) ** 2 / 2.0)).alias("s"),
-                F.lit(-i).alias("negcid"),
+    def _sqdist(vec, cent):
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    def nearest_cells(df, qcol, cents, n_keep, out_cols):
+        """out_cols + exploded `cell` = the n_keep L2-nearest centroids
+        (ties -> lowest cell id, via struct ordering). Map-side both ways:
+        literals inline for small models, else one broadcast row."""
+        if use_literal:
+            arr = F.array(
+                *[
+                    F.struct(
+                        _sqdist(
+                            F.col(qcol),
+                            F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                        ).alias("d"),
+                        F.lit(i).cast("int").alias("cell"),
+                    )
+                    for i, cv in enumerate(cents)
+                ]
             )
-            for i, cv in enumerate(cents)
-        ]
-        best = F.array_max(F.array(*scored))
-        return (-best["negcid"]).cast("int")
+            src = df
+        else:
+            cents_df = spark.createDataFrame(
+                [(cents,)], "cents array<array<bigint>>"
+            )
+            src = df.crossJoin(F.broadcast(cents_df))
+            arr = F.transform(
+                F.col("cents"),
+                lambda cv, i: F.struct(
+                    _sqdist(F.col(qcol), cv).alias("d"),
+                    i.cast("int").alias("cell"),
+                ),
+            )
+        picked = F.slice(F.array_sort(arr), 1, n_keep)
+        return src.select(*out_cols, F.explode(picked).alias("_pc")).select(
+            *out_cols, F.col("_pc.cell").alias("cell")
+        )
 
     for _ in range(kmeans_iters):
-        assigned = c.withColumn("cell", assign_expr("cv", centroids))
+        assigned = nearest_cells(c, "_qv", centroids, 1, ["_qv"])
         means = (
-            assigned.select("cell", F.posexplode("cv").alias("d", "v"))
+            assigned.select("cell", F.posexplode("_qv").alias("d", "v"))
             .groupBy("cell", "d")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.floor(F.sum("v") / F.count("v")).alias("m"))
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -285,28 +333,18 @@ def ivf_topk(
             )
             .collect()
         )
-        new_cents = list(centroids)
+        new_cents = list(centroids)  # cells that lost all points keep theirs
         for r in means:
-            new_cents[r["cell"]] = [float(x) for x in r["mv"]]
+            new_cents[r["cell"]] = [int(x) for x in r["mv"]]
         centroids = new_cents
 
-    corpus_cells = c.withColumn("cell", assign_expr("cv", centroids))
+    corpus_cells = nearest_cells(c, "_qv", centroids, 1, [corpus_id, "cv"])
 
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
-    # top-n_probe cells per query: explode per-centroid scores, window
-    probe_scores = [
-        F.struct(
-            (_dot("qv", cv) / F.lit(_norm_lit(cv))).alias("s"),
-            F.lit(i).alias("cell"),
-        )
-        for i, cv in enumerate(centroids)
-    ]
-    q_cells = q.select(
-        query_id, "qv",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(F.array(*probe_scores))), 1, n_probe)
-        ).alias("pc"),
-    ).select(query_id, "qv", F.col("pc.cell").alias("cell"))
+    q = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        .withColumn("_qq", _quantized(F.col("qv")))
+    )
+    q_cells = nearest_cells(q, "_qq", centroids, n_probe, [query_id, "qv"])
 
     scored = (
         F.broadcast(q_cells)

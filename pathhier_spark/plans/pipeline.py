@@ -45,27 +45,45 @@ def ontology_token_table(ontology: DataFrame) -> DataFrame:
     )
 
 
+def alias_token_table(ontology: DataFrame) -> DataFrame:
+    """Alias-ONLY token sets — the source for parent/child structural
+    expansion. The reference builds par_tokens/chd_tokens from relatives'
+    ALIASES only (candidate_selector.py:80-103: `kb[parent_id]['aliases']`,
+    `kb[child_id]['aliases']`), never their definitions."""
+    return ontology.select(
+        F.col("class_id").alias("ent_id"),
+        F.array_distinct(
+            F.flatten(F.transform(F.col("aliases"), lambda a: tokenize(a)))
+        ).alias("tokens"),
+    )
+
+
 def expand_structural_tokens(ontology: DataFrame, tokens: DataFrame) -> DataFrame:
     """J3 (candidate_selector.py:80-107): each class's token set also
-    includes tokens of its subClassOf/part_of parents and of its children.
-    Two self-joins over the parent edge list + array_union."""
+    includes the ALIAS tokens of its subClassOf/part_of parents and of its
+    children (reference: all_tokens = own(alias+def) + parent(alias) +
+    child(alias) — relatives contribute alias tokens only, not definition
+    tokens). Two self-joins over the parent edge list + array_union."""
     parents = ontology.select(
         F.col("class_id").alias("child"),
         F.explode(F.concat(F.col("subClassOf"), F.col("part_of"))).alias("parent"),
     )
-    base = tokens.select(F.col("ent_id"), F.col("tokens"))
+    alias_toks = alias_token_table(ontology)
     par_toks = (
-        parents.join(base.withColumnRenamed("ent_id", "parent"), "parent")
+        parents.join(alias_toks.withColumnRenamed("ent_id", "parent"), "parent")
         .groupBy("child")
         .agg(F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("ptoks"))
         .withColumnRenamed("child", "ent_id")
     )
     chd_toks = (
-        parents.join(base.withColumnRenamed("ent_id", "child"), "child")
+        parents.join(alias_toks.withColumnRenamed("ent_id", "child"), "child")
         .groupBy("parent")
         .agg(F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("ctoks"))
         .withColumnRenamed("parent", "ent_id")
     )
+    # own tokens stay alias+definition (the `tokens` argument); only the
+    # parent/child contributions are alias-only
+    base = tokens.select(F.col("ent_id"), F.col("tokens"))
     return (
         base.join(par_toks, "ent_id", "left")
         .join(chd_toks, "ent_id", "left")

@@ -1823,18 +1823,22 @@ FROM kept GROUP BY md5(text)
 
 # ---------------------------------------------------------------------------
 # Q36 — IVF (inverted-file) approximate top-k, the second ANN scale path
-# next to q24's banded LSH. No SQL oracle: the seeded k-means init keys on
-# Spark's xxhash64, which DuckDB cannot reproduce — the driver records a
-# rows-only check, and tests/test_entry_oracle.py asserts recall >= 0.9 vs
-# the exact brute_force_topk at the gate scales. n_probe=14/16 because the
-# driver embeddings are near-uniform random (the ANN worst case: every
-# neighbor is marginal, cells are ~arbitrary — measured recall 0.96-0.98 at
-# sf0.001/0.01/0.1); on clustered production corpora n_probe=4 already
-# reaches recall 1.0 (tests/test_similarity.py).
+# next to q24's banded LSH. Full DuckDB value oracle: the whole k-means is
+# engine-portable by construction (operators/similarity.py ivf_topk) — init
+# centroids are the n smallest md5('ivf:' || id), vectors quantize to int64
+# (floor(x*1e6)) so assignment is all-integer squared-L2 argmin, Lloyd
+# updates are floor(sum/count) per dim keeping centroids integral, and the
+# re-rank is exact double cosine — every step reproduced below as CTE
+# rounds. n_probe=14/16 because the driver embeddings are near-uniform
+# random (the ANN worst case: every neighbor is marginal, cells are
+# ~arbitrary); on clustered production corpora n_probe=4 already reaches
+# recall 1.0 (tests/test_similarity.py). tests/test_entry_oracle.py keeps
+# the recall >= 0.9 gate vs exact brute_force_topk.
 # ---------------------------------------------------------------------------
 
 _IVF_CENTROIDS = 16
 _IVF_PROBE = 14
+_IVF_ITERS = 2
 
 
 def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1846,8 +1850,96 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     return ivf_topk(
-        queries_df, corpus, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+        queries_df,
+        corpus,
+        k=5,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+        kmeans_iters=_IVF_ITERS,
     ).select("q_id", "c_id", _rz(F.col("cos"), 6).alias("cos"), "nn_rank")
+
+
+def _q36_sql() -> str:
+    d = _EMB_DIM
+    quant = "list_transform(embedding, x -> floor(x::double * 1000000)::bigint)"
+
+    def dist(v, cvec):
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}),"
+            f" i -> ({v}[i] - {cvec}[i]) * ({v}[i] - {cvec}[i])))"
+        )
+
+    # one Lloyd round: assign every corpus vector to its nearest centroid
+    # of the previous round, then per-(cell, dim) floor(sum/count) means;
+    # cells that lost all members keep their previous centroid (left join)
+    def lloyd(prev, a, m, cur):
+        return f"""{a} AS (
+  SELECT c_id, cv, cell FROM (
+    SELECT c.c_id, c.cv, t.cell,
+           row_number() OVER (PARTITION BY c.c_id
+                              ORDER BY {dist('c.cv', 't.cvec')}, t.cell) AS rn
+    FROM c, {prev} t
+  ) WHERE rn = 1
+), {m} AS (
+  SELECT cell, dd.d AS d, floor(sum(cv[dd.d])::double / count(*))::bigint AS m
+  FROM {a}, range(1, {d + 1}) dd(d)
+  GROUP BY cell, dd.d
+), {cur} AS (
+  SELECT p.cell, coalesce(mm.vec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list(m ORDER BY d) AS vec FROM {m} GROUP BY cell
+  ) mm USING (cell)
+)"""
+
+    rounds = ",\n".join(
+        lloyd(f"cent{i}", f"a{i}", f"m{i}", f"cent{i + 1}")
+        for i in range(_IVF_ITERS)
+    )
+    final = f"cent{_IVF_ITERS}"
+    return f"""
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS ce, {quant} AS cv FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qe, {quant} AS qv
+  FROM embeddings WHERE vec_id < 20
+), cent0 AS (
+  SELECT (row_number() OVER (ORDER BY md5('ivf:' || c_id::varchar), c_id)) - 1
+           AS cell,
+         cv AS cvec
+  FROM c
+  QUALIFY (row_number() OVER (ORDER BY md5('ivf:' || c_id::varchar), c_id))
+            <= {_IVF_CENTROIDS}
+),
+{rounds},
+corpus_cells AS (
+  SELECT c_id, ce, cell FROM (
+    SELECT c.c_id, c.ce, t.cell,
+           row_number() OVER (PARTITION BY c.c_id
+                              ORDER BY {dist('c.cv', 't.cvec')}, t.cell) AS rn
+    FROM c, {final} t
+  ) WHERE rn = 1
+), q_cells AS (
+  SELECT q_id, qe, cell FROM (
+    SELECT q.q_id, q.qe, t.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {dist('q.qv', 't.cvec')}, t.cell) AS rn
+    FROM q, {final} t
+  ) WHERE rn <= {_IVF_PROBE}
+), scored AS (
+  SELECT q_cells.q_id, corpus_cells.c_id,
+         list_sum(list_transform(generate_series(1, {d}),
+                                 i -> qe[i]::double * ce[i]::double))
+         / (sqrt(list_sum(list_transform(qe, x -> x::double * x::double)))
+            * sqrt(list_sum(list_transform(ce, x -> x::double * x::double)))) AS cos
+  FROM q_cells JOIN corpus_cells USING (cell)
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS nn_rank
+  FROM scored
+)
+SELECT q_id, c_id, (round(cos, 6) + 0.0) AS cos, nn_rank
+FROM ranked WHERE nn_rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2128,6 +2220,7 @@ def oracle_sql():
         "q33_fused_alignment_cells": _q33_sql(),
         "q34_segment_dedup": _q34_sql(),
         "q35_training_corpus": _q35_sql(),
+        "q36_ivf_topk": _q36_sql(),
         "q37_pii_scrub": _q37_sql(),
         "q38_ngram_repetition": _q38_sql(),
         "q39_boilerplate_ngrams": _q39_sql(),

@@ -101,19 +101,36 @@ def test_entity_bow_embeddings(spark):
 
 
 def test_structural_token_expansion(spark):
+    """Reference parity (candidate_selector.py:80-103): all_tokens =
+    own(alias+def) + parent(ALIAS) + child(ALIAS) — relatives contribute
+    alias tokens only, never their definition tokens."""
+    from pathhier_spark.plans.pipeline import alias_token_table
+
     c = corpus_mod.generate(n_classes=30, n_docs=5, seed=3)
     _, onto, *_ = corpus_mod.to_spark(spark, c)
     base = ontology_token_table(onto)
     expanded = expand_structural_tokens(onto, base)
     b = {r["ent_id"]: set(r["tokens"]) for r in base.collect()}
+    a = {r["ent_id"]: set(r["tokens"]) for r in alias_token_table(onto).collect()}
     e = {r["ent_id"]: set(r["tokens"]) for r in expanded.collect()}
-    # expansion is a superset everywhere; strictly larger for classes with parents
+    # expansion is a superset everywhere; own tokens keep alias+definition
     assert all(b[k] <= e[k] for k in b)
-    parents = {r["class_id"]: r["subClassOf"] for r in onto.collect()}
-    grew = [k for k in b if e[k] > b[k]]
+    rows = onto.collect()
+    parents = {r["class_id"]: list(r["subClassOf"]) + list(r["part_of"]) for r in rows}
     with_parent = [k for k, p in parents.items() if p]
-    assert grew and set(grew) >= set()  # some grew
-    # every class with a parent includes that parent's base tokens
-    for k in with_parent:
-        for p in parents[k]:
-            assert b[p] <= e[k]
+    assert with_parent
+    children = {}
+    for k, ps in parents.items():
+        for p in ps:
+            children.setdefault(p, []).append(k)
+    for k in b:
+        # exact reference set: own ∪ parent-alias ∪ child-alias
+        expect = set(b[k])
+        for p in parents.get(k, []):
+            if p in a:
+                expect |= a[p]
+        for ch in children.get(k, []):
+            expect |= a[ch]
+        assert e[k] == expect, k
+    # the expansion must actually add something somewhere
+    assert any(e[k] > b[k] for k in b)

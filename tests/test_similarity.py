@@ -143,3 +143,30 @@ def test_ivf_uniform_sanity(spark, sf_dir):
     recall = len(exact & a) / len(exact)
     assert recall >= 0.6, f"IVF uniform-data recall {recall:.3f} < 0.6"
     assert all((q, q) in a for q in range(20))
+
+
+def test_ivf_literal_vs_broadcast_identical(spark):
+    """The two cell-assignment regimes — inline centroid literals (small
+    models) and the one-broadcast-row array<array<bigint>> crossJoin (large
+    models, where a 4096x768 literal plan would be ~3M expression nodes) —
+    must produce identical output. 256 centroids forces real multi-cell
+    structure; literal_plan_limit=0 forces the broadcast path."""
+    import numpy as np
+
+    from pathhier_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    kw = dict(k=5, n_centroids=256, n_probe=16)
+    lit = sorted(
+        map(tuple, ivf_topk(queries, corpus, literal_plan_limit=10**9, **kw).collect())
+    )
+    bc = sorted(
+        map(tuple, ivf_topk(queries, corpus, literal_plan_limit=0, **kw).collect())
+    )
+    assert lit == bc and len(lit) > 0
