@@ -302,3 +302,57 @@ def segment_dedup(
             F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).alias("n_dropped"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document LINE dedup — the companion of segment_dedup
+    that completes the C4 recipe (the reference recipe drops exact duplicate
+    lines corpus-wide in addition to token-window segments): every line
+    (newline-delimited, byte-exact — no lowercasing, C4 compares lines
+    verbatim) keeps only its FIRST corpus-wide occurrence ordered by
+    (doc id, line position); each document is reassembled from its
+    surviving lines in order.
+
+    Scale shape (same as segment_dedup): the first-occurrence winner per
+    line is a map-side-combinable min-aggregation — NOT a window, which
+    would funnel every copy of a hot boilerplate line ("subscribe to our
+    newsletter") through one task with no combiner; the winner table
+    equi-joins back (AQE skew-join splits the probe side on hot lines),
+    then one doc-id shuffle reassembles. Output: (id, text_dedup, n_kept,
+    n_dropped)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    firsts = exploded.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    flagged = exploded.join(firsts, "line").withColumn(
+        "is_first",
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_first"),
+                                   F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_dedup"),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).alias("n_dropped"),
+        )
+    )

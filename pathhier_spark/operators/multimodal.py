@@ -2,11 +2,12 @@
 
 Image/audio/video payloads are treated as `binary` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas functions over mapInPandas. The actual codec step is STUBBED (the
-sandbox has no image/audio libraries) behind `_decode_payload` — a
-deterministic fake that derives a fixed-shape feature vector from the bytes —
-but the Spark-side plumbing (schema, batch iteration, partitioning, output
-shape) is real and tested.
+pandas functions over mapInPandas. Binary PPM (P6) images get a REAL
+stdlib-only decode (`decode_ppm`: header parse + per-channel pixel means);
+compressed formats (JPEG/PNG/audio/video codecs — libraries absent in this
+container) fall back to `_decode_payload`, a deterministic fake feature
+vector, with the Spark-side plumbing (schema, batch iteration, partitioning,
+output shape) identical either way.
 """
 
 from __future__ import annotations
@@ -44,19 +45,73 @@ def _decode_payload(payload: bytes) -> list[float]:
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """REAL stdlib-only image decode for binary PPM (P6): parse the header
+    (magic, whitespace/#-comment tolerant, maxval 255), then compute the
+    per-channel pixel means over the raw RGB plane. Returns
+    (width, height, [mean_r, mean_g, mean_b]) — means None-padded when the
+    image has zero pixels — or None when the payload is not P6 (caller
+    falls back to the stub feature path)."""
+    if payload is None or not payload.startswith(b"P6"):
+        return None
+    # header tokens: P6 <width> <height> <maxval>, separated by whitespace
+    # runs; '#' starts a comment through end-of-line
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c in b"#":
+            while pos < n and payload[pos] not in b"\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and payload[pos] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval != 255 or width < 0 or height < 0:
+        return None
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    npix = width * height
+    pixels = payload[pos : pos + npix * 3]
+    if len(pixels) < npix * 3:
+        return None
+    if npix == 0:
+        return (width, height, [None, None, None])
+    means = [sum(pixels[c::3]) / npix for c in range(3)]
+    return (width, height, means)
+
+
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction: (media_id, kind, features ARRAY<FLOAT>,
     checksum STRING = md5 hex of the payload bytes — engine-portable so the
-    DuckDB oracle can recompute it). Batches arrive as Arrow; one Python call
-    per batch."""
+    DuckDB oracle can recompute it, plus width/height/mean_rgb from the real
+    PPM decode when the payload is P6, NULL otherwise). Batches arrive as
+    Arrow; one Python call per batch."""
 
     out_schema = (
-        "media_id long, kind string, features array<float>, checksum string"
+        "media_id long, kind string, features array<float>, checksum string,"
+        " width int, height int, mean_rgb array<double>"
     )
+
+    def _row(b: bytes) -> tuple:
+        decoded = decode_ppm(bytes(b))
+        if decoded is None:
+            return (None, None, None)
+        w, h, means = decoded
+        return (w, h, means)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ok = pdf[pdf["payload"].notna()]
+            dec = ok["payload"].map(_row)
             yield pd.DataFrame(
                 {
                     "media_id": ok["media_id"],
@@ -65,6 +120,9 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                     "checksum": ok["payload"].map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
+                    "width": dec.map(lambda t: t[0]),
+                    "height": dec.map(lambda t: t[1]),
+                    "mean_rgb": dec.map(lambda t: t[2]),
                 }
             )
 
@@ -74,21 +132,33 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
 def media_from_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Deterministic media table derived from the documents table: payload =
-    the UTF-8 bytes of the text (an opaque binary stand-in for real codec
-    bytes), kind cycles image/audio/video by id. Gives the mapInPandas
-    plumbing a driver-table-sized input whose checksums a SQL oracle can
-    verify (md5(payload) == md5(text))."""
+    """Deterministic media table derived from the documents table, kind
+    cycling image/audio/video by id. IMAGE rows carry a real binary-PPM
+    (P6) payload — header + the text's bytes as a 1-row RGB plane
+    (npix = len//3 full pixels) — so decode_ppm exercises an actual codec
+    path whose width/means a SQL oracle can recompute from the same text
+    (the driver corpus is pure ASCII, so string ops == byte ops).
+    Audio/video rows keep the raw UTF-8 text bytes (opaque stand-ins;
+    md5(payload) == md5(text) for the oracle)."""
     m = F.col(id_col) % 3
+    npix = F.floor(F.length(F.col(text_col)) / 3).cast("int")
+    ppm = F.concat(
+        F.lit("P6\n"),
+        npix.cast("string"),
+        F.lit(" 1\n255\n"),
+        F.substring(F.col(text_col), 1, npix * 3),
+    )
     return docs.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.when(m == 0, F.lit("image"))
         .when(m == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
         .alias("kind"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
+        F.encode(
+            F.when(m == 0, ppm).otherwise(F.col(text_col)), "UTF-8"
+        ).alias("payload"),
+        F.when(m == 0, npix).cast("int").alias("width"),
+        F.when(m == 0, F.lit(1)).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
 

@@ -142,20 +142,60 @@ def with_fingerprint(
 # --- PII scrubbing (training-data prep: redact before the corpus ships) ---
 
 # conservative, engine-portable patterns (identical semantics under Java
-# regex and RE2): emails and IPv4 literals. Broader PII classes (phones,
-# physical addresses) need locale-aware models, out of scope here.
+# regex and RE2): emails, IPv4 literals, NANP-style phone numbers, and
+# 13-16-digit card-number candidates (validated by a Luhn checksum before
+# redaction — an all-digit run that fails Luhn is NOT a card and stays).
+# Broader PII classes (physical addresses, national IDs) need locale-aware
+# models, out of scope here.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+PII_CC_RE = r"\b\d{13,16}\b"
+
+
+def luhn_valid(s: Column) -> Column:
+    """Luhn checksum over a digit string — pure integer column arithmetic
+    (F.aggregate over the digit positions from the right), expressible
+    identically in any SQL engine (q42's oracle)."""
+    n = F.length(s)
+
+    def term(acc, i):
+        d = F.substring(s, n - i + 1, F.lit(1)).cast("int")
+        dd = d * 2
+        return acc + F.when(i % 2 == 1, d).otherwise(
+            dd - F.when(dd > 9, F.lit(9)).otherwise(F.lit(0))
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term) % 10 == 0
 
 
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails -> <EMAIL> and IPv4 literals -> <IP>, keeping
-    per-document match counts (n_emails, n_ipv4) for pipeline metrics.
-    Pure column expressions — map-only, scan-speed. Email scrub runs first:
-    the address part of user@host can itself contain dotted digits."""
+    """Redact emails -> <EMAIL>, IPv4 literals -> <IP>, phone numbers ->
+    <PHONE>, and Luhn-valid card numbers -> <CC>, keeping per-document
+    match counts (n_emails, n_ipv4, n_phones, n_ccs) for pipeline metrics.
+    Pure column expressions — map-only, scan-speed; the Luhn-conditional
+    card scrub is a fold (F.aggregate) over the validated candidates, each
+    replaced with word boundaries so a card number embedded in a longer
+    digit run is never touched.
+
+    Scrub order matters and each count is taken on the PREVIOUS
+    intermediate so counts == redactions actually made: the address part of
+    user@host can contain dotted digits (email before IPv4), and phone
+    separators must be consumed before card-candidate extraction."""
     t = F.col(text_col)
     email_scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    scrubbed = F.regexp_replace(email_scrubbed, PII_IPV4_RE, "<IP>")
+    ip_scrubbed = F.regexp_replace(email_scrubbed, PII_IPV4_RE, "<IP>")
+    phone_scrubbed = F.regexp_replace(ip_scrubbed, PII_PHONE_RE, "<PHONE>")
+    cc_valid = F.filter(
+        F.regexp_extract_all(phone_scrubbed, F.lit(PII_CC_RE), 0), luhn_valid
+    )
+    scrubbed = F.aggregate(
+        cc_valid,
+        phone_scrubbed,
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit("<CC>")
+        ),
+    )
     return (
         df.withColumn(
             "n_emails",
@@ -172,6 +212,13 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.regexp_extract_all(email_scrubbed, F.lit(PII_IPV4_RE), 0)
             ).cast("long"),
         )
+        .withColumn(
+            "n_phones",
+            F.size(
+                F.regexp_extract_all(ip_scrubbed, F.lit(PII_PHONE_RE), 0)
+            ).cast("long"),
+        )
+        .withColumn("n_ccs", F.size(cc_valid).cast("long"))
         .withColumn("text_scrubbed", scrubbed)
     )
 

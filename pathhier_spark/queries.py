@@ -1065,14 +1065,55 @@ def q25_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = media_from_documents(_docs(spark, sf_dir))
-    return extract_media_features(media).select("media_id", "kind", "checksum")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "checksum",
+        "width",
+        "height",
+        _rz(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+        _rz(F.element_at("mean_rgb", 2), 6).alias("mean_g"),
+        _rz(F.element_at("mean_rgb", 3), 6).alias("mean_b"),
+    )
 
 
+# image rows carry a real binary-PPM payload (P6 header + the text's bytes
+# as npix = len//3 full RGB pixels in one row); the oracle reconstructs the
+# exact payload string (corpus is pure ASCII: string md5 == byte md5) and
+# recomputes the per-channel means the REAL decoder produced
 Q25_SQL = """
-SELECT doc_id::bigint AS media_id,
-       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       md5(text) AS checksum
-FROM documents
+WITH t AS (
+  SELECT doc_id::bigint AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text,
+         (len(text) // 3)::int AS npix
+  FROM documents
+), chan AS (
+  SELECT media_id, kind, text, npix,
+         CASE WHEN kind = 'image'
+              THEN 'P6' || chr(10) || npix::varchar || ' 1' || chr(10)
+                   || '255' || chr(10) || substr(text, 1, npix * 3)
+              ELSE text END AS payload,
+         list_transform(generate_series(1, npix),
+                        p -> ord(substr(text, (p - 1) * 3 + 1, 1))) AS r,
+         list_transform(generate_series(1, npix),
+                        p -> ord(substr(text, (p - 1) * 3 + 2, 1))) AS g,
+         list_transform(generate_series(1, npix),
+                        p -> ord(substr(text, (p - 1) * 3 + 3, 1))) AS b
+  FROM t
+)
+SELECT media_id, kind, md5(payload) AS checksum,
+       CASE WHEN kind = 'image' THEN npix END AS width,
+       CASE WHEN kind = 'image' THEN 1 END AS height,
+       CASE WHEN kind = 'image' AND npix > 0
+            THEN round(list_sum(r)::double / npix, 6) + 0.0 END AS mean_r,
+       CASE WHEN kind = 'image' AND npix > 0
+            THEN round(list_sum(g)::double / npix, 6) + 0.0 END AS mean_g,
+       CASE WHEN kind = 'image' AND npix > 0
+            THEN round(list_sum(b)::double / npix, 6) + 0.0 END AS mean_b
+FROM chan
 """
 
 
@@ -2138,6 +2179,174 @@ FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q41 — C4-style LINE-level exact dedup (companion to q34's token-segment
+# dedup; together they complete the C4 recipe): byte-identical lines keep
+# only their first corpus-wide occurrence. The driver corpus has no
+# newlines, so both engines inject the SAME deterministic line structure
+# first (the q37 pattern): every document gains shared boilerplate lines
+# ("subscribe..."/"copyright...") around its own body line — the hot lines
+# survive exactly once, bodies survive per-document.
+# ---------------------------------------------------------------------------
+
+
+def q41_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("subscribe to our newsletter\n"),
+                F.col("text"),
+                F.lit("\ncopyright example corp"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter\ncopyright example corp"),
+            )
+        )
+        .alias("text"),
+    )
+    return line_dedup(injected).select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
+def _q41_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'subscribe to our newsletter' || chr(10) || text
+                   || chr(10) || 'copyright example corp'
+              ELSE text || chr(10) || 'subscribe to our newsletter'
+                   || chr(10) || 'copyright example corp'
+         END AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM t
+), lines AS (
+  SELECT doc_id, (i - 1)::int AS pos, ls[i] AS line
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM split)
+), flagged AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY pos), '')) AS dedup_md5,
+       count(*) FILTER (rn = 1) AS n_kept,
+       count(*) FILTER (rn > 1) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q42 — phone + Luhn-validated card-number PII redaction (extends q37's
+# email/IPv4 scrub). Injection (q37 pattern — both engines append the SAME
+# deterministic strings): docs % 3 == 1 get a phone + a VALID card
+# (4111111111111111, Luhn-passing -> redacted & counted), % 3 == 2 get an
+# INVALID card (4111111111111112, Luhn-failing -> kept, count 0) + a
+# parenthesized phone. The Luhn check is pure integer arithmetic on both
+# engines (F.aggregate HOF / list_transform+list_sum), so the conditional
+# redaction is fully value-oracled.
+# ---------------------------------------------------------------------------
+
+
+def q42_pii_phone_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import with_pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" card 4111111111111111"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" card 4111111111111112 or (212) 555-0199"),
+            )
+        )
+        .alias("text"),
+    )
+    return with_pii_scrub(injected).select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        "n_ccs",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+def _q42_sql() -> str:
+    from pathhier_spark.operators.textstats import (
+        PII_CC_RE,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    luhn = (
+        "list_sum(list_transform(generate_series(1, len(x)), i -> "
+        "CASE WHEN i % 2 = 1 THEN substr(x, len(x) - i + 1, 1)::int "
+        "ELSE CASE WHEN substr(x, len(x) - i + 1, 1)::int * 2 > 9 "
+        "THEN substr(x, len(x) - i + 1, 1)::int * 2 - 9 "
+        "ELSE substr(x, len(x) - i + 1, 1)::int * 2 END END)) % 10 = 0"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1 THEN
+                   text || ' call 555-867-'
+                        || lpad((doc_id % 10000)::varchar, 4, '0')
+                        || ' card 4111111111111111'
+              ELSE text || ' card 4111111111111112 or (212) 555-0199'
+         END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS e
+  FROM t
+), s2 AS (
+  SELECT *, regexp_replace(e, '{PII_IPV4_RE}', '<IP>', 'g') AS ip FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(ip, '{PII_PHONE_RE}', '<PHONE>', 'g') AS ph FROM s2
+), s4 AS (
+  SELECT *, list_filter(regexp_extract_all(ph, '{PII_CC_RE}'), x -> {luhn})
+              AS valid
+  FROM s3
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::bigint AS n_emails,
+       len(regexp_extract_all(e, '{PII_IPV4_RE}'))::bigint AS n_ipv4,
+       len(regexp_extract_all(ip, '{PII_PHONE_RE}'))::bigint AS n_phones,
+       len(valid)::bigint AS n_ccs,
+       md5(list_reduce(list_prepend(ph, valid),
+                       (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b',
+                                                  '<CC>', 'g'))) AS scrub_md5
+FROM s4
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2180,6 +2389,8 @@ def queries():
         "q38_ngram_repetition": q38_ngram_repetition,
         "q39_boilerplate_ngrams": q39_boilerplate_ngrams,
         "q40_strip_boilerplate": q40_strip_boilerplate,
+        "q41_line_dedup": q41_line_dedup,
+        "q42_pii_phone_cc": q42_pii_phone_cc,
     }
 
 
@@ -2225,4 +2436,6 @@ def oracle_sql():
         "q38_ngram_repetition": _q38_sql(),
         "q39_boilerplate_ngrams": _q39_sql(),
         "q40_strip_boilerplate": _q40_sql(),
+        "q41_line_dedup": _q41_sql(),
+        "q42_pii_phone_cc": _q42_sql(),
     }

@@ -149,3 +149,31 @@ def test_exact_dedup_null_ids_and_complex_types(spark):
     assert out["ghost text"]["dup_count"] == 2
     assert out["mixed text"]["doc_id"] == 7
     assert out["mixed text"]["dup_count"] == 2
+
+
+def test_line_dedup_keep_first(spark):
+    """C4 line dedup: byte-identical lines survive only at their first
+    (doc_id, pos) corpus-wide occurrence — including intra-document
+    repeats — and documents reassemble from surviving lines in order.
+    Comparison is byte-exact (no lowercasing): 'Hot' != 'hot'."""
+    from pathhier_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hot line\nbody one\nhot line"),
+            (2, "hot line\nbody two"),
+            (3, "Hot Line\nbody three\nbody three"),
+            (4, "only body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text_dedup"] == "hot line\nbody one"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[2]["text_dedup"] == "body two"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    # case-sensitive: 'Hot Line' is distinct; intra-doc repeat dropped
+    assert out[3]["text_dedup"] == "Hot Line\nbody three"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (2, 1)
+    assert out[4]["text_dedup"] == "only body"
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 0)

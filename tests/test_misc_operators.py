@@ -242,3 +242,80 @@ def test_strip_boilerplate(spark):
     pq = spark.createDataFrame([("p q p",)], "gram string")
     got4 = {r["doc_id"]: r for r in strip_boilerplate(df, pq, n=3).collect()}
     assert got4[4]["text_stripped"] == "" and got4[4]["n_stripped_tokens"] == 5
+
+
+def test_pii_scrub_phone_and_luhn_cc(spark):
+    """Phones redact in both NANP forms; 13-16-digit runs redact ONLY when
+    they pass the Luhn checksum (4111111111111112 fails and must stay);
+    a card number embedded in a longer digit run is out of candidate scope
+    (\\b guards) and untouched; counts equal redactions made."""
+    from pathhier_spark.operators.textstats import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-867-5309 or (212) 555-0199 today"),
+            (2, "pay 4111111111111111 not 4111111111111112"),
+            (3, "id 94111111111111111109 is not a card"),
+            (4, "amex 378282246310005 twice 378282246310005"),
+            (5, "clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_phones"] == 2
+    assert out[1]["text_scrubbed"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["n_ccs"] == 1
+    assert out[2]["text_scrubbed"] == "pay <CC> not 4111111111111112"
+    assert out[3]["n_ccs"] == 0
+    assert out[3]["text_scrubbed"] == out[3]["text"]
+    assert out[4]["n_ccs"] == 2
+    assert out[4]["text_scrubbed"] == "amex <CC> twice <CC>"
+    assert out[5]["n_phones"] == 0 and out[5]["n_ccs"] == 0
+    assert out[5]["text_scrubbed"] == "clean"
+
+
+def test_decode_ppm_real_codec():
+    """decode_ppm is a real P6 parser: header with comments/whitespace,
+    exact channel means, and honest rejection of truncated or non-P6
+    payloads."""
+    from pathhier_spark.operators.multimodal import decode_ppm
+
+    # 2x2 image, known channel means
+    pix = bytes([10, 20, 30, 50, 60, 70, 90, 100, 110, 130, 140, 150])
+    assert decode_ppm(b"P6\n2 2\n255\n" + pix) == (2, 2, [70.0, 80.0, 90.0])
+    # comment + odd whitespace in header
+    assert decode_ppm(b"P6 # comment\n 2\t2 # again\n255\n" + pix) == (
+        2, 2, [70.0, 80.0, 90.0],
+    )
+    # zero pixels: dims parse, means are None
+    assert decode_ppm(b"P6\n0 1\n255\n") == (0, 1, [None, None, None])
+    # truncated pixel plane / wrong maxval / not P6
+    assert decode_ppm(b"P6\n2 2\n255\n" + pix[:-1]) is None
+    assert decode_ppm(b"P6\n1 1\n65535\n" + pix) is None
+    assert decode_ppm(b"P5\n2 2\n255\n" + pix) is None
+    assert decode_ppm(b"\x89PNG....") is None
+
+
+def test_media_features_ppm_decode(spark):
+    """Image rows from media_from_documents decode through the REAL P6
+    path: width = len(text)//3, height 1, means = channel means of the
+    text bytes; audio/video rows have NULL decode columns."""
+    from pathhier_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcdef"), (1, "audio text"), (2, "video text"), (3, "xyzw")],
+        "doc_id long, text string",
+    )
+    out = {r["media_id"]: r for r in
+           extract_media_features(media_from_documents(docs)).collect()}
+    # doc 0: 'abcdef' -> 2 pixels (97,98,99),(100,101,102)
+    assert (out[0]["width"], out[0]["height"]) == (2, 1)
+    assert out[0]["mean_rgb"] == [98.5, 99.5, 100.5]
+    assert out[1]["width"] is None and out[1]["mean_rgb"] is None
+    assert out[2]["width"] is None
+    # doc 3: 'xyzw' -> 1 pixel (120,121,122), the 'w' byte is truncated
+    assert (out[3]["width"], out[3]["height"]) == (1, 1)
+    assert out[3]["mean_rgb"] == [120.0, 121.0, 122.0]

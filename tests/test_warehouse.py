@@ -278,3 +278,37 @@ def test_overwrite_cannot_destroy_live_snapshot_dir(spark, tmp_path):
     # a fresh fingerprint overwrites cleanly
     wh.write(spark.range(3).selectExpr("id"), "t", fingerprint="base2")
     assert wh.read("t").count() == 3
+
+
+def test_write_write_conflict_detected(spark, tmp_path, monkeypatch):
+    """Two concurrent appends read the same manifest; the slower one's
+    pointer swap must ABORT instead of rewriting the snapshot list without
+    the faster one's directory (silent loss of its committed rows). The
+    race is simulated by making the pre-swap guard re-read observe a
+    manifest that changed after the initial read."""
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    wh.write(df, "t", fingerprint="base")
+
+    orig = Warehouse.manifest
+    calls = {"n": 0}
+
+    def racy(self, table):
+        m = orig(self, table)
+        calls["n"] += 1
+        if calls["n"] == 2 and m is not None:  # the guard's re-read
+            m = dict(m)
+            m["fingerprint"] = "foreign-commit"
+        return m
+
+    monkeypatch.setattr(Warehouse, "manifest", racy)
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        wh.write(df, "t", mode="append", fingerprint="b1")
+    monkeypatch.setattr(Warehouse, "manifest", orig)
+    # the aborted write leaked nothing: table still reads the base snapshot
+    assert wh.read("t").count() == 5
+    # and a clean re-run (no race) commits fine
+    wh.write(df, "t", mode="append", fingerprint="b1")
+    assert wh.read("t").count() == 10
