@@ -171,9 +171,17 @@ def main() -> None:
         )
         _materialize(bootstrap_rescore_links(spark, links, onto))
 
-    t0 = time.time()
+    # like-for-like with the headline protocol: one untimed warm-up (this
+    # chain's codegen + worker reuse), then min-of-2 — the single cold run
+    # previously reported here mixed ~6s of first-run JIT/worker-spawn cost
+    # into a stage measurement the pipeline number never pays
     run_bootstrap_stage()
-    bootstrap_sec = round(time.time() - t0, 3)
+    boot_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        run_bootstrap_stage()
+        boot_runs.append(time.time() - t0)
+    bootstrap_sec = round(min(boot_runs), 3)
 
     # ---- per-query timings ---------------------------------------------------
     headline = [

@@ -246,7 +246,9 @@ def bootstrap_loop(
     already materialized, so lineage stays one union deep and needs no
     checkpoint of its own), and the training row count is tracked exactly
     on the driver (each iteration adds keep_pos + keep_neg rows by
-    construction), so collect_training_rows never re-counts."""
+    construction), so collect_training_rows never re-counts. The final
+    de-bootstrapped fit reuses iteration 0's collected rows (identical
+    table, filter, and row order) instead of re-scanning the union."""
     train_seed = seed_train.select(
         *FEATURE_COLS, "label", F.lit("seed").alias("provenance")
     ).localCheckpoint()
@@ -255,9 +257,18 @@ def bootstrap_loop(
     train = train_seed
     added = featurized_candidates.select("s_id", "t_id").limit(0)
     model = LRModel([0.0] * len(FEATURE_COLS), 0.0)
+    seed_rows: list | None = None
 
     for it in range(n_iterations):
-        model = fit_lr(collect_training_rows(train, n=n_train))
+        rows = collect_training_rows(train, n=n_train)
+        if it == 0:
+            # iteration 0 collects exactly the seed table (train ==
+            # train_seed, same thinning filter, same partition order) —
+            # identical to what the final de-bootstrapped fit would
+            # re-collect, so keep it and save that action + scan
+            # (asserted equal in tests/test_bootstrap_embeddings.py)
+            seed_rows = rows
+        model = fit_lr(rows)
         scored = lr_score(featurized_candidates, model.coef, model.intercept)
         # one scoring pass per iteration: cache the anti-joined table, fold
         # both side-counts into a single agg action (VERDICT r1 item 8 —
@@ -300,7 +311,11 @@ def bootstrap_loop(
         train = train.union(new_rows.select(*FEATURE_COLS, "label", "provenance"))
         fresh.unpersist()
 
-    # final model drops bootstrap-generated rows (pw_aligner.py:587, P8)
-    final_train = train.filter(~F.col("provenance").startswith("lr_iter"))
-    model = fit_lr(collect_training_rows(final_train, n=n_seed))
+    # final model drops bootstrap-generated rows (pw_aligner.py:587, P8):
+    # that is exactly the seed table, whose rows iteration 0 already
+    # collected — reuse them instead of re-scanning the union
+    if seed_rows is None:  # n_iterations == 0
+        final_train = train.filter(~F.col("provenance").startswith("lr_iter"))
+        seed_rows = collect_training_rows(final_train, n=n_seed)
+    model = fit_lr(seed_rows)
     return model, train

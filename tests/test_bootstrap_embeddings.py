@@ -134,3 +134,33 @@ def test_structural_token_expansion(spark):
         assert e[k] == expect, k
     # the expansion must actually add something somewhere
     assert any(e[k] > b[k] for k in b)
+
+
+def test_bootstrap_final_fit_reuses_seed_rows(spark):
+    """The final de-bootstrapped model must equal an LR fit on an
+    INDEPENDENT collect of train minus the lr_iter rows — proving the
+    iteration-0 row reuse (same table, same thinning filter, same row
+    order) changes nothing."""
+    from pathhier_spark.operators.bootstrap import (
+        collect_training_rows,
+        fit_lr,
+    )
+
+    pos = [(f"s{i}", f"t{i}", f"alpha beta {i}", f"alpha beta {i}") for i in range(30)]
+    neg = [(f"s{i}", f"u{i}", f"alpha beta {i}", "zq xw yk") for i in range(30)]
+    cand = spark.createDataFrame(
+        pos + neg, "s_id string, t_id string, s_txt string, t_txt string"
+    )
+    feats = pair_features(cand, "s_txt", "t_txt").select(
+        "s_id", "t_id", *FEATURE_COLS
+    ).cache()
+    seed = spark.createDataFrame(
+        [(1.0, 0.0, 0.9, 0.9, 0.9, 1), (0.5, 1.0, 0.1, 0.0, 0.0, 0),
+         (0.9, 0.1, 0.8, 0.8, 0.7, 1), (0.4, 0.9, 0.0, 0.1, 0.0, 0)],
+        ", ".join(f"{c} double" for c in FEATURE_COLS) + ", label int",
+    )
+    model, train = bootstrap_loop(spark, feats, seed, n_iterations=3)
+    final_train = train.filter(~F.col("provenance").startswith("lr_iter"))
+    expected = fit_lr(collect_training_rows(final_train))
+    assert model.coef == expected.coef
+    assert model.intercept == expected.intercept

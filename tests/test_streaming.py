@@ -292,3 +292,74 @@ def test_stream_training_corpus(spark, tmp_path):
         assert got == {good: 1, fresh: 1}
     finally:
         q.stop()
+
+
+def test_streaming_batch_funnel_parity_via_warehouse(spark, tmp_path):
+    """End-to-end parity (VERDICT r3 item 8): crawl stream ->
+    stream_training_corpus -> stream_to_warehouse -> batch Warehouse.read,
+    compared against the BATCH q35-style funnel (quality + language +
+    exact_dedup) over the same static input. The surviving corpus CONTENT
+    must agree exactly: same set of distinct texts, one copy each. (Winner
+    ids may differ by design — streaming keeps the first ARRIVAL within the
+    watermark, batch keeps the min id — so parity is asserted on content.)"""
+    import datetime
+
+    from pathhier_spark.operators.dedup import exact_dedup
+    from pathhier_spark.operators.textstats import (
+        with_lang_id,
+        with_quality_features,
+    )
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import (
+        stream_documents,
+        stream_to_warehouse,
+        stream_training_corpus,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    good = "the data is good and it is in the set that we keep for it"
+    fresh = "the second good text that we also keep in the end of it all"
+    third = "another keeper with the usual words that the filter is for"
+    gibber = "zz zz zz zz zz zz"
+    german = "der hund und die katze das ist nicht ein zu haus der die das und"
+
+    def doc(url, text):
+        return (url, ts, text.encode(), text, "xx")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    b1 = [doc("u1", good), doc("u2", good), doc("u3", gibber), doc("u4", german)]
+    b2 = [doc("u5", good), doc("u6", fresh), doc("u7", third)]
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    # streaming path: funnel -> exactly-once warehouse commits -> batch read
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    out = stream_training_corpus(stream_documents(spark, input_dir))
+    q = stream_to_warehouse(
+        out.select("url", "warc_ts", "text", "quality_score", "lang_pred"),
+        wh, "prep", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_result = wh.read("prep")
+
+    # batch path: the q35 funnel over the SAME static input
+    docs = spark.read.parquet(input_dir)
+    scored = with_lang_id(with_quality_features(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    batch_result = exact_dedup(kept, id_col="url")
+
+    s_texts = sorted(r["text"] for r in stream_result.select("text").collect())
+    b_texts = sorted(r["text"] for r in batch_result.select("text").collect())
+    assert s_texts == b_texts == sorted([good, fresh, third])
+    # quality/language columns surviving the warehouse round-trip agree
+    s_q = {r["text"]: (round(r["quality_score"], 9), r["lang_pred"])
+           for r in stream_result.collect()}
+    b_q = {r["text"]: (round(r["quality_score"], 9), r["lang_pred"])
+           for r in batch_result.collect()}
+    assert s_q == b_q
