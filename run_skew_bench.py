@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SOURCES = int(os.environ.get("SKEW_SOURCES", "200000"))
 N_TARGETS = int(os.environ.get("SKEW_TARGETS", "20000"))
-HOT_FRACTION = 0.5   # half of all sources carry the hot token
+# one token carried by ~this fraction of all sources (realized fraction is
+# 1/round(1/f) — 0.3 -> every 3rd row = 33%)
+HOT_FRACTION = float(os.environ.get("SKEW_HOT_FRACTION", "0.3"))
 HOT_TARGETS = int(os.environ.get("SKEW_HOT_TARGETS", "200"))  # hot token appears in this many targets
 
 
@@ -98,10 +100,18 @@ def main() -> None:
         fn().write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    # warm-up both paths once (worker spawn / codegen)
+    # warm-up all paths once (worker spawn / codegen)
+    timed(lambda: candidate_pairs(src, tgt, top_n=5, broadcast_target=True))
     timed(lambda: candidate_pairs(src, tgt, top_n=5, broadcast_target=False))
     timed(lambda: salted_candidate_pairs(src, tgt, top_n=5, hot_df_threshold=100))
 
+    # broadcast = the DEFAULT regime (dictionary fits): the hot key never
+    # shuffles at all, which is why it is the default; measured here as the
+    # reference point the two shuffle regimes are compared against
+    bcast = min(
+        timed(lambda: candidate_pairs(src, tgt, top_n=5, broadcast_target=True))
+        for _ in range(2)
+    )
     plain = min(
         timed(lambda: candidate_pairs(src, tgt, top_n=5, broadcast_target=False))
         for _ in range(2)
@@ -111,35 +121,63 @@ def main() -> None:
         for _ in range(2)
     )
 
+    hot_mod = max(1, round(1 / HOT_FRACTION))
     result = {
         "metric": "skew_join_sec",
+        "broadcast_sec": bcast,
         "plain_sec": plain,
         "salted_sec": salted,
         "speedup": round(plain / salted, 2) if salted else None,
         "n_sources": N_SOURCES,
         "n_targets": N_TARGETS,
-        "hot_pairs": int(N_SOURCES * HOT_FRACTION) * HOT_TARGETS,
+        "hot_pct": round(100.0 / hot_mod, 1),
+        "hot_pairs": (N_SOURCES // hot_mod) * HOT_TARGETS,
         "cores": cores,
     }
+    # merge this core-count's row into the persisted results, regenerate
+    # the SKEW.md table from every core count measured so far (the harness
+    # drives the script once per parallelism level, wide leg first)
     os.makedirs("BENCH", exist_ok=True)
+    merged_path = "BENCH/skew_results.json"
+    merged = {}
+    if os.path.exists(merged_path):
+        with open(merged_path) as f:
+            merged = json.load(f)
+    merged[str(cores)] = result
+    with open(merged_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    rows = "".join(
+        f"| local[{c}] | {m['broadcast_sec']} | {m['plain_sec']} | "
+        f"{m['salted_sec']} | **{m['speedup']}x** |\n"
+        for c, m in sorted(merged.items(), key=lambda kv: int(kv[0]))
+    )
     with open("BENCH/SKEW.md", "w") as f:
         f.write(
-            "# BENCH/SKEW — hot-key candidate join, plain vs salted\n\n"
-            f"Synthetic worst case: {int(HOT_FRACTION*100)}% of {N_SOURCES:,} "
+            "# BENCH/SKEW — hot-key candidate join: broadcast vs plain vs "
+            "salted\n\n"
+            f"Synthetic worst case: {result['hot_pct']}% of {N_SOURCES:,} "
             f"sources share one token that appears in {HOT_TARGETS} of "
             f"{N_TARGETS:,} targets -> {result['hot_pairs']:,} pairs through "
-            "one shuffle key. Broadcast of the target side is disabled to "
-            "isolate the non-broadcastable regime (with broadcast postings — "
-            "the default — the skewed key never shuffles at all).\n\n"
-            "| path | sec (min of 2, warm) |\n|---|---|\n"
-            f"| plain candidate_pairs (no broadcast) | {plain} |\n"
-            f"| salted_candidate_pairs (salt fan-out) | {salted} |\n\n"
-            f"**Salting speedup on the skewed corpus: {result['speedup']}x** "
-            f"(local[{cores}]).\n\n"
+            "one shuffle key. The broadcast column is the default regime "
+            "(dictionary fits in memory — the hot key never shuffles); "
+            "plain/salted isolate the non-broadcastable regime "
+            "(autoBroadcastJoinThreshold=-1), which is the one "
+            "salted_candidate_pairs exists for.\n\n"
+            "| parallelism | broadcast (default) | plain shuffle | salted "
+            "shuffle | salted speedup vs plain |\n|---|---|---|---|---|\n"
+            + rows
+            + "\nAll timings min-of-2 after a warm-up run, seconds.\n\n"
+            "Note the plain column across parallelism levels: adding cores "
+            "barely moves it — the hot key's partition is a serial ceiling "
+            "no amount of parallelism can cut, which is precisely the "
+            "failure mode the salt fan-out removes.\n\n"
             "At 1000 executors the plain path is strictly worse than local "
-            "mode shows: the hot key serializes onto ONE task while 999 "
-            "executors idle, so the gap grows with cluster size; the salted "
-            "path spreads the same pairs over `salt_buckets` keys.\n"
+            "mode shows: the hot key serializes onto ONE task while the "
+            "other executors idle, so the gap grows with cluster size; the "
+            "salted path spreads the same pairs over `salt_buckets` keys. "
+            "The broadcast column shows why broadcasting the postings list "
+            "is the default whenever the dictionary fits: no shuffle, no "
+            "skew surface at all.\n"
         )
     print(json.dumps(result))
     spark.stop()
