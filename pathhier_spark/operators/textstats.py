@@ -355,3 +355,67 @@ def strip_boilerplate(
         )
         .drop("_toks", "_starts")
     )
+
+
+# --- corpus-level unigram surprisal (language-model-lite quality signal) ---
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Mean unigram surprisal per document: avg over the document's tokens
+    of -ln(count(token) / N) under the CORPUS's own unigram distribution
+    (N = total token occurrences). High values flag documents whose
+    vocabulary is rare for the corpus — gibberish, other-language residue,
+    encoding damage — the cheap stand-in for LM-perplexity filtering in
+    pretraining prep.
+
+    Scale shape: token counts are one combiner-friendly groupBy; the corpus
+    total rides a one-row crossJoin (no driver action); the per-token
+    frequency lookup is a broadcast join by default (vocabulary ~ millions
+    of rows = broadcastable; pass broadcast_vocab=False for truly unbounded
+    vocabularies — the join keys on token, where Zipf-hot keys are exactly
+    the well-replicated ones, and AQE's skew join splits the probe side).
+
+    Determinism: the per-document sum folds ln(count) over the document's
+    tokens IN POSITION ORDER (array_sort by pos, then a sequential
+    F.aggregate) — not a float sum across shuffled rows — so the result is
+    bit-stable and engine-portable (q44's oracle replays the same
+    left-to-right fold). avg = ln(N) - sum(ln c)/n."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_count"))
+    total = freqs.agg(F.sum("tok_count").alias("n_total"))
+    f = F.broadcast(freqs) if broadcast_vocab else freqs
+    per_doc = (
+        toks.join(f, "tok")
+        .select(id_col, "pos", F.log(F.col("tok_count").cast("double")).alias("lnc"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lnc"))),
+                    lambda s: s["lnc"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_lnc"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.log(F.col("n_total").cast("double"))
+                - F.col("sum_lnc") / F.col("n_tokens")
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""URL canonicalization + URL-keyed dedup — web-corpus plumbing the
+reference never needed (its inputs are curated databases) but any
+Common-Crawl-scale ingest does: the same page arrives under dozens of URL
+spellings (case-variant scheme/host, default ports, tracking parameters,
+fragments), and canonicalizing before dedup collapses them without touching
+page content.
+
+Everything is pure column expressions (map-only, scan speed) with
+engine-portable regexes (identical semantics under Java regex and RE2), so
+the whole chain carries a full DuckDB value oracle (q43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters dropped during canonicalization: tracking/attribution
+# noise that changes nothing about the fetched content
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s)-style URL:
+
+      * scheme and host lowercased (path/query case is significant and kept)
+      * default ports dropped (http:80, https:443); explicit others kept
+      * fragment dropped (client-side only)
+      * tracking query parameters removed (TRACKING_PARAM_RE), remaining
+        parameters kept in their original order
+      * empty path becomes '/'
+
+    A value without a scheme separator is returned unchanged — relative
+    references have no canonical absolute form without a base URL."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    after_host = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(after_host, r"^([^?#]*)", 1)
+    query = F.regexp_extract(after_host, r"\?([^#]*)", 1)
+
+    keep_port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    kept_params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(kept_params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        keep_port,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first (minimum-id) row per canonical URL; output adds
+    (canon_url, dup_count). Same combiner-friendly scale shape as
+    exact_dedup (operators/dedup.py — min/count agg over two narrow
+    columns, NULL-safe join-back, winner-only collapse): a window over
+    canon_url would funnel a hot URL's every copy through one task.
+    Canonicalization itself is map-only, so the only shuffle is the
+    narrow winner aggregation."""
+    from pathhier_spark.operators.dedup import exact_dedup
+
+    with_canon = df.withColumn("canon_url", canonical_url(F.col(url_col)))
+    out = exact_dedup(with_canon, text_col="canon_url", id_col=id_col)
+    return out.withColumnRenamed("content_hash", "canon_hash")

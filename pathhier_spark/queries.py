@@ -2347,6 +2347,149 @@ FROM s4
 """
 
 
+# ---------------------------------------------------------------------------
+# Q43 — URL canonicalization + URL-keyed dedup (web-corpus ingest: the same
+# page arrives as case-variant scheme/host, default ports, tracking params,
+# fragments). The driver corpus has no urls, so both engines inject the
+# SAME deterministic spellings (q37 pattern): variants 0 and 1 differ only
+# in case/port/tracking noise and must collapse to one canonical row;
+# variant 3 has no scheme and passes through unchanged.
+# ---------------------------------------------------------------------------
+
+
+def q43_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.urls import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    # k decorrelated from the variant selector so variants 0 and 1 share
+    # page keys — the case/port/tracking collapse across spellings is real
+    k = (F.floor(F.col("doc_id") / F.lit(4)).cast("long") % 10).cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/Page/"), k,
+                F.lit("?utm_source=feed&id="), k, F.lit("&ref=tw#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://www.example.com/Page/"), k,
+                F.lit("?id="), k,
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://CDN.Example.com:8080/asset?gclid=Z&v="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("example.com/relative/"), k))
+        .alias("url"),
+    )
+    return url_dedup(injected).select("doc_id", "canon_url", "dup_count")
+
+
+def _q43_sql() -> str:
+    from pathhier_spark.operators.urls import TRACKING_PARAM_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Page/'
+                       || ((doc_id // 4) % 10)::varchar || '?utm_source=feed&id='
+                       || ((doc_id // 4) % 10)::varchar || '&ref=tw#frag'
+           WHEN 1 THEN 'https://www.example.com/Page/'
+                       || ((doc_id // 4) % 10)::varchar || '?id='
+                       || ((doc_id // 4) % 10)::varchar
+           WHEN 2 THEN 'http://CDN.Example.com:8080/asset?gclid=Z&v='
+                       || (doc_id % 7)::varchar
+           ELSE 'example.com/relative/' || ((doc_id // 4) % 10)::varchar
+         END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM t
+), q AS (
+  SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?#]*', '') AS after_host
+  FROM p
+), r AS (
+  SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(after_host, '^([^?#]*)', 1) AS path,
+         array_to_string(list_filter(
+           string_split(regexp_extract(after_host, '\\?([^#]*)', 1), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')),
+           '&') AS qs
+  FROM q
+), c AS (
+  SELECT doc_id,
+         CASE WHEN scheme = '' THEN url ELSE
+           scheme || '://' || host
+           || CASE WHEN (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                        OR port = '' THEN '' ELSE ':' || port END
+           || CASE WHEN path = '' THEN '/' ELSE path END
+           || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+         END AS canon_url
+  FROM r
+)
+SELECT min(doc_id) AS doc_id, canon_url, count(*) AS dup_count
+FROM c GROUP BY canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q44 — mean unigram surprisal per document under the corpus's own unigram
+# distribution (the cheap LM-perplexity stand-in for pretraining quality
+# filtering). The per-document sum folds ln(count) in POSITION order on
+# both engines (Spark: array_sort + sequential F.aggregate; DuckDB:
+# list(... ORDER BY pos) + list_sum) — bit-stable, no shuffled float sums.
+# ---------------------------------------------------------------------------
+
+
+def q44_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import unigram_surprisal
+
+    docs = _docs(spark, sf_dir)
+    return unigram_surprisal(docs).select(
+        "doc_id", "n_tokens", _rz(F.col("avg_surprisal"), 6).alias("avg_surprisal")
+    )
+
+
+def _q44_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1)::int AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  )
+), freqs AS (
+  SELECT tok, count(*) AS tok_count FROM toks GROUP BY tok
+), total AS (
+  SELECT sum(tok_count)::double AS n_total FROM freqs
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         list_sum(list(ln(f.tok_count::double) ORDER BY t.pos)) AS sum_lnc
+  FROM toks t JOIN freqs f USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       (round(ln(n_total) - sum_lnc / n_tokens, 6) + 0.0) AS avg_surprisal
+FROM per_doc, total
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2391,6 +2534,8 @@ def queries():
         "q40_strip_boilerplate": q40_strip_boilerplate,
         "q41_line_dedup": q41_line_dedup,
         "q42_pii_phone_cc": q42_pii_phone_cc,
+        "q43_url_dedup": q43_url_dedup,
+        "q44_unigram_surprisal": q44_unigram_surprisal,
     }
 
 
@@ -2438,4 +2583,6 @@ def oracle_sql():
         "q40_strip_boilerplate": _q40_sql(),
         "q41_line_dedup": _q41_sql(),
         "q42_pii_phone_cc": _q42_sql(),
+        "q43_url_dedup": _q43_sql(),
+        "q44_unigram_surprisal": _q44_sql(),
     }

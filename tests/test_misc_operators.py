@@ -319,3 +319,64 @@ def test_media_features_ppm_decode(spark):
     # doc 3: 'xyzw' -> 1 pixel (120,121,122), the 'w' byte is truncated
     assert (out[3]["width"], out[3]["height"]) == (1, 1)
     assert out[3]["mean_rgb"] == [120.0, 121.0, 122.0]
+
+
+def test_canonical_url(spark):
+    """Canonicalization: scheme/host case, default ports, fragments,
+    tracking params; path/query case and explicit non-default ports kept;
+    scheme-less values pass through unchanged."""
+    from pathhier_spark.operators.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/Page/7?utm_source=f&id=7&ref=tw#frag",
+         "https://www.ex.com/Page/7?id=7"),
+        ("http://Ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:8080/a?gclid=Z&v=1", "http://ex.com:8080/a?v=1"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/?utm_x=1", "https://ex.com/"),
+        ("ftp://Files.Ex.com:21/data", "ftp://files.ex.com:21/data"),
+        ("example.com/no-scheme?utm_x=1", "example.com/no-scheme?utm_x=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_collapses_spellings(spark):
+    from pathhier_spark.operators.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Ex.com:443/p?id=1&utm_s=x"),
+            (2, "https://ex.com/p?id=1"),
+            (3, "https://ex.com/p?id=2"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    assert set(out) == {"https://ex.com/p?id=1", "https://ex.com/p?id=2"}
+    w = out["https://ex.com/p?id=1"]
+    assert (w["doc_id"], w["dup_count"]) == (1, 2)
+
+
+def test_unigram_surprisal(spark):
+    """Rare-vocabulary docs score higher; values equal the hand-computed
+    -mean ln(count/N); broadcast and shuffle vocab regimes agree."""
+    import math
+
+    from pathhier_spark.operators.textstats import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rareword")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    # N=5; common count 4, rareword 1
+    exp1 = -math.log(4 / 5)
+    exp2 = -(math.log(4 / 5) + math.log(1 / 5)) / 2
+    assert out[1]["avg_surprisal"] == pytest.approx(exp1)
+    assert out[2]["avg_surprisal"] == pytest.approx(exp2)
+    assert out[2]["avg_surprisal"] > out[1]["avg_surprisal"]
+    nb = {r["doc_id"]: r["avg_surprisal"]
+          for r in unigram_surprisal(df, broadcast_vocab=False).collect()}
+    assert nb == {k: r["avg_surprisal"] for k, r in out.items()}
