@@ -419,3 +419,50 @@ def unigram_surprisal(
             ).alias("avg_surprisal"),
         )
     )
+
+
+# --- exact corpus percentiles via value histogram (scale-correct) ---
+
+
+def token_count_percentiles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT corpus percentiles of per-document token counts, computed the
+    way exact order statistics stay tractable at 100 TB: a value HISTOGRAM
+    (one combiner-friendly groupBy over the small discrete domain of
+    token counts), then a cumulative walk over the histogram — never a
+    global sort of N rows, never a single-partition window over the corpus
+    (the one window here orders the histogram, whose size is the number of
+    DISTINCT counts, independent of corpus row count).
+
+    Rank definition (engine-portable, integer-exact): percentile q = the
+    element at 0-indexed position floor((n-1)*q) of the sorted values =
+    the smallest v whose cumulative count reaches that rank + 1
+    (inverted-CDF / 'lower' interpolation — no float interpolation to
+    diverge between engines). Output: one row
+    (n_docs, p<q*100> per q)."""
+    from pyspark.sql import Window
+
+    counts = df.select(F.size(_tokens(text_col)).cast("long").alias("v"))
+    hist = counts.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    )
+    return cum.agg(
+        F.max("n").alias("n_docs"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.floor((F.col("n") - 1).cast("double") * F.lit(q)) + 1,
+                    F.col("v"),
+                )
+            ).alias(f"p{int(q * 100)}")
+            for q in qs
+        ],
+    )

@@ -2490,6 +2490,84 @@ FROM per_doc, total
 """
 
 
+# ---------------------------------------------------------------------------
+# Q45 — exact corpus percentiles of per-document token counts via a value
+# histogram (the scale-correct exact order statistic: no global sort, the
+# only window orders the histogram — distinct-count-sized, corpus-size
+# independent). Inverted-CDF rank (element at floor((n-1)*q)) — integer-
+# exact on both engines, no interpolation to diverge.
+# ---------------------------------------------------------------------------
+
+
+def q45_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import token_count_percentiles
+
+    docs = _docs(spark, sf_dir)
+    return token_count_percentiles(docs, qs=(0.5, 0.9, 0.99))
+
+
+def _q45_sql() -> str:
+    def pick(q):
+        return (
+            f"(SELECT min(v) FROM cum WHERE cum >= "
+            f"floor((SELECT (n - 1)::double FROM t) * {q}) + 1)"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT len({_SQL_WS_TOKS})::bigint AS v FROM documents
+), h AS (
+  SELECT v, count(*) AS c FROM c GROUP BY v
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h
+), t AS (
+  SELECT sum(c)::bigint AS n FROM h
+)
+SELECT (SELECT n FROM t) AS n_docs,
+       {pick(0.5)} AS p50,
+       {pick(0.9)} AS p90,
+       {pick(0.99)} AS p99
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q46 — JSON property extraction over the events table (S6 source-format
+# surface: semi-structured props parsed with the engine's REAL JSON path
+# functions on both sides, not regex), aggregated per event type.
+# ---------------------------------------------------------------------------
+
+
+def q46_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            _rz(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q46_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(json_extract_string(props, '$.k')::bigint) AS sum_k,
+       (round(avg(json_extract_string(props, '$.k')::bigint), 6) + 0.0)
+         AS avg_k,
+       min(json_extract_string(props, '$.k')::bigint) AS min_k,
+       max(json_extract_string(props, '$.k')::bigint) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2536,6 +2614,8 @@ def queries():
         "q42_pii_phone_cc": q42_pii_phone_cc,
         "q43_url_dedup": q43_url_dedup,
         "q44_unigram_surprisal": q44_unigram_surprisal,
+        "q45_token_percentiles": q45_token_percentiles,
+        "q46_json_props": q46_json_props,
     }
 
 
@@ -2585,4 +2665,6 @@ def oracle_sql():
         "q42_pii_phone_cc": _q42_sql(),
         "q43_url_dedup": _q43_sql(),
         "q44_unigram_surprisal": _q44_sql(),
+        "q45_token_percentiles": _q45_sql(),
+        "q46_json_props": Q46_SQL,
     }

@@ -380,3 +380,20 @@ def test_unigram_surprisal(spark):
     nb = {r["doc_id"]: r["avg_surprisal"]
           for r in unigram_surprisal(df, broadcast_vocab=False).collect()}
     assert nb == {k: r["avg_surprisal"] for k, r in out.items()}
+
+
+def test_token_count_percentiles(spark):
+    """Histogram-exact percentiles match the brute-force sorted-list
+    element at floor((n-1)*q)."""
+    import math
+
+    from pathhier_spark.operators.textstats import token_count_percentiles
+
+    texts = [(i, " ".join(["w"] * (1 + (i * 7) % 23))) for i in range(41)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    row = token_count_percentiles(df, qs=(0.5, 0.9, 0.99)).collect()[0]
+    vals = sorted(1 + (i * 7) % 23 for i in range(41))
+    n = len(vals)
+    for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert row[col] == vals[math.floor((n - 1) * q)], col
+    assert row["n_docs"] == n

@@ -312,3 +312,55 @@ def test_write_write_conflict_detected(spark, tmp_path, monkeypatch):
     # and a clean re-run (no race) commits fine
     wh.write(df, "t", mode="append", fingerprint="b1")
     assert wh.read("t").count() == 10
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count must
+    join with NO Exchange in the physical plan (co-located buckets), and
+    produce the same rows as the plain shuffled join."""
+    from pathhier_spark.sources.warehouse import read_bucketed, write_bucketed
+
+    nodes = spark.range(0, 1000).select(
+        F.col("id").alias("node_id"),
+        (F.col("id") % 7).alias("part"),
+    )
+    edges = spark.range(0, 3000).select(
+        (F.col("id") % 1000).alias("node_id"),
+        (F.col("id") % 13).alias("w"),
+    )
+    write_bucketed(
+        spark, nodes, "b_nodes", bucket_by=["node_id"], n_buckets=8,
+        sort_by=["node_id"], path=str(tmp_path / "b_nodes"),
+    )
+    write_bucketed(
+        spark, edges, "b_edges", bucket_by=["node_id"], n_buckets=8,
+        sort_by=["node_id"], path=str(tmp_path / "b_edges"),
+    )
+    # isolate the co-located-join regime: at production scale neither side
+    # broadcasts — locally the tiny tables would, and the planner then
+    # rightly skips the bucketed scan as broadcast is cheaper
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        bn, be = read_bucketed(spark, "b_nodes"), read_bucketed(spark, "b_edges")
+        joined = bn.join(be, "node_id")
+        got = {(r["node_id"], r["part"], r["w"]) for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        plain = nodes.join(edges, "node_id")
+        want = {(r["node_id"], r["part"], r["w"]) for r in plain.collect()}
+        assert got == want and len(got) == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_nodes")
+        spark.sql("DROP TABLE IF EXISTS b_edges")
