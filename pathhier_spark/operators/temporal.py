@@ -1,0 +1,141 @@
+"""Temporal joins Spark's DataFrame API lacks as primitives — as-of join
+and interval/range join — built as compositions of existing operators (the
+SURVEY custom-operator rule: composition first, Pandas UDF only if
+semantics demand it; these don't).
+
+Both are staples of event-log / time-series work at warehouse scale
+(enrich each event with the latest dimension snapshot; attribute points to
+intervals) where the naive formulations — per-row subqueries, or a
+BroadcastNestedLoopJoin over an inequality predicate — collapse at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: every left row gains the right row with the
+    LARGEST right_ts <= left_ts for the same key (inclusive, matching
+    DuckDB/pandas `merge_asof` backward semantics); unmatched left rows
+    keep NULLs (left-outer).
+
+    Implementation is the union-and-window composition: tag both sides,
+    union on (key, ts, side, right-payload-struct), and take
+    `last(payload, ignorenulls=True)` over a window ordered by
+    (ts, side) with right rows sorting BEFORE left rows at equal ts —
+    one shuffle of both sides on the key, one sort, no inequality join
+    anywhere. That is the optimal distributed shape: each key's timeline
+    is merged exactly once, vs. the per-left-row probe of a naive
+    inequality join. Hot keys concentrate on single partitions like any
+    keyed window; at production scale pre-bucket both tables on the key
+    (sources/warehouse.write_bucketed) and the shuffle disappears too.
+
+    Right-side (key, ts) pairs should be unique for deterministic output
+    (true after any sensible snapshot dedup); with duplicates the last in
+    (ts, payload-struct) order wins — still deterministic, but pick your
+    own tie-break upstream if it matters."""
+    lcols = left.columns
+    rpay = [c for c in right.columns if c not in (on, right_ts)]
+    pay_struct = F.struct(
+        F.col(right_ts).alias("_pts"), *[F.col(c) for c in rpay]
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        pay_struct.alias("_pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
+          if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side", "_pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        *[F.col(c) for c in lcols],
+        F.col("_match._pts").alias(f"{right_prefix}{right_ts}"),
+        *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in rpay],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str | None,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join — point in [start, end) — via BIN BUCKETING: both
+    sides map their time values onto fixed `bin_seconds` buckets (an
+    interval explodes into every bucket it overlaps), the join is then a
+    plain EQUI-join on (key, bin) with the exact BETWEEN predicate as a
+    post-filter. Catalyst's native plan for an inequality-only join is a
+    BroadcastNestedLoopJoin — O(points x intervals) and a scale killer;
+    binning turns it into a hash join whose per-bucket work is bounded by
+    interval density. Choose bin_seconds near the median interval length:
+    too small explodes interval rows, too large packs unrelated points
+    into shared buckets.
+
+    A point's bucket appears in an interval's exploded bucket list at most
+    once, so no dedup is needed. `on=None` joins on the bin alone
+    (global intervals); how='left' keeps unmatched points with NULL
+    interval columns (matches are still exact)."""
+    b = F.lit(int(bin_seconds))
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / b)
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    keys = ["_bin"] if on is None else [on, "_bin"]
+    cond_in = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) < F.col(end_col)
+    )
+    hit = p.join(i, keys).filter(cond_in).drop("_bin")
+    if how == "inner":
+        return hit
+    if how == "left":
+        icols = [c for c in intervals.columns if c not in points.columns
+                 and c != (on or "")]
+        missed = points.join(
+            hit.select(*points.columns).distinct(), points.columns, "left_anti"
+        ).select(
+            *points.columns,
+            *[F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+              for c in icols],
+        )
+        return hit.unionByName(missed)
+    raise ValueError(f"unsupported how={how!r}")

@@ -2568,6 +2568,91 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q47 — backward as-of join (operators/temporal.py): each purchase event
+# gains the user's latest view event at or before it. Spark side is the
+# union-and-window composition (one key shuffle, no inequality join);
+# the oracle is DuckDB's NATIVE ASOF LEFT JOIN — two entirely different
+# evaluation strategies agreeing bit-for-bit. The view side pre-dedups to
+# unique (user, ts) so the as-of winner is well-defined on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q47_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(purchases, views, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _rz(F.col("purchase_value"), 6).alias("purchase_value"),
+        F.col("r_ts").alias("view_ts"),
+        _rz(F.col("r_view_value"), 6).alias("view_value"),
+    )
+
+
+Q47_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       (round(p.purchase_value, 6) + 0.0) AS purchase_value,
+       v.ts AS view_ts,
+       (round(v.view_value, 6) + 0.0) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q48 — interval/range join (operators/temporal.py): attribute each click
+# to every purchase whose 24-hour attribution window contains it. Spark
+# side is the bin-bucketed equi-join (Catalyst's native plan for an
+# inequality-only join is a BroadcastNestedLoopJoin — O(n x m)); the
+# oracle is the plain BETWEEN join.
+# ---------------------------------------------------------------------------
+
+
+def q48_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return range_join(
+        clicks, windows, on="user_id", bin_seconds=86400
+    ).select("purchase_id", "click_id", "user_id")
+
+
+Q48_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 24 HOURS
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2616,6 +2701,8 @@ def queries():
         "q44_unigram_surprisal": q44_unigram_surprisal,
         "q45_token_percentiles": q45_token_percentiles,
         "q46_json_props": q46_json_props,
+        "q47_asof_enrich": q47_asof_enrich,
+        "q48_click_attribution": q48_click_attribution,
     }
 
 
@@ -2667,4 +2754,6 @@ def oracle_sql():
         "q44_unigram_surprisal": _q44_sql(),
         "q45_token_percentiles": _q45_sql(),
         "q46_json_props": Q46_SQL,
+        "q47_asof_enrich": Q47_SQL,
+        "q48_click_attribution": Q48_SQL,
     }

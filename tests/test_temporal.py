@@ -1,0 +1,89 @@
+"""as-of join and bin-bucketed range join (operators/temporal.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.temporal import asof_join, range_join
+
+
+def ts(h, m=0, s=0):
+    return datetime.datetime(2024, 1, 1, h, m, s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(12), "b"), (2, ts(9), "c"), (3, ts(8), "d")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 90.0), (1, ts(12), 120.0), (2, ts(11), 110.0)],
+        "k long, ts timestamp, rv double",
+    )
+    out = {(r["k"], r["ts"]): r for r in
+           asof_join(left, right, on="k").collect()}
+    # latest right at-or-before: strict-before case
+    assert out[(1, ts(10))]["r_rv"] == 90.0
+    assert out[(1, ts(10))]["r_ts"] == ts(9)
+    # INCLUSIVE: equal timestamps match
+    assert out[(1, ts(12))]["r_rv"] == 120.0
+    # right exists only in the future -> no match (left-outer NULLs)
+    assert out[(2, ts(9))]["r_rv"] is None
+    # key absent from right entirely
+    assert out[(3, ts(8))]["r_rv"] is None
+    # left columns survive untouched
+    assert out[(1, ts(12))]["lv"] == "b"
+
+
+def test_asof_join_multiple_left_same_key(spark):
+    """Many left rows per key each independently pick their own as-of
+    match; left rows never consume or shadow each other."""
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(10, 30)), (1, ts(11))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 1.0), (1, ts(10, 45), 2.0)],
+        "k long, ts timestamp, rv double",
+    )
+    got = {r["ts"]: r["r_rv"] for r in asof_join(left, right, on="k").collect()}
+    assert got == {ts(10): 1.0, ts(10, 30): 1.0, ts(11): 2.0}
+
+
+def test_range_join_boundaries_and_bins(spark):
+    """[start, end) semantics exactly: start inclusive, end exclusive;
+    intervals spanning multiple bins still match points in every bin."""
+    points = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(12)), (3, 1, ts(13, 59, 59)),
+         (4, 1, ts(14)), (5, 2, ts(11))],
+        "pid long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 1, ts(10), ts(14))],  # 4h window, crosses hourly bins
+        "iid long, k long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join(
+            points, intervals, on="k", bin_seconds=3600
+        ).collect()
+    )
+    # pid 1 at start (inclusive), 2 inside, 3 just before end; 4 AT end
+    # (exclusive) out; 5 wrong key out
+    assert got == [1, 2, 3]
+
+
+def test_range_join_left_and_global(spark):
+    points = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(20))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, ts(9), ts(11))], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    out = {r["pid"]: r for r in range_join(
+        points, intervals, on=None, bin_seconds=3600, how="left"
+    ).collect()}
+    assert out[1]["iid"] == 7
+    assert out[2]["iid"] is None
+    assert len(out) == 2
