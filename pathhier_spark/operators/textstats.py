@@ -466,3 +466,52 @@ def token_count_percentiles(
             for q in qs
         ],
     )
+
+
+# --- KMV (k-minimum-values) distinct-count sketch ---
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, *, k: int = 256
+) -> DataFrame:
+    """K-minimum-values cardinality sketch — the deterministic sketch:
+    hash every value with md5 (engine-portable hex32 -> uniform 32-bit
+    integers), keep the k smallest DISTINCT hashes, and estimate
+    n_distinct = (k-1) / u_k where u_k is the k-th minimum normalized to
+    [0, 1). Unlike HLL, every step is exactly reproducible in any engine
+    with md5 (q50 carries a full value oracle), and the sketch is
+    mergeable: the union of two KMV min-sets, re-cut to k, is the sketch
+    of the union (asserted in tests).
+
+    Scale shape: dedup-then-TakeOrdered — the distinct is a combiner
+    groupBy on the hash, and orderBy(h).limit(k) is Spark's distributed
+    partial top-k (each partition keeps only k candidates; no global
+    sort materializes). Returns one row: (k_used, kth_hash, est_distinct)
+    — when the domain has fewer than k distinct values the count is exact
+    (k_used = domain size, est = that)."""
+    hashes = (
+        df.select(
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.lit(1).alias("_one"))
+        .select("h")
+    )
+    mins = hashes.orderBy("h").limit(k)
+    return mins.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.when(
+            F.col("k_used") < k, F.col("k_used").cast("double")
+        )
+        .otherwise(
+            (F.lit(float(k - 1)))
+            / (F.col("kth_hash").cast("double") / F.lit(float(1 << 32)))
+        )
+        .alias("est_distinct"),
+    )

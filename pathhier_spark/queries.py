@@ -2653,6 +2653,96 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+# ---------------------------------------------------------------------------
+# Q49 — time-bucketed rollup over the events table (the hypertable-rollup
+# shape: hierarchical day x event_type totals in one pass, q26's ROLLUP
+# applied to a truncated time dimension).
+# ---------------------------------------------------------------------------
+
+
+def q49_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        # cast to date: DuckDB's date_trunc('day', ...) returns DATE while
+        # Spark's returns timestamp — str-canonicalized they differ
+        ev.rollup(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
+Q49_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q50 — KMV distinct-count sketch over the document token vocabulary: the
+# DETERMINISTIC sketch (md5-hashed k-minimum-values), so unlike HLL the
+# estimate itself is value-oracled — both engines produce the identical
+# k-th minimum hash and therefore the identical estimate. exact_distinct
+# rides along to show the sketch's accuracy.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+
+
+def q50_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import kmv_distinct
+
+    from pathhier_spark.functions.text import WS_SPLIT_RE
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), WS_SPLIT_RE),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    sk = kmv_distinct(toks, "tok", k=_KMV_K)
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    return sk.crossJoin(exact).select(
+        "k_used", "kth_hash", _rz(F.col("est_distinct"), 4).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def _q50_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents
+), hashes AS (
+  SELECT DISTINCT {_sql_hex32('tok')} AS h FROM toks
+), mins AS (
+  SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K}
+), sk AS (
+  SELECT count(*) AS k_used, max(h) AS kth_hash FROM mins
+)
+SELECT k_used, kth_hash,
+       (round(CASE WHEN k_used < {_KMV_K} THEN k_used::double
+                   ELSE {_KMV_K - 1}.0 / (kth_hash::double / 4294967296.0)
+              END, 4) + 0.0) AS est_distinct,
+       (SELECT count(DISTINCT tok) FROM toks) AS exact_distinct
+FROM sk
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2703,6 +2793,8 @@ def queries():
         "q46_json_props": q46_json_props,
         "q47_asof_enrich": q47_asof_enrich,
         "q48_click_attribution": q48_click_attribution,
+        "q49_daily_rollup": q49_daily_rollup,
+        "q50_vocab_kmv": q50_vocab_kmv,
     }
 
 
@@ -2756,4 +2848,6 @@ def oracle_sql():
         "q46_json_props": Q46_SQL,
         "q47_asof_enrich": Q47_SQL,
         "q48_click_attribution": Q48_SQL,
+        "q49_daily_rollup": Q49_SQL,
+        "q50_vocab_kmv": _q50_sql(),
     }

@@ -397,3 +397,26 @@ def test_token_count_percentiles(spark):
     for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
         assert row[col] == vals[math.floor((n - 1) * q)], col
     assert row["n_docs"] == n
+
+
+def test_kmv_distinct_sketch(spark):
+    """KMV: exact below k, within ~3/sqrt(k) relative error above k, and
+    mergeable — the union's sketch equals the sketch of the union."""
+    from pathhier_spark.operators.textstats import kmv_distinct
+
+    small = spark.createDataFrame(
+        [(f"v{i % 17}",) for i in range(100)], "x string"
+    )
+    r = kmv_distinct(small, "x", k=64).collect()[0]
+    assert (r["k_used"], r["est_distinct"]) == (17, 17.0)
+
+    big = spark.createDataFrame([(f"u{i}",) for i in range(5000)], "x string")
+    est = kmv_distinct(big, "x", k=256).collect()[0]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 3 / (256 ** 0.5), est
+
+    # mergeability: sketch(h1 ∪ h2) == sketch over the unioned input
+    h1 = spark.createDataFrame([(f"u{i}",) for i in range(3000)], "x string")
+    h2 = spark.createDataFrame([(f"u{i}",) for i in range(2000, 5000)], "x string")
+    merged = kmv_distinct(h1.union(h2), "x", k=256).collect()[0]
+    assert merged["kth_hash"] == kmv_distinct(big, "x", k=256).collect()[0]["kth_hash"]
+    assert merged["est_distinct"] == est
