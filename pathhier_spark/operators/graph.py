@@ -111,3 +111,70 @@ def name_pair_expansion(
     return pairs.withColumn("l_name", F.explode(F.col(left_aliases))).withColumn(
         "r_name", F.explode(F.col(right_aliases))
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PageRank in integer fixed-point arithmetic — graph analytics over the
+    materialized KG beyond connected components, built so the ITERATIVE
+    float algorithm becomes deterministic and engine-portable (q51 replays
+    the rounds as unrolled SQL CTEs, the same trick as q36's Lloyd rounds):
+    ranks live as int64 micro-units (`scale`), each round's contribution is
+    floor(rank / out_degree), the damped update is
+    floor(damping_pct * sum(contrib) / 100) + floor((100 - damping_pct)
+    * scale / 100) — pure integer ops, so no float summation order can
+    perturb ranks across engines or partitionings. Simplified variant:
+    dangling-node mass leaks (no redistribution) — mirrored exactly in the
+    oracle.
+
+    Scale shape: out-degrees are one combiner groupBy; each round is a
+    broadcast-free equi-join of ranks onto edges (rank table is
+    node-sized) + one combiner-friendly integer sum per dst; lineage stays
+    flat because each round only references the previous round's
+    aggregated (node, rank) table. Nodes = union of srcs and dsts; nodes
+    with no in-edges hold the teleport term. Output: (node, rank_fp INT64,
+    rank DOUBLE = rank_fp / scale)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select(F.col("d").alias("node"))
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank_fp", F.lit(int(scale)).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.floor(F.col("rank_fp") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(teleport)).cast("long")
+                    + F.floor(
+                        F.lit(damping_pct)
+                        * F.coalesce(F.col("in_sum"), F.lit(0))
+                        / F.lit(100)
+                    )
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("rank_fp").cast("long").alias("rank_fp"),
+        (F.col("rank_fp").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -2743,6 +2743,77 @@ FROM sk
 """
 
 
+# ---------------------------------------------------------------------------
+# Q51 — integer fixed-point PageRank over the customer->supplier trade
+# graph (iterative KG analytics beyond connected components). Ranks are
+# int64 micro-units with floor-division contributions, so the iterative
+# float algorithm is deterministic and the oracle replays every round as
+# unrolled CTEs (the q36 Lloyd-round trick applied to a graph loop).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000
+_PR_DAMP = 85
+
+
+def q51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import pagerank_fixedpoint
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixedpoint(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    ).select("node", "rank_fp", _rz(F.col("rank"), 6).alias("rank"))
+
+
+def _q51_sql() -> str:
+    teleport = (100 - _PR_DAMP) * _PR_SCALE // 100
+
+    def rnd(prev, c, cur):
+        return f"""{c} AS (
+  SELECT e.d AS node,
+         sum(floor(r.rank_fp::double / deg.deg)::bigint) AS in_sum
+  FROM e JOIN {prev} r ON e.s = r.node JOIN deg ON e.s = deg.s
+  GROUP BY e.d
+), {cur} AS (
+  SELECT n.node,
+         ({teleport} + floor(({_PR_DAMP} * coalesce(c.in_sum, 0))::double
+                             / 100)::bigint)::bigint AS rank_fp
+  FROM nodes n LEFT JOIN {c} c ON n.node = c.node
+)"""
+
+    rounds = ",\n".join(
+        rnd(f"r{i}", f"c{i + 1}", f"r{i + 1}") for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey::varchar AS s,
+                  's' || l_suppkey::varchar AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+  )
+), deg AS (
+  SELECT s, count(*) AS deg FROM e GROUP BY s
+), r0 AS (
+  SELECT node, {_PR_SCALE}::bigint AS rank_fp FROM nodes
+),
+{rounds}
+SELECT node, rank_fp,
+       (round(rank_fp::double / {_PR_SCALE}.0, 6) + 0.0) AS rank
+FROM r{_PR_ITERS}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2795,6 +2866,7 @@ def queries():
         "q48_click_attribution": q48_click_attribution,
         "q49_daily_rollup": q49_daily_rollup,
         "q50_vocab_kmv": q50_vocab_kmv,
+        "q51_pagerank": q51_pagerank,
     }
 
 
@@ -2850,4 +2922,5 @@ def oracle_sql():
         "q48_click_attribution": Q48_SQL,
         "q49_daily_rollup": Q49_SQL,
         "q50_vocab_kmv": _q50_sql(),
+        "q51_pagerank": _q51_sql(),
     }

@@ -87,3 +87,26 @@ def test_range_join_left_and_global(spark):
     assert out[1]["iid"] == 7
     assert out[2]["iid"] is None
     assert len(out) == 2
+
+
+def test_pagerank_fixedpoint(spark):
+    """Star graph: the hub all leaves point at accumulates rank; sources
+    with no in-edges settle at the teleport floor; integer ranks are
+    bit-identical across runs and conserve no more than total input mass
+    (dangling leak is by design)."""
+    from pathhier_spark.operators.graph import pagerank_fixedpoint
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in pagerank_fixedpoint(edges).collect()}
+    # sources b,c have no in-edges -> exactly the teleport term
+    assert out["b"]["rank_fp"] == out["c"]["rank_fp"] == 150_000
+    # the hub dominates; 'a' gets hub's mass back but less than hub
+    assert out["hub"]["rank_fp"] > out["a"]["rank_fp"] > out["b"]["rank_fp"]
+    # deterministic to the last integer
+    again = {r["node"]: r["rank_fp"] for r in pagerank_fixedpoint(edges).collect()}
+    assert again == {k: v["rank_fp"] for k, v in out.items()}
+    # dangling leak only: total mass never exceeds N * scale
+    assert sum(v["rank_fp"] for v in out.values()) <= 4 * 1_000_000
