@@ -136,10 +136,12 @@ def pagerank_fixedpoint(
 
     Scale shape: out-degrees are one combiner groupBy; each round is a
     broadcast-free equi-join of ranks onto edges (rank table is
-    node-sized) + one combiner-friendly integer sum per dst; lineage stays
-    flat because each round only references the previous round's
-    aggregated (node, rank) table. Nodes = union of srcs and dsts; nodes
-    with no in-edges hold the teleport term. Output: (node, rank_fp INT64,
+    node-sized) + one combiner-friendly integer sum per dst. The lazy plan
+    is `iterations` rounds deep — fine at the default 5; for long runs
+    localCheckpoint the rank table every ~10 rounds exactly as
+    connected_components does (canonicalize.py), the same loop-lineage
+    discipline. Nodes = union of srcs and dsts; nodes with no in-edges
+    hold the teleport term. Output: (node, rank_fp INT64,
     rank DOUBLE = rank_fp / scale)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     nodes = e.select(F.col("s").alias("node")).union(
