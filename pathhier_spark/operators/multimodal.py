@@ -101,7 +101,12 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
         " width int, height int, mean_rgb array<double>"
     )
 
-    def _row(b: bytes) -> tuple:
+    def _row(kind: str, b: bytes) -> tuple:
+        # the image codec only runs for image rows — an audio/video payload
+        # whose bytes happen to start with a parseable P6 header must NOT
+        # report image dimensions
+        if kind != "image":
+            return (None, None, None)
         decoded = decode_ppm(bytes(b))
         if decoded is None:
             return (None, None, None)
@@ -111,7 +116,10 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ok = pdf[pdf["payload"].notna()]
-            dec = ok["payload"].map(_row)
+            dec = [
+                _row(k, b) for k, b in zip(ok["kind"], ok["payload"])
+            ]
+            dec = pd.Series(dec, index=ok.index)
             yield pd.DataFrame(
                 {
                     "media_id": ok["media_id"],

@@ -43,7 +43,12 @@ def asof_join(
     Right-side (key, ts) pairs should be unique for deterministic output
     (true after any sensible snapshot dedup); with duplicates the last in
     (ts, payload-struct) order wins — still deterministic, but pick your
-    own tie-break upstream if it matters."""
+    own tie-break upstream if it matters. Right rows with a NULL timestamp
+    are dropped (a NULL ts can never satisfy ts <= left_ts — matching
+    DuckDB ASOF and pandas merge_asof, where they would otherwise sort
+    first and become a universal fallback match); left rows with NULL
+    left_ts sort before every right row and correctly match nothing."""
+    right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns
     rpay = [c for c in right.columns if c not in (on, right_ts)]
     pay_struct = F.struct(
@@ -130,9 +135,18 @@ def range_join(
     if how == "left":
         icols = [c for c in intervals.columns if c not in points.columns
                  and c != (on or "")]
-        missed = points.join(
-            hit.select(*points.columns).distinct(), points.columns, "left_anti"
-        ).select(
+        # NULL-safe anti-join: a matched point carrying a NULL in any
+        # column would never equal itself under plain equality and would
+        # be emitted a second time as unmatched
+        matched = hit.select(*points.columns).distinct()
+        renamed = matched.select(
+            *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+        )
+        cond = None
+        for c in points.columns:
+            eq = points[c].eqNullSafe(renamed[f"_m_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        missed = points.join(renamed, cond, "left_anti").select(
             *points.columns,
             *[F.lit(None).cast(intervals.schema[c].dataType).alias(c)
               for c in icols],

@@ -449,9 +449,15 @@ def token_count_percentiles(
     counts = df.select(F.size(_tokens(text_col)).cast("long").alias("v"))
     hist = counts.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        hist.withColumn("cum", F.sum("c").over(w))
-        .crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    # n = max cumulative count — a second window over the (tiny) histogram,
+    # NOT a separate hist.agg branch: Spark would not share the uncached
+    # corpus-scan subtree between two consumers, and this operator's whole
+    # point is a single pass over the documents
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.max("cum").over(w_all)
     )
     return cum.agg(
         F.max("n").alias("n_docs"),

@@ -2016,8 +2016,25 @@ def q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q37_sql() -> str:
-    from pathhier_spark.operators.textstats import PII_EMAIL_RE, PII_IPV4_RE
+    # mirrors the FULL operator scrub chain (email -> ipv4 -> phone -> cc),
+    # not just the two classes q37 reports: with_pii_scrub's text_scrubbed
+    # redacts all four, so an oracle that stopped at IPv4 would silently
+    # diverge the moment the corpus contains a phone-shaped or Luhn-valid
+    # digit run (q42 exercises those classes with injected input)
+    from pathhier_spark.operators.textstats import (
+        PII_CC_RE,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
 
+    luhn = (
+        "list_sum(list_transform(generate_series(1, len(x)), i -> "
+        "CASE WHEN i % 2 = 1 THEN substr(x, len(x) - i + 1, 1)::int "
+        "ELSE CASE WHEN substr(x, len(x) - i + 1, 1)::int * 2 > 9 "
+        "THEN substr(x, len(x) - i + 1, 1)::int * 2 - 9 "
+        "ELSE substr(x, len(x) - i + 1, 1)::int * 2 END END)) % 10 = 0"
+    )
     return f"""
 WITH t AS (
   SELECT doc_id,
@@ -2027,14 +2044,26 @@ WITH t AS (
                    || '.0.7'
          END AS text
   FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS e
+  FROM t
+), s2 AS (
+  SELECT *, regexp_replace(e, '{PII_IPV4_RE}', '<IP>', 'g') AS ip FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(ip, '{PII_PHONE_RE}', '<PHONE>', 'g') AS ph FROM s2
+), s4 AS (
+  SELECT *, list_filter(regexp_extract_all(ph, '{PII_CC_RE}'), x -> {luhn})
+              AS valid
+  FROM s3
 )
 SELECT doc_id,
        len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::bigint AS n_emails,
-       len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                              '{PII_IPV4_RE}'))::bigint AS n_ipv4,
-       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{PII_IPV4_RE}', '<IP>', 'g')) AS scrub_md5
-FROM t
+       len(regexp_extract_all(e, '{PII_IPV4_RE}'))::bigint AS n_ipv4,
+       md5(list_reduce(list_prepend(ph, valid),
+                       (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b',
+                                                  '<CC>', 'g'))) AS scrub_md5
+FROM s4
 """
 
 
@@ -2671,7 +2700,11 @@ def q49_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # integer cents, not round(sum(double)): a cross-row float sum
+            # is summation-order-dependent, and the grand-total row sums
+            # the whole table — quantize per row first so the aggregate is
+            # exact under any partitioning and on any engine
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
         )
         .orderBy(
             F.col("day").asc_nulls_first(),
@@ -2683,7 +2716,7 @@ def q49_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q49_SQL = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       sum(floor(value * 100))::bigint AS sum_value_cents
 FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
@@ -2704,17 +2737,10 @@ _KMV_K = 256
 def q50_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.textstats import kmv_distinct
 
-    from pathhier_spark.functions.text import WS_SPLIT_RE
+    from pathhier_spark.operators.textstats import _tokens
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), WS_SPLIT_RE),
-                lambda t: t != "",
-            )
-        ).alias("tok")
-    )
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
     sk = kmv_distinct(toks, "tok", k=_KMV_K)
     exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
     return sk.crossJoin(exact).select(

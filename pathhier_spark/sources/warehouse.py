@@ -80,14 +80,17 @@ class Warehouse:
         REQUIRES an explicit fingerprint — with the 'static' default every
         second append would silently dedupe against the first (data loss).
 
-        Write-write concurrency: immediately before the pointer swap the
-        manifest is re-read and the commit ABORTS if another commit landed
-        since our initial read (same optimistic guard as compact()) —
-        otherwise the second swap would rewrite the snapshot list without
-        the first append's directory, silently dropping its committed rows.
-        The aborted write's own directory never entered the manifest, so
-        nothing leaks; the caller re-runs write() and the replay-dedup
-        logic picks up from the fresh manifest.
+        Write-write concurrency: the manifest re-read + pointer swap run
+        under an exclusive-create commit lock (manifest.lock; stale locks
+        from crashed writers are broken after a timeout), and the commit
+        ABORTS if another commit landed since our initial read — a bare
+        check-then-replace would leave a window where two writers both
+        pass the check before either swaps, and the second swap would
+        rewrite the snapshot list without the first append's directory,
+        silently dropping its committed rows. The aborted write's own
+        directory never entered the manifest, so nothing leaks; the caller
+        re-runs write() and the replay-dedup logic picks up from the fresh
+        manifest.
 
         Iceberg-backend caveat: writer.append() commits to the iceberg
         catalog IMMEDIATELY, so a crash between that commit and our
@@ -154,26 +157,42 @@ class Warehouse:
             applied.add(fingerprint)
         else:
             applied = {fingerprint}
-        # optimistic-concurrency guard (parquet backend; see docstring for
-        # the iceberg caveat): another commit between our manifest read and
-        # this swap must not be silently overwritten by our snapshot list
-        if self.fmt != "iceberg":
-            current = self.manifest(table)
-            if (current is None) != (man is None) or (
-                current is not None
-                and man is not None
-                and (
-                    current.get("fingerprint") != man.get("fingerprint")
-                    or self._snapshot_dirs(current) != self._snapshot_dirs(man)
-                )
-            ):
-                raise RuntimeError(
-                    f"concurrent commit to '{table}' during write; rerun "
-                    "write() — its replay dedup starts from the fresh "
-                    "manifest"
-                )
-        tmp = self._manifest_path(table) + ".tmp"
+        # concurrency guard (parquet backend; see docstring for the iceberg
+        # caveat): the re-read + pointer swap happen under an exclusive
+        # commit lock — a plain check-then-replace would leave a window
+        # where two writers both pass the check before either swaps, and
+        # the second swap would drop the first append's directory
         os.makedirs(self._table_dir(table), exist_ok=True)
+        if self.fmt != "iceberg":
+            with self._commit_lock(table):
+                current = self.manifest(table)
+                if (current is None) != (man is None) or (
+                    current is not None
+                    and man is not None
+                    and (
+                        current.get("fingerprint") != man.get("fingerprint")
+                        or self._snapshot_dirs(current)
+                        != self._snapshot_dirs(man)
+                    )
+                ):
+                    raise RuntimeError(
+                        f"concurrent commit to '{table}' during write; "
+                        "rerun write() — its replay dedup starts from the "
+                        "fresh manifest"
+                    )
+                self._swap_manifest(
+                    table, snapshot, snapshots, fingerprint, applied,
+                    partition_by,
+                )
+        else:
+            self._swap_manifest(
+                table, snapshot, snapshots, fingerprint, applied, partition_by
+            )
+
+    def _swap_manifest(
+        self, table, snapshot, snapshots, fingerprint, applied, partition_by
+    ) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
@@ -191,6 +210,45 @@ class Warehouse:
                 f,
             )
         os.replace(tmp, self._manifest_path(table))  # atomic pointer swap
+
+    def _commit_lock(self, table: str, *, stale_s: float = 120.0):
+        """Exclusive-create lock file serializing the manifest
+        re-read + swap (same filesystem primitive HDFS/S3A lease files
+        use). A lock older than `stale_s` is presumed orphaned by a
+        crashed writer (the data it wrote is invisible — never entered
+        the manifest) and is broken."""
+        import contextlib
+
+        path = os.path.join(self._table_dir(table), "manifest.lock")
+
+        @contextlib.contextmanager
+        def lock():
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    age = 0.0
+                if age > stale_s:
+                    os.unlink(path)
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                else:
+                    raise RuntimeError(
+                        f"commit lock held on '{table}' (another writer is "
+                        "mid-swap); rerun write()"
+                    ) from None
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                yield
+            finally:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+        return lock()
 
     def read(self, table: str) -> DataFrame:
         man = self.manifest(table)
@@ -320,34 +378,37 @@ class Warehouse:
             for n in names
             if n.endswith(".parquet")
         )
-        # optimistic-concurrency guard: a commit (e.g. a streaming append)
-        # that landed between our manifest read and this swap would be
-        # silently dropped by the pointer swap — re-read and abort instead
-        # of losing it; the caller reruns compaction. The orphaned compacted
-        # dir is invisible (never entered the manifest).
-        current = self.manifest(table)
-        if current is None or (
-            current.get("fingerprint") != man.get("fingerprint")
-            or self._snapshot_dirs(current) != snaps
-        ):
-            raise RuntimeError(
-                f"concurrent commit to '{table}' during compaction; "
-                "rerun compact()"
+        # concurrency guard under the same exclusive commit lock write()
+        # uses — a bare check-then-replace leaves a window where a commit
+        # (e.g. a streaming append) lands between our re-read and the swap
+        # and is silently dropped. The orphaned compacted dir is invisible
+        # (never entered the manifest); the caller reruns compaction.
+        with self._commit_lock(table):
+            current = self.manifest(table)
+            if current is None or (
+                current.get("fingerprint") != man.get("fingerprint")
+                or self._snapshot_dirs(current) != snaps
+            ):
+                raise RuntimeError(
+                    f"concurrent commit to '{table}' during compaction; "
+                    "rerun compact()"
+                )
+            man = dict(current)
+            man["snapshot"] = new_dir
+            man["snapshots"] = [new_dir]
+            man["compaction"] = {
+                "files_before": len(files),
+                "files_after": files_after,
+                "bytes": total_bytes,
+                "previous_snapshots": snaps,
+            }
+            man["committed_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             )
-        man = dict(current)
-        man["snapshot"] = new_dir
-        man["snapshots"] = [new_dir]
-        man["compaction"] = {
-            "files_before": len(files),
-            "files_after": files_after,
-            "bytes": total_bytes,
-            "previous_snapshots": snaps,
-        }
-        man["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, self._manifest_path(table))
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, self._manifest_path(table))
         return man["compaction"]
 
 

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_SOURCES = int(os.environ.get("SKEW_SOURCES", "200000"))
 N_TARGETS = int(os.environ.get("SKEW_TARGETS", "20000"))
 # one token carried by ~this fraction of all sources (realized fraction is
-# 1/round(1/f) — 0.3 -> every 3rd row = 33%)
+# 1/int(1/f), matching the generator's modulus — 0.3 -> every 3rd row = 33%)
 HOT_FRACTION = float(os.environ.get("SKEW_HOT_FRACTION", "0.3"))
 HOT_TARGETS = int(os.environ.get("SKEW_HOT_TARGETS", "200"))  # hot token appears in this many targets
 
@@ -56,7 +56,8 @@ def main() -> None:
         },
     )
 
-    # sources: every row has 2 unique-ish tokens; half also carry 'hotkey'
+    # sources: every row has 2 unique-ish tokens; every hot_mod-th also
+    # carries 'hotkey'
     src = spark.range(N_SOURCES).select(
         F.col("id").alias("s_id"),
         F.when(
@@ -121,7 +122,9 @@ def main() -> None:
         for _ in range(2)
     )
 
-    hot_mod = max(1, round(1 / HOT_FRACTION))
+    # EXACTLY the generator's modulus (line above uses int(1/f) too) —
+    # round() would misreport the workload whenever int != round
+    hot_mod = max(1, int(1 / HOT_FRACTION))
     result = {
         "metric": "skew_join_sec",
         "broadcast_sec": bcast,
@@ -131,7 +134,8 @@ def main() -> None:
         "n_sources": N_SOURCES,
         "n_targets": N_TARGETS,
         "hot_pct": round(100.0 / hot_mod, 1),
-        "hot_pairs": (N_SOURCES // hot_mod) * HOT_TARGETS,
+        # ids 0..N-1 with id % mod == 0: ceil(N/mod) rows (id=0 counts)
+        "hot_pairs": -(-N_SOURCES // hot_mod) * HOT_TARGETS,
         "cores": cores,
     }
     # merge this core-count's row into the persisted results, regenerate

@@ -110,3 +110,36 @@ def test_pagerank_fixedpoint(spark):
     assert again == {k: v["rank_fp"] for k, v in out.items()}
     # dangling leak only: total mass never exceeds N * scale
     assert sum(v["rank_fp"] for v in out.values()) <= 4 * 1_000_000
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with NULL ts must not become a universal fallback match
+    (review r4): DuckDB ASOF / pandas merge_asof semantics — NULL ts can
+    never satisfy ts <= left_ts."""
+    left = spark.createDataFrame([(1, ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, ts(11), 1.0)],
+        "k long, ts timestamp, rv double",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["r_rv"] is None and row["r_ts"] is None
+
+
+def test_range_join_left_null_column_no_duplicate(spark):
+    """A matched point carrying a NULL column must appear exactly once
+    (review r4): the unmatched-side anti-join is NULL-safe, so the NULL
+    never makes the row 'unequal to itself' and duplicated."""
+    points = spark.createDataFrame(
+        [(1, ts(10), None), (2, ts(20), "x")],
+        "pid long, ts timestamp, note string",
+    )
+    intervals = spark.createDataFrame(
+        [(7, ts(9), ts(11))], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    rows = range_join(
+        points, intervals, on=None, bin_seconds=3600, how="left"
+    ).collect()
+    assert len(rows) == 2
+    out = {r["pid"]: r for r in rows}
+    assert out[1]["iid"] == 7 and out[1]["note"] is None
+    assert out[2]["iid"] is None

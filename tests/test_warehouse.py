@@ -364,3 +364,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_nodes")
         spark.sql("DROP TABLE IF EXISTS b_edges")
+
+
+def test_commit_lock_blocks_and_breaks_stale(spark, tmp_path):
+    """A held commit lock makes a concurrent write abort; a stale lock
+    (crashed writer — its data never entered the manifest) is broken after
+    the timeout and the write proceeds."""
+    import os
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df = spark.range(3).withColumnRenamed("id", "v")
+    wh.write(df, "t", fingerprint="base")
+    lock = os.path.join(str(tmp_path / "wh"), "t", "manifest.lock")
+    with open(lock, "w") as f:
+        f.write("123")
+    with _pytest.raises(RuntimeError, match="commit lock held"):
+        wh.write(df, "t", mode="append", fingerprint="b1")
+    # age the lock past the stale threshold -> broken, write succeeds
+    os.utime(lock, (1, 1))
+    wh.write(df, "t", mode="append", fingerprint="b1")
+    assert wh.read("t").count() == 6
+    assert not os.path.exists(lock)
