@@ -231,8 +231,20 @@ class Warehouse:
                 except OSError:
                     age = 0.0
                 if age > stale_s:
-                    os.unlink(path)
-                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    # two writers can both observe the stale lock; only the
+                    # one winning the recreate proceeds, the other aborts
+                    # with the normal held-lock error
+                    try:
+                        os.unlink(path)
+                        fd = os.open(
+                            path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                    except (FileExistsError, FileNotFoundError):
+                        raise RuntimeError(
+                            f"commit lock held on '{table}' (another "
+                            "writer broke the stale lock first); rerun "
+                            "write()"
+                        ) from None
                 else:
                     raise RuntimeError(
                         f"commit lock held on '{table}' (another writer is "
