@@ -196,6 +196,12 @@ def main() -> None:
         "q16_sessionize",
         "q17_extract_triples",
         "q18_connected_components",
+        # round-4 additions (keys appended — earlier rounds' entries stay
+        # comparable): C4 line dedup, corpus surprisal, as-of join, PageRank
+        "q41_line_dedup",
+        "q44_unigram_surprisal",
+        "q47_asof_enrich",
+        "q51_pagerank",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

@@ -289,6 +289,7 @@ class Warehouse:
         *,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_within_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Small-files compaction — the Iceberg `rewrite_data_files` analog.
         A long-running ingest (streaming micro-batches, per-stage commits)
@@ -299,8 +300,11 @@ class Warehouse:
         of the old snapshot are unaffected (time-travel semantics), and a
         crash mid-compaction leaves the table on the old snapshot.
 
-        sort_within_by optionally clusters rows within each output file
-        (the z-order-lite analog) so downstream point-lookups prune files.
+        sort_within_by optionally clusters rows within each output file on
+        a LINEAR key (prunes the leading column only); zorder_by instead
+        clusters on a Morton-interleaved key over several integer columns
+        (functions/zorder.py) so min/max file skipping works for
+        predicates on ANY of them — the OPTIMIZE ZORDER BY analog.
         Returns {files_before, files_after, bytes}."""
         import math
 
@@ -323,7 +327,21 @@ class Warehouse:
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
         df = self._read_dirs(snaps)
         partition_by = man.get("partition_by") or []
-        if partition_by:
+        if zorder_by and partition_by:
+            raise ValueError(
+                "zorder_by clusters an unpartitioned table; a "
+                "hive-partitioned table already prunes on its partition "
+                "column — compact per partition value instead"
+            )
+        if zorder_by:
+            from pathhier_spark.functions.zorder import zorder_key
+
+            # range-partition on the z-key (clustering must hold ACROSS
+            # output files, not just within one task's file), then sort
+            # within each file
+            df = df.repartitionByRange(n_out, zorder_key(*zorder_by))
+            df = df.sortWithinPartitions(zorder_key(*zorder_by))
+        elif partition_by:
             # repartition(n_out, *partition_by) would hash ONLY on the
             # partition columns — every row of one partition value lands in
             # a single task and is written as one file, however large.
@@ -375,7 +393,7 @@ class Warehouse:
                 df = df.repartition(n_out)
         else:
             df = df.repartition(n_out)
-        if sort_within_by:
+        if sort_within_by and not zorder_by:
             df = df.sortWithinPartitions(*sort_within_by)
         new_dir = os.path.join(
             self._table_dir(table), f"data_compacted_{int(time.time() * 1000)}"

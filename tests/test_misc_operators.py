@@ -420,3 +420,27 @@ def test_kmv_distinct_sketch(spark):
     merged = kmv_distinct(h1.union(h2), "x", k=256).collect()[0]
     assert merged["kth_hash"] == kmv_distinct(big, "x", k=256).collect()[0]["kth_hash"]
     assert merged["est_distinct"] == est
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a fixed point: canonicalizing an already-canonical
+    URL changes nothing (otherwise repeated pipeline passes would keep
+    rewriting keys and URL-dedup winners would drift between runs)."""
+    from pathhier_spark.operators.urls import canonical_url
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/Page/7?utm_source=f&id=7&ref=tw#frag",
+        "http://Ex.com:80/a",
+        "http://ex.com:8080/a?gclid=Z&v=1",
+        "https://ex.com",
+        "https://ex.com/?utm_x=1&a=1&b=2",
+        "ftp://Files.Ex.com:21/data",
+        "example.com/no-scheme?utm_x=1",
+        "https://ex.com/CaseSensitive/Path?Q=UpperValue",
+    ] + [f"https://H{i}.Ex.com:8{i}/p{i}?x={i}&utm_c={i}" for i in range(40)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+    ).select("c1", canonical_url(F.col("c1")).alias("c2"))
+    diff = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert diff == [], diff
