@@ -247,6 +247,74 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_bucketed(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_bands: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup, NON-QUADRATIC form — the production path
+    for the operator a user reaches for by name (the brute
+    embedding_neardup_pairs above crossJoins all pairs and stays as the
+    verification oracle). Banded sign-random-projection LSH
+    (similarity.md5_hyperplanes — deterministic integer planes, so the
+    bucketing is reproducible anywhere): two vectors become a candidate
+    pair iff they share a bucket in ANY band; exact double cosine then
+    filters candidates, so precision is exactly 1.0 vs the brute form and
+    only recall depends on the banding. At the default (4 planes x 8
+    bands) and threshold 0.95 the per-pair candidate probability is
+    1-(1-p^4)^8 with p = 1 - theta/pi >= 0.899, i.e. >= 0.9998 at the
+    threshold boundary and higher above it — measured recall 1.0 on the
+    test corpora (tests/test_dedup.py asserts set-equality vs brute).
+
+    Shuffle shape: one banded-bucket table (n_rows x n_bands narrow rows)
+    self-joined on (band, bucket) — uniform keys by construction of the
+    random projections — then the deduped id-pairs join back for the
+    exact cosine. Work is sum of per-bucket pair counts, not n^2; at 100x
+    the corpus the bucket key space grows with 2^n_planes x n_bands and
+    stays balanced, vs the crossJoin's quadratic blowup. Output:
+    (id_a, id_b, cos), identical schema/semantics to the brute form."""
+    from pathhier_spark.operators.similarity import (
+        _banded_buckets,
+        cosine_expr,
+        md5_hyperplanes,
+    )
+
+    if dim is None:
+        row = emb.select(vec_col).first()
+        if row is None:  # empty input: brute form is free and schema-identical
+            return embedding_neardup_pairs(
+                emb, id_col=id_col, vec_col=vec_col, threshold=threshold
+            )
+        dim = len(row[0])
+    planes_per_band = [md5_hyperplanes(dim, n_planes, b) for b in range(n_bands)]
+    e = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bb = _banded_buckets(e, "_id", "_v", planes_per_band)
+    cands = (
+        bb.withColumnRenamed("_id", "id_a")
+        .join(
+            bb.withColumnRenamed("_id", "id_b"), ["band", "bucket"]
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     *,

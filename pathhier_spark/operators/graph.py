@@ -136,18 +136,29 @@ def pagerank_fixedpoint(
 
     Scale shape: out-degrees are one combiner groupBy; each round is a
     broadcast-free equi-join of ranks onto edges (rank table is
-    node-sized) + one combiner-friendly integer sum per dst. The lazy plan
-    is `iterations` rounds deep — fine at the default 5; for long runs
-    localCheckpoint the rank table every ~10 rounds exactly as
-    connected_components does (canonicalize.py), the same loop-lineage
-    discipline. Nodes = union of srcs and dsts; nodes with no in-edges
-    hold the teleport term. Output: (node, rank_fp INT64,
-    rank DOUBLE = rank_fp / scale)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    nodes = e.select(F.col("s").alias("node")).union(
-        e.select(F.col("d").alias("node"))
-    ).distinct()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    node-sized) + one combiner-friendly integer sum per dst. The loop
+    inputs (`e`, `deg`, `nodes`) are eagerly localCheckpoint-ed ONCE
+    before the loop — without that, every round re-executes the edge
+    table's full upstream lineage (at q51's scale that's
+    orders ⋈ lineitem → distinct, five redundant scans+joins of the
+    largest table), the exact discipline connected_components applies
+    (canonicalize.py). The lazy plan is still `iterations` rounds deep
+    for the rank table — fine at the default 5; for long runs
+    localCheckpoint the rank table every ~10 rounds too. Nodes = union
+    of srcs and dsts; nodes with no in-edges hold the teleport term.
+    Output: (node, rank_fp INT64, rank DOUBLE = rank_fp / scale)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("s").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank_fp", F.lit(int(scale)).cast("long"))
     for _ in range(iterations):

@@ -236,10 +236,16 @@ def ivf_topk(
     planes), so cell assignment = argmin of an all-integer squared-L2 — no
     float summation-order flips at Voronoi boundaries — and Lloyd updates
     are floor(sum/count) per dimension, which keeps centroids integral.
-    Integer sums stay exact while per-cell sum(|q|) < 2^53 (|x|<=~1e3 at
-    1e6 quantization leaves ~9e15 headroom, millions of rows per cell at
-    production dims). The final re-rank is exact double cosine on the
-    ORIGINAL vectors, identical to brute_force_topk.
+    Input-magnitude bound (int64): the squared-L2 sums (2*|x|*1e6)^2 over
+    dims, so sum_dims((2*|x|*1e6)^2) must stay < 2^63 — i.e.
+    |x| <= sqrt(2^63 / dims) / 2e6, ~= 38 at 768 dims, ~= 30 with margin
+    (NOT ~1e3: a single squared-diff term at |x|=1e3 is already 4e18 and
+    Spark would wrap silently while the DuckDB oracle raises). Unit-norm
+    or bounded-feature embeddings (the intended domain, |x| <= 1) sit
+    ~30x under the bound; rescale larger inputs before calling. Lloyd's
+    per-cell per-dim component sums are the looser constraint
+    (rows_per_cell * |x| * 1e6 < 2^63). The final re-rank is exact double
+    cosine on the ORIGINAL vectors, identical to brute_force_topk.
 
     Shuffle shape at scale: corpus cell-assignment is map-side — centroids
     ride either inline literals (small models) or ONE broadcast row carrying

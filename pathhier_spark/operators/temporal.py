@@ -47,8 +47,15 @@ def asof_join(
     are dropped (a NULL ts can never satisfy ts <= left_ts — matching
     DuckDB ASOF and pandas merge_asof, where they would otherwise sort
     first and become a universal fallback match); left rows with NULL
-    left_ts sort before every right row and correctly match nothing."""
-    right = right.filter(F.col(right_ts).isNotNull())
+    left_ts sort before every right row and correctly match nothing.
+    Right rows with a NULL key are dropped for the same reason:
+    Window.partitionBy groups NULLs together, so a NULL-key left row
+    would otherwise match a NULL-key right row — unlike DuckDB ASOF /
+    pandas merge_asof / any equi-join, where NULL never equals NULL
+    (NULL-key left rows still come through with NULL payload)."""
+    right = right.filter(
+        F.col(right_ts).isNotNull() & F.col(on).isNotNull()
+    )
     lcols = left.columns
     rpay = [c for c in right.columns if c not in (on, right_ts)]
     pay_struct = F.struct(

@@ -2586,7 +2586,7 @@ def q46_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q46_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(json_extract_string(props, '$.k')::bigint) AS sum_k,
+       sum(json_extract_string(props, '$.k')::bigint)::bigint AS sum_k,
        (round(avg(json_extract_string(props, '$.k')::bigint), 6) + 0.0)
          AS avg_k,
        min(json_extract_string(props, '$.k')::bigint) AS min_k,

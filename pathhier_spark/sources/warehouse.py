@@ -231,11 +231,22 @@ class Warehouse:
                 except OSError:
                     age = 0.0
                 if age > stale_s:
-                    # two writers can both observe the stale lock; only the
-                    # one winning the recreate proceeds, the other aborts
-                    # with the normal held-lock error
+                    # Break the stale lock ATOMICALLY via rename: exactly
+                    # one renamer succeeds (the loser's rename raises
+                    # FileNotFoundError and it aborts with the held-lock
+                    # error). unlink+recreate is racy here — two breakers
+                    # can interleave so that B unlinks A's FRESH lock
+                    # (unlink never checks it is removing the same stale
+                    # file) and both enter the critical section.
+                    import uuid as _uuid
+
+                    tomb = f"{path}.breaking-{os.getpid()}-{_uuid.uuid4().hex}"
                     try:
-                        os.unlink(path)
+                        os.rename(path, tomb)
+                        try:
+                            os.unlink(tomb)
+                        except OSError:
+                            pass
                         fd = os.open(
                             path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                         )
@@ -327,6 +338,12 @@ class Warehouse:
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
         df = self._read_dirs(snaps)
         partition_by = man.get("partition_by") or []
+        if sort_within_by and zorder_by:
+            raise ValueError(
+                "sort_within_by and zorder_by are mutually exclusive "
+                "clustering strategies — the z-key sort would silently "
+                "win; pass exactly one"
+            )
         if zorder_by and partition_by:
             raise ValueError(
                 "zorder_by clusters an unpartitioned table; a "

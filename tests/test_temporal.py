@@ -143,3 +143,23 @@ def test_range_join_left_null_column_no_duplicate(spark):
     out = {r["pid"]: r for r in rows}
     assert out[1]["iid"] == 7 and out[1]["note"] is None
     assert out[2]["iid"] is None
+
+
+def test_asof_join_null_key_never_matches(spark):
+    """ADVICE r4: Window.partitionBy groups NULL keys together, so a
+    NULL-key left row used to as-of-match a NULL-key right row — unlike
+    DuckDB ASOF / pandas merge_asof / any equi-join where NULL never
+    equals NULL. NULL-key right rows are now dropped; NULL-key left rows
+    still come through, unmatched."""
+    left = spark.createDataFrame(
+        [(None, 10, "l1"), ("k", 10, "l2")], "k string, ts int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "SHOULD_NEVER_MATCH"), ("k", 5, "rv")],
+        "k string, ts int, rv string",
+    )
+    got = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert got == {"l1": None, "l2": "rv"}

@@ -460,3 +460,72 @@ def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
     assert zo_avg < lin_avg * 0.6, (lin_avg, zo_avg)
     # rows survive the rewrite
     assert wh.read("zo").count() == 40000
+
+
+def test_stale_lock_break_two_writers_single_winner(spark, tmp_path):
+    """Two writers that BOTH observe the same stale lock must resolve to
+    exactly one holder of the critical section (ADVICE r4: the old
+    unlink+recreate break let writer B unlink writer A's FRESH lock and
+    both proceed into the manifest swap). The break is now an atomic
+    os.rename — exactly one renamer wins; the loser aborts with the
+    held-lock RuntimeError. Repeated trials with a start barrier to
+    exercise interleavings; a concurrency counter asserts the section is
+    never entered by two threads at once."""
+    import os
+    import threading
+    import time
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df = spark.range(3).withColumnRenamed("id", "v")
+    wh.write(df, "t", fingerprint="base")
+    lock = os.path.join(str(tmp_path / "wh"), "t", "manifest.lock")
+
+    for _trial in range(10):
+        with open(lock, "w") as f:
+            f.write("999999")  # orphaned writer's pid
+        os.utime(lock, (1, 1))  # age past stale_s
+
+        barrier = threading.Barrier(2)
+        inside = []
+        max_inside = []
+        errors = []
+        acquired = []
+        mu = threading.Lock()
+
+        def worker():
+            barrier.wait()
+            try:
+                with wh._commit_lock("t"):
+                    with mu:
+                        inside.append(1)
+                        max_inside.append(len(inside))
+                    time.sleep(0.05)
+                    with mu:
+                        inside.pop()
+                    acquired.append(1)
+            except RuntimeError as e:
+                errors.append(str(e))
+
+        ts = [threading.Thread(target=worker) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(acquired) == 1, (acquired, errors)
+        assert len(errors) == 1 and "commit lock held" in errors[0]
+        assert max(max_inside) == 1  # critical section never shared
+        assert not os.path.exists(lock)
+
+
+def test_compact_rejects_sort_within_and_zorder_together(spark, tmp_path):
+    """ADVICE r4: compact(sort_within_by=..., zorder_by=...) used to let
+    the z-key sort silently win; now it is an explicit ValueError."""
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    wh.write(df, "t", fingerprint="base")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        wh.compact(table="t", sort_within_by=["a"], zorder_by=["a", "b"])
