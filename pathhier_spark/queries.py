@@ -2016,6 +2016,10 @@ def q37_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q37_sql() -> str:
+    # DuckDB feature req: list_reduce + list_prepend (DuckDB >= 0.9; present
+    # in the driver env — q37 green since r4). Fallback if ever absent:
+    # unroll the fold into nested regexp_replace rounds bounded by the max
+    # candidate count per doc.
     # mirrors the FULL operator scrub chain (email -> ipv4 -> phone -> cc),
     # not just the two classes q37 reports: with_pii_scrub's text_scrubbed
     # redacts all four, so an oracle that stopped at IPv4 would silently
@@ -2326,6 +2330,8 @@ def q42_pii_phone_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q42_sql() -> str:
+    # DuckDB feature req: list_reduce + list_prepend (>= 0.9; driver-green
+    # since r4) — same conditional-redaction fold as _q37_sql.
     from pathhier_spark.operators.textstats import (
         PII_CC_RE,
         PII_EMAIL_RE,
@@ -2583,6 +2589,11 @@ def q46_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB feature req: json extension (json_extract_string — bundled and
+# autoloaded in stock builds; driver-green at r4). The ::bigint around the
+# sum() is LOAD-BEARING: DuckDB sums BIGINT into HUGEINT, which a pandas
+# fetch silently converts to float64 and the driver then hash-diverges
+# (r4's one red row).
 Q46_SQL = """
 SELECT event_type,
        count(*) AS n_events,
@@ -2630,6 +2641,10 @@ def q47_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB feature req: native ASOF LEFT JOIN (>= 0.9; driver-green at r4).
+# Deliberately kept native: the gate then compares two genuinely different
+# as-of algorithms (DuckDB's interpolated lookup vs our union-and-window
+# composition). Fallback if ever absent: LATERAL (ORDER BY ts DESC LIMIT 1).
 Q47_SQL = """
 WITH p AS (
   SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
@@ -2840,6 +2855,72 @@ FROM r{_PR_ITERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q52 — embedding near-dup via the NON-QUADRATIC bucketed path
+# (operators/dedup.embedding_neardup_bucketed): banded SRP-LSH candidate
+# generation + exact-cosine filter, vs q32's brute crossJoin form. The
+# oracle replays the IDENTICAL md5-derived integer-plane bucketing in SQL
+# (the q24 trick applied to a self-join), so the row set is fully
+# value-oracled regardless of LSH recall — both engines derive the same
+# candidate set from the same deterministic planes.
+# ---------------------------------------------------------------------------
+
+_BND_PLANES = 4
+_BND_BANDS = 8
+
+
+def q52_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import embedding_neardup_bucketed
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embedding_neardup_bucketed(
+        emb,
+        threshold=_EMB_NEARDUP_T,
+        n_planes=_BND_PLANES,
+        n_bands=_BND_BANDS,
+        dim=_EMB_DIM,
+    ).select("id_a", "id_b", _rz(F.col("cos"), 4).alias("cos"))
+
+
+def _q52_sql() -> str:
+    d = _EMB_DIM
+    plane_key = "'plane:' || b.b::varchar || ':' || p.p::varchar || ':' || i.i::varchar"
+    quant = "list_transform(embedding, x -> floor(x::double * 1000000)::bigint)"
+    bucket = (
+        "sum(CASE WHEN list_sum(list_transform(generate_series(1, {d}),"
+        " i -> qv[i] * cs[i])) >= 0 THEN (1::bigint << plane) ELSE 0 END)"
+    ).format(d=d)
+    return f"""
+WITH coef AS (
+  SELECT b.b AS band, p.p AS plane, i.i AS i,
+         ({_sql_hex32(plane_key)} % 2001) - 1000 AS c
+  FROM range(0, {_BND_BANDS}) b(b), range(0, {_BND_PLANES}) p(p), range(0, {d}) i(i)
+), planes AS (
+  SELECT band, plane, list(c ORDER BY i) AS cs FROM coef GROUP BY band, plane
+), v AS (
+  SELECT vec_id, embedding, {quant} AS qv FROM embeddings
+), vb AS (
+  SELECT vec_id, band, {bucket} AS bucket
+  FROM v, planes GROUP BY vec_id, band
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vb a JOIN vb b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(generate_series(1, {d}),
+                                 i -> va.embedding[i]::double * vb2.embedding[i]::double))
+         / (sqrt(list_sum(list_transform(va.embedding, x -> x::double * x::double)))
+            * sqrt(list_sum(list_transform(vb2.embedding, x -> x::double * x::double)))) AS cos
+  FROM cands
+  JOIN v va ON cands.id_a = va.vec_id
+  JOIN v vb2 ON cands.id_b = vb2.vec_id
+)
+SELECT id_a, id_b, (round(cos, 4) + 0.0) AS cos
+FROM scored WHERE cos >= {_EMB_NEARDUP_T}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2893,6 +2974,7 @@ def queries():
         "q49_daily_rollup": q49_daily_rollup,
         "q50_vocab_kmv": q50_vocab_kmv,
         "q51_pagerank": q51_pagerank,
+        "q52_embedding_neardup_bucketed": q52_embedding_neardup_bucketed,
     }
 
 
@@ -2949,4 +3031,5 @@ def oracle_sql():
         "q49_daily_rollup": Q49_SQL,
         "q50_vocab_kmv": _q50_sql(),
         "q51_pagerank": _q51_sql(),
+        "q52_embedding_neardup_bucketed": _q52_sql(),
     }

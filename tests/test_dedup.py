@@ -177,3 +177,56 @@ def test_line_dedup_keep_first(spark):
     assert (out[3]["n_kept"], out[3]["n_dropped"]) == (2, 1)
     assert out[4]["text_dedup"] == "only body"
     assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 0)
+
+
+def test_embedding_neardup_bucketed_matches_brute(spark):
+    """VERDICT r4 #4: the by-name near-dup entry point needs a
+    non-quadratic path. The bucketed (banded SRP-LSH) form must agree with
+    the brute crossJoin form: precision is structurally 1.0 (exact cosine
+    filters candidates), and at threshold 0.95 with the default 4x8
+    banding the candidate probability at the boundary is >= 0.9998, so on
+    a clustered corpus recall is 1.0 — asserted as set equality."""
+    import math
+    import random
+
+    from pathhier_spark.operators.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for c in range(6):  # 6 cluster centers, 5 tight members each
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for _ in range(5):
+            v = [x + rng.gauss(0, 0.02) for x in center]
+            rows.append((vid, v))
+            vid += 1
+    for _ in range(20):  # background noise vectors
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_bucketed(emb, threshold=0.95).collect()
+    }
+    assert len(brute) >= 30  # the clusters actually produced near-dups
+    assert bucketed == brute  # precision AND recall 1.0 on this corpus
+
+
+def test_embedding_neardup_bucketed_empty_input(spark):
+    from pathhier_spark.operators.dedup import embedding_neardup_bucketed
+
+    emb = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    out = embedding_neardup_bucketed(emb)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos"]
