@@ -202,6 +202,10 @@ def main() -> None:
         "q44_unigram_surprisal",
         "q47_asof_enrich",
         "q51_pagerank",
+        # round-5 additions: bucketed (non-quadratic) embedding near-dup,
+        # broadcast-probe benchmark decontamination
+        "q52_embedding_neardup_bucketed",
+        "q54_decontaminate",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

@@ -45,13 +45,10 @@ def _decode_payload(payload: bytes) -> list[float]:
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
-    """REAL stdlib-only image decode for binary PPM (P6): parse the header
-    (magic, whitespace/#-comment tolerant, maxval 255), then compute the
-    per-channel pixel means over the raw RGB plane. Returns
-    (width, height, [mean_r, mean_g, mean_b]) — means None-padded when the
-    image has zero pixels — or None when the payload is not P6 (caller
-    falls back to the stub feature path)."""
+def _ppm_parse(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a binary PPM (P6) payload: header (magic, whitespace/#-comment
+    tolerant, maxval 255) + raw RGB plane. Returns (width, height,
+    pixel_bytes) or None when the payload is not a complete P6 image."""
     if payload is None or not payload.startswith(b"P6"):
         return None
     # header tokens: P6 <width> <height> <maxval>, separated by whitespace
@@ -83,10 +80,80 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
     pixels = payload[pos : pos + npix * 3]
     if len(pixels) < npix * 3:
         return None
+    return (width, height, pixels)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """REAL stdlib-only image decode for binary PPM (P6): parse via
+    _ppm_parse, then compute the per-channel pixel means over the raw RGB
+    plane. Returns (width, height, [mean_r, mean_g, mean_b]) — means
+    None-padded when the image has zero pixels — or None when the payload
+    is not P6 (caller falls back to the stub feature path)."""
+    parsed = _ppm_parse(payload)
+    if parsed is None:
+        return None
+    width, height, pixels = parsed
+    npix = width * height
     if npix == 0:
         return (width, height, [None, None, None])
     means = [sum(pixels[c::3]) / npix for c in range(3)]
     return (width, height, means)
+
+
+def resize_ppm_nearest(
+    media: DataFrame, *, out_w: int, out_h: int, batch_hint: int = 1024
+) -> DataFrame:
+    """REAL image resize (nearest-neighbor) for P6 payloads over
+    mapInPandas: source pixel of output (x, y) is
+    (x*w // out_w, y*h // out_h), re-encoded as a fresh P6 with a
+    canonical 'P6\\n<w> <h>\\n255\\n' header. Output: (media_id, width,
+    height, payload BINARY, checksum = md5 hex of the resized payload —
+    engine-portable, so a SQL oracle that rebuilds the same bytes from the
+    source text verifies the resampling arithmetic itself). Non-image and
+    non-P6 rows are dropped (a real pipeline routes them to their own
+    codec). Map-only — one Arrow batch in, one out, no shuffle; the
+    per-image work is O(out_w*out_h) regardless of source size."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    out_schema = (
+        "media_id long, width int, height int, payload binary, checksum string"
+    )
+
+    def _resize(b: bytes) -> bytes | None:
+        parsed = _ppm_parse(bytes(b))
+        if parsed is None:
+            return None
+        w, h, pixels = parsed
+        if w == 0 or h == 0:
+            return None
+        out = bytearray(f"P6\n{out_w} {out_h}\n255\n".encode())
+        for y in range(out_h):
+            sy = y * h // out_h
+            row = sy * w
+            for x in range(out_w):
+                sx = x * w // out_w
+                off = (row + sx) * 3
+                out += pixels[off : off + 3]
+        return bytes(out)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ok = pdf[(pdf["kind"] == "image") & pdf["payload"].notna()]
+            resized = ok["payload"].map(_resize)
+            keep = resized.notna()
+            yield pd.DataFrame(
+                {
+                    "media_id": ok["media_id"][keep],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": resized[keep],
+                    "checksum": resized[keep].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=out_schema)
 
 
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

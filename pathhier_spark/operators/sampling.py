@@ -1,0 +1,92 @@
+"""Deterministic corpus sampling and splitting — the selection stage of a
+training-data pipeline.
+
+Spark's own `df.sample()`/`randomSplit()` are seeded per-partition: the
+same row lands in a different split when the input's partitioning changes
+(a repartition, a different file count, AQE coalescing), which silently
+leaks validation documents into training between runs. Both operators here
+key every decision off a salted md5 of the ROW's identity instead — the
+assignment is a pure map-side column expression, reproducible across
+engines, partitionings, and cluster sizes, and appending new documents
+never reassigns old ones (the property that matters when the corpus grows
+between training runs).
+
+Hash: first 8 md5 hex nibbles as int64 (the engine-portable hex32 used
+throughout; DuckDB mirror in queries._sql_hex32), taken modulo a
+granularity of 1e6 buckets — split boundaries are exact integers so no
+float comparison sits on a boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRAN = 1_000_000
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 1e6) from a salted md5 of the key."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(_GRAN)
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hashed identity. Adds `split_bucket` (the raw [0,1e6) bucket, kept so
+    downstream re-splits can subdivide without rehashing) and `split`.
+
+    Fractions are cumulative left-to-right in dict order; they must sum to
+    1.0 (±1e-9). Boundaries are exact integer bucket counts, so a
+    fraction of 0.9 means buckets [0, 900000) — engine-portable with no
+    float edge cases. Map-only: no shuffle, runs at scan speed at any
+    corpus size, and a grown corpus re-splits consistently (old rows keep
+    their assignment)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    out = df.withColumn("split_bucket", bucket)
+    expr = None
+    cum = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += int(round(fractions[name] * _GRAN))
+        cond = F.col("split_bucket") < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return out.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic `fraction` of rows by hashed identity. Unlike
+    `df.sample()`, membership is a property of the row, not of the
+    partitioning or a seed stream: re-running, repartitioning, or growing
+    the corpus never flips old rows in or out, and nested samples are
+    monotone (fraction 0.1 ⊂ fraction 0.2 under the same salt) — the
+    property needed for reproducible ablation subsets. Map-only filter;
+    stratification comes free: within ANY stratum (language, domain,
+    source) the hash is uniform, so per-stratum rates concentrate around
+    `fraction` without a per-stratum pass."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cut = int(round(fraction * _GRAN))
+    return df.filter(_hash_bucket(F.col(id_col), salt) < F.lit(cut))

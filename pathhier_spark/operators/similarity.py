@@ -125,29 +125,60 @@ def _banded_buckets(
 ) -> DataFrame:
     """One (id, band, bucket) row per band: bucket = sign-random-projection
     bit pattern under that band's independent integer plane set (see
-    md5_hyperplanes). Single quantization of the vector column — the band
-    structs are computed in one pass and exploded (same shape as
-    dedup.lsh_candidate_pairs). All-integer dots: bit-exact, JVM-side."""
+    md5_hyperplanes). Single quantization of the vector column. All-integer
+    dots: bit-exact, JVM-side.
+
+    The planes ride in as ONE broadcast row of array<array<array<bigint>>>
+    crossJoined onto the vectors, with the per-band/per-plane structure
+    unrolled by indexed higher-order functions — the same regime ivf_topk
+    uses past its literal-plan limit. Inlining the coefficients as column
+    literals instead (the original form) costs n_bands x n_planes x dim
+    expression nodes: at the default 8x4x64 that was ~2k literal exprs and
+    ~5 s of pure plan-construction time per call, dwarfing the actual
+    execution on small inputs and bloating the plan at any size. Values
+    are identical either way (bucket = sum of 2^i over non-negative plane
+    dots), so the q24/q52 oracles pin the equivalence."""
+    spark = df.sparkSession
+    planes_nested = [
+        [[int(x) for x in plane] for plane in band] for band in planes_per_band
+    ]
+    planes_df = spark.createDataFrame(
+        [(planes_nested,)], "_planes array<array<array<bigint>>>"
+    )
     zero = F.lit(0).cast("long")
-    qdf = df.withColumn("_qv", _quantized(F.col(vec_col)))
-    band_structs = []
-    for b, planes in enumerate(planes_per_band):
-        bucket = zero
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(int(x)).cast("long") for x in p])
-            dot = F.aggregate(
-                F.zip_with(F.col("_qv"), plane, lambda x, y: x * y),
+    n_planes = len(planes_per_band[0]) if planes_per_band else 0
+    # bit weights as a tiny literal array so the bucket fold needs no
+    # column-valued shift amount (F.shiftleft takes only a Python int)
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    qdf = df.withColumn("_qv", _quantized(F.col(vec_col))).crossJoin(
+        F.broadcast(planes_df)
+    )
+
+    def dot(plane):
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), plane, lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    bands = F.transform(
+        F.col("_planes"),
+        lambda band_planes, b: F.struct(
+            b.cast("int").alias("band"),
+            F.aggregate(
+                F.transform(
+                    band_planes,
+                    lambda plane, i: F.when(
+                        dot(plane) >= 0, F.element_at(pow2, i + 1)
+                    ).otherwise(zero),
+                ),
                 zero,
                 lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(
-                dot >= 0, F.lit(1 << i).cast("long")
-            ).otherwise(zero)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
+            ).alias("bucket"),
+        ),
+    )
     return qdf.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+        F.col(id_col), F.explode(bands).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
 

@@ -80,3 +80,60 @@ def url_dedup(
     with_canon = df.withColumn("canon_url", canonical_url(F.col(url_col)))
     out = exact_dedup(with_canon, text_col="canon_url", id_col=id_col)
     return out.withColumnRenamed("content_hash", "canon_hash")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL ('' when no scheme separator —
+    a relative reference has no host)."""
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(rest, r"^([^:/?#]*)", 1))
+    return F.when(
+        F.regexp_extract(url, _SCHEME_RE, 1) == "", F.lit("")
+    ).otherwise(host)
+
+
+def domain_stats(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    chars_col: str = "n_chars",
+    min_docs: int = 2,
+    min_mean_chars: float = 50.0,
+) -> DataFrame:
+    """Per-domain (host) corpus statistics + a keep/drop curation decision —
+    domain-level filtering, the coarsest and cheapest lever in web-corpus
+    curation (one bad domain can contribute millions of junk pages; domain
+    verdicts are made once on a tiny aggregate, then applied as a
+    broadcast-able filter during ingest).
+
+    Output per host: n_docs, n_urls (distinct canonical URLs — the
+    crawl-frequency vs content-breadth signal), total/mean chars, and
+    `keep` (enough docs AND long-enough pages). Plan: host extraction is
+    map-only; distinct-URL counting is a two-level combiner-friendly
+    aggregate (groupBy(host, canon_url) partial, then groupBy(host)) so
+    no count-distinct state explosion; the result is domain-cardinality
+    sized — small enough to broadcast back against the corpus."""
+    with_host = df.withColumn(
+        "canon_url", canonical_url(F.col(url_col))
+    ).withColumn("host", url_host(F.col("canon_url")))
+    per_url = with_host.groupBy("host", "canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs_url"),
+        F.sum(F.col(chars_col).cast("long")).alias("chars_url"),
+    )
+    out = per_url.groupBy("host").agg(
+        F.sum("n_docs_url").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("chars_url").alias("total_chars"),
+    )
+    mean_chars = F.col("total_chars").cast("double") / F.col("n_docs")
+    return out.select(
+        "host",
+        "n_docs",
+        "n_urls",
+        "total_chars",
+        mean_chars.alias("mean_chars"),
+        (
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (mean_chars >= F.lit(float(min_mean_chars)))
+        ).alias("keep"),
+    )

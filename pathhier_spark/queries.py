@@ -2815,7 +2815,10 @@ def q51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "rank_fp", _rz(F.col("rank"), 6).alias("rank"))
 
 
-def _q51_sql() -> str:
+def _sql_pagerank_chain(edge_cte: str) -> str:
+    """Unrolled fixed-point PageRank rounds over an arbitrary edge CTE
+    (must define `e(s, d)`) — shared by the trade-graph (q51) and the
+    extracted-KG-triple-graph (q57) oracles."""
     teleport = (100 - _PR_DAMP) * _PR_SCALE // 100
 
     def rnd(prev, c, cur):
@@ -2836,9 +2839,7 @@ def _q51_sql() -> str:
     )
     return f"""
 WITH e AS (
-  SELECT DISTINCT 'c' || o_custkey::varchar AS s,
-                  's' || l_suppkey::varchar AS d
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+{edge_cte}
 ), nodes AS (
   SELECT DISTINCT node FROM (
     SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
@@ -2853,6 +2854,14 @@ SELECT node, rank_fp,
        (round(rank_fp::double / {_PR_SCALE}.0, 6) + 0.0) AS rank
 FROM r{_PR_ITERS}
 """
+
+
+def _q51_sql() -> str:
+    return _sql_pagerank_chain(
+        """  SELECT DISTINCT 'c' || o_custkey::varchar AS s,
+                  's' || l_suppkey::varchar AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2921,6 +2930,274 @@ FROM scored WHERE cos >= {_EMB_NEARDUP_T}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q56 — REAL nearest-neighbor image resize on the P6 codec
+# (operators/multimodal.resize_ppm_nearest). The oracle rebuilds the
+# resized payload bytes in SQL from the same source text (ASCII corpus:
+# string ops == byte ops) and md5s them — the resampling arithmetic
+# itself (source index = x*w // out_w) is value-checked, not just the
+# plumbing.
+# ---------------------------------------------------------------------------
+
+_RSZ_W = 16
+_RSZ_H = 1
+
+
+def q56_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.multimodal import (
+        media_from_documents,
+        resize_ppm_nearest,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = media_from_documents(docs)
+    return resize_ppm_nearest(media, out_w=_RSZ_W, out_h=_RSZ_H).select(
+        "media_id", "width", "height", "checksum"
+    ).orderBy("media_id")
+
+
+def _q56_sql() -> str:
+    return f"""
+WITH im AS (
+  SELECT doc_id AS media_id, (length(text) // 3)::int AS w,
+         substr(text, 1, (length(text) // 3) * 3) AS body
+  FROM documents WHERE doc_id % 3 = 0
+), rz AS (
+  SELECT media_id,
+         'P6' || chr(10) || '{_RSZ_W} {_RSZ_H}' || chr(10) || '255'
+              || chr(10) ||
+         array_to_string(list_transform(generate_series(0, {_RSZ_W - 1}),
+                          x -> substr(body, ((x * w) // {_RSZ_W}) * 3 + 1, 3)),
+                         '') AS payload
+  FROM im WHERE w > 0
+)
+SELECT media_id, {_RSZ_W} AS width, {_RSZ_H} AS height,
+       md5(payload) AS checksum
+FROM rz ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q57 — PageRank over the EXTRACTED KG triple graph (subj -> obj edges
+# from q17's token-window extraction): the graph-analytics stage running
+# on the pipeline's own output rather than the trade graph — node
+# centrality over extracted entities. Same integer fixed-point operator
+# and unrolled-CTE oracle chain as q51, different edge derivation.
+# ---------------------------------------------------------------------------
+
+
+def q57_pagerank_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import pagerank_fixedpoint
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        extract_token_triples(docs, TRIGGERS)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    return pagerank_fixedpoint(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    ).select("node", "rank_fp", _rz(F.col("rank"), 6).alias("rank"))
+
+
+def _q57_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return _sql_pagerank_chain(
+        f"""  SELECT DISTINCT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — video frame sampling (operators/multimodal.sample_video_frames):
+# the timestamp/partitioning plumbing of frame extraction — each video row
+# explodes into its sampled frame timestamps (0, step, 2*step, ... <
+# duration). Durations injected deterministically (10 ms per char) since
+# the derived media table carries none.
+# ---------------------------------------------------------------------------
+
+_FRAME_STEP_MS = 500
+
+
+def q58_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.multimodal import (
+        media_from_documents,
+        sample_video_frames,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = media_from_documents(docs).withColumn(
+        "duration_ms",
+        F.when(
+            F.col("kind") == "video", (F.col("media_id") % 100 + 1) * 100
+        ).cast("long"),
+    )
+    return sample_video_frames(media, every_ms=_FRAME_STEP_MS).orderBy(
+        "media_id", "frame_ts_ms"
+    )
+
+
+def _q58_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT doc_id AS media_id, ((doc_id % 100 + 1) * 100)::bigint AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, unnest(generate_series(0, duration_ms - 1, {_FRAME_STEP_MS}))::bigint
+         AS frame_ts_ms
+FROM v ORDER BY media_id, frame_ts_ms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q53 — per-domain corpus stats + keep/drop curation decision
+# (operators/urls.domain_stats). URLs synthesized deterministically from
+# (source, doc_id) with case/port/tracking noise so the canonicalization
+# inside domain_stats does real work; the oracle computes the canonical
+# form from the generating formula directly (independent derivation, same
+# answer).
+# ---------------------------------------------------------------------------
+
+_DOM_MIN_DOCS = 3
+_DOM_MIN_MEAN_CHARS = 50.0
+
+
+def q53_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.urls import domain_stats
+
+    docs = _docs(spark, sf_dir)
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    utm = F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=x")).otherwise(
+        F.lit("")
+    )
+    url = F.when(
+        F.col("doc_id") % 499 == 0, F.lit("https://rare.example.com/only")
+    ).otherwise(
+        F.concat(
+            scheme, F.col("source"), F.lit(".Example.com"), port,
+            F.lit("/p/"), (F.col("doc_id") % 10).cast("string"), utm,
+        )
+    )
+    injected = docs.select("doc_id", "n_chars", url.alias("url"))
+    return domain_stats(
+        injected,
+        min_docs=_DOM_MIN_DOCS,
+        min_mean_chars=_DOM_MIN_MEAN_CHARS,
+    ).select(
+        "host", "n_docs", "n_urls", "total_chars",
+        _rz(F.col("mean_chars"), 6).alias("mean_chars"), "keep",
+    ).orderBy("host")
+
+
+def _q53_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 499 = 0 THEN 'rare.example.com'
+              ELSE source || '.example.com' END AS host,
+         CASE WHEN doc_id % 499 = 0 THEN 'https://rare.example.com/only'
+              ELSE 'https://' || source || '.example.com/p/'
+                   || (doc_id % 10)::varchar END AS canon_url
+  FROM documents
+), per_url AS (
+  SELECT host, canon_url, count(*) AS n_docs_url,
+         sum(n_chars)::bigint AS chars_url
+  FROM t GROUP BY host, canon_url
+), agg AS (
+  SELECT host, sum(n_docs_url)::bigint AS n_docs, count(*) AS n_urls,
+         sum(chars_url)::bigint AS total_chars
+  FROM per_url GROUP BY host
+)
+SELECT host, n_docs, n_urls, total_chars,
+       (round(total_chars::double / n_docs, 6) + 0.0) AS mean_chars,
+       (n_docs >= {_DOM_MIN_DOCS}
+        AND total_chars::double / n_docs >= {_DOM_MIN_MEAN_CHARS}) AS keep
+FROM agg ORDER BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q54 — benchmark decontamination (operators/decontam.decontaminate): every
+# 50th document plays the benchmark set; the whole corpus is checked for
+# shared word 5-grams against it. Self-hits guarantee nonzero signal; any
+# near-duplicate of a benchmark doc is flagged too — the eval-leak
+# scenario the operator exists for.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5
+_DECON_BENCH_MOD = 50
+
+
+def q54_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    return decontaminate(docs, bench, n=_DECON_N).select(
+        "doc_id", "n_contaminated", "contaminated"
+    ).orderBy("doc_id")
+
+
+def _q54_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, {_sql_word_ngrams(_DECON_N)} AS grams FROM d
+), bg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE doc_id % {_DECON_BENCH_MOD} = 0
+), dg AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+), hits AS (
+  SELECT doc_id, count(*)::bigint AS n FROM dg JOIN bg USING (gram)
+  GROUP BY doc_id
+)
+SELECT g.doc_id, coalesce(hits.n, 0)::bigint AS n_contaminated,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q55 — deterministic hash-based train/val/test split
+# (operators/sampling.hash_split): assignment is a salted md5 of the row
+# identity, so it is reproducible across engines, partitionings, and
+# corpus growth — unlike randomSplit, whose per-partition seed streams
+# reassign rows whenever the input layout changes.
+# ---------------------------------------------------------------------------
+
+
+def q55_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return hash_split(docs).select("doc_id", "split_bucket", "split").orderBy(
+        "doc_id"
+    )
+
+
+def _q55_sql() -> str:
+    bucket = f"{_sql_hex32(chr(39) + 'split:' + chr(39) + ' || doc_id::varchar')} % 1000000"
+    return f"""
+WITH b AS (
+  SELECT doc_id, ({bucket})::bigint AS split_bucket FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 900000 THEN 'train'
+            WHEN split_bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2975,6 +3252,12 @@ def queries():
         "q50_vocab_kmv": q50_vocab_kmv,
         "q51_pagerank": q51_pagerank,
         "q52_embedding_neardup_bucketed": q52_embedding_neardup_bucketed,
+        "q53_domain_stats": q53_domain_stats,
+        "q54_decontaminate": q54_decontaminate,
+        "q55_corpus_split": q55_corpus_split,
+        "q56_media_resize": q56_media_resize,
+        "q57_pagerank_kg": q57_pagerank_kg,
+        "q58_frame_sample": q58_frame_sample,
     }
 
 
@@ -3032,4 +3315,10 @@ def oracle_sql():
         "q50_vocab_kmv": _q50_sql(),
         "q51_pagerank": _q51_sql(),
         "q52_embedding_neardup_bucketed": _q52_sql(),
+        "q53_domain_stats": _q53_sql(),
+        "q54_decontaminate": _q54_sql(),
+        "q55_corpus_split": _q55_sql(),
+        "q56_media_resize": _q56_sql(),
+        "q57_pagerank_kg": _q57_sql(),
+        "q58_frame_sample": _q58_sql(),
     }

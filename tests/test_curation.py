@@ -1,0 +1,137 @@
+"""Corpus-curation operators: deterministic sampling/splitting, benchmark
+decontamination, domain-level stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- sampling ---
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """The whole point vs randomSplit: the assignment is a property of the
+    row, so repartitioning must not move any row between splits."""
+    from pathhier_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(17)).collect()
+    }
+    assert a == b
+    # growing the corpus never reassigns old rows
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    g = {r["doc_id"]: r["split"] for r in hash_split(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # fractions land near target on a uniform hash
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.85 < train < 0.95
+
+
+def test_hash_split_fraction_guard(spark):
+    from pathhier_spark.operators.sampling import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, fractions={"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_monotone_nesting(spark):
+    """fraction 0.1 subset must be contained in fraction 0.3 under the
+    same salt — the reproducible-ablation property."""
+    from pathhier_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in stratified_sample(df, fraction=0.1).collect()}
+    s3 = {r["doc_id"] for r in stratified_sample(df, fraction=0.3).collect()}
+    assert s1 <= s3
+    assert 0.05 < len(s1) / 3000 < 0.15
+    assert 0.25 < len(s3) / 3000 < 0.35
+    # a different salt draws a genuinely different subset
+    other = {
+        r["doc_id"]
+        for r in stratified_sample(df, fraction=0.1, salt="other").collect()
+    }
+    assert other != s1
+
+
+# --- decontamination ---
+
+
+def test_decontaminate_flags_overlap(spark):
+    from pathhier_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox jumps totally different tail here"),
+            (3, "nothing in common with anything at all whatsoever"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX JUMPS")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    # doc 1 contains the benchmark 5-gram (case-insensitive tokens)
+    assert out[1] == (1, True)
+    # doc 2 shares only a 4-token prefix, not a full 5-gram
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # shorter than n tokens -> no grams, clean
+    assert out[4] == (0, False)
+
+
+def test_decontaminate_accepts_precomputed_grams(spark):
+    from pathhier_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    grams = benchmark_ngrams(bench, n=3)
+    out = decontaminate(docs, grams, n=3).collect()[0]
+    assert out["n_contaminated"] == 1  # "alpha beta gamma"
+    assert out["contaminated"]
+
+
+# --- domain stats ---
+
+
+def test_domain_stats_aggregates_and_filters(spark):
+    from pathhier_spark.operators.urls import domain_stats
+
+    rows = [
+        # good.com: 3 docs over 2 canonical urls, long pages
+        (1, "https://good.com/a", 200),
+        (2, "HTTPS://GOOD.com:443/a?utm_source=x", 300),
+        (3, "https://good.com/b", 400),
+        # thin.com: plenty of docs but tiny pages
+        (4, "https://thin.com/x", 10),
+        (5, "https://thin.com/y", 20),
+        (6, "https://thin.com/z", 30),
+        # lone.com: too few docs
+        (7, "https://lone.com/p", 500),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {
+        r["host"]: r
+        for r in domain_stats(df, min_docs=2, min_mean_chars=50.0).collect()
+    }
+    g = out["good.com"]
+    assert (g["n_docs"], g["n_urls"], g["total_chars"]) == (3, 2, 900)
+    assert g["mean_chars"] == pytest.approx(300.0)
+    assert g["keep"]
+    assert not out["thin.com"]["keep"]  # mean 20 < 50
+    assert not out["lone.com"]["keep"]  # 1 doc < 2

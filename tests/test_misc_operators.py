@@ -444,3 +444,43 @@ def test_canonical_url_idempotent(spark):
     ).select("c1", canonical_url(F.col("c1")).alias("c2"))
     diff = out.filter(F.col("c1") != F.col("c2")).collect()
     assert diff == [], diff
+
+
+def test_resize_ppm_nearest_2d(spark):
+    """Real 2D nearest-neighbor resize: a 4x2 image downsampled to 2x1
+    picks pixels (0,0) and (2,0); upsampling duplicates pixels. Non-image
+    and non-P6 rows are dropped."""
+    import hashlib
+
+    from pathhier_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_ppm_nearest,
+    )
+
+    # 4x2 image: pixel (x,y) = (10x+y, 100+x, 200+y) so every byte is
+    # traceable to its coordinate
+    pixels = bytearray()
+    for y in range(2):
+        for x in range(4):
+            pixels += bytes([10 * x + y, 100 + x, 200 + y])
+    img = b"P6\n4 2\n255\n" + bytes(pixels)
+    rows = [
+        (1, "image", bytearray(img), 4, 2, None),
+        (2, "audio", bytearray(img), None, None, 3000),  # wrong kind: dropped
+        (3, "image", bytearray(b"nonsense"), None, None, None),  # not P6: dropped
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_ppm_nearest(media, out_w=2, out_h=1).collect()
+    assert [r["media_id"] for r in out] == [1]
+    r = out[0]
+    assert (r["width"], r["height"]) == (2, 1)
+    # out pixel x=0 -> src (0*4//2, 0*2//1) = (0,0); x=1 -> src (2,0)
+    expect = b"P6\n2 1\n255\n" + bytes([0, 100, 200]) + bytes([20, 102, 200])
+    assert bytes(r["payload"]) == expect
+    assert r["checksum"] == hashlib.md5(expect).hexdigest()
+
+    up = resize_ppm_nearest(media, out_w=8, out_h=4).collect()[0]
+    assert (up["width"], up["height"]) == (8, 4)
+    # upsample duplicates: out (1,1) -> src (1*4//8, 1*2//4) = (0,0)
+    body = bytes(up["payload"]).split(b"\n", 3)[3]
+    assert body[(8 * 1 + 1) * 3 : (8 * 1 + 1) * 3 + 3] == bytes([0, 100, 200])
