@@ -155,8 +155,19 @@ class Warehouse:
                 snapshots = [snapshot]
         if mode == "append" and man:
             applied.add(fingerprint)
+            # commit log for incremental reads: ordered (fingerprint, dirs)
+            # entries since the last history reset (overwrite/compaction).
+            # Manifests written before the log existed have no entry for
+            # their old commits — read_incremental then demands a full
+            # refresh, never silently under-delivers.
+            commits = list(man.get("commits") or []) + [
+                {"fingerprint": fingerprint, "mode": mode, "dirs": [snapshot]}
+            ]
         else:
             applied = {fingerprint}
+            commits = [
+                {"fingerprint": fingerprint, "mode": mode, "dirs": [snapshot]}
+            ]
         # concurrency guard (parquet backend; see docstring for the iceberg
         # caveat): the re-read + pointer swap happen under an exclusive
         # commit lock — a plain check-then-replace would leave a window
@@ -182,15 +193,17 @@ class Warehouse:
                     )
                 self._swap_manifest(
                     table, snapshot, snapshots, fingerprint, applied,
-                    partition_by,
+                    partition_by, commits,
                 )
         else:
             self._swap_manifest(
-                table, snapshot, snapshots, fingerprint, applied, partition_by
+                table, snapshot, snapshots, fingerprint, applied,
+                partition_by, commits,
             )
 
     def _swap_manifest(
-        self, table, snapshot, snapshots, fingerprint, applied, partition_by
+        self, table, snapshot, snapshots, fingerprint, applied, partition_by,
+        commits,
     ) -> None:
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
@@ -203,6 +216,7 @@ class Warehouse:
                     "fingerprint": fingerprint,
                     "applied_fingerprints": sorted(applied),
                     "partition_by": partition_by or [],
+                    "commits": commits,
                     "committed_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),
@@ -280,6 +294,53 @@ class Warehouse:
         if man["format"] == "iceberg":
             return self.spark.read.table(man["snapshot"].split(":", 1)[1])
         return self._read_dirs(self._snapshot_dirs(man))
+
+    def read_incremental(
+        self, table: str, since_fingerprint: str | None = None
+    ) -> DataFrame:
+        """Changed-data feed — the Iceberg incremental-read analog: return
+        ONLY the rows committed strictly after the commit carrying
+        `since_fingerprint` (None = full read). A downstream consumer
+        (e.g. the training funnel) remembers the last fingerprint it
+        processed and re-reads just the delta, instead of rescanning a
+        100 TB table per batch; because appends are per-directory commits,
+        the delta read scans exactly the new directories — cost is
+        proportional to the new data, zero to table size.
+
+        History resets — an overwrite or a compaction — rewrite the data
+        layout, so deltas across them cannot be expressed as directories;
+        a since_fingerprint older than the current commit log raises
+        (full-refresh required), exactly Iceberg's behavior when the
+        ancestor snapshot has expired. A consumer caught up to the LAST
+        commit before a compaction is still caught up after it (compaction
+        adds no logical rows): the compacted entry keeps that commit's
+        fingerprint."""
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if man["format"] == "iceberg":
+            raise NotImplementedError(
+                "iceberg incremental read = snapshot-range scan via the "
+                "catalog; no iceberg runtime in this sandbox"
+            )
+        if since_fingerprint is None:
+            return self.read(table)
+        commits = man.get("commits") or []
+        idx = [
+            i
+            for i, c in enumerate(commits)
+            if c["fingerprint"] == since_fingerprint
+        ]
+        if not idx:
+            raise ValueError(
+                f"fingerprint {since_fingerprint!r} is not in '{table}'s "
+                "commit log (history was reset by an overwrite/compaction, "
+                "or predates the log); do a full refresh via read()"
+            )
+        dirs = [d for c in commits[idx[-1] + 1 :] for d in c["dirs"]]
+        if not dirs:
+            return self.read(table).limit(0)  # caught up: empty, same schema
+        return self._read_dirs(dirs)
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         """Per-dir reads unioned by name: a single multi-path read REFUSES
@@ -443,6 +504,17 @@ class Warehouse:
             man = dict(current)
             man["snapshot"] = new_dir
             man["snapshots"] = [new_dir]
+            # history reset for incremental readers: the compacted entry
+            # keeps the last commit's fingerprint, so a consumer caught up
+            # through that commit stays caught up (compaction adds no
+            # logical rows); older fingerprints now demand a full refresh
+            man["commits"] = [
+                {
+                    "fingerprint": man.get("fingerprint"),
+                    "mode": "compact",
+                    "dirs": [new_dir],
+                }
+            ]
             man["compaction"] = {
                 "files_before": len(files),
                 "files_after": files_after,

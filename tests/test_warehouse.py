@@ -529,3 +529,71 @@ def test_compact_rejects_sort_within_and_zorder_together(spark, tmp_path):
     wh.write(df, "t", fingerprint="base")
     with _pytest.raises(ValueError, match="mutually exclusive"):
         wh.compact(table="t", sort_within_by=["a"], zorder_by=["a", "b"])
+
+
+def test_read_incremental_delta_feed(spark, tmp_path):
+    """Changed-data feed: a consumer holding the last-processed fingerprint
+    re-reads only the directories committed after it."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    wh.write(base, "t", fingerprint="base")
+    wh.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        "t", mode="append", fingerprint="b1",
+    )
+    wh.write(
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        "t", mode="append", fingerprint="b2",
+    )
+
+    # full read sees everything; delta since base sees only the appends
+    assert {r["id"] for r in wh.read("t").collect()} == {1, 2, 3, 4}
+    assert {
+        r["id"] for r in wh.read_incremental("t", "base").collect()
+    } == {3, 4}
+    assert {
+        r["id"] for r in wh.read_incremental("t", "b1").collect()
+    } == {4}
+    # caught up: empty, schema preserved
+    up = wh.read_incremental("t", "b2")
+    assert up.count() == 0 and up.columns == ["id", "v"]
+    # unknown fingerprint -> explicit full-refresh error
+    with _pytest.raises(ValueError, match="full refresh"):
+        wh.read_incremental("t", "nope")
+
+
+def test_read_incremental_across_compaction(spark, tmp_path):
+    """Compaction resets history but keeps the last commit's fingerprint:
+    a caught-up consumer stays caught up; stale consumers must refresh."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        "t", fingerprint="base",
+    )
+    wh.write(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        "t", mode="append", fingerprint="b1",
+    )
+    wh.compact("t")
+    # caught up through b1 (the last commit pre-compaction): still caught up
+    assert wh.read_incremental("t", "b1").count() == 0
+    # stale consumer (only saw 'base'): full refresh demanded
+    with _pytest.raises(ValueError, match="full refresh"):
+        wh.read_incremental("t", "base")
+    # post-compaction appends flow as deltas from the compacted point
+    wh.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        "t", mode="append", fingerprint="b2",
+    )
+    assert {
+        r["id"] for r in wh.read_incremental("t", "b1").collect()
+    } == {3}
+    assert {r["id"] for r in wh.read("t").collect()} == {1, 2, 3}
