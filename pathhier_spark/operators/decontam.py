@@ -53,17 +53,28 @@ def decontaminate(
     """Adds `n_contaminated` (distinct benchmark n-grams found in the doc)
     and `contaminated` (n_contaminated > max_hits) to `docs`.
 
-    `bench` is either raw benchmark text (same text_col) or a
-    pre-computed single-column `gram` frame from benchmark_ngrams().
-    Per-doc n-grams are DISTINCT before the probe so a repeated phrase
-    counts once — the signal is "how many benchmark grams appear", not
-    term frequency. The probe is a broadcast inner join; docs with zero
-    hits never reach the count shuffle (the left join back fills 0)."""
-    grams = (
-        bench
-        if bench.columns == ["gram"]
-        else benchmark_ngrams(bench, text_col=text_col, n=n)
-    )
+    `bench` is either raw benchmark text (same text_col) or a pre-computed
+    gram frame (any frame with a `gram` column and no text column, e.g.
+    benchmark_ngrams() output — extra metadata columns are ignored; a
+    frame carrying BOTH columns is ambiguous and refused). Per-doc n-grams
+    are DISTINCT before the probe so a repeated phrase counts once — the
+    signal is "how many benchmark grams appear", not term frequency. The
+    probe is a broadcast inner join; docs with zero hits never reach the
+    count shuffle. The join back of hits onto the corpus is also
+    broadcast-hinted: hits is bounded by the CONTAMINATED doc count,
+    small by presumption in a sane decontamination run — if contamination
+    is pervasive enough for hits to blow the broadcast, the corpus is the
+    problem, not the plan (drop the hint and accept the key shuffle while
+    triaging)."""
+    if "gram" in bench.columns:
+        if text_col in bench.columns:
+            raise ValueError(
+                f"bench has both 'gram' and {text_col!r} columns — pass "
+                "either raw benchmark text or a gram frame, not both"
+            )
+        grams = bench.select("gram")
+    else:
+        grams = benchmark_ngrams(bench, text_col=text_col, n=n)
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(
@@ -76,7 +87,7 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     return (
-        docs.join(hits, id_col, "left")
+        docs.join(broadcast(hits), id_col, "left")
         .withColumn(
             "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
         )

@@ -101,7 +101,7 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
 
 
 def resize_ppm_nearest(
-    media: DataFrame, *, out_w: int, out_h: int, batch_hint: int = 1024
+    media: DataFrame, *, out_w: int, out_h: int
 ) -> DataFrame:
     """REAL image resize (nearest-neighbor) for P6 payloads over
     mapInPandas: source pixel of output (x, y) is
@@ -156,12 +156,13 @@ def resize_ppm_nearest(
     return media.mapInPandas(_batches, schema=out_schema)
 
 
-def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: (media_id, kind, features ARRAY<FLOAT>,
     checksum STRING = md5 hex of the payload bytes — engine-portable so the
     DuckDB oracle can recompute it, plus width/height/mean_rgb from the real
     PPM decode when the payload is P6, NULL otherwise). Batches arrive as
-    Arrow; one Python call per batch."""
+    Arrow; one Python call per batch (batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
 
     out_schema = (
         "media_id long, kind string, features array<float>, checksum string,"

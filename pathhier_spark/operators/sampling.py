@@ -26,9 +26,19 @@ _GRAN = 1_000_000
 
 
 def _hash_bucket(key: Column, salt: str) -> Column:
-    """Deterministic bucket in [0, 1e6) from a salted md5 of the key."""
+    """Deterministic bucket in [0, 1e6) from a salted md5 of the key.
+
+    A NULL key is coalesced to a sentinel before hashing: without it the
+    bucket itself is NULL, which would silently route every NULL-identity
+    row into hash_split's LAST split (every `<` comparison is
+    NULL → otherwise) while stratified_sample silently DROPPED the same
+    rows (NULL filter) — two different wrong answers for the same rows.
+    With the sentinel, all NULL ids share one deterministic bucket (they
+    are one identity as far as hashing can tell) and both operators treat
+    them identically."""
+    k = F.coalesce(key.cast("string"), F.lit("\x00null"))
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), k)), 1, 8),
         16,
         10,
     ).cast("long")

@@ -139,6 +139,13 @@ def _banded_buckets(
     are identical either way (bucket = sum of 2^i over non-negative plane
     dots), so the q24/q52 oracles pin the equivalence."""
     spark = df.sparkSession
+    # the shared pow2 weight array assumes a UNIFORM plane count per band;
+    # a ragged spec would silently read past it (element_at -> NULL bucket,
+    # whose candidate pairs vanish from the equi-join) — refuse instead
+    if len({len(band) for band in planes_per_band}) > 1:
+        raise ValueError(
+            "planes_per_band must have the same plane count in every band"
+        )
     planes_nested = [
         [[int(x) for x in plane] for plane in band] for band in planes_per_band
     ]

@@ -113,9 +113,12 @@ def domain_stats(
     aggregate (groupBy(host, canon_url) partial, then groupBy(host)) so
     no count-distinct state explosion; the result is domain-cardinality
     sized — small enough to broadcast back against the corpus."""
+    # host from the RAW url, not the canonical one: url_host lowercases and
+    # strips the port itself, so the result is identical either way and the
+    # canonical string isn't re-parsed per row
     with_host = df.withColumn(
         "canon_url", canonical_url(F.col(url_col))
-    ).withColumn("host", url_host(F.col("canon_url")))
+    ).withColumn("host", url_host(F.col(url_col)))
     per_url = with_host.groupBy("host", "canon_url").agg(
         F.count(F.lit(1)).alias("n_docs_url"),
         F.sum(F.col(chars_col).cast("long")).alias("chars_url"),

@@ -2804,11 +2804,15 @@ def q51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     edges = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        # distinct over the two INT keys, then concat: the dedup shuffle
+        # ships 16 bytes/row instead of two strings; the prefixes keep the
+        # concat injective, so the edge set is identical
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     return pagerank_fixedpoint(
         edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
@@ -2872,6 +2876,18 @@ def _q51_sql() -> str:
 # (the q24 trick applied to a self-join), so the row set is fully
 # value-oracled regardless of LSH recall — both engines derive the same
 # candidate set from the same deterministic planes.
+#
+# Recall honesty: this gate runs at q32's threshold 0.35 so the two
+# queries stay comparable on the driver corpus (which has no >=0.9 cosine
+# pairs) — but 0.35 is a LOW-threshold regime where SRP banding separates
+# poorly (boundary candidate probability 1-(1-p^4)^8 with
+# p = 1 - arccos(0.35)/pi ~= 0.617 is ~0.71, not the >=0.9998 that holds
+# at the operator's intended threshold >= 0.95). Measured vs the brute
+# q32 row set: recall 0.74 (sf0.001) / 0.76 (sf0.01), strict subset,
+# precision 1.0 — asserted in tests/test_dedup.py. Production use at
+# near-dup thresholds (>=0.9) keeps the documented near-1 recall; users
+# needing high recall at low thresholds should use the brute form or
+# raise n_bands.
 # ---------------------------------------------------------------------------
 
 _BND_PLANES = 4

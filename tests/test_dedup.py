@@ -230,3 +230,30 @@ def test_embedding_neardup_bucketed_empty_input(spark):
     out = embedding_neardup_bucketed(emb)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cos"]
+
+
+def test_embedding_neardup_bucketed_low_threshold_recall(spark, sf_dir):
+    """The q52 gate runs at threshold 0.35 — a LOW-threshold regime where
+    SRP banding separates poorly (boundary candidate probability ~0.71
+    with the default 4x8 banding, vs >=0.9998 at the intended 0.95). Pin
+    the honest contract on the real driver corpus: strict subset of the
+    brute row set (precision 1.0) with measured recall ~0.74, bounded
+    here at >= 0.65."""
+    import os
+
+    from pathhier_spark.operators.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    buck = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_bucketed(emb, threshold=0.35).collect()
+    }
+    assert buck <= brute  # precision exactly 1.0
+    assert len(buck) / len(brute) >= 0.65  # measured 0.743 at sf0.001
