@@ -100,3 +100,46 @@ def stratified_sample(
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     cut = int(round(fraction * _GRAN))
     return df.filter(_hash_bucket(F.col(id_col), salt) < F.lit(cut))
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Per-group deterministic sampling — the source-mixture stage of a
+    training pipeline: each group (source, domain, language) keeps its own
+    fraction of rows, so corpus mixing weights are applied in one map-only
+    filter. Groups absent from `fractions` keep `default_fraction` (0.0 =
+    drop unknown sources, 1.0 = pass them through).
+
+    Same hash-identity discipline as stratified_sample — membership is a
+    property of the row, invariant to partitioning and corpus growth, and
+    nested across fractions (raising one group's weight only ADDS rows).
+    The per-group cut rides in as a small literal map (create_map), so
+    the filter stays a pure column expression — no join, no shuffle, scan
+    speed at any corpus size. For thousands of groups, precompute cuts
+    into a broadcast-joined frame instead; at typical mixture sizes
+    (tens of sources) the literal map is the cheaper plan."""
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    pairs = []
+    for g, frac in sorted(fractions.items()):
+        pairs += [F.lit(g), F.lit(int(round(frac * _GRAN)))]
+    cut_map = F.create_map(*pairs) if pairs else None
+    default_cut = F.lit(int(round(default_fraction * _GRAN)))
+    cut = (
+        F.coalesce(
+            cut_map[F.col(group_col).cast("string")], default_cut
+        )
+        if cut_map is not None
+        else default_cut
+    )
+    return df.filter(_hash_bucket(F.col(id_col), salt) < cut)

@@ -3214,6 +3214,43 @@ FROM b ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q59 — source-mixture sampling (operators/sampling.mixture_sample): each
+# source keeps its own deterministic fraction — corpus mixing weights as
+# one map-only hash filter, no join, no shuffle.
+# ---------------------------------------------------------------------------
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def q59_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return mixture_sample(
+        docs,
+        group_col="source",
+        fractions=_MIX_FRACTIONS,
+        default_fraction=_MIX_DEFAULT,
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def _q59_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(round(f * 1_000_000))}"
+        for g, f in sorted(_MIX_FRACTIONS.items())
+    )
+    bucket = _sql_hex32(chr(39) + "mixture:" + chr(39) + " || doc_id::varchar")
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE ({bucket}) % 1000000
+      < CASE source {cases} ELSE {int(round(_MIX_DEFAULT * 1_000_000))} END
+ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3274,6 +3311,7 @@ def queries():
         "q56_media_resize": q56_media_resize,
         "q57_pagerank_kg": q57_pagerank_kg,
         "q58_frame_sample": q58_frame_sample,
+        "q59_mixture_sample": q59_mixture_sample,
     }
 
 
@@ -3337,4 +3375,5 @@ def oracle_sql():
         "q56_media_resize": _q56_sql(),
         "q57_pagerank_kg": _q57_sql(),
         "q58_frame_sample": _q58_sql(),
+        "q59_mixture_sample": _q59_sql(),
     }

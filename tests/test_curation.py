@@ -135,3 +135,43 @@ def test_domain_stats_aggregates_and_filters(spark):
     assert g["keep"]
     assert not out["thin.com"]["keep"]  # mean 20 < 50
     assert not out["lone.com"]["keep"]  # 1 doc < 2
+
+
+def test_mixture_sample_per_group_rates(spark):
+    from pathhier_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(
+        df,
+        group_col="source",
+        fractions={"s0": 1.0, "s1": 0.3},
+        default_fraction=0.0,
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("s0") == 2000  # fraction 1.0 keeps every row
+    assert 450 < by_src.get("s1", 0) < 750  # ~0.3 of 2000
+    assert "s2" not in by_src  # default 0.0 drops unknown groups
+    # monotone: raising a group's weight only ADDS rows
+    bigger = mixture_sample(
+        df,
+        group_col="source",
+        fractions={"s0": 1.0, "s1": 0.6},
+        default_fraction=0.0,
+    )
+    small_ids = {r["doc_id"] for r in out.collect()}
+    big_ids = {r["doc_id"] for r in bigger.collect()}
+    assert small_ids <= big_ids
+
+
+def test_mixture_sample_fraction_guard(spark):
+    import pytest as _pytest
+
+    from pathhier_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, group_col="source", fractions={"a": 1.2})

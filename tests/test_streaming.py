@@ -363,3 +363,51 @@ def test_streaming_batch_funnel_parity_via_warehouse(spark, tmp_path):
     b_q = {r["text"]: (round(r["quality_score"], 9), r["lang_pred"])
            for r in batch_result.collect()}
     assert s_q == b_q
+
+
+def test_stream_to_warehouse_incremental_consumer(spark, tmp_path):
+    """End-to-end: a streaming producer commits micro-batches into the
+    Warehouse while a downstream consumer follows the table with
+    read_incremental, holding only the last fingerprint it processed —
+    each poll reads exactly the new rows, and the union of deltas equals
+    the full table."""
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import stream_to_warehouse
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, n long"
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(input_dir))
+
+    wb([("u1", 1), ("u2", 2)])
+    stream = spark.readStream.schema(schema).parquet(str(input_dir))
+    q = stream_to_warehouse(stream, wh, "ev", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        # consumer bootstraps with a full read, remembers the fingerprint
+        seen = {r["url"] for r in wh.read("ev").collect()}
+        cursor = wh.manifest("ev")["fingerprint"]
+        assert seen == {"u1", "u2"}
+
+        wb([("u3", 3)])
+        q.processAllAvailable()
+        delta = wh.read_incremental("ev", cursor)
+        got = {r["url"] for r in delta.collect()}
+        assert got == {"u3"}  # exactly the new micro-batch, nothing else
+        seen |= got
+        cursor = wh.manifest("ev")["fingerprint"]
+
+        wb([("u4", 4), ("u5", 5)])
+        q.processAllAvailable()
+        got = {r["url"] for r in wh.read_incremental("ev", cursor).collect()}
+        assert got == {"u4", "u5"}
+        seen |= got
+    finally:
+        q.stop()
+    assert seen == {r["url"] for r in wh.read("ev").collect()}
