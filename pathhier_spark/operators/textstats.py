@@ -521,3 +521,99 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame, col: str, *, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of value frequencies — the deterministic,
+    mergeable counter sketch next to kmv_distinct's cardinality sketch:
+    `depth` independent md5-derived hash rows, each value incrementing
+    one of `width` counters per row. Sketch state is depth x width int64
+    counters regardless of corpus size; two sketches over disjoint data
+    merge by elementwise ADDITION (asserted in tests), which is what makes
+    the sketch a per-partition → global two-level aggregate at cluster
+    scale. All hashes are engine-portable (md5 hex32), so the full
+    counter table — and therefore every estimate — is value-reproducible
+    in SQL (q60's oracle).
+
+    Build shape: explode each value into its `depth` (row, bucket) cells
+    map-side, then ONE combiner-friendly groupBy sums — identical
+    physical shape to minhash_signatures. Returns (row, bucket, cnt),
+    only non-zero cells (the sketch's zero cells carry no information)."""
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cms:{i}:"),
+                                        F.col(col).cast("string"),
+                                    )
+                                ),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("long")
+                        % F.lit(width)
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("c")
+    )
+    return (
+        cells.groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, *, width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each probe
+    value, est = min over rows of counter[row][bucket_row(value)] — an
+    OVERESTIMATE bounded by true_count + eps*N with probability
+    1 - (1/2)^depth (the classic CMS guarantee). The probe side maps each
+    value to its depth cells (same md5 hashing as the build) and joins
+    the sketch on (row, bucket) — probe-set-sized work, never a corpus
+    scan. Missing cells count as 0 (value never seen in that row)."""
+    cells = probes.select(
+        F.col(col).alias("_probe"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cms:{i}:"),
+                                        F.col(col).cast("string"),
+                                    )
+                                ),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("long")
+                        % F.lit(width)
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("c"),
+    ).select("_probe", "c.row", "c.bucket")
+    joined = cells.join(sketch, ["row", "bucket"], "left").select(
+        "_probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return (
+        joined.groupBy("_probe")
+        .agg(F.min("cnt").alias("est_count"))
+        .withColumnRenamed("_probe", col)
+    )

@@ -3251,6 +3251,65 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q60 — count-min sketch frequency estimates vs exact counts
+# (operators/textstats.countmin_sketch / countmin_estimate): the
+# deterministic counter sketch joining KMV (q50) in the sketch family.
+# Every counter is md5-derived, so the full sketch AND every estimate are
+# value-reproducible in SQL. exact_count rides along so the gate also
+# pins the overestimate bound behavior on real data.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256
+_CMS_D = 4
+
+
+def q60_countmin_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import (
+        _tokens,
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    sketch = countmin_sketch(toks, "tok", width=_CMS_W, depth=_CMS_D)
+    probes = toks.distinct()
+    est = countmin_estimate(
+        sketch, probes, "tok", width=_CMS_W, depth=_CMS_D
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "tok").select(
+        "tok", "est_count", "exact_count"
+    ).orderBy("tok")
+
+
+def _q60_sql() -> str:
+    h = _sql_hex32("'cms:' || i::varchar || ':' || tok")
+    return f"""
+WITH toks AS (
+  SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents
+), cells AS (
+  SELECT tok, i, ({h}) % {_CMS_W} AS bucket
+  FROM toks, range(0, {_CMS_D}) r(i)
+), sketch AS (
+  SELECT i, bucket, count(*)::bigint AS cnt FROM cells GROUP BY i, bucket
+), probes AS (
+  SELECT DISTINCT tok FROM toks
+), pcells AS (
+  SELECT tok, i, ({h}) % {_CMS_W} AS bucket
+  FROM probes, range(0, {_CMS_D}) r(i)
+), est AS (
+  SELECT tok, min(coalesce(cnt, 0))::bigint AS est_count
+  FROM pcells LEFT JOIN sketch USING (i, bucket) GROUP BY tok
+), exact AS (
+  SELECT tok, count(*)::bigint AS exact_count FROM toks GROUP BY tok
+)
+SELECT tok, est_count, exact_count
+FROM est JOIN exact USING (tok) ORDER BY tok
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3312,6 +3371,7 @@ def queries():
         "q57_pagerank_kg": q57_pagerank_kg,
         "q58_frame_sample": q58_frame_sample,
         "q59_mixture_sample": q59_mixture_sample,
+        "q60_countmin_freqs": q60_countmin_freqs,
     }
 
 
@@ -3376,4 +3436,5 @@ def oracle_sql():
         "q57_pagerank_kg": _q57_sql(),
         "q58_frame_sample": _q58_sql(),
         "q59_mixture_sample": _q59_sql(),
+        "q60_countmin_freqs": _q60_sql(),
     }

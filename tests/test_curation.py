@@ -175,3 +175,74 @@ def test_mixture_sample_fraction_guard(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         mixture_sample(df, group_col="source", fractions={"a": 1.2})
+
+
+# --- count-min sketch ---
+
+
+def test_countmin_overestimates_and_merges(spark):
+    from pathhier_spark.operators.textstats import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(f"w{i % 50}",) for i in range(3000)]  # 50 values, 60 each
+    df = spark.createDataFrame(rows, "tok string")
+    probes = df.distinct()
+    sk = countmin_sketch(df, "tok", width=64, depth=4)
+    est = {
+        r["tok"]: r["est_count"]
+        for r in countmin_estimate(sk, probes, "tok", width=64, depth=4).collect()
+    }
+    # CMS never underestimates; with 50 values in 64 buckets x 4 rows the
+    # min-over-rows stays close to truth
+    assert all(v >= 60 for v in est.values())
+    assert sum(est.values()) <= 60 * 50 * 2  # bounded blow-up
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B) elementwise
+    a = df.limit(1000)
+    b = spark.createDataFrame(rows[1000:], "tok string")
+    sk_a = countmin_sketch(a, "tok", width=64, depth=4)
+    sk_b = countmin_sketch(b, "tok", width=64, depth=4)
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_countmin_unseen_value_estimates_zero_or_collision(spark):
+    from pathhier_spark.operators.textstats import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "tok string")
+    sk = countmin_sketch(df, "tok", width=1024, depth=4)
+    probes = spark.createDataFrame([("zzz",)], "tok string")
+    out = countmin_estimate(sk, probes, "tok", width=1024, depth=4).collect()
+    # wide sketch, 2 values: an unseen probe should miss every counter
+    assert out[0]["est_count"] == 0
+
+
+# --- plan assertions for the map-only curation operators ---
+
+
+def test_mixture_and_split_plans_are_map_only(spark):
+    """The sampler's contract is scan-speed selection: no Exchange may
+    appear in either plan (the literal cut map and hash are pure column
+    expressions)."""
+    from pathhier_spark.operators.sampling import hash_split, mixture_sample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+    )
+    for out in (
+        mixture_sample(df, group_col="source", fractions={"s0": 0.5}),
+        hash_split(df),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
