@@ -342,6 +342,37 @@ class Warehouse:
             return self.read(table).limit(0)  # caught up: empty, same schema
         return self._read_dirs(dirs)
 
+    def read_at(self, table: str, fingerprint: str) -> DataFrame:
+        """Snapshot time-travel — read the table AS OF the commit carrying
+        `fingerprint`: exactly the directories of that commit and every
+        commit before it in the log, none after. Append-mode commits never
+        rewrite earlier directories, so the historical view is byte-stable
+        as long as the history hasn't been reset (overwrite/compaction
+        rewrite the data layout and clear the log — older fingerprints
+        then raise, same contract as read_incremental)."""
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if man["format"] == "iceberg":
+            raise NotImplementedError(
+                "iceberg time travel = VERSION AS OF via the catalog; no "
+                "iceberg runtime in this sandbox"
+            )
+        commits = man.get("commits") or []
+        idx = [
+            i
+            for i, c in enumerate(commits)
+            if c["fingerprint"] == fingerprint
+        ]
+        if not idx:
+            raise ValueError(
+                f"fingerprint {fingerprint!r} is not in '{table}'s commit "
+                "log (history was reset by an overwrite/compaction, or "
+                "predates the log)"
+            )
+        dirs = [d for c in commits[: idx[-1] + 1] for d in c["dirs"]]
+        return self._read_dirs(dirs)
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         """Per-dir reads unioned by name: a single multi-path read REFUSES
         partitioned layouts across several roots

@@ -597,3 +597,37 @@ def test_read_incremental_across_compaction(spark, tmp_path):
         r["id"] for r in wh.read_incremental("t", "b1").collect()
     } == {3}
     assert {r["id"] for r in wh.read("t").collect()} == {1, 2, 3}
+
+
+def test_read_at_time_travel(spark, tmp_path):
+    """read_at returns the table AS OF a named commit: earlier appends
+    included, later ones excluded; history resets invalidate old
+    fingerprints."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        "t", fingerprint="base",
+    )
+    wh.write(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        "t", mode="append", fingerprint="b1",
+    )
+    wh.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        "t", mode="append", fingerprint="b2",
+    )
+    assert {r["id"] for r in wh.read_at("t", "base").collect()} == {1}
+    assert {r["id"] for r in wh.read_at("t", "b1").collect()} == {1, 2}
+    assert {r["id"] for r in wh.read_at("t", "b2").collect()} == {1, 2, 3}
+    with _pytest.raises(ValueError, match="not in"):
+        wh.read_at("t", "nope")
+    # compaction resets history: only the compacted commit remains readable
+    wh.compact("t")
+    last = wh.manifest("t")["fingerprint"]
+    assert {r["id"] for r in wh.read_at("t", last).collect()} == {1, 2, 3}
+    with _pytest.raises(ValueError):
+        wh.read_at("t", "b1")
