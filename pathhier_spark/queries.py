@@ -3310,6 +3310,97 @@ FROM est JOIN exact USING (tok) ORDER BY tok
 """
 
 
+# ---------------------------------------------------------------------------
+# Q61 — Bloom-filter membership verdicts (operators/bloom.py): the filter
+# is built over a selective orders subset and probed with every distinct
+# lineitem orderkey; the oracle rebuilds the IDENTICAL bit words with
+# DuckDB bit_or (bit 63 via the two's-complement constant — DuckDB raises
+# on 1::bigint << 63), so the bloom's bit arithmetic itself is
+# value-checked, false positives included. actually_present rides along,
+# pinning no-false-negatives on real data (member false ⇒ present false).
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 4
+_BLOOM_SEL_MOD = 37
+
+
+def q61_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.bloom import (
+        bloom_build,
+        bloom_member,
+        bloom_words_literal,
+    )
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    small = orders.filter(
+        F.col("o_orderkey") % _BLOOM_SEL_MOD == 0
+    ).select(F.col("o_orderkey").alias("key")).distinct()
+    words = bloom_words_literal(
+        bloom_build(small, "key", m_bits=_BLOOM_M, k=_BLOOM_K),
+        m_bits=_BLOOM_M,
+    )
+    probes = li.select(F.col("l_orderkey").alias("orderkey")).distinct()
+    present = small.withColumnRenamed("key", "orderkey").withColumn(
+        "actually_present", F.lit(True)
+    )
+    return (
+        probes.withColumn(
+            "bloom_member",
+            bloom_member(
+                F.col("orderkey"), words, m_bits=_BLOOM_M, k=_BLOOM_K
+            ),
+        )
+        .join(present, "orderkey", "left")
+        .select(
+            "orderkey",
+            "bloom_member",
+            F.coalesce("actually_present", F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+        .orderBy("orderkey")
+    )
+
+
+def _q61_sql() -> str:
+    pos = _sql_hex32("'bloom:' || i::varchar || ':' || key::varchar")
+    ppos = _sql_hex32("'bloom:' || i::varchar || ':' || orderkey::varchar")
+    bitval = (
+        "CASE WHEN {p} % 64 = 63 THEN -9223372036854775808 "
+        "ELSE (1::bigint << ({p} % 64)::int) END"
+    )
+    return f"""
+WITH sk AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderkey % {_BLOOM_SEL_MOD} = 0
+), kb AS (
+  SELECT key, i, ({pos}) % {_BLOOM_M} AS p
+  FROM sk, range(0, {_BLOOM_K}) r(i)
+), words AS (
+  SELECT (p // 64) AS word_idx,
+         bit_or({bitval.format(p='p')}) AS word
+  FROM kb GROUP BY (p // 64)
+), probes AS (
+  SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+), pb AS (
+  SELECT orderkey, i, ({ppos}) % {_BLOOM_M} AS p
+  FROM probes, range(0, {_BLOOM_K}) r(i)
+), verdicts AS (
+  SELECT pb.orderkey,
+         bool_and((coalesce(w.word, 0) & ({bitval.format(p='pb.p')})) <> 0)
+           AS bloom_member
+  FROM pb LEFT JOIN words w ON (pb.p // 64) = w.word_idx
+  GROUP BY pb.orderkey
+)
+SELECT v.orderkey, v.bloom_member,
+       (sk.key IS NOT NULL) AS actually_present
+FROM verdicts v LEFT JOIN sk ON v.orderkey = sk.key
+ORDER BY v.orderkey
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3372,6 +3463,7 @@ def queries():
         "q58_frame_sample": q58_frame_sample,
         "q59_mixture_sample": q59_mixture_sample,
         "q60_countmin_freqs": q60_countmin_freqs,
+        "q61_bloom_membership": q61_bloom_membership,
     }
 
 
@@ -3437,4 +3529,5 @@ def oracle_sql():
         "q58_frame_sample": _q58_sql(),
         "q59_mixture_sample": _q59_sql(),
         "q60_countmin_freqs": _q60_sql(),
+        "q61_bloom_membership": _q61_sql(),
     }
