@@ -3401,6 +3401,72 @@ ORDER BY v.orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q62 — distributed BPE merge training (operators/bpe.py): learn the top-N
+# byte-pair merges of the corpus vocabulary. Deterministic throughout
+# (ties break count DESC, pair ASC), so the oracle replays every round as
+# unrolled DuckDB CTEs — the q36 Lloyd / q51 PageRank trick applied to
+# tokenizer training. The merge application is a fold on both engines:
+# Spark F.aggregate over the symbol array, DuckDB list_reduce over a
+# separator-joined string (chr(31) never occurs in the [a-z0-9]+ tokens).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+_BPE_SEP = chr(31)
+
+
+def q62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.bpe import bpe_train
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bpe_train(words, n_merges=_BPE_MERGES).orderBy("round")
+
+
+def _q62_sql() -> str:
+    sep = _BPE_SEP
+
+    def fold(best: str) -> str:
+        return (
+            f"list_reduce(s, (acc, x) -> CASE WHEN "
+            f"regexp_extract(acc, '([^{sep}]*)$', 1) = {best}.a "
+            f"AND x = {best}.b THEN "
+            f"regexp_replace(acc, '[^{sep}]*$', {best}.a || {best}.b) "
+            f"ELSE acc || chr(31) || x END)"
+        )
+
+    ctes = [
+        f"""w0 AS (
+  SELECT w, count(*)::bigint AS n,
+         list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS s
+  FROM (SELECT unnest({_SQL_WS_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for r in range(_BPE_MERGES):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i FROM w{r}
+), b{r} AS (
+  SELECT s[i] AS a, s[i+1] AS b, sum(n)::bigint AS cnt
+  FROM p{r} GROUP BY s[i], s[i+1] ORDER BY cnt DESC, a, b LIMIT 1
+), w{r + 1} AS (
+  SELECT w, n, string_split({fold(f'b{r}')}, chr(31)) AS s
+  FROM w{r}, b{r}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r}::int AS round, a, b, a || b AS merged, cnt FROM b{r}"
+        for r in range(_BPE_MERGES)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY round"
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3464,6 +3530,7 @@ def queries():
         "q59_mixture_sample": q59_mixture_sample,
         "q60_countmin_freqs": q60_countmin_freqs,
         "q61_bloom_membership": q61_bloom_membership,
+        "q62_bpe_merges": q62_bpe_merges,
     }
 
 
@@ -3530,4 +3597,5 @@ def oracle_sql():
         "q59_mixture_sample": _q59_sql(),
         "q60_countmin_freqs": _q60_sql(),
         "q61_bloom_membership": _q61_sql(),
+        "q62_bpe_merges": _q62_sql(),
     }
