@@ -1,0 +1,221 @@
+"""Full-text retrieval: inverted-index BM25 scoring and an exact
+set-similarity self-join with prefix filtering.
+
+Retrieval is the serving-side complement of the corpus pipeline: the same
+documents table the dedup/quality operators curate is what a training-data
+team queries ("find everything about X", "pull the k nearest docs to this
+probe"). Both operators here are pure DataFrame compositions:
+
+* ``bm25_topk`` — classic probabilistic-IR ranking over an inverted index.
+  The postings list (term -> (doc, tf)) is the only corpus-sized
+  intermediate and is built with one combiner-friendly groupBy; the query
+  set is broadcast, so scoring is a map-side join against postings and the
+  only shuffle keyed on (query, doc). Per-(query, doc) scores are folded
+  in TERM order (sorted fold, same discipline as unigram_surprisal) so the
+  floating-point sum is reproducible across partitionings and engines.
+
+* ``setsim_join_exact`` — AllPairs/PPJoin-style exact Jaccard self-join:
+  tokens are ranked by ascending corpus frequency, each record keeps only
+  its PREFIX (the |s| - ceil(t*|s|) + 1 rarest tokens) as join keys, and
+  candidate pairs sharing a prefix token are verified with the exact
+  Jaccard. The prefix filter is lossless (any pair with Jaccard >= t must
+  share at least one prefix token), so unlike MinHash-LSH
+  (operators/dedup.py) the result is EXACT — recall 1.0 by construction —
+  while the join fan-out is bounded by the rare-token postings, not the
+  full inverted index.
+
+Reference anchor: pathhier scores name/definition channels with tf-idf
+cosine over token sets (pathhier/utils/string_utils.py token pipeline +
+candidate scoring in pathhier/candidate_selector.py); BM25 is the same
+bag-of-words retrieval family recast as the standard Okapi form, and the
+set-similarity join generalizes its pairwise Jaccard alignment scoring
+(E1) into a corpus-scale self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_postings(docs: DataFrame, tokens_col) -> DataFrame:
+    """Inverted-index postings: (doc_id, term, tf). One explode + one
+    combiner-friendly groupBy; at 100 TB this is the canonical index-build
+    shape (partial counts map-side, shuffle only (doc_id, term) pairs)."""
+    return (
+        docs.select("doc_id", F.explode(tokens_col).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    tokens_col,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval.
+
+    ``docs``: (doc_id, ...) with ``tokens_col`` a Column of array<string>
+    tokens. ``query_terms``: (qid, term) — small (it is broadcast).
+
+    Returns (qid, rank, doc_id, score) with rank = 1..k per query, ordered
+    by (score desc, doc_id) — the tie-break and the term-ordered score fold
+    make the ranking deterministic and engine-reproducible (q63's oracle
+    replays the identical arithmetic).
+
+    Scale shape: postings + doc-length are corpus-sized but narrow (three
+    ints + a term); ``stats`` is a 1-row aggregate crossJoined in (a
+    broadcast of one row); the query side of the postings join is
+    broadcast; the score fold shuffles only (qid, doc_id, term, score)
+    rows for documents that contain at least one query term. No window
+    touches a corpus-sized partition: top-k per query runs on the
+    per-query candidate sets (WindowGroupLimit prunes to k per partition
+    map-side).
+    """
+    # constants are computed once in Python and inlined as literals so the
+    # oracle SQL can inline the exact same double values (e.g. k1+1.0 is
+    # NOT re-derived engine-side — literal parity beats arithmetic parity)
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    toks = docs.select("doc_id", tokens_col.alias("ts"))
+    dl = toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = build_postings(toks, F.col("ts"))
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+
+    scored = (
+        F.broadcast(query_terms)
+        .join(postings, "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(query_terms.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * (F.col("tf") * F.lit(k1p1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(one_minus_b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    folded = scored.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def setsim_join_exact(
+    docs: DataFrame,
+    tokens_col,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard self-join via prefix filtering (AllPairs family).
+
+    For each record's DISTINCT token set s (|s| = L), only the
+    L - ceil(threshold * L) + 1 globally-RAREST tokens are emitted as join
+    keys (prefix tokens). Any pair (a, b) with Jaccard(a, b) >= threshold
+    must share >= 1 prefix token — if all shared tokens sat outside both
+    prefixes, the overlap could be at most min(ceil(t*La), ceil(t*Lb)) - 1,
+    below what Jaccard >= t requires — so candidate generation is lossless
+    and the verified output is EXACT (recall 1.0; pinned against brute
+    force in tests).
+
+    Scale shape: the candidate join is keyed on prefix tokens, whose
+    postings are short BY CONSTRUCTION (the prefix keeps the rarest
+    tokens, so hot tokens like stopwords never become join keys — the
+    skew-resistance comes from the algorithm, not from salting).
+    Verification joins token sets back by doc id (narrow key shuffle) and
+    computes |intersect| / |union| with JVM array intrinsics.
+
+    Returns (a, b, jacc) with a < b, jacc rounded to 6.
+    """
+    # distinct token set per doc; the global token order the prefix needs
+    # is (corpus frequency asc, term asc) — used DIRECTLY as a sort key, so
+    # no global row_number window (a SinglePartition exchange over the
+    # vocabulary) is ever materialized
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col).alias("ts")
+    ).filter(F.size("ts") > 0)
+    freq = (
+        toks.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    tok_ranked = (
+        toks.select("doc_id", F.size("ts").cast("long").alias("setlen"),
+                    F.explode("ts").alias("term"))
+        .join(F.broadcast(freq), "term")
+    )
+    # prefix length: L - ceil(t*L) + 1
+    pref_len = (
+        F.col("setlen")
+        - F.ceil(F.lit(threshold) * F.col("setlen")).cast("long")
+        + F.lit(1)
+    )
+    order_w = Window.partitionBy("doc_id").orderBy(
+        F.asc("cnt"), F.asc("term")
+    )
+    prefix = (
+        tok_ranked.withColumn("pos", F.row_number().over(order_w))
+        .filter(F.col("pos") <= pref_len)
+        .select("doc_id", "term")
+    )
+
+    cands = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "term")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+    )
+
+    sets = toks.select("doc_id", F.col("ts"))
+    verified = (
+        cands.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("ts", "ts_a"), "a")
+        .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("ts", "ts_b"), "b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+        )
+        .withColumn(
+            "uni",
+            F.size("ts_a").cast("long") + F.size("ts_b") - F.col("inter"),
+        )
+        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jacc") >= F.lit(threshold))
+    )
+    return verified.select(
+        "a", "b", (F.round("jacc", 6) + F.lit(0.0)).alias("jacc")
+    )

@@ -11,7 +11,7 @@ combiner-friendly groupBy is its whole point.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pathhier_spark.functions.text import STOPWORDS, WS_SPLIT_RE
@@ -616,4 +616,65 @@ def countmin_estimate(
         joined.groupBy("_probe")
         .agg(F.min("cnt").alias("est_count"))
         .withColumnRenamed("_probe", col)
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    cap: int = 20,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Document-level PMI collocations: token pairs that co-occur in the
+    same document more often than their marginals predict —
+    pmi(x, y) = ln(N * c_xy / (c_x * c_y)) over document-level indicator
+    counts. The classic collocation / related-term signal for corpus
+    exploration and vocabulary mining.
+
+    Per document only the first ``cap`` FIRST-OCCURRENCE distinct tokens
+    participate (min-position + row_number, deterministic), which bounds
+    the per-document pair fan-out at cap*(cap-1)/2 regardless of document
+    length — the property that keeps the self-join linear in corpus size
+    at 100 TB. Marginal and pair counts are combiner-friendly groupBys;
+    nothing windows over a corpus-sized partition.
+
+    Returns (x, y, c_xy, pmi) with x < y, c_xy >= min_pairs, pmi UNROUNDED
+    (callers round for display; ranking happens on the exact value).
+    """
+    toks = df.select(
+        "doc_id", F.posexplode(_tokens(text_col)).alias("pos", "term")
+    )
+    mp = toks.groupBy("doc_id", "term").agg(F.min("pos").alias("mp"))
+    w = Window.partitionBy("doc_id").orderBy("mp", "term")
+    capped = (
+        mp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "term")
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n"))
+    cx = capped.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .select(F.col("a.term").alias("x"), F.col("b.term").alias("y"))
+    )
+    cxy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pairs)
+    )
+    return (
+        cxy.join(F.broadcast(cx.withColumnRenamed("term", "x").withColumnRenamed("c", "c_x")), "x")
+        .join(F.broadcast(cx.withColumnRenamed("term", "y").withColumnRenamed("c", "c_y")), "y")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_xy") * F.col("n")).cast("double")
+                / (F.col("c_x") * F.col("c_y"))
+            ),
+        )
+        .select("x", "y", "c_xy", "pmi")
     )

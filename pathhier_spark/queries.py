@@ -3467,6 +3467,213 @@ def _q62_sql() -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY round"
 
 
+# ---------------------------------------------------------------------------
+# Q63 — BM25 top-k retrieval (operators/retrieval.py): Okapi BM25 over the
+# whitespace-token inverted index; queries are derived deterministically
+# from the corpus (every 50th document's first three first-occurrence
+# tokens). Scoring constants are computed ONCE in Python and inlined as
+# identical literals on both engines; per-(query, doc) scores fold in term
+# order (q44's discipline), so the ranking — computed on the unrounded
+# fold with a doc_id tie-break — is bit-reproducible.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+_BM25_QMOD = 50
+_BM25_QLEN = 3
+
+
+def q63_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import bm25_topk
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qsrc = (
+        toks.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.posexplode("ts").alias("pos", "term"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.min("pos").alias("mp"))
+    )
+    qw = Window.partitionBy("qid").orderBy("mp", "term")
+    qterms = (
+        qsrc.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _BM25_QLEN)
+        .select("qid", "term")
+    )
+    out = bm25_topk(
+        toks, qterms, F.col("ts"), k1=_BM25_K1, b=_BM25_B, k=_BM25_K
+    )
+    return out.select(
+        "qid",
+        "rank",
+        "doc_id",
+        (F.round("score", 6) + F.lit(0.0)).alias("score"),
+    ).orderBy("qid", "rank")
+
+
+def _q63_sql() -> str:
+    k1p1 = _BM25_K1 + 1.0
+    omb = 1.0 - _BM25_B
+    return f"""
+WITH tl AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+), dl AS (
+  SELECT doc_id, len(ts)::bigint AS dl FROM tl
+), stats AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl)::double / count(*) AS avgdl
+  FROM dl
+), toks AS (
+  SELECT doc_id, i::bigint AS pos, ts[i] AS term
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM tl)
+), postings AS (
+  SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::bigint AS df FROM postings GROUP BY term
+), qt0 AS (
+  SELECT doc_id AS qid, term, min(pos) AS mp
+  FROM toks WHERE doc_id % {_BM25_QMOD} = 0 GROUP BY doc_id, term
+), qterms AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY mp, term) AS rn
+    FROM qt0
+  ) WHERE rn <= {_BM25_QLEN}
+), scored AS (
+  SELECT q.qid, p.doc_id, q.term,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * {k1p1!r})
+           / (p.tf + {_BM25_K1!r} * ({omb!r} + {_BM25_B!r} * l.dl / s.avgdl))
+           AS sc
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id, stats s
+), folded AS (
+  SELECT qid, doc_id, list_sum(list(sc ORDER BY term)) AS score
+  FROM scored GROUP BY qid, doc_id
+), ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS "rank"
+  FROM folded
+)
+SELECT qid, "rank", doc_id, round(score, 6) + 0.0 AS score
+FROM ranked WHERE "rank" <= {_BM25_K} ORDER BY qid, "rank"
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q64 — PMI collocations (operators/textstats.py pmi_pairs): token pairs
+# co-occurring at the document level more than chance, pmi =
+# ln(N*c_xy / (c_x*c_y)) from pure integer counts (the ln of the same
+# rational is bit-identical cross-engine, so the top-50 cut on the
+# unrounded value agrees). Per-doc participation capped to the first 20
+# first-occurrence tokens — the bound that keeps the pair fan-out linear
+# in corpus size.
+# ---------------------------------------------------------------------------
+
+_PMI_CAP = 20
+_PMI_MINP = 5
+_PMI_TOPK = 50
+
+
+def q64_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import pmi_pairs
+
+    docs = _docs(spark, sf_dir)
+    out = pmi_pairs(docs, cap=_PMI_CAP, min_pairs=_PMI_MINP)
+    return (
+        out.orderBy(F.desc("pmi"), "x", "y")
+        .limit(_PMI_TOPK)
+        .select("x", "y", "c_xy", (F.round("pmi", 6) + F.lit(0.0)).alias("pmi"))
+    )
+
+
+def _q64_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i::bigint AS pos, ts[i] AS term
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  )
+), mp AS (
+  SELECT doc_id, term, min(pos) AS mp FROM toks GROUP BY doc_id, term
+), capped AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY mp, term) AS rn
+    FROM mp
+  ) WHERE rn <= {_PMI_CAP}
+), nd AS (
+  SELECT count(*)::bigint AS n FROM documents
+), cx AS (
+  SELECT term, count(*)::bigint AS c FROM capped GROUP BY term
+), cxy AS (
+  SELECT a.term AS x, b.term AS y, count(*)::bigint AS c_xy
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {_PMI_MINP}
+), scored AS (
+  SELECT x, y, c_xy,
+         ln((c_xy * nd.n)::double / (cx1.c * cx2.c)) AS pmi
+  FROM cxy
+  JOIN cx cx1 ON cxy.x = cx1.term
+  JOIN cx cx2 ON cxy.y = cx2.term
+  CROSS JOIN nd
+)
+SELECT x, y, c_xy, round(pmi, 6) + 0.0 AS pmi
+FROM scored ORDER BY pmi DESC, x, y LIMIT {_PMI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q65 — exact set-similarity self-join (operators/retrieval.py
+# setsim_join_exact): AllPairs/PPJoin prefix filtering — each doc joins
+# only on its |s|-ceil(t|s|)+1 RAREST tokens, then exact Jaccard verify.
+# The oracle is deliberately a DIFFERENT algorithm (brute-force all-pairs
+# Jaccard), so a green row proves the prefix filter is lossless on real
+# data, not merely replayed. Threshold 0.5 is exactly representable, so
+# ceil(t*L) and the >= t cut cannot diverge on float edges.
+# ---------------------------------------------------------------------------
+
+_SETSIM_T = 0.5
+
+
+def q65_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import setsim_join_exact
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    return setsim_join_exact(docs, _tokens("text"), threshold=_SETSIM_T).orderBy(
+        "a", "b"
+    )
+
+
+def _q65_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts FROM (
+    SELECT doc_id, list_distinct({_SQL_WS_TOKS}) AS ts FROM documents
+  ) WHERE len(ts) > 0
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.ts, b.ts))::bigint AS inter,
+         (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))::bigint
+           AS uni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT a, b, round(inter::double / uni, 6) + 0.0 AS jacc
+FROM pairs WHERE inter::double / uni >= {_SETSIM_T!r}
+ORDER BY a, b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3531,6 +3738,9 @@ def queries():
         "q60_countmin_freqs": q60_countmin_freqs,
         "q61_bloom_membership": q61_bloom_membership,
         "q62_bpe_merges": q62_bpe_merges,
+        "q63_bm25_topk": q63_bm25_topk,
+        "q64_pmi_pairs": q64_pmi_pairs,
+        "q65_setsim_join": q65_setsim_join,
     }
 
 
@@ -3598,4 +3808,7 @@ def oracle_sql():
         "q60_countmin_freqs": _q60_sql(),
         "q61_bloom_membership": _q61_sql(),
         "q62_bpe_merges": _q62_sql(),
+        "q63_bm25_topk": _q63_sql(),
+        "q64_pmi_pairs": _q64_sql(),
+        "q65_setsim_join": _q65_sql(),
     }

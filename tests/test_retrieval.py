@@ -1,0 +1,132 @@
+"""BM25 retrieval, exact set-similarity join (prefix filter), PMI pairs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+    setsim_join_exact,
+)
+from pathhier_spark.operators.textstats import _tokens, pmi_pairs
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (0, "spark shuffle join"),
+            (1, "spark shuffle join spark shuffle"),
+            (2, "cat dog fish bird mouse"),
+            (3, "spark only here with lots of other words padding length"),
+        ],
+    )
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qterms = spark.createDataFrame(
+        [(1, "spark"), (1, "shuffle"), (1, "join")], "qid long, term string"
+    )
+    out = bm25_topk(toks, qterms, F.col("ts"), k=4).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # doc 2 shares no term: absent entirely
+    assert all(r["doc_id"] != 2 for r in out)
+    # docs containing all three terms outrank the one-term doc 3
+    assert by_rank[1]["doc_id"] in (0, 1)
+    assert by_rank[len(by_rank)]["doc_id"] == 3
+    # scores strictly ordered and positive
+    scores = [by_rank[i]["score"] for i in range(1, len(by_rank) + 1)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_matches_reference_formula(spark):
+    # tiny corpus, hand-computed Okapi BM25
+    docs = _docs_df(spark, [(0, "a b"), (1, "a a c"), (2, "d e f")])
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qterms = spark.createDataFrame([(0, "a")], "qid long, term string")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(toks, qterms, F.col("ts"), k1=1.2, b=0.75, k=10).collect()
+    }
+    n, df_a, avgdl = 3, 2, (2 + 3 + 3) / 3
+    idf = math.log((n - df_a + 0.5) / (df_a + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[0] == pytest.approx(s(1, 2), rel=1e-12)
+    assert out[1] == pytest.approx(s(2, 3), rel=1e-12)
+    assert 2 not in out
+
+
+def test_postings_shape(spark):
+    docs = _docs_df(spark, [(0, "x y x"), (1, "y")])
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    rows = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in build_postings(toks, F.col("ts")).collect()
+    }
+    assert rows == {(0, "x"): 2, (0, "y"): 1, (1, "y"): 1}
+
+
+def _brute_jaccard_pairs(spark, toks, threshold):
+    sets = {r["doc_id"]: set(r["ts"]) for r in toks.collect()}
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= threshold:
+                out.add((a, b, round(inter / uni, 6)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_setsim_exact_equals_brute_force(spark, sf_dir, threshold):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(120)
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(_tokens("text")).alias("ts")
+    )
+    got = {
+        (r["a"], r["b"], r["jacc"])
+        for r in setsim_join_exact(docs, _tokens("text"), threshold=threshold).collect()
+    }
+    want = _brute_jaccard_pairs(spark, toks, threshold)
+    # prefix filtering is lossless: EXACT equality, not recall-bounded
+    assert got == want
+    assert len(want) > 0  # non-vacuous at these thresholds on this corpus
+
+
+def test_pmi_hand_example(spark):
+    # x,y co-occur in every doc; x,z never beyond chance
+    rows = [(i, "alpha beta unique%d" % i) for i in range(8)]
+    rows += [(100 + i, "gamma delta%d" % i) for i in range(8)]
+    docs = _docs_df(spark, rows)
+    out = {
+        (r["x"], r["y"]): (r["c_xy"], r["pmi"])
+        for r in pmi_pairs(docs, cap=20, min_pairs=5).collect()
+    }
+    assert set(out) == {("alpha", "beta")}
+    c_xy, pmi = out[("alpha", "beta")]
+    assert c_xy == 8
+    assert pmi == pytest.approx(math.log(16 * 8 / (8 * 8)), rel=1e-12)
+
+
+def test_pmi_cap_bounds_pairs(spark):
+    # 30 distinct tokens but cap=5 -> only first-5 tokens pair up
+    text = " ".join(f"t{i:02d}" for i in range(30))
+    docs = _docs_df(spark, [(i, text) for i in range(6)])
+    out = pmi_pairs(docs, cap=5, min_pairs=5).collect()
+    assert len(out) == 10  # C(5,2)
+    toks = {t for r in out for t in (r["x"], r["y"])}
+    assert toks == {f"t{i:02d}" for i in range(5)}
