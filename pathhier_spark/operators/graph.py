@@ -191,3 +191,65 @@ def pagerank_fixedpoint(
         F.col("rank_fp").cast("long").alias("rank_fp"),
         (F.col("rank_fp").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation — the
+    scale-standard exact algorithm (Cohen / Suri-Vassilvitskii MapReduce
+    form): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges only at each edge's LOW
+    endpoint, and close them with an oriented-edge join. Orientation
+    bounds each node's wedge fan-out by its ORIENTED out-degree, which is
+    O(sqrt(m)) for any graph — hub nodes never enumerate their quadratic
+    neighbor pairs, so the wedge join survives power-law degree skew that
+    would melt a naive neighbor self-join at 100 TB.
+
+    Input may contain duplicates, self-loops, or both edge directions;
+    they are canonicalized away. All-integer arithmetic end to end (q67's
+    oracle recounts the same triangles with an independent id-ordered
+    enumeration). Returns (node, n_tri) for nodes in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(low_first, F.col("du")).otherwise(F.col("dv")).alias("ka"),
+        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("kb"),
+    )
+    e1 = oriented.select("a", F.col("b").alias("w1"), F.col("kb").alias("k1"))
+    e2 = oriented.select("a", F.col("b").alias("w2"), F.col("kb").alias("k2"))
+    wedges = e1.join(e2, "a").filter(
+        F.struct(F.col("k1"), F.col("w1")) < F.struct(F.col("k2"), F.col("w2"))
+    )
+    closing = oriented.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("a").alias("x"), F.col("w1").alias("y"), F.col("w2").alias("z")
+    )
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )

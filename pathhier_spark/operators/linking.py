@@ -289,3 +289,76 @@ def bow_link(
     return top_matches(
         normed.filter(F.col("score") >= threshold), top_n=top_n
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    *,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance fuzzy equi-join with length-band blocking.
+
+    Joins ``left`` and ``right`` on levenshtein(left.col, right.col) <=
+    max_dist WITHOUT the quadratic cross join: since an edit distance of d
+    changes string length by at most d, each left string only needs to
+    meet right strings whose length lies in [len-d, len+d]. The left side
+    explodes into its 2d+1 candidate length bands (a constant factor) and
+    the join becomes a plain equi-join on the band key; the exact
+    levenshtein runs only on banded candidates. This is the standard
+    blocked fuzzy-linking shape (pathhier's name-matching channel,
+    pathhier/candidate_selector.py, uses token overlap for the same
+    candidate-bounding purpose).
+
+    Returns left columns + right columns + `dist`. Both inputs keep their
+    other columns; callers alias beforehand on name collisions.
+    """
+    lb = left.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.length(F.col(col)) - max_dist,
+                F.length(F.col(col)) + max_dist,
+            )
+        ),
+    )
+    rcol = f"_r_{col}"
+    rb = right.withColumnRenamed(col, rcol).withColumn(
+        "_band", F.length(F.col(rcol))
+    )
+    return (
+        lb.join(rb, "_band")
+        .withColumn("dist", F.levenshtein(F.col(col), F.col(rcol)))
+        .filter(F.col("dist") <= max_dist)
+        .drop("_band")
+    )
+
+
+def fuzzy_vocab_pairs(
+    docs: DataFrame,
+    tokens_col,
+    *,
+    max_dist: int = 2,
+    min_len: int = 3,
+) -> DataFrame:
+    """Near-spelling token pairs in the corpus vocabulary: the typo/variant
+    candidates a normalization pass would merge. Distinct tokens of at
+    least ``min_len`` characters are fuzzy-self-joined (length-band
+    blocking via ``fuzzy_join``), keeping pairs a < b with levenshtein
+    <= max_dist. Vocabulary-sized inputs, so every stage is small relative
+    to the corpus — the corpus is touched exactly once for the distinct.
+    """
+    vocab = (
+        docs.select(F.explode(tokens_col).alias("tok"))
+        .filter(F.length("tok") >= min_len)
+        .distinct()
+    )
+    named = vocab.withColumnRenamed("tok", "a")
+    out = fuzzy_join(named, named, "a", max_dist=max_dist)
+    # fuzzy_join renames the right copy's column to _r_a; restore + order
+    return (
+        out.withColumnRenamed("_r_a", "b")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "dist")
+    )

@@ -678,3 +678,73 @@ def pmi_pairs(
         )
         .select("x", "y", "c_xy", "pmi")
     )
+
+
+def hll_registers(
+    df: DataFrame, col: str, *, m: int = 64, prefix: str = "hll"
+) -> DataFrame:
+    """HyperLogLog registers over a column — the last member of the
+    deterministic sketch family (KMV order statistics -> distinct count,
+    count-min -> frequencies, Bloom -> membership, HLL -> distinct count
+    in O(m) memory with ~1.04/sqrt(m) relative error).
+
+    Everything is md5-derived (the engine-portable hex32): the 32-bit hash
+    splits into a register index (h % m, m a power of two so the integer
+    split is exact on any engine) and a (32 - log2(m))-bit tail w whose
+    leading-zero rank rho = maxbits + 1 - bitlength(w) feeds the register
+    max. The build is ONE combiner-friendly max-aggregate with at most m
+    groups — registers from disjoint partitions (or days, or shards)
+    merge by elementwise max, asserted in tests. Returns exactly m rows
+    (j, reg), absent registers as 0.
+    """
+    if m & (m - 1) != 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+    tail_bits = 32 - (m.bit_length() - 1)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (h / F.lit(m)).cast("long")  # exact: m is a power of two
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.bin(w))
+    )
+    built = (
+        df.select((h % m).cast("long").alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").cast("long").alias("reg"))
+    )
+    allj = df.sparkSession.range(m).select(F.col("id").alias("j"))
+    return F.broadcast(allj).join(built, "j", "left").select(
+        "j", F.coalesce("reg", F.lit(0)).cast("long").alias("reg")
+    )
+
+
+def hll_estimate(registers: DataFrame, *, m: int = 64) -> DataFrame:
+    """Distinct-count estimate from HLL registers: raw harmonic-mean
+    estimate alpha_m * m^2 / sum(2^-reg), with the standard small-range
+    correction (linear counting m*ln(m/V) when the raw estimate is under
+    2.5m and V registers are still zero). Every 2^-reg term is an exact
+    dyadic double (built from an integer power-of-two literal array, not
+    libm pow), so the sum — and therefore the estimate — is reproducible
+    bit-for-bit regardless of summation order or engine (q68's oracle
+    recomputes it in SQL). Returns one row (est, n_zero)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    pow2 = F.array(*[F.lit(float(1 << k)) for k in range(34)])
+    inv = F.lit(1.0) / F.element_at(pow2, (F.col("reg") + 1).cast("int"))
+    agg = registers.agg(
+        F.sum(inv).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_zero"
+        ),
+    )
+    raw = F.lit(alpha * m * m) / F.col("s")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return agg.select(corrected.alias("est"), "n_zero")

@@ -3674,6 +3674,164 @@ ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q66 — fuzzy vocabulary pairs (operators/linking.py fuzzy_join): edit-
+# distance self-join of the corpus vocabulary with length-band blocking
+# (|len(a)-len(b)| <= d, the lossless levenshtein bound). The oracle is
+# brute force WITHOUT blocking, so a green row proves the band join drops
+# no pair. Integer distances — nothing to round.
+# ---------------------------------------------------------------------------
+
+_FUZZ_D = 2
+_FUZZ_MINLEN = 3
+
+
+def q66_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.linking import fuzzy_vocab_pairs
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    return fuzzy_vocab_pairs(
+        docs, _tokens("text"), max_dist=_FUZZ_D, min_len=_FUZZ_MINLEN
+    ).orderBy("a", "b")
+
+
+def _q66_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents
+  ) WHERE length(tok) >= {_FUZZ_MINLEN}
+)
+SELECT a.tok AS a, b.tok AS b, levenshtein(a.tok, b.tok) AS dist
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= {_FUZZ_D}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q67 — triangle counting (operators/graph.py triangle_count) on the
+# co-purchase graph (parts sharing an order). Spark runs the degree-
+# ordered-orientation algorithm (wedge fan-out bounded by oriented
+# out-degree — the power-law-safe form); the oracle recounts with an
+# INDEPENDENT id-ordered enumeration, so agreement checks the algorithm,
+# not a replay. All-integer — hash-exact by construction.
+# ---------------------------------------------------------------------------
+
+
+def q67_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import triangle_count
+
+    li = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges).orderBy("node")
+
+
+def _q67_sql() -> str:
+    return """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT unnest([x, y, z]) AS node FROM tri
+)
+SELECT node, count(*)::bigint AS n_tri FROM nodes GROUP BY node ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q68 — HyperLogLog distinct-count sketch (operators/textstats.py
+# hll_registers/hll_estimate): md5-derived registers, dyadic-exact 2^-reg
+# harmonic sum (every term a power-of-two double, so the sum is
+# order-independent and bit-exact), linear-counting small-range
+# correction. The gate emits all 64 registers PLUS the estimate and the
+# exact distinct count, so the register maxes, the correction branch, and
+# the final value are all hash-checked.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+
+
+def q68_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import (
+        _tokens,
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    regs = hll_registers(toks, "tok", m=_HLL_M)
+    est = hll_estimate(regs, m=_HLL_M)
+    exact = toks.agg(F.countDistinct("tok").cast("long").alias("n_exact"))
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "j",
+            "reg",
+            (F.round("est", 6) + F.lit(0.0)).alias("est"),
+            "n_exact",
+        )
+        .orderBy("j")
+    )
+
+
+def _q68_sql() -> str:
+    m = _HLL_M
+    tail = 32 - (m.bit_length() - 1)
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""
+WITH toks AS (
+  SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents
+), hs AS (
+  SELECT {_sql_hex32("'hll:' || tok")} AS h FROM toks
+), r0 AS (
+  SELECT h % {m} AS j, h // {m} AS w FROM hs
+), rho AS (
+  SELECT j, CASE WHEN w = 0 THEN {tail + 1}
+                 ELSE {tail + 1} - length(bin(w)) END AS rho
+  FROM r0
+), regs AS (
+  SELECT g.j, coalesce(max(rho), 0)::bigint AS reg
+  FROM range(0, {m}) g(j) LEFT JOIN rho ON rho.j = g.j GROUP BY g.j
+), agg AS (
+  SELECT sum(1.0 / (1::bigint << reg)) AS s,
+         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::bigint AS n_zero
+  FROM regs
+), est AS (
+  SELECT CASE WHEN ({alpha_m2!r} / s) <= {2.5 * m!r} AND n_zero > 0
+              THEN {float(m)!r} * ln({float(m)!r} / n_zero)
+              ELSE {alpha_m2!r} / s END AS est
+  FROM agg
+), ex AS (
+  SELECT count(DISTINCT tok)::bigint AS n_exact FROM toks
+)
+SELECT regs.j, regs.reg, round(est.est, 6) + 0.0 AS est, ex.n_exact
+FROM regs, est, ex ORDER BY j
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3741,6 +3899,9 @@ def queries():
         "q63_bm25_topk": q63_bm25_topk,
         "q64_pmi_pairs": q64_pmi_pairs,
         "q65_setsim_join": q65_setsim_join,
+        "q66_fuzzy_vocab": q66_fuzzy_vocab,
+        "q67_triangle_count": q67_triangle_count,
+        "q68_hll_distinct": q68_hll_distinct,
     }
 
 
@@ -3811,4 +3972,7 @@ def oracle_sql():
         "q63_bm25_topk": _q63_sql(),
         "q64_pmi_pairs": _q64_sql(),
         "q65_setsim_join": _q65_sql(),
+        "q66_fuzzy_vocab": _q66_sql(),
+        "q67_triangle_count": _q67_sql(),
+        "q68_hll_distinct": _q68_sql(),
     }
