@@ -206,6 +206,10 @@ def main() -> None:
         # broadcast-probe benchmark decontamination
         "q52_embedding_neardup_bucketed",
         "q54_decontaminate",
+        # late round-5: BM25 retrieval (inverted-index join family) and
+        # label-propagation communities (iterative-graph family)
+        "q63_bm25_topk",
+        "q72_label_prop",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

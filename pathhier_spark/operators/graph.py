@@ -253,3 +253,67 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with a fully
+    deterministic update: each round every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — so the
+    fixed iteration count replays identically on any engine or
+    partitioning, and q72's oracle can unroll the rounds as SQL CTEs
+    (the q36/q51/q62 discipline for iterative algorithms).
+
+    Scale shape: the adjacency (both directions of the canonical edge set)
+    is eagerly localCheckpoint-ed ONCE; each round is one node-keyed join
+    of the node-sized label table onto it, a combiner-friendly
+    (node, label) count, and an integer argmax via min(struct(-cnt,
+    label)) — no windows over corpus-sized partitions, and the label
+    table is re-checkpointed per round so lineage stays flat
+    (connected_components' loop discipline, canonicalize.py).
+
+    Returns (node, label); labels are community representatives drawn
+    from node ids. Init: every node its own label.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        cnt = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("b")
+            )
+            .select("node", F.col("b.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -143,3 +143,47 @@ def mixture_sample(
         else default_cut
     )
     return df.filter(_hash_bucket(F.col(id_col), salt) < cut)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    *,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): every row draws a reproducible uniform u from a salted
+    md5 of its key and is ranked by ln(u)/w — the top-k under that ranking
+    is exactly a weight-proportional sample without replacement. The
+    ranking is equivalent to the textbook u^(1/w) key by monotonicity but
+    avoids pow(), whose cross-engine behavior is less predictable than
+    ln().
+
+    Deterministic like everything in this module: same corpus -> same
+    sample, regardless of partitioning or cluster size, and the rank key
+    is reproducible in SQL (q70's oracle). u = (hex32 + 1) / 2^32 — a
+    dyadic rational, exact in double, never 0 so ln is finite.
+
+    The top-k is a sort-limit, which Spark plans as TakeOrderedAndProject
+    — per-partition heaps of size k, no global sort, no single-partition
+    exchange. Weights must be > 0; rows with NULL or non-positive weight
+    are dropped (they have zero selection probability). Ties (impossible
+    on distinct keys, but belt-and-braces) break by key.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    uniform = (h + F.lit(1)).cast("double") / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "skey", F.log(uniform) / w
+    )
+    return keyed.orderBy(F.desc("skey"), F.asc(key_col)).limit(k)

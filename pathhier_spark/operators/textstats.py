@@ -748,3 +748,90 @@ def hll_estimate(registers: DataFrame, *, m: int = 64) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
     ).otherwise(raw)
     return agg.select(corrected.alias("est"), "n_zero")
+
+
+def strip_repeated_ngrams(
+    df: DataFrame, text_col: str = "text", *, n: int = 3
+) -> DataFrame:
+    """Remove within-document n-gram repetition: a token at position i is
+    dropped when the n-gram STARTING at i has already occurred earlier in
+    the document (first occurrence kept; the final n-1 positions start no
+    full gram and always survive). This is the removal counterpart of
+    with_ngram_repetition's Gopher-style detection — detection scores the
+    doc, this operator actually cleans it, the way C4/Gopher pipelines
+    strip boilerplate-ish loops ("click here click here click here ...").
+
+    Pure column expressions over the token array (transform / filter /
+    array_position) — map-only, scan-speed, no shuffle, and every step has
+    an exact SQL twin (q69's oracle rebuilds the cleaned text and matches
+    its md5). Adds `clean_text` and `n_dropped`.
+
+    Note Spark's sequence(1, L) is DESCENDING [1, 0] when L = 0 — both
+    position sequences are guarded for short/empty docs.
+    """
+    toks = _tokens(text_col)
+    L = F.size(toks)
+    grams = F.when(
+        L >= n,
+        F.transform(
+            F.sequence(F.lit(1), L - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    positions = F.when(L >= 1, F.sequence(F.lit(1), L)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # F.get is the null-safe accessor (ANSI element_at would throw past the
+    # end); for tail positions the left disjunct is already true and the
+    # NULL right side is absorbed by OR
+    kept = F.filter(
+        positions,
+        lambda i: (i > F.size(grams))
+        | (F.array_position(grams, F.get(grams, i - 1)) == i),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda i: F.element_at(toks, i))
+    )
+    return df.withColumn("clean_text", clean).withColumn(
+        "n_dropped", (L - F.size(kept)).cast("long")
+    )
+
+
+def grouped_value_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-GROUP percentiles by the value-histogram method — the
+    grouped form of token_count_percentiles: build a (group, value)
+    histogram (one combiner-friendly groupBy), cumulate within each group
+    (the window orders the group's DISTINCT VALUES, not its rows — state
+    is domain-sized, corpus-size independent), then pick each quantile by
+    the inverted-CDF integer rank floor((n-1)*q)+1 with a conditional min
+    — no interpolation, so the result is an actual data value and exact
+    on any engine. One output row per group with a p<q> column per
+    requested quantile.
+    """
+    hist = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("g").orderBy("v")
+    wall = Window.partitionBy("g")
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.max(F.sum("c").over(wcum)).over(wall)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((F.col("n") - 1) * F.lit(q)) + 1,
+                F.col("v"),
+            )
+        ).alias(f"p{str(q).replace('0.', '').ljust(2, '0')}")
+        for q in qs
+    ]
+    return cum.groupBy("g").agg(*aggs).withColumnRenamed("g", group_col)

@@ -3832,6 +3832,219 @@ FROM regs, est, ex ORDER BY j
 """
 
 
+# ---------------------------------------------------------------------------
+# Q69 — within-doc repeated-n-gram stripping (operators/textstats.py
+# strip_repeated_ngrams): tokens starting an n-gram already seen earlier
+# in the document are dropped, first occurrence kept. The gate runs on
+# text doubled (`text || ' ' || text`) so every document exercises heavy
+# repetition — the cleaned text's md5 and the drop count are both
+# hash-checked, so the keep/drop decision at every position must agree.
+# ---------------------------------------------------------------------------
+
+
+def q69_strip_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import strip_repeated_ngrams
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "dbl", F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    )
+    out = strip_repeated_ngrams(docs, "dbl", n=3)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_dropped"
+    ).orderBy("doc_id")
+
+
+def _q69_sql() -> str:
+    dbl_toks = (
+        "list_filter(string_split_regex(lower(text || ' ' || text), "
+        "'\\s+'), x -> x <> '')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {dbl_toks} AS ts FROM documents
+), g AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) >= 3 THEN
+           list_transform(generate_series(1, len(ts) - 2),
+                          i -> array_to_string(ts[i:i+2], ' '))
+         ELSE []::varchar[] END AS grams
+  FROM t
+), k AS (
+  SELECT doc_id, ts,
+         list_filter(generate_series(1, len(ts)),
+                     i -> (i > len(grams))
+                          OR (list_position(grams, grams[i]) = i)) AS kept
+  FROM g
+)
+SELECT doc_id,
+       md5(array_to_string(list_transform(kept, i -> ts[i]), ' '))
+         AS clean_md5,
+       (len(ts) - len(kept))::bigint AS n_dropped
+FROM k ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q70 — weighted sampling without replacement (operators/sampling.py
+# weighted_sample, Efraimidis-Spirakis A-ES): rank by ln(u)/w with u an
+# md5-derived dyadic uniform, take the global top-k. Deterministic and
+# partitioning-invariant like the module's hash splits; Spark plans the
+# sort-limit as TakeOrderedAndProject (per-partition heaps, no global
+# sort). The oracle replays the exact rank-key arithmetic.
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+
+def q70_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample(docs, "doc_id", "n_chars", _WS_K)
+    return out.select(
+        "doc_id", "n_chars", (F.round("skey", 6) + F.lit(0.0)).alias("skey")
+    ).orderBy("doc_id")
+
+
+def _q70_sql() -> str:
+    h = _sql_hex32("'wsample:' || doc_id::varchar")
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars, {h} AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), keyed AS (
+  SELECT doc_id, n_chars,
+         ln((h + 1)::double / 4294967296.0) / n_chars::double AS skey
+  FROM w
+), top AS (
+  SELECT doc_id, n_chars, skey FROM keyed
+  ORDER BY skey DESC, doc_id LIMIT {_WS_K}
+)
+SELECT doc_id, n_chars, round(skey, 6) + 0.0 AS skey FROM top
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q71 — per-language exact token-count percentiles (operators/textstats.py
+# grouped_value_percentiles): q45's value-histogram + inverted-CDF method
+# grouped by lang — the windows still order only each group's DISTINCT
+# values, so state stays domain-sized at any corpus size. Integer ranks,
+# integer answers; nothing to round.
+# ---------------------------------------------------------------------------
+
+
+def q71_lang_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import (
+        _tokens,
+        grouped_value_percentiles,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.size(_tokens("text")).cast("long").alias("n_toks")
+    )
+    return grouped_value_percentiles(
+        docs, "lang", "n_toks", qs=(0.5, 0.9, 0.99)
+    ).orderBy("lang")
+
+
+def _q71_sql() -> str:
+    def pick(q):
+        return (
+            f"min(CASE WHEN cum >= floor((n - 1) * {q!r}) + 1 THEN v END)"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT lang, len({_SQL_WS_TOKS})::bigint AS v FROM documents
+), h AS (
+  SELECT lang, v, count(*)::bigint AS cnt FROM c GROUP BY lang, v
+), cum AS (
+  SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum
+  FROM h
+), t AS (
+  SELECT lang, v, cum, max(cum) OVER (PARTITION BY lang) AS n FROM cum
+)
+SELECT lang,
+       {pick(0.5)} AS p50,
+       {pick(0.9)} AS p90,
+       {pick(0.99)} AS p99
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q72 — label-propagation communities (operators/graph.py
+# label_propagation) over the min-support-2 co-purchase graph (sparse:
+# pairs must share >= 2 orders). Deterministic synchronous update (mode
+# of neighbor labels, ties -> smallest), so the oracle unrolls the three
+# rounds as CTEs with a row_number argmax — the q36/q51/q62 pattern.
+# All-integer.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_MINSUP = 2
+
+
+def q72_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import label_propagation
+
+    li = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _LPA_MINSUP)
+        .select("src", "dst")
+    )
+    return label_propagation(edges, iterations=_LPA_ROUNDS).orderBy("node")
+
+
+def _q72_sql() -> str:
+    ctes = [
+        """lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= %d
+), adj AS (
+  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+), l0 AS (
+  SELECT DISTINCT node, node AS label FROM adj
+)"""
+        % _LPA_MINSUP
+    ]
+    for r in range(_LPA_ROUNDS):
+        ctes.append(
+            f"""c{r} AS (
+  SELECT a.node, l.label, count(*) AS cnt
+  FROM adj a JOIN l{r} l ON l.node = a.nbr GROUP BY a.node, l.label
+), l{r + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label)
+             AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{_LPA_ROUNDS} ORDER BY node"
+    )
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3902,6 +4115,10 @@ def queries():
         "q66_fuzzy_vocab": q66_fuzzy_vocab,
         "q67_triangle_count": q67_triangle_count,
         "q68_hll_distinct": q68_hll_distinct,
+        "q69_strip_repeats": q69_strip_repeats,
+        "q70_weighted_sample": q70_weighted_sample,
+        "q71_lang_percentiles": q71_lang_percentiles,
+        "q72_label_prop": q72_label_prop,
     }
 
 
@@ -3975,4 +4192,8 @@ def oracle_sql():
         "q66_fuzzy_vocab": _q66_sql(),
         "q67_triangle_count": _q67_sql(),
         "q68_hll_distinct": _q68_sql(),
+        "q69_strip_repeats": _q69_sql(),
+        "q70_weighted_sample": _q70_sql(),
+        "q71_lang_percentiles": _q71_sql(),
+        "q72_label_prop": _q72_sql(),
     }

@@ -1,0 +1,113 @@
+"""Repeated-n-gram stripping, weighted sampling, grouped percentiles,
+label propagation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.graph import label_propagation
+from pathhier_spark.operators.sampling import weighted_sample
+from pathhier_spark.operators.textstats import (
+    grouped_value_percentiles,
+    strip_repeated_ngrams,
+)
+
+
+def test_strip_repeated_ngrams_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "click here click here click here now"),
+            (1, "a b c d e"),
+            (2, "x y"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in strip_repeated_ngrams(df, "text").collect()
+    }
+    # positions 3,4 start repeats of 'click here click' / 'here click here'
+    assert rows[0]["clean_text"] == "click here click here now"
+    assert rows[0]["n_dropped"] == 2
+    # no repetition: untouched
+    assert rows[1]["clean_text"] == "a b c d e" and rows[1]["n_dropped"] == 0
+    # shorter than n: kept whole
+    assert rows[2]["clean_text"] == "x y" and rows[2]["n_dropped"] == 0
+    assert rows[3]["clean_text"] == "" and rows[3]["n_dropped"] == 0
+
+
+def test_strip_repeated_ngrams_doubled_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "p q r s t p q r s t")], "doc_id long, text string"
+    )
+    row = strip_repeated_ngrams(df, "text").collect()[0]
+    # grams starting at positions 6-8 repeat grams 1-3 and are dropped;
+    # the 2-token tail starts no gram and survives
+    assert row["clean_text"] == "p q r s t s t"
+    assert row["n_dropped"] == 3
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, F.lit(100)).otherwise(F.lit(1)).alias("w"),
+    )
+    a = [r["k"] for r in weighted_sample(df, "k", "w", 50).collect()]
+    b = [r["k"] for r in weighted_sample(df.repartition(7), "k", "w", 50).collect()]
+    assert sorted(a) == sorted(b)  # partitioning-invariant
+    # heavy rows (10% of keys, 100x weight) should dominate the sample
+    heavy = sum(1 for k in a if k < 100)
+    assert heavy > 25
+    # zero/NULL weights never selected
+    df2 = df.withColumn(
+        "w", F.when(F.col("k") == 0, F.lit(0)).otherwise(F.col("w"))
+    )
+    assert 0 not in {
+        r["k"] for r in weighted_sample(df2, "k", "w", 1000).collect()
+    }
+
+
+def test_weighted_sample_matches_formula(spark):
+    import hashlib
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("w")
+    )
+    got = {r["k"]: r["skey"] for r in weighted_sample(df, "k", "w", 20).collect()}
+    for k, skey in got.items():
+        h = int(hashlib.md5(f"wsample:{k}".encode()).hexdigest()[:8], 16)
+        want = math.log((h + 1) / 2**32) / (k + 1)
+        assert skey == pytest.approx(want, rel=1e-12)
+
+
+def test_grouped_percentiles(spark):
+    rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in (5, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in grouped_value_percentiles(df, "g", "v").collect()}
+    # group a: 1..100 -> rank floor(99*q)+1
+    assert out["a"]["p50"] == 50 and out["a"]["p90"] == 90
+    assert out["a"]["p99"] == 99
+    # group b: [5,5,9] -> rank floor(2*q)+1; p50 and p90 both hit rank 2
+    # -> 5 (numpy percentile method='lower' agrees), p99 too
+    assert out["b"]["p50"] == 5 and out["b"]["p90"] == 5
+    assert out["b"]["p99"] == 5
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by one edge: communities = the cliques
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert out[0] == out[1]
+    assert out[10] == out[11] == out[12]
+    assert out[0] != out[11]
+
+
+def test_label_propagation_deterministic_ties(spark):
+    # single edge: both nodes see one neighbor label; after round 1 they
+    # swap; fixed rounds => deterministic final state across runs
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    a = sorted(label_propagation(df, iterations=3).collect())
+    b = sorted(label_propagation(df.repartition(5), iterations=3).collect())
+    assert a == b
