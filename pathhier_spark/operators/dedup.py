@@ -424,3 +424,85 @@ def line_dedup(
             F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).alias("n_dropped"),
         )
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated-span statistics, the relational core of
+    ExactSubstr-style dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): an n-gram is DUPLICATED when it occurs
+    in >= 2 distinct documents; per document we report how many gram
+    starts are duplicated (`n_dup_starts`) and how many token positions
+    those spans cover after interval union (`n_dup_tokens`), alongside
+    `n_toks`. High coverage = the document is mostly copied from elsewhere
+    in the corpus — the signal ExactSubstr acts on, without the suffix
+    array: at a fixed minimum match length L, "shares a substring of >= L
+    tokens" is exactly "shares an L-gram", so the gram equi-join replaces
+    the suffix-array scan and the plan is all joins/aggregates.
+
+    Scale shape: gram frequency is one combiner-friendly groupBy (the
+    count-distinct over doc ids partial-aggregates); the dup-gram set
+    joins back on the gram key, so hot boilerplate grams fan out only to
+    their actual occurrences; span coverage is a distinct over
+    (doc, position) — uniformly keyed, bounded by total covered tokens,
+    never quadratic. Docs with no duplicated grams (or shorter than n
+    tokens) come back with zero counts via the NULL-safe join-back.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_RE), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+    starts = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("ts"), i, n)
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<start:int,gram:string>>")
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    dup_grams = (
+        starts.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = starts.join(dup_grams, "gram")
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_starts")
+    )
+    covered = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_tokens"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("n_toks"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .fillna(0, subset=["n_dup_starts", "n_dup_tokens"])
+    )

@@ -317,3 +317,58 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling: each round computes current degrees and
+    drops every node (with its incident edges) whose degree is below k.
+    Run to convergence this is exactly the k-core subgraph (the standard
+    peeling algorithm); with a FIXED round count it is a deterministic
+    over-approximation that both engines replay identically, which is what
+    makes q74's oracle an unrolled-CTE chain (the q36/q51/q62/q72
+    discipline for iterative algorithms). Tests assert the fixed-round
+    result has converged on the gate graph (one more round is a no-op).
+
+    Scale shape: per round one combiner-friendly degree aggregate over the
+    current edge set plus two left-semi joins against the surviving-node
+    table — the semi joins ship only node ids, never attributes, and the
+    edge table shrinks monotonically so later rounds are cheaper. The
+    edge set is eagerly localCheckpoint-ed per round (canonicalize.py's
+    loop discipline) so round r never re-executes rounds 0..r-1.
+
+    Returns (node, deg): every surviving node with its degree inside the
+    surviving subgraph.
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = _deg(cur).filter(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return _deg(cur)

@@ -3428,7 +3428,11 @@ def q62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(words, n_merges=_BPE_MERGES).orderBy("round")
 
 
-def _q62_sql() -> str:
+def _sql_bpe_ctes() -> list:
+    """The unrolled BPE-training CTE chain (w0..w{_BPE_MERGES}, with the
+    per-round pair counts p{r} and argmax b{r}) shared by q62 (which
+    reads the b{r} merge rows) and q73 (which reads the final vocabulary
+    w{_BPE_MERGES} — the encoded form)."""
     sep = _BPE_SEP
 
     def fold(best: str) -> str:
@@ -3460,6 +3464,11 @@ def _q62_sql() -> str:
   FROM w{r}, b{r}
 )"""
         )
+    return ctes
+
+
+def _q62_sql() -> str:
+    ctes = _sql_bpe_ctes()
     unions = "\nUNION ALL\n".join(
         f"SELECT {r}::int AS round, a, b, a || b AS merged, cnt FROM b{r}"
         for r in range(_BPE_MERGES)
@@ -4045,6 +4054,242 @@ def _q72_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q73 — BPE encoding (operators/bpe.py bpe_encode): apply q62's learned
+# merge table to the corpus vocabulary and report the resulting token
+# frequency histogram — the end-to-end tokenizer loop (train -> encode ->
+# count). The oracle shares q62's unrolled training CTEs and reads the
+# FINAL vocabulary w{_BPE_MERGES}, whose symbol arrays are exactly the
+# encoded form — so Spark's re-application of the collected merge list via
+# the F.aggregate fold must reproduce DuckDB's training-side fold
+# bit-for-bit on every word.
+# ---------------------------------------------------------------------------
+
+
+def q73_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.bpe import bpe_encode, bpe_train
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    # checkpoint the vocabulary: it is read twice (training, which
+    # re-checkpoints internally, and the encode below) and the corpus
+    # explode+groupBy should not run twice
+    words = (
+        docs.select(F.explode(_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_train(words, n_merges=_BPE_MERGES)
+        .orderBy("round")
+        .collect()
+    ]
+    enc = words.select(
+        "n", F.explode(bpe_encode(words, "w", merges)).alias("token")
+    )
+    return (
+        enc.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+    )
+
+
+def _q73_sql() -> str:
+    ctes = _sql_bpe_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT t AS token, sum(n)::bigint AS freq
+FROM (SELECT n, unnest(s) AS t FROM w{_BPE_MERGES})
+GROUP BY t ORDER BY freq DESC, token
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q74 — k-core decomposition (operators/graph.py kcore) of the q72
+# co-purchase graph: fixed-round peeling (drop nodes with degree < k,
+# repeat), each round one degree aggregate + two left-semi joins.
+# Deterministic at a fixed round count, so the oracle unrolls the rounds
+# as CTEs — the iterative-algorithm discipline (q36/q51/q62/q72). The
+# pytest side asserts the fixed-round result has CONVERGED on this graph
+# (an extra round changes nothing), so the gate row is the true k-core.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q72/q74 input graph: parts co-purchased in >= _LPA_MINSUP
+    distinct orders (distinct int keys BEFORE the self-join keeps the
+    shuffle narrow; min-support keeps the graph sparse)."""
+    li = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _LPA_MINSUP)
+        .select("src", "dst")
+    )
+
+
+_SQL_COPURCHASE = f"""lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {_LPA_MINSUP}
+)"""
+
+
+def q74_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import kcore
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("node")
+
+
+def _q74_sql() -> str:
+    ctes = [_SQL_COPURCHASE]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT node, count(*)::bigint AS deg FROM (
+    SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+  ) GROUP BY node
+), k{r} AS (
+  SELECT node FROM d{r} WHERE deg >= {_KCORE_K}
+), e{r + 1} AS (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, count(*)::bigint AS deg FROM (
+  SELECT u AS node FROM e{_KCORE_ROUNDS}
+  UNION ALL SELECT v FROM e{_KCORE_ROUNDS}
+) GROUP BY node ORDER BY node
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q75 — cross-document duplicated-span statistics (operators/dedup.py
+# duplicated_ngram_spans, ExactSubstr-lite): per doc, how many n-gram
+# starts are shared with at least one OTHER document, and how many token
+# positions those spans cover (interval union via a (doc, position)
+# distinct). The gate runs at n=5 on the raw corpus — the generator's
+# shared boilerplate sentences make real cross-doc duplicates at every
+# scale. All counts integer.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+
+def q75_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _docs(spark, sf_dir), n=_SPAN_N
+    ).orderBy("doc_id")
+
+
+def _q75_sql() -> str:
+    n = _SPAN_N
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+), s AS (
+  SELECT doc_id, ts,
+         unnest(CASE WHEN len(ts) >= {n}
+                THEN generate_series(1, len(ts) - {n - 1})
+                ELSE []::bigint[] END) AS i
+  FROM t
+), g AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+{n - 1}], ' ') AS gram FROM s
+), dg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), d AS (
+  SELECT g.doc_id, g.i FROM g JOIN dg USING (gram)
+), ns AS (
+  SELECT doc_id, count(*)::bigint AS n_dup_starts FROM d GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, count(DISTINCT p)::bigint AS n_dup_tokens FROM (
+    SELECT doc_id, unnest(generate_series(i, i + {n - 1})) AS p FROM d
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, len(ts)::bigint AS n_toks,
+       coalesce(n_dup_starts, 0)::bigint AS n_dup_starts,
+       coalesce(n_dup_tokens, 0)::bigint AS n_dup_tokens
+FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN cov USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q76 — cohort retention (classic web analytics over the events stream):
+# each user's cohort is their first active DAY; the retention matrix
+# counts distinct users per (cohort_day, day_offset). One user-keyed
+# aggregate for the cohort, one join back, one combiner-friendly count
+# agg — and the (user, day) distinct collapses the event stream to
+# user-days FIRST, so the join input is bounded by users x active days,
+# not raw events. DATE-typed throughout (the q49 DATE-vs-TIMESTAMP trunc
+# trap), integer offsets and counts.
+# ---------------------------------------------------------------------------
+
+
+def q76_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def _q76_sql() -> str:
+    return """
+WITH d AS (
+  SELECT DISTINCT user_id, ts::date AS d FROM events
+), f AS (
+  SELECT user_id, min(d) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT cohort_day,
+       date_diff('day', cohort_day, d)::int AS day_offset,
+       count(DISTINCT user_id)::bigint AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4119,6 +4364,10 @@ def queries():
         "q70_weighted_sample": q70_weighted_sample,
         "q71_lang_percentiles": q71_lang_percentiles,
         "q72_label_prop": q72_label_prop,
+        "q73_bpe_encode": q73_bpe_encode,
+        "q74_kcore": q74_kcore,
+        "q75_dup_spans": q75_dup_spans,
+        "q76_cohort_retention": q76_cohort_retention,
     }
 
 
@@ -4196,4 +4445,8 @@ def oracle_sql():
         "q70_weighted_sample": _q70_sql(),
         "q71_lang_percentiles": _q71_sql(),
         "q72_label_prop": _q72_sql(),
+        "q73_bpe_encode": _q73_sql(),
+        "q74_kcore": _q74_sql(),
+        "q75_dup_spans": _q75_sql(),
+        "q76_cohort_retention": _q76_sql(),
     }
