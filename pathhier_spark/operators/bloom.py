@@ -58,7 +58,11 @@ def bloom_build(
     if m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     pow2 = _pow2_64()
-    bits = df.select(
+    # NULL keys set no bits: md5(NULL) is NULL and would otherwise emit a
+    # NULL word_idx that crashes bloom_words_literal. Dropping them matches
+    # the equi-join the filter fronts for (NULL never equals anything), and
+    # bloom_member likewise evaluates NULL -> filtered for a NULL probe key
+    bits = df.filter(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(*[
                 F.struct(

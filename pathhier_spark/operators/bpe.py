@@ -29,6 +29,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _char_split(text_col: str) -> Column:
+    """Character split guarded for the empty string: Spark's
+    sequence(1, 0) is DESCENDING [1, 0], so an unguarded transform would
+    turn '' into two empty symbols — which then trains/encodes a bogus
+    ('', '') merge pair and diverges from the oracle's generate_series
+    (empty for an empty word)."""
+    return F.when(
+        F.length(text_col) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col)),
+            lambda i: F.col(text_col).substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _apply_merge(s: Column, a: str, b: str) -> Column:
     """Greedy left-to-right non-overlapping merge of adjacent (a, b) into
     a+b over a symbol array: fold with the first symbol as the seed; at
@@ -68,10 +83,7 @@ def bpe_train(
     cur = words.select(
         F.col(word_col).alias("w"),
         F.col(count_col).cast("long").alias("n"),
-        F.transform(
-            F.sequence(F.lit(1), F.length(word_col)),
-            lambda i: F.col(word_col).substr(i, F.lit(1)),
-        ).alias("s"),
+        _char_split(word_col).alias("s"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(n_merges):
@@ -113,18 +125,13 @@ def bpe_train(
     )
 
 
-def bpe_encode(
-    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
-) -> Column:
+def bpe_encode(text_col: str, merges: list[tuple[str, str]]) -> Column:
     """Apply a learned merge list to a column of words (symbols column
     expression): character-split then each merge in training order — the
     standard BPE encode. Pure column expressions (one fold per merge), so
     encoding runs at scan speed; for production-sized merge lists compile
     to a ranked-pair loop in a Pandas UDF instead."""
-    s = F.transform(
-        F.sequence(F.lit(1), F.length(text_col)),
-        lambda i: F.col(text_col).substr(i, F.lit(1)),
-    )
+    s = _char_split(text_col)
     for a, b in merges:
         s = _apply_merge(s, a, b)
     return s

@@ -291,47 +291,128 @@ def bow_link(
     )
 
 
+def _fuzzy_grams(c, q: int):
+    """Distinct q-grams of a string column; empty array below length q."""
+    return F.when(
+        F.length(c) >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - q + 1),
+                lambda i: c.substr(i, F.lit(q)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
     col: str,
     *,
     max_dist: int = 2,
+    q: int = 2,
 ) -> DataFrame:
-    """Edit-distance fuzzy equi-join with length-band blocking.
+    """Edit-distance fuzzy equi-join via q-gram prefix blocking (the
+    Ed-Join family: Xiao/Wang/Lin, VLDB'08).
 
     Joins ``left`` and ``right`` on levenshtein(left.col, right.col) <=
-    max_dist WITHOUT the quadratic cross join: since an edit distance of d
-    changes string length by at most d, each left string only needs to
-    meet right strings whose length lies in [len-d, len+d]. The left side
-    explodes into its 2d+1 candidate length bands (a constant factor) and
-    the join becomes a plain equi-join on the band key; the exact
-    levenshtein runs only on banded candidates. This is the standard
-    blocked fuzzy-linking shape (pathhier's name-matching channel,
-    pathhier/candidate_selector.py, uses token overlap for the same
-    candidate-bounding purpose).
+    max_dist without the quadratic cross join. Blocking is LOSSLESS by
+    the q-gram count bound: one edit destroys at most q of a string's
+    distinct q-grams, so ed(s, t) <= d implies t's gram set contains at
+    least n_s - q*d of s's n_s grams — and under ANY shared total order
+    of the gram vocabulary, the two prefixes of length q*d + 1 must then
+    intersect whenever max(n_s, n_t) > q*d. We order grams by (global
+    frequency asc, gram asc), so prefixes hold each string's RAREST
+    grams and hot grams never become join keys (the same
+    skew-resistance-by-construction as setsim_join_exact's AllPairs
+    prefix). q66's oracle is a brute-force join with no blocking, so the
+    gate proves no pair is dropped.
 
-    Returns left columns + right columns + `dist`. Both inputs keep their
-    other columns; callers alias beforehand on name collisions.
+    Pairs where BOTH sides have <= q*d distinct grams (short or
+    low-diversity strings — every gram could be destroyed) fall outside
+    the bound; they are covered by a length-band fallback join
+    (|len(l) - len(r)| <= d, the lossless levenshtein length bound)
+    restricted to those strings only, so the quadratic band blowup is
+    capped at the short-string vocabulary, never the full one.
+
+    Candidate generation runs on the DISTINCT string values of each side
+    (duplicates join back by value at the end), the exact levenshtein
+    runs only on deduplicated candidates, and a length pre-filter runs
+    before it. Returns left columns + right columns + `dist`. Both
+    inputs keep their other columns; callers alias beforehand on name
+    collisions.
     """
-    lb = left.withColumn(
-        "_band",
+    d = max_dist
+    pref_len = q * d + 1
+    rcol = f"_r_{col}"
+    rb = right.withColumnRenamed(col, rcol)
+
+    lv = left.select(F.col(col).alias("_s")).distinct().withColumn(
+        "_g", _fuzzy_grams(F.col("_s"), q)
+    )
+    rv = rb.select(F.col(rcol).alias("_s")).distinct().withColumn(
+        "_g", _fuzzy_grams(F.col("_s"), q)
+    )
+
+    # shared total order: global gram frequency over BOTH vocabularies
+    # (ties by gram). The gram alphabet is tiny -> broadcast.
+    freq = (
+        lv.select(F.explode("_g").alias("gram"))
+        .unionByName(rv.select(F.explode("_g").alias("gram")))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def _prefix(v: DataFrame, out: str) -> DataFrame:
+        ranked = v.select(
+            F.col("_s").alias(out), F.explode("_g").alias("gram")
+        ).join(F.broadcast(freq), "gram")
+        w = Window.partitionBy(out).orderBy(F.asc("cnt"), F.asc("gram"))
+        return (
+            ranked.withColumn("_pos", F.row_number().over(w))
+            .filter(F.col("_pos") <= pref_len)
+            .select(out, "gram")
+        )
+
+    cand_gram = (
+        _prefix(lv, "_sl")
+        .join(_prefix(rv, "_sr"), "gram")
+        .select("_sl", "_sr")
+    )
+
+    # both-short fallback: every gram of these strings can be destroyed
+    # by d edits, so gram prefixes prove nothing — band them by length
+    shortl = lv.filter(F.size("_g") <= q * d).select(
+        F.col("_s").alias("_sl"),
         F.explode(
             F.sequence(
-                F.length(F.col(col)) - max_dist,
-                F.length(F.col(col)) + max_dist,
+                F.length("_s") - F.lit(d), F.length("_s") + F.lit(d)
             )
-        ),
+        ).alias("_band"),
     )
-    rcol = f"_r_{col}"
-    rb = right.withColumnRenamed(col, rcol).withColumn(
-        "_band", F.length(F.col(rcol))
+    shortr = rv.filter(F.size("_g") <= q * d).select(
+        F.col("_s").alias("_sr"), F.length("_s").alias("_band")
     )
+    cand_short = shortl.join(shortr, "_band").select("_sl", "_sr")
+
+    cands = (
+        cand_gram.unionByName(cand_short)
+        .distinct()
+        .filter(
+            F.abs(F.length("_sl") - F.length("_sr")) <= F.lit(d)
+        )
+        .withColumn("dist", F.levenshtein(F.col("_sl"), F.col("_sr")))
+        .filter(F.col("dist") <= d)
+    )
+
+    # USING-style name joins: attribute references (left[col] ==
+    # cands["_sl"]) across the shared self-join lineage trip Spark's
+    # ambiguous-self-join analysis; common-column joins do not
     return (
-        lb.join(rb, "_band")
-        .withColumn("dist", F.levenshtein(F.col(col), F.col(rcol)))
-        .filter(F.col("dist") <= max_dist)
-        .drop("_band")
+        left.withColumn("_sl", F.col(col))
+        .join(cands, "_sl")
+        .join(rb.withColumn("_sr", F.col(rcol)), "_sr")
+        .drop("_sl", "_sr")
     )
 
 
@@ -344,7 +425,7 @@ def fuzzy_vocab_pairs(
 ) -> DataFrame:
     """Near-spelling token pairs in the corpus vocabulary: the typo/variant
     candidates a normalization pass would merge. Distinct tokens of at
-    least ``min_len`` characters are fuzzy-self-joined (length-band
+    least ``min_len`` characters are fuzzy-self-joined (q-gram prefix
     blocking via ``fuzzy_join``), keeping pairs a < b with levenshtein
     <= max_dist. Vocabulary-sized inputs, so every stage is small relative
     to the corpus — the corpus is touched exactly once for the distinct.

@@ -3272,7 +3272,11 @@ def q60_countmin_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    # checkpoint: the token stream feeds three consumers (sketch, probe
+    # set, exact counts) — uncached, each would re-run the scan + explode
+    toks = docs.select(
+        F.explode(_tokens("text")).alias("tok")
+    ).localCheckpoint(eager=True)
     sketch = countmin_sketch(toks, "tok", width=_CMS_W, depth=_CMS_D)
     probes = toks.distinct()
     est = countmin_estimate(
@@ -3432,7 +3436,11 @@ def _sql_bpe_ctes() -> list:
     """The unrolled BPE-training CTE chain (w0..w{_BPE_MERGES}, with the
     per-round pair counts p{r} and argmax b{r}) shared by q62 (which
     reads the b{r} merge rows) and q73 (which reads the final vocabulary
-    w{_BPE_MERGES} — the encoded form)."""
+    w{_BPE_MERGES} — the encoded form). w{r+1} LEFT JOINs the 1-row
+    argmax ON TRUE so a pair-less round (empty b{r}) degrades to an
+    identity fold — the NULL merge pair never fires the CASE — matching
+    bpe_train's early break, instead of cross-joining the vocabulary to
+    zero rows."""
     sep = _BPE_SEP
 
     def fold(best: str) -> str:
@@ -3461,7 +3469,7 @@ def _sql_bpe_ctes() -> list:
   FROM p{r} GROUP BY s[i], s[i+1] ORDER BY cnt DESC, a, b LIMIT 1
 ), w{r + 1} AS (
   SELECT w, n, string_split({fold(f'b{r}')}, chr(31)) AS s
-  FROM w{r}, b{r}
+  FROM w{r} LEFT JOIN b{r} ON TRUE
 )"""
         )
     return ctes
@@ -3685,10 +3693,11 @@ ORDER BY a, b
 
 # ---------------------------------------------------------------------------
 # Q66 — fuzzy vocabulary pairs (operators/linking.py fuzzy_join): edit-
-# distance self-join of the corpus vocabulary with length-band blocking
-# (|len(a)-len(b)| <= d, the lossless levenshtein bound). The oracle is
-# brute force WITHOUT blocking, so a green row proves the band join drops
-# no pair. Integer distances — nothing to round.
+# distance self-join of the corpus vocabulary with Ed-Join q-gram prefix
+# blocking (rarest q*d+1 grams as join keys; both-short strings fall back
+# to length bands). The oracle is brute force WITHOUT blocking, so a
+# green row proves the blocking drops no pair. Integer distances —
+# nothing to round.
 # ---------------------------------------------------------------------------
 
 _FUZZ_D = 2
@@ -3789,7 +3798,10 @@ def q68_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    # checkpoint: read twice (registers + the exact-count comparison)
+    toks = docs.select(
+        F.explode(_tokens("text")).alias("tok")
+    ).localCheckpoint(eager=True)
     regs = hll_registers(toks, "tok", m=_HLL_M)
     est = hll_estimate(regs, m=_HLL_M)
     exact = toks.agg(F.countDistinct("tok").cast("long").alias("n_exact"))
@@ -4087,7 +4099,7 @@ def q73_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     enc = words.select(
-        "n", F.explode(bpe_encode(words, "w", merges)).alias("token")
+        "n", F.explode(bpe_encode("w", merges)).alias("token")
     )
     return (
         enc.groupBy("token")

@@ -315,48 +315,32 @@ class Warehouse:
         commit before a compaction is still caught up after it (compaction
         adds no logical rows): the compacted entry keeps that commit's
         fingerprint."""
-        man = self.manifest(table)
-        if man is None:
-            raise FileNotFoundError(f"table {table} has no committed snapshot")
-        if man["format"] == "iceberg":
-            raise NotImplementedError(
-                "iceberg incremental read = snapshot-range scan via the "
-                "catalog; no iceberg runtime in this sandbox"
-            )
         if since_fingerprint is None:
             return self.read(table)
-        commits = man.get("commits") or []
-        idx = [
-            i
-            for i, c in enumerate(commits)
-            if c["fingerprint"] == since_fingerprint
-        ]
-        if not idx:
-            raise ValueError(
-                f"fingerprint {since_fingerprint!r} is not in '{table}'s "
-                "commit log (history was reset by an overwrite/compaction, "
-                "or predates the log); do a full refresh via read()"
-            )
-        dirs = [d for c in commits[idx[-1] + 1 :] for d in c["dirs"]]
+        commits, idx = self._commit_index(
+            table, since_fingerprint, op="incremental read"
+        )
+        dirs = [d for c in commits[idx + 1 :] for d in c["dirs"]]
         if not dirs:
             return self.read(table).limit(0)  # caught up: empty, same schema
         return self._read_dirs(dirs)
 
-    def read_at(self, table: str, fingerprint: str) -> DataFrame:
-        """Snapshot time-travel — read the table AS OF the commit carrying
-        `fingerprint`: exactly the directories of that commit and every
-        commit before it in the log, none after. Append-mode commits never
-        rewrite earlier directories, so the historical view is byte-stable
-        as long as the history hasn't been reset (overwrite/compaction
-        rewrite the data layout and clear the log — older fingerprints
-        then raise, same contract as read_incremental)."""
+    def _commit_index(
+        self, table: str, fingerprint: str, *, op: str
+    ) -> tuple[list, int]:
+        """Shared commit-log lookup for the two log-positional readers
+        (read_incremental / read_at): load the manifest, guard the
+        iceberg-backend gap, and locate `fingerprint` in the ordered
+        commit log. Raises ValueError when the fingerprint is absent —
+        the history was reset by an overwrite/compaction, or predates
+        the log — the Iceberg expired-snapshot contract."""
         man = self.manifest(table)
         if man is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         if man["format"] == "iceberg":
             raise NotImplementedError(
-                "iceberg time travel = VERSION AS OF via the catalog; no "
-                "iceberg runtime in this sandbox"
+                f"iceberg {op} goes through the catalog (snapshot-range "
+                "scan / VERSION AS OF); no iceberg runtime in this sandbox"
             )
         commits = man.get("commits") or []
         idx = [
@@ -368,9 +352,20 @@ class Warehouse:
             raise ValueError(
                 f"fingerprint {fingerprint!r} is not in '{table}'s commit "
                 "log (history was reset by an overwrite/compaction, or "
-                "predates the log)"
+                "predates the log); do a full refresh via read()"
             )
-        dirs = [d for c in commits[: idx[-1] + 1] for d in c["dirs"]]
+        return commits, idx[-1]
+
+    def read_at(self, table: str, fingerprint: str) -> DataFrame:
+        """Snapshot time-travel — read the table AS OF the commit carrying
+        `fingerprint`: exactly the directories of that commit and every
+        commit before it in the log, none after. Append-mode commits never
+        rewrite earlier directories, so the historical view is byte-stable
+        as long as the history hasn't been reset (overwrite/compaction
+        rewrite the data layout and clear the log — older fingerprints
+        then raise, same contract as read_incremental)."""
+        commits, idx = self._commit_index(table, fingerprint, op="time travel")
+        dirs = [d for c in commits[: idx + 1] for d in c["dirs"]]
         return self._read_dirs(dirs)
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:

@@ -73,3 +73,23 @@ def test_bloom_build_guard(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         bloom_build(df, "k", m_bits=100)
+
+
+def test_bloom_prune_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.bloom import bloom_prune
+
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")], "k long, v string"
+    )
+    small = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    # NULL keys must neither crash the build nor survive the prune (an
+    # equi-join would drop them too)
+    pruned = bloom_prune(big, small, big_key="k", small_key="k")
+    got = {r["v"] for r in pruned.collect()}
+    exact = {
+        r["v"] for r in big.join(small.distinct(), "k", "left_semi").collect()
+    }
+    assert exact <= got  # no false negatives
+    assert "c" not in got  # NULL probe key filtered like the equi-join

@@ -28,7 +28,7 @@ def test_bpe_merge_is_nonoverlapping_left_to_right(spark):
     out = {
         r["w"]: r["toks"]
         for r in df.select(
-            "w", bpe_encode(df, "w", [("a", "a")]).alias("toks")
+            "w", bpe_encode("w", [("a", "a")]).alias("toks")
         ).collect()
     }
     assert out["aaaa"] == ["aa", "aa"]
@@ -47,7 +47,7 @@ def test_bpe_encode_roundtrip_and_single_char(spark):
     merges = [(r["a"], r["b"]) for r in bpe_train(words, n_merges=2).collect()]
     assert merges  # training proceeded despite single-char words
     enc = words.select(
-        "w", bpe_encode(words, "w", merges).alias("toks")
+        "w", bpe_encode("w", merges).alias("toks")
     ).collect()
     for r in enc:
         assert "".join(r["toks"]) == r["w"]
@@ -58,3 +58,15 @@ def test_bpe_train_stops_when_no_pairs(spark):
 
     words = spark.createDataFrame([("x", 3), ("y", 2)], "w string, n long")
     assert bpe_train(words, n_merges=4).count() == 0
+
+
+def test_bpe_train_ignores_empty_word(spark):
+    from pathhier_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        [("", 5), ("ab", 2)], "w string, n long"
+    )
+    merges = bpe_train(words, n_merges=2).collect()
+    # the empty word must not fabricate ('','') pairs; the only real
+    # adjacent pair is (a, b)
+    assert [(m["a"], m["b"]) for m in merges] == [("a", "b")]

@@ -130,3 +130,30 @@ def test_hll_rejects_non_power_of_two(spark):
     vals = spark.range(4).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError):
         hll_registers(vals, "v", m=48)
+
+
+def test_fuzzy_join_long_strings_use_gram_path(spark):
+    # strings with > q*d distinct grams take the prefix-gram path; brute
+    # force equality proves it lossless on realistic-length words
+    words = [
+        "statistics", "statistcs", "statistical", "mathematics",
+        "mathematic", "mathematisc", "completely", "different",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    got = {
+        (r["name"], r["_r_name"])
+        for r in fuzzy_join(df, df, "name", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {(a, b) for a in words for b in words if lev(a, b) <= 2}
+    assert got == want

@@ -77,7 +77,7 @@ def test_bpe_encode_greedy_non_overlapping(spark):
     out = {
         r["w"]: r["s"]
         for r in df.select(
-            "w", bpe_encode(df, "w", [("a", "a"), ("aa", "b")]).alias("s")
+            "w", bpe_encode("w", [("a", "a"), ("aa", "b")]).alias("s")
         ).collect()
     }
     # 'aaab': (a,a) merges greedily left-to-right -> [aa, a, b]; then
@@ -89,6 +89,6 @@ def test_bpe_encode_greedy_non_overlapping(spark):
 def test_bpe_encode_merge_order_matters(spark):
     df = spark.createDataFrame([("abab",)], "w string")
     s1 = df.select(
-        bpe_encode(df, "w", [("a", "b"), ("ab", "ab")]).alias("s")
+        bpe_encode("w", [("a", "b"), ("ab", "ab")]).alias("s")
     ).collect()[0]["s"]
     assert s1 == ["abab"]
