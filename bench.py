@@ -210,6 +210,10 @@ def main() -> None:
         # label-propagation communities (iterative-graph family)
         "q63_bm25_topk",
         "q72_label_prop",
+        # later round-5: DSIR importance weights (token-join family) and
+        # SemDeDup (k-means + cell-local pairwise family)
+        "q79_dsir_select",
+        "q80_semantic_dedup",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

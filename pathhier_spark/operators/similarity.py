@@ -249,93 +249,52 @@ def lsh_bucket_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    *,
-    query_id: str = "q_id",
-    corpus_id: str = "c_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    kmeans_iters: int = 2,
-    literal_plan_limit: int = 4096,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the second scale path next to
-    lsh_bucket_topk: partition the corpus into n_centroids Voronoi cells via
-    a small distributed k-means, then compare each query only against its
-    n_probe nearest cells (L2-nearest, the standard IVF probe metric).
-
-    Engine-portable by construction (q36's full DuckDB value oracle): init
-    centroids are the n_centroids corpus vectors with the smallest
-    md5('ivf:' || id) (deterministic, reproducible in any engine with md5);
-    vectors quantize to int64 (floor(x*1e6), same trick as the q24 LSH
-    planes), so cell assignment = argmin of an all-integer squared-L2 — no
-    float summation-order flips at Voronoi boundaries — and Lloyd updates
-    are floor(sum/count) per dimension, which keeps centroids integral.
-    Input-magnitude bound (int64): the squared-L2 sums (2*|x|*1e6)^2 over
-    dims, so sum_dims((2*|x|*1e6)^2) must stay < 2^63 — i.e.
-    |x| <= sqrt(2^63 / dims) / 2e6, ~= 38 at 768 dims, ~= 30 with margin
-    (NOT ~1e3: a single squared-diff term at |x|=1e3 is already 4e18 and
-    Spark would wrap silently while the DuckDB oracle raises). Unit-norm
-    or bounded-feature embeddings (the intended domain, |x| <= 1) sit
-    ~30x under the bound; rescale larger inputs before calling. Lloyd's
-    per-cell per-dim component sums are the looser constraint
-    (rows_per_cell * |x| * 1e6 < 2^63). The final re-rank is exact double
-    cosine on the ORIGINAL vectors, identical to brute_force_topk.
-
-    Shuffle shape at scale: corpus cell-assignment is map-side — centroids
-    ride either inline literals (small models) or ONE broadcast row carrying
-    array<array<bigint>> crossJoined in (large models; the literal plan at
-    4096 centroids x 768 dims would be ~3M expression nodes, so
-    n_centroids*dim > literal_plan_limit switches automatically — identical
-    output, asserted in tests). K-means iterations are one
-    groupBy(cell, dim) partial-agg each; the probe join is a cell equi-join
-    feeding the exact re-rank. Centroid count is the recall/cost dial:
-    cells ~ sqrt(N) at production scale."""
-    spark = corpus.sparkSession
-    zero = F.lit(0).cast("long")
-
-    c = (
-        corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
-        .withColumn("_qv", _quantized(F.col("cv")))
+def _sqdist_l2(vec, cent):
+    """All-integer squared L2 over quantized vectors — see ivf_topk's
+    magnitude bound (|x| <= ~30 at 768 dims keeps the sum under 2^63)."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    # deterministic engine-portable init: n smallest md5('ivf:' || id)
+
+
+def _fit_kmeans(c, id_col, n_centroids, kmeans_iters, literal_plan_limit):
+    """Shared deterministic k-means used by ivf_topk and semantic_dedup.
+    `c` must carry `_qv` (int64-quantized vectors). Init = the n_centroids
+    rows with the smallest md5('ivf:' || id) (engine-portable); Lloyd
+    updates are floor(sum/count) per dimension, so centroids stay integral
+    and cell assignment is an all-integer argmin (no float boundary flips).
+    Returns (centroids, nearest_cells) where nearest_cells(df, qcol, cents,
+    n_keep, out_cols) appends the n_keep L2-nearest `cell` ids (ties ->
+    lowest cell id) map-side — inline literals for small models, one
+    broadcast array row past literal_plan_limit expression nodes. Returns
+    None on an empty corpus."""
+    spark = c.sparkSession
     init_rows = (
         c.select(
-            corpus_id,
+            id_col,
             "_qv",
             F.md5(
-                F.concat(F.lit("ivf:"), F.col(corpus_id).cast("string"))
+                F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
             ).alias("_h"),
         )
-        .orderBy("_h", corpus_id)
+        .orderBy("_h", id_col)
         .limit(n_centroids)
         .collect()
     )
     if not init_rows:
-        return _empty_topk(queries, corpus, query_id, corpus_id)
+        return None
     centroids = [[int(x) for x in r["_qv"]] for r in init_rows]
     dim = len(centroids[0])
     use_literal = len(centroids) * dim <= literal_plan_limit
 
-    def _sqdist(vec, cent):
-        return F.aggregate(
-            F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
-            zero,
-            lambda acc, x: acc + x,
-        )
-
     def nearest_cells(df, qcol, cents, n_keep, out_cols):
-        """out_cols + exploded `cell` = the n_keep L2-nearest centroids
-        (ties -> lowest cell id, via struct ordering). Map-side both ways:
-        literals inline for small models, else one broadcast row."""
         if use_literal:
             arr = F.array(
                 *[
                     F.struct(
-                        _sqdist(
+                        _sqdist_l2(
                             F.col(qcol),
                             F.array(*[F.lit(int(x)).cast("long") for x in cv]),
                         ).alias("d"),
@@ -353,7 +312,7 @@ def ivf_topk(
             arr = F.transform(
                 F.col("cents"),
                 lambda cv, i: F.struct(
-                    _sqdist(F.col(qcol), cv).alias("d"),
+                    _sqdist_l2(F.col(qcol), cv).alias("d"),
                     i.cast("int").alias("cell"),
                 ),
             )
@@ -382,6 +341,67 @@ def ivf_topk(
             new_cents[r["cell"]] = [int(x) for x in r["mv"]]
         centroids = new_cents
 
+    return centroids, nearest_cells
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 2,
+    literal_plan_limit: int = 256,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next to
+    lsh_bucket_topk: partition the corpus into n_centroids Voronoi cells via
+    a small distributed k-means, then compare each query only against its
+    n_probe nearest cells (L2-nearest, the standard IVF probe metric).
+
+    Engine-portable by construction (q36's full DuckDB value oracle): init
+    centroids are the n_centroids corpus vectors with the smallest
+    md5('ivf:' || id) (deterministic, reproducible in any engine with md5);
+    vectors quantize to int64 (floor(x*1e6), same trick as the q24 LSH
+    planes), so cell assignment = argmin of an all-integer squared-L2 — no
+    float summation-order flips at Voronoi boundaries — and Lloyd updates
+    are floor(sum/count) per dimension, which keeps centroids integral.
+    Input-magnitude bound (int64): the squared-L2 sums (2*|x|*1e6)^2 over
+    dims, so sum_dims((2*|x|*1e6)^2) must stay < 2^63 — i.e.
+    |x| <= sqrt(2^63 / dims) / 2e6, ~= 38 at 768 dims, ~= 30 with margin
+    (NOT ~1e3: a single squared-diff term at |x|=1e3 is already 4e18 and
+    Spark would wrap silently while the DuckDB oracle raises). Unit-norm
+    or bounded-feature embeddings (the intended domain, |x| <= 1) sit
+    ~30x under the bound; rescale larger inputs before calling. Lloyd's
+    per-cell per-dim component sums are the looser constraint
+    (rows_per_cell * |x| * 1e6 < 2^63). The final re-rank is exact double
+    cosine on the ORIGINAL vectors, identical to brute_force_topk.
+
+    Shuffle shape at scale: corpus cell-assignment is map-side — centroids
+    ride either inline literals (tiny models) or ONE broadcast row carrying
+    array<array<bigint>> crossJoined in; n_centroids*dim >
+    literal_plan_limit switches automatically — identical output, asserted
+    in tests. The default limit is 256 expression nodes: measured at 16
+    centroids x 64 dims (1024 nodes), plan construction + codegen of the
+    literal form already cost ~3x the broadcast form's total runtime — the
+    literal path only wins for genuinely tiny models. K-means iterations are one
+    groupBy(cell, dim) partial-agg each; the probe join is a cell equi-join
+    feeding the exact re-rank. Centroid count is the recall/cost dial:
+    cells ~ sqrt(N) at production scale."""
+    c = (
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
+        .withColumn("_qv", _quantized(F.col("cv")))
+    )
+    fitted = _fit_kmeans(
+        c, corpus_id, n_centroids, kmeans_iters, literal_plan_limit
+    )
+    if fitted is None:
+        return _empty_topk(queries, corpus, query_id, corpus_id)
+    centroids, nearest_cells = fitted
+
     corpus_cells = nearest_cells(c, "_qv", centroids, 1, [corpus_id, "cv"])
 
     q = (
@@ -399,4 +419,98 @@ def ivf_topk(
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    literal_plan_limit: int = 256,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column — cluster the corpus with k-means, then inside each
+    cluster drop every member that is cosine-near (>= threshold) a kept
+    member, keeping, per the paper, the example FARTHEST from its cluster
+    centroid (most marginal = most informative). The pairwise-transitive
+    greedy of the paper is replaced by its deterministic one-pass
+    equivalent: x is dropped iff SOME same-cell y with cos(x,y) >=
+    threshold out-ranks it (larger centroid distance; ties -> smaller id)
+    — an EXISTS semi-join, no iteration, same keep-the-farthest policy.
+
+    Output: (id, cell, cdist_fp, is_dropped) for every corpus row, where
+    cdist_fp is the all-integer quantized squared-L2 to the row's centroid
+    (the ranking key — engine-exact, no float argmin flips).
+
+    Scale shape: clustering is the shared _fit_kmeans (map-side assignment,
+    one combiner agg per Lloyd round); the quadratic pairwise stays INSIDE
+    a cell, so with cells ~ sqrt(N) (the paper's regime) total compare work
+    is ~N^1.5 spread evenly across cells — never a corpus-wide cross join.
+    The exists-check is a cell-local self-join, shuffle keyed by cell; the
+    exact cosine uses the same left-to-right fold both engines replay."""
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+        .withColumn("_qv", _quantized(F.col("cv")))
+    )
+    fitted = _fit_kmeans(
+        c, id_col, n_centroids, kmeans_iters, literal_plan_limit
+    )
+    if fitted is None:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, cell int, cdist_fp long, is_dropped boolean",
+        )
+    centroids, nearest_cells = fitted
+    assigned = nearest_cells(c, "_qv", centroids, 1, [id_col, "cv", "_qv"])
+    cents_df = corpus.sparkSession.createDataFrame(
+        [(i, cv) for i, cv in enumerate(centroids)],
+        "cell int, cvec array<bigint>",
+    )
+    # materialize the assignment ONCE: `ranked` feeds both self-join sides
+    # and the final join-back, and its plan (map-side argmin over
+    # n_centroids literal distance expressions) is expensive to recompute —
+    # the same eager-localCheckpoint move as the CC/PageRank loops
+    ranked = (
+        assigned.join(F.broadcast(cents_df), "cell")
+        .select(
+            "cell",
+            F.col(id_col),
+            "cv",
+            _sqdist_l2(F.col("_qv"), F.col("cvec")).alias("cdist_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (
+                (F.col("b.cdist_fp") > F.col("a.cdist_fp"))
+                | (
+                    (F.col("b.cdist_fp") == F.col("a.cdist_fp"))
+                    & (F.col("b." + id_col) < F.col("a." + id_col))
+                )
+            )
+            & (cosine_expr(F.col("a.cv"), F.col("b.cv")) >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("a." + id_col).alias("_dropped_id"))
+    )
+    return (
+        ranked.join(
+            dropped,
+            ranked[id_col] == dropped["_dropped_id"],
+            "left_outer",
+        )
+        .select(
+            F.col(id_col),
+            "cell",
+            "cdist_fp",
+            F.col("_dropped_id").isNotNull().alias("is_dropped"),
+        )
     )

@@ -835,3 +835,143 @@ def grouped_value_percentiles(
         for q in qs
     ]
     return cum.groupBy("g").agg(*aggs).withColumnRenamed("g", group_col)
+
+
+# Literal weights for the logistic quality classifier. In production these
+# come from a trained model (a fastText/logreg quality classifier à la
+# GPT-3/CCNet curation); here they are fixed constants so the op is
+# deterministic and oracle-checkable — the INFERENCE plan is the deliverable
+# (pure column expressions, map-only), not the training run.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -2.0,
+    "len_cap": 3.0,          # min(n_tokens/100, 1)
+    "distinct_ratio": 2.0,
+    "punct_ratio": -4.0,
+    "stopword_ratio": 1.5,
+}
+
+
+def quality_logit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering: a logistic classifier over the
+    `with_quality_features` signals with literal weights — the pretraining
+    curation step that replaces hand-tuned threshold stacks (reference
+    analogue: the P7 threshold constants in config.py) with ONE calibrated
+    score. Adds `logit`, `quality_prob` = sigmoid(logit), and `keep_doc`
+    (sign of the ROUNDED logit, so the decision boundary cannot flip on a
+    last-ulp cross-engine difference).
+
+    Scale shape: map-only column expressions end-to-end (no shuffle, no
+    UDF) — runs at scan speed over a 100 TB corpus; the weight vector is a
+    plan literal, so swapping in a retrained model is a constant change,
+    not a join.
+    """
+    w = QUALITY_LOGIT_WEIGHTS
+    feat = with_quality_features(df, text_col)
+    len_cap = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    # fixed left-to-right sum, mirrored token-for-token by the SQL oracle
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["len_cap"]) * len_cap
+        + F.lit(w["distinct_ratio"]) * F.col("distinct_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    return (
+        feat.withColumn("logit", F.round(logit, 6) + F.lit(0.0))
+        .withColumn(
+            "quality_prob",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+            + F.lit(0.0),
+        )
+        .withColumn("keep_doc", F.col("logit") >= 0)
+    )
+
+
+def dsir_logratio(
+    pool: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every pool document
+    by the log importance ratio of its unigrams under the TARGET domain's
+    distribution vs the pool's own — sum_tokens ln(p_target/p_pool) with
+    add-one smoothing over the union vocabulary. High scores = documents
+    that look like the target domain; select by score to tilt a raw web
+    crawl toward a curated target (the paper's hashed-ngram variant reduces
+    to this with unigram features).
+
+    All distribution inputs are INTEGER counts (c_t, c_r, N_t, N_r, V), so
+    both engines feed identical values to ln; the per-document sum folds
+    the per-token term ln(c_t+1) - ln(c_r+1) in POSITION order (the q44
+    fold), and the document-constant part n_tokens*(ln(N_r+V) - ln(N_t+V))
+    is applied once at the end — bit-stable and engine-portable.
+
+    Scale shape: two combiner-friendly token-count aggregates (target is
+    typically tiny — a curated sample); the vocabulary table is
+    broadcastable (millions of rows) for a map-side probe over the pool's
+    exploded tokens, then one groupBy(doc) — identical shuffle shape to
+    unigram_surprisal. Pass broadcast_vocab=False for unbounded
+    vocabularies (Zipf-hot join keys are the well-replicated ones; AQE
+    splits the skewed probe side)."""
+    pool_toks = pool.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "tok")
+    )
+    tgt_toks = target.select(F.explode(_tokens(text_col)).alias("tok"))
+    pool_freqs = pool_toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    tgt_freqs = tgt_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    vocab = (
+        pool_freqs.join(tgt_freqs, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        )
+    )
+    # corpus scalars: one row — totals and union-vocabulary size
+    scalars = vocab.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v_sz"),
+    )
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    per_doc = (
+        pool_toks.join(v, "tok")
+        .select(
+            id_col,
+            "pos",
+            (
+                F.log(F.col("c_t").cast("double") + F.lit(1.0))
+                - F.log(F.col("c_r").cast("double") + F.lit(1.0))
+            ).alias("term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_term"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(scalars)).select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("sum_term")
+            + F.col("n_tokens")
+            * (
+                F.log((F.col("n_r") + F.col("v_sz")).cast("double"))
+                - F.log((F.col("n_t") + F.col("v_sz")).cast("double"))
+            )
+        ).alias("dsir_logratio"),
+    )

@@ -1900,19 +1900,30 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "c_id", _rz(F.col("cos"), 6).alias("cos"), "nn_rank")
 
 
-def _q36_sql() -> str:
+_SQL_IVF_QUANT = (
+    "list_transform(embedding, x -> floor(x::double * 1000000)::bigint)"
+)
+
+
+def _sql_ivf_dist(v: str, cvec: str) -> str:
     d = _EMB_DIM
-    quant = "list_transform(embedding, x -> floor(x::double * 1000000)::bigint)"
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> ({v}[i] - {cvec}[i]) * ({v}[i] - {cvec}[i])))"
+    )
 
-    def dist(v, cvec):
-        return (
-            f"list_sum(list_transform(generate_series(1, {d}),"
-            f" i -> ({v}[i] - {cvec}[i]) * ({v}[i] - {cvec}[i])))"
-        )
 
-    # one Lloyd round: assign every corpus vector to its nearest centroid
-    # of the previous round, then per-(cell, dim) floor(sum/count) means;
-    # cells that lost all members keep their previous centroid (left join)
+def _sql_lloyd_prefix(*, with_cv: bool = False) -> tuple:
+    """Shared CTE chain replaying operators/similarity._fit_kmeans exactly:
+    quantized corpus `c`, md5-seeded `cent0`, _IVF_ITERS Lloyd rounds
+    (assign -> per-(cell,dim) floor-means; cells that lost all members keep
+    their previous centroid via the left join), and `corpus_cells` = each
+    corpus vector's nearest FINAL cell. Returns (prefix_sql, final_cent).
+    Used by q36 (IVF probe/score on top) and q80 (SemDeDup centroid-distance
+    ranking on top; with_cv=True surfaces the quantized vector)."""
+    d = _EMB_DIM
+    dist = _sql_ivf_dist
+
     def lloyd(prev, a, m, cur):
         return f"""{a} AS (
   SELECT c_id, cv, cell FROM (
@@ -1937,12 +1948,12 @@ def _q36_sql() -> str:
         for i in range(_IVF_ITERS)
     )
     final = f"cent{_IVF_ITERS}"
-    return f"""
+    cv_out = ", cv" if with_cv else ""
+    cv_in = ", c.cv" if with_cv else ""
+    prefix = f"""
 WITH c AS (
-  SELECT vec_id AS c_id, embedding AS ce, {quant} AS cv FROM embeddings
-), q AS (
-  SELECT vec_id AS q_id, embedding AS qe, {quant} AS qv
-  FROM embeddings WHERE vec_id < 20
+  SELECT vec_id AS c_id, embedding AS ce, {_SQL_IVF_QUANT} AS cv
+  FROM embeddings
 ), cent0 AS (
   SELECT (row_number() OVER (ORDER BY md5('ivf:' || c_id::varchar), c_id)) - 1
            AS cell,
@@ -1953,12 +1964,23 @@ WITH c AS (
 ),
 {rounds},
 corpus_cells AS (
-  SELECT c_id, ce, cell FROM (
-    SELECT c.c_id, c.ce, t.cell,
+  SELECT c_id, ce{cv_out}, cell FROM (
+    SELECT c.c_id, c.ce{cv_in}, t.cell,
            row_number() OVER (PARTITION BY c.c_id
                               ORDER BY {dist('c.cv', 't.cvec')}, t.cell) AS rn
     FROM c, {final} t
   ) WHERE rn = 1
+)"""
+    return prefix, final
+
+
+def _q36_sql() -> str:
+    d = _EMB_DIM
+    dist = _sql_ivf_dist
+    prefix, final = _sql_lloyd_prefix()
+    return f"""{prefix}, q AS (
+  SELECT vec_id AS q_id, embedding AS qe, {_SQL_IVF_QUANT} AS qv
+  FROM embeddings WHERE vec_id < 20
 ), q_cells AS (
   SELECT q_id, qe, cell FROM (
     SELECT q.q_id, q.qe, t.cell,
@@ -4302,6 +4324,256 @@ ORDER BY cohort_day, day_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# Q77 — model-based quality filtering: a logistic classifier over the
+# quality-feature signals with literal weights (the GPT-3/CCNet-style
+# curation stage — one calibrated score instead of a threshold stack).
+# Map-only column expressions end-to-end; the decision boundary compares the
+# ROUNDED logit so it cannot flip on a last-ulp cross-engine difference.
+# ---------------------------------------------------------------------------
+
+
+def q77_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import quality_logit
+
+    docs = _docs(spark, sf_dir)
+    return (
+        quality_logit(docs)
+        .select("doc_id", "n_tokens", "logit", "quality_prob", "keep_doc")
+        .orderBy("doc_id")
+    )
+
+
+def _q77_sql() -> str:
+    from pathhier_spark.operators.textstats import QUALITY_LOGIT_WEIGHTS as W
+
+    # identical left-to-right sum as the Spark expression; features are
+    # ratios of integers (bit-exact doubles), so only exp() can differ and
+    # it sits under the same round-6 every other float oracle uses
+    logit = (
+        f"round({W['bias']} + {W['len_cap']} * least(n_tokens / 100.0, 1.0)"
+        f" + {W['distinct_ratio']} * distinct_ratio"
+        f" + {W['punct_ratio']} * punct_ratio"
+        f" + {W['stopword_ratio']} * stopword_ratio, 6) + 0.0"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_WS_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, len(toks)::bigint AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::double / len(toks)
+              ELSE 0 END AS distinct_ratio,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))::double
+                   / len(text)
+              ELSE 0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::double
+                   / len(toks)
+              ELSE 0 END AS stopword_ratio
+  FROM t
+), s AS (
+  SELECT doc_id, n_tokens, ({logit}) AS logit FROM feat
+)
+SELECT doc_id, n_tokens, logit,
+       (round(1.0 / (1.0 + exp(-logit)), 6) + 0.0) AS quality_prob,
+       logit >= 0 AS keep_doc
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q78 — multi-source BFS shortest-hops over the co-purchase graph (the G5
+# reachability operator upgraded to an oracled query): frontier expansion in
+# fixed rounds, each one edge equi-join + an id-only anti-join — the
+# Pregel-style iterative primitive next to PageRank (q51) / label
+# propagation (q72) / k-core (q74). The oracle unrolls every round as CTEs.
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+
+
+def q78_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import bfs_closure
+
+    li = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # symmetric co-purchase edges: parts sharing an order, both directions
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    roots = edges.select("src").filter(F.col("src") % 100 == 0).distinct()
+    return bfs_closure(
+        edges, roots, src="src", dst="dst", max_depth=_BFS_DEPTH
+    ).orderBy("node")
+
+
+def _q78_sql() -> str:
+    parts = []
+    prev_v, prev_f = "v0", "v0"
+    for dpt in range(1, _BFS_DEPTH + 1):
+        parts.append(f"""n{dpt} AS (
+  SELECT DISTINCT e.v AS node FROM {prev_f} JOIN e ON e.u = {prev_f}.node
+  WHERE e.v NOT IN (SELECT node FROM {prev_v})
+), v{dpt} AS (
+  SELECT node, depth FROM {prev_v}
+  UNION ALL SELECT node, {dpt} AS depth FROM n{dpt}
+)""")
+        prev_v, prev_f = f"v{dpt}", f"n{dpt}"
+    rounds = ",\n".join(parts)
+    return f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
+), v0 AS (
+  SELECT DISTINCT u AS node, 0 AS depth FROM e WHERE u % 100 = 0
+),
+{rounds}
+SELECT node, depth::int AS depth FROM {prev_v} ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q79 — DSIR data selection (Xie et al. 2023): log importance ratio of each
+# pool document's unigrams under the target-domain distribution vs the
+# pool's own (add-one smoothing over the union vocabulary). Every 20th doc
+# plays the curated target sample; positive scores = target-like documents.
+# All-integer distribution inputs + the q44 position-ordered fold keep both
+# engines bit-identical into the final round.
+# ---------------------------------------------------------------------------
+
+_DSIR_MOD = 20
+
+
+def q79_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import dsir_logratio
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % _DSIR_MOD == 0)
+    pool = docs.filter(F.col("doc_id") % _DSIR_MOD != 0)
+    out = dsir_logratio(pool, target).withColumn(
+        "dsir_logratio", _rz(F.col("dsir_logratio"), 6)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logratio",
+        (F.col("dsir_logratio") >= 0).alias("selected"),
+    ).orderBy("doc_id")
+
+
+def _q79_sql() -> str:
+    m = _DSIR_MOD
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, (i - 1)::int AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+          WHERE doc_id % {m} <> 0)
+  )
+), ttoks AS (
+  SELECT unnest(ts) AS tok
+  FROM (SELECT {_SQL_WS_TOKS} AS ts FROM documents WHERE doc_id % {m} = 0)
+), pf AS (
+  SELECT tok, count(*) AS c_r FROM ptoks GROUP BY tok
+), tf AS (
+  SELECT tok, count(*) AS c_t FROM ttoks GROUP BY tok
+), vocab AS (
+  SELECT coalesce(pf.tok, tf.tok) AS tok,
+         coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+  FROM pf FULL OUTER JOIN tf ON pf.tok = tf.tok
+), sc AS (
+  SELECT sum(c_r)::bigint AS n_r, sum(c_t)::bigint AS n_t,
+         count(*) AS v_sz
+  FROM vocab
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         list_sum(list(ln(v.c_t::double + 1.0) - ln(v.c_r::double + 1.0)
+                       ORDER BY t.pos)) AS sum_term
+  FROM ptoks t JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+), scored AS (
+  SELECT doc_id, n_tokens,
+         (round(sum_term
+                + n_tokens * (ln((n_r + v_sz)::double)
+                              - ln((n_t + v_sz)::double)), 6) + 0.0)
+           AS dsir_logratio
+  FROM per_doc, sc
+)
+SELECT doc_id, n_tokens, dsir_logratio, dsir_logratio >= 0 AS selected
+FROM scored ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q80 — SemDeDup (Abbas et al. 2023) semantic dedup over embeddings:
+# k-means cells (the exact q36 Lloyd chain, shared SQL prefix), then inside
+# each cell drop every member out-ranked by a cosine-near neighbor (keep the
+# FARTHEST from the centroid — the paper's policy as a one-pass EXISTS).
+# Gate threshold 0.35 because the driver embeddings are near-uniform random
+# (no true semantic duplicates exist at a production 0.9+ threshold — zero
+# drops would exercise nothing); the clustered-corpus regime is pinned in
+# tests/test_similarity.py. cdist_fp is the all-integer quantized L2 rank
+# key; ::bigint on the SQL side because DuckDB's list_sum would widen it to
+# HUGEINT (the q46 lesson).
+# ---------------------------------------------------------------------------
+
+_SDD_T = 0.35
+
+
+def q80_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return semantic_dedup(
+        emb,
+        id_col="vec_id",
+        threshold=_SDD_T,
+        n_centroids=_IVF_CENTROIDS,
+        kmeans_iters=_IVF_ITERS,
+    ).orderBy("vec_id")
+
+
+def _q80_sql() -> str:
+    d = _EMB_DIM
+    prefix, final = _sql_lloyd_prefix(with_cv=True)
+    cos = (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> a.ce[i]::double * b.ce[i]::double))"
+        f" / (sqrt(list_sum(list_transform(a.ce, x -> x::double * x::double)))"
+        f" * sqrt(list_sum(list_transform(b.ce, x -> x::double * x::double))))"
+    )
+    return f"""{prefix}, dist AS (
+  SELECT cc.c_id, cc.ce, cc.cell,
+         ({_sql_ivf_dist('cc.cv', 't.cvec')})::bigint AS cdist_fp
+  FROM corpus_cells cc JOIN {final} t USING (cell)
+), drops AS (
+  SELECT DISTINCT a.c_id
+  FROM dist a JOIN dist b ON a.cell = b.cell AND (
+         b.cdist_fp > a.cdist_fp
+         OR (b.cdist_fp = a.cdist_fp AND b.c_id < a.c_id))
+  WHERE {cos} >= {_SDD_T}
+)
+SELECT c_id AS vec_id, cell::int AS cell, cdist_fp,
+       c_id IN (SELECT c_id FROM drops) AS is_dropped
+FROM dist ORDER BY vec_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4380,6 +4652,10 @@ def queries():
         "q74_kcore": q74_kcore,
         "q75_dup_spans": q75_dup_spans,
         "q76_cohort_retention": q76_cohort_retention,
+        "q77_quality_logreg": q77_quality_logreg,
+        "q78_bfs_hops": q78_bfs_hops,
+        "q79_dsir_select": q79_dsir_select,
+        "q80_semantic_dedup": q80_semantic_dedup,
     }
 
 
@@ -4461,4 +4737,8 @@ def oracle_sql():
         "q74_kcore": _q74_sql(),
         "q75_dup_spans": _q75_sql(),
         "q76_cohort_retention": _q76_sql(),
+        "q77_quality_logreg": _q77_sql(),
+        "q78_bfs_hops": _q78_sql(),
+        "q79_dsir_select": _q79_sql(),
+        "q80_semantic_dedup": _q80_sql(),
     }

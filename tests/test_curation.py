@@ -246,3 +246,56 @@ def test_mixture_and_split_plans_are_map_only(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# --- model-based quality filtering (q77) ---
+
+
+def test_quality_logit_separates_good_from_garbage(spark):
+    from pathhier_spark.operators.textstats import quality_logit
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then it ran "
+            "far away into the deep green forest with many other animals " * 3),
+        (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, "a a a a a a a a a a a a a a a a a a a a"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in quality_logit(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["keep_doc"] and not out[2]["keep_doc"]
+    # all-repeat doc: distinct_ratio collapses, logit well below the good doc
+    assert out[1]["logit"] > out[3]["logit"]
+    for r in out.values():
+        assert 0.0 < r["quality_prob"] < 1.0
+        # boundary decision is taken on the rounded logit
+        assert r["keep_doc"] == (r["logit"] >= 0)
+
+
+# --- DSIR importance weights (q79) ---
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from pathhier_spark.operators.textstats import dsir_logratio
+
+    target = spark.createDataFrame(
+        [(100 + i, "protein pathway enzyme receptor kinase") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "protein pathway enzyme signal"),      # target-like
+            (2, "football match goal referee crowd"),  # off-domain
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dsir_logratio"] for r in
+           dsir_logratio(pool, target).collect()}
+    assert out[1] > out[2]
+    # partitioning must not change the position-ordered fold
+    out2 = {r["doc_id"]: r["dsir_logratio"] for r in
+            dsir_logratio(pool.repartition(7), target.repartition(3)).collect()}
+    assert out == out2

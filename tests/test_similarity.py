@@ -170,3 +170,60 @@ def test_ivf_literal_vs_broadcast_identical(spark):
         map(tuple, ivf_topk(queries, corpus, literal_plan_limit=0, **kw).collect())
     )
     assert lit == bc and len(lit) > 0
+
+
+def test_semantic_dedup_keeps_one_farthest_per_near_dup_group(spark):
+    """Clustered corpus at the production threshold 0.95: each group of
+    near-identical vectors must collapse to exactly ONE survivor, and the
+    survivor is the member FARTHEST from its centroid (the SemDeDup keep
+    policy), with ties broken to the smaller id."""
+    import hashlib
+
+    from pathhier_spark.operators.similarity import semantic_dedup
+
+    def h(s, lo=-1000, hi=1000):
+        return lo + int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % (
+            hi - lo + 1
+        )
+
+    dim, groups, members = 16, 6, 4
+    rows = []
+    for g in range(groups):
+        base = [h(f"base:{g}:{i}") / 1000.0 for i in range(dim)]
+        for m in range(members):
+            # tiny deterministic perturbation: cos(member, base) ~ 1
+            vec = [
+                x + h(f"eps:{g}:{m}:{i}", -5, 5) / 10000.0
+                for i, x in enumerate(base)
+            ]
+            rows.append((g * 100 + m, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, id_col="vec_id", threshold=0.95, n_centroids=4, kmeans_iters=2
+    ).collect()
+    assert len(out) == groups * members
+    by_id = {r["vec_id"]: r for r in out}
+    for g in range(groups):
+        grp = [by_id[g * 100 + m] for m in range(members)]
+        kept = [r for r in grp if not r["is_dropped"]]
+        assert len(kept) == 1, f"group {g}: {grp}"
+        # survivor out-ranks every dropped member: larger centroid distance,
+        # ties to the smaller id
+        k = kept[0]
+        for r in grp:
+            if r["vec_id"] != k["vec_id"]:
+                assert (k["cdist_fp"], -k["vec_id"]) > (
+                    r["cdist_fp"],
+                    -r["vec_id"],
+                )
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from pathhier_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cell", "cdist_fp", "is_dropped",
+    ]
