@@ -214,6 +214,14 @@ def main() -> None:
         # SemDeDup (k-means + cell-local pairwise family)
         "q79_dsir_select",
         "q80_semantic_dedup",
+        # final round-5: association rules (basket self-join family),
+        # per-group HLL sketches (grouped mergeable-sketch family),
+        # sequence packing (parallel prefix-sum family), and HITS
+        # (iterative-graph family)
+        "q81_assoc_rules",
+        "q82_hll_grouped",
+        "q83_pack_sequences",
+        "q84_hits",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

@@ -1,0 +1,91 @@
+"""Sequence packing for LLM training: concatenate documents in a
+deterministic order and cut the token stream into fixed-capacity training
+chunks (GPT-style concat-and-chunk), emitting each document's global token
+offset and the chunk span it lands in.
+
+The naive formulation is ONE window cumulative sum over the whole corpus —
+a SinglePartition exchange, the canonical scale-killer. This module
+computes the identical numbers with the classic two-level parallel prefix
+sum: combiner-friendly per-block totals, a prefix walk over the tiny
+block-totals table, then an independent within-block window per block.
+Block granularity changes parallelism only, never results (asserted in
+tests/test_packing.py by equality across block sizes and vs the naive
+single window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    capacity: int = 256,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Assign every document a token offset in the concatenation ordered by
+    `id_col`, then the chunk ids covering it at `capacity` tokens/chunk.
+
+    Output columns: id_col, n (the coalesced count), start_off (global
+    token offset of the doc's first token), first_chunk, last_chunk,
+    n_chunks (chunks the doc spans; 0 when n = 0, with
+    last_chunk = first_chunk so empty docs still carry a position).
+
+    Scale shape: blocks = id_col // block_size (any monotone bucketing of
+    the order key works — granularity is a parallelism knob, not a
+    semantics knob). Per-block totals are one combiner groupBy; the prefix
+    walk is a window over the BLOCK TOTALS table (corpus_tokens /
+    (block_size * avg_doc) rows — thousands at 100 TB, so its single
+    partition is a non-issue, the q45 "window over the tiny domain"
+    argument); the block-offset table broadcasts back; the within-block
+    cumulative window partitions by block and runs fully parallel. NULL
+    counts pack as 0 (position preserved, nothing consumed). Requires a
+    numeric, unique order key; ties would make the concatenation order —
+    and therefore every offset — undefined."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if block_size <= 0:
+        raise ValueError(f"block_size must be positive, got {block_size}")
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias("n"),
+    ).withColumn("_blk", F.floor(F.col("_id") / F.lit(block_size)))
+    blk_tot = d.groupBy("_blk").agg(F.sum("n").alias("_tot"))
+    wblk = (
+        Window.orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blk_off = blk_tot.select(
+        "_blk", (F.sum("_tot").over(wblk) - F.col("_tot")).alias("_off")
+    )
+    win = (
+        Window.partitionBy("_blk")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = d.join(F.broadcast(blk_off), "_blk").select(
+        "_id",
+        "n",
+        (F.col("_off") + F.sum("n").over(win) - F.col("n")).alias(
+            "start_off"
+        ),
+    )
+    first = F.floor(F.col("start_off") / F.lit(capacity))
+    last = F.when(F.col("n") > 0, F.floor(
+        (F.col("start_off") + F.col("n") - 1) / F.lit(capacity)
+    )).otherwise(first)
+    return pos.select(
+        F.col("_id").alias(id_col),
+        "n",
+        "start_off",
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        F.when(F.col("n") > 0, last - first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
+    )

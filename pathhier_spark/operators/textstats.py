@@ -680,6 +680,30 @@ def pmi_pairs(
     )
 
 
+def _hll_hash_cols(col: str, m: int, prefix: str):
+    """(register index j, leading-zero rank rho) for the md5-derived 32-bit
+    hash split — shared by the global and grouped HLL builders; m must be a
+    power of two so both the index split and the tail division are exact
+    integer ops on any engine."""
+    if m & (m - 1) != 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+    tail_bits = 32 - (m.bit_length() - 1)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (h / F.lit(m)).cast("long")  # exact: m is a power of two
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.bin(w))
+    )
+    return (h % m).cast("long"), rho
+
+
 def hll_registers(
     df: DataFrame, col: str, *, m: int = 64, prefix: str = "hll"
 ) -> DataFrame:
@@ -697,24 +721,9 @@ def hll_registers(
     merge by elementwise max, asserted in tests. Returns exactly m rows
     (j, reg), absent registers as 0.
     """
-    if m & (m - 1) != 0:
-        raise ValueError(f"m must be a power of two, got {m}")
-    tail_bits = 32 - (m.bit_length() - 1)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = (h / F.lit(m)).cast("long")  # exact: m is a power of two
-    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
-        F.lit(tail_bits + 1) - F.length(F.bin(w))
-    )
+    j, rho = _hll_hash_cols(col, m, prefix)
     built = (
-        df.select((h % m).cast("long").alias("j"), rho.alias("rho"))
+        df.select(j.alias("j"), rho.alias("rho"))
         .groupBy("j")
         .agg(F.max("rho").cast("long").alias("reg"))
     )
@@ -975,3 +984,61 @@ def dsir_logratio(
             )
         ).alias("dsir_logratio"),
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    *,
+    m: int = 64,
+    prefix: str = "hll",
+) -> DataFrame:
+    """Per-GROUP HyperLogLog registers: the grouped form of hll_registers —
+    one m-row register frame per group value, dense (absent registers 0) so
+    frames are directly comparable and elementwise-max mergeable across
+    shards/days. Build is one combiner-friendly (group, j) max-aggregate;
+    the dense frame is distinct-groups x range(m), group-cardinality-sized.
+    This is the shape a 100 TB pipeline stores per partition key (e.g.
+    per-day per-language vocabulary sketches rolled up by max, never
+    rescanning history)."""
+    j, rho = _hll_hash_cols(col, m, prefix)
+    built = (
+        df.select(F.col(group_col).alias("g"), j.alias("j"), rho.alias("rho"))
+        .groupBy("g", "j")
+        .agg(F.max("rho").cast("long").alias("reg"))
+    )
+    allj = df.sparkSession.range(m).select(F.col("id").alias("j"))
+    frame = (
+        df.select(F.col(group_col).alias("g")).distinct().crossJoin(
+            F.broadcast(allj)
+        )
+    )
+    return frame.join(built, ["g", "j"], "left").select(
+        F.col("g").alias(group_col),
+        "j",
+        F.coalesce("reg", F.lit(0)).cast("long").alias("reg"),
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_col: str, *, m: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimates from grouped registers — same
+    exact-dyadic harmonic mean + small-range correction as hll_estimate,
+    one output row per group."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    pow2 = F.array(*[F.lit(float(1 << k)) for k in range(34)])
+    inv = F.lit(1.0) / F.element_at(pow2, (F.col("reg") + 1).cast("int"))
+    agg = registers.groupBy(group_col).agg(
+        F.sum(inv).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_zero"
+        ),
+    )
+    raw = F.lit(alpha * m * m) / F.col("s")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return agg.select(group_col, corrected.alias("est"), "n_zero")

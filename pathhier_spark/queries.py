@@ -4574,6 +4574,273 @@ FROM dist ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q81 — market-basket association rules (operators/baskets.py assoc_rules):
+# support/confidence/lift over unordered item pairs, baskets = orders,
+# items = brand/size-band (125 items so real co-occurrence exists at every
+# SF). min_support=2 prunes the singleton-pair tail BEFORE the item-count
+# join — the heavy pair table never carries float columns through a
+# shuffle. The KG analogue of the reference's xref co-occurrence pairing
+# (pathhier/utils/pathway_utils.py), generalized to the Apriori pair stats.
+# ---------------------------------------------------------------------------
+
+_ASSOC_MIN_SUPPORT = 2
+
+
+def q81_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.baskets import assoc_rules
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.concat(
+            F.col("p_brand"), F.lit("/"), (F.col("p_size") % 5).cast("string")
+        ).alias("item"),
+    )
+    return assoc_rules(
+        baskets, min_support=_ASSOC_MIN_SUPPORT
+    ).orderBy("ia", "ib")
+
+
+def _q81_sql() -> str:
+    return f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS b,
+         p_brand || '/' || (p_size % 5)::varchar AS i
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), pairs AS (
+  SELECT x.i AS ia, y.i AS ib, count(*)::bigint AS c_ab
+  FROM lp x JOIN lp y USING (b)
+  WHERE x.i < y.i
+  GROUP BY 1, 2
+  HAVING count(*) >= {_ASSOC_MIN_SUPPORT}
+), ic AS (
+  SELECT i, count(*)::bigint AS c FROM lp GROUP BY i
+), nb AS (
+  SELECT count(DISTINCT b)::bigint AS n FROM lp
+)
+SELECT p.ia, p.ib, p.c_ab, a.c AS c_a, b.c AS c_b,
+       p.c_ab::double / a.c AS confidence,
+       (nb.n * p.c_ab)::double / (a.c * b.c) AS lift
+FROM pairs p
+JOIN ic a ON a.i = p.ia
+JOIN ic b ON b.i = p.ib
+CROSS JOIN nb
+ORDER BY p.ia, p.ib
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q82 — per-group HyperLogLog sketches (operators/textstats.py
+# hll_registers_grouped / hll_estimate_grouped): one dense 64-register
+# frame per language, elementwise-max mergeable across shards/days — the
+# shape a 100 TB pipeline stores per partition key instead of rescanning
+# history. The gate emits every (lang, j, reg) register PLUS the per-lang
+# estimate and the exact distinct count, so the grouped max-aggregate, the
+# dense frame fill, the dyadic harmonic sum, and the small-range
+# correction are all hash-checked per group.
+# ---------------------------------------------------------------------------
+
+
+def q82_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import (
+        _tokens,
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # checkpoint: read twice (registers + the exact-count comparison)
+    toks = docs.select(
+        "lang", F.explode(_tokens("text")).alias("tok")
+    ).localCheckpoint(eager=True)
+    regs = hll_registers_grouped(toks, "lang", "tok", m=_HLL_M)
+    est = hll_estimate_grouped(regs, "lang", m=_HLL_M)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("n_exact")
+    )
+    return (
+        regs.join(
+            F.broadcast(est.select("lang", _rz(F.col("est"), 6).alias("est"))),
+            "lang",
+        )
+        .join(F.broadcast(exact), "lang")
+        .select("lang", "j", "reg", "est", "n_exact")
+        .orderBy("lang", "j")
+    )
+
+
+def _q82_sql() -> str:
+    m = _HLL_M
+    tail = 32 - (m.bit_length() - 1)
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_SQL_WS_TOKS}) AS tok FROM documents
+), hs AS (
+  SELECT lang, {_sql_hex32("'hll:' || tok")} AS h FROM toks
+), rho AS (
+  SELECT lang, h % {m} AS j,
+         CASE WHEN h // {m} = 0 THEN {tail + 1}
+              ELSE {tail + 1} - length(bin(h // {m})) END AS rho
+  FROM hs
+), frame AS (
+  SELECT l.lang, g.j
+  FROM (SELECT DISTINCT lang FROM toks) l CROSS JOIN range(0, {m}) g(j)
+), regs AS (
+  SELECT f.lang, f.j, coalesce(max(rho.rho), 0)::bigint AS reg
+  FROM frame f LEFT JOIN rho ON rho.lang = f.lang AND rho.j = f.j
+  GROUP BY f.lang, f.j
+), agg AS (
+  SELECT lang, sum(1.0 / (1::bigint << reg)) AS s,
+         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::bigint AS n_zero
+  FROM regs GROUP BY lang
+), est AS (
+  SELECT lang,
+         round(CASE WHEN ({alpha_m2!r} / s) <= {2.5 * m!r} AND n_zero > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / n_zero)
+                    ELSE {alpha_m2!r} / s END, 6) + 0.0 AS est
+  FROM agg
+), ex AS (
+  SELECT lang, count(DISTINCT tok)::bigint AS n_exact FROM toks GROUP BY lang
+)
+SELECT regs.lang, regs.j, regs.reg, est.est, ex.n_exact
+FROM regs JOIN est USING (lang) JOIN ex USING (lang)
+ORDER BY lang, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q83 — sequence packing (operators/packing.py pack_sequences): GPT-style
+# concat-and-chunk — every document's global token offset and the training
+# chunks it spans at capacity 256. Spark computes it via the two-level
+# parallel prefix sum (per-block combiner totals -> prefix walk over the
+# tiny block table -> within-block parallel windows); the oracle is the
+# naive single-window cumsum — block decomposition exactness IS the thing
+# being hash-checked. block_size 64 so the gate exercises multiple blocks
+# at every SF.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256
+_PACK_BLOCK = 64
+
+
+def q83_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.packing import pack_sequences
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, capacity=_PACK_CAP, block_size=_PACK_BLOCK
+    ).orderBy("doc_id")
+
+
+def _q83_sql() -> str:
+    c = _PACK_CAP
+    return f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_WS_TOKS})::bigint AS n FROM documents
+), cum AS (
+  SELECT doc_id, n,
+         (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::bigint
+           AS start_off
+  FROM t
+)
+SELECT doc_id, n, start_off,
+       (start_off // {c})::bigint AS first_chunk,
+       (CASE WHEN n > 0 THEN (start_off + n - 1) // {c}
+             ELSE start_off // {c} END)::bigint AS last_chunk,
+       (CASE WHEN n > 0
+             THEN (start_off + n - 1) // {c} - start_off // {c} + 1
+             ELSE 0 END)::bigint AS n_chunks
+FROM cum ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q84 — HITS hubs and authorities (operators/graph.py hits_fixedpoint):
+# Kleinberg power iteration in int64 micro-units with exact integer-div
+# MAX-normalization per half-step (top hub/authority pinned at exactly
+# `scale`), over the q51 customer->supplier trade bipartite. 3 rounds
+# unrolled as CTEs — the q51/q62 trick. All arithmetic integer until the
+# final fp/scale division (one IEEE op on identical operands, bit-exact on
+# both engines — no round() needed).
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000
+
+
+def q84_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import hits_fixedpoint
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return hits_fixedpoint(
+        edges, iterations=_HITS_ITERS, scale=_HITS_SCALE
+    ).orderBy("node")
+
+
+def _q84_sql() -> str:
+    s = _HITS_SCALE
+
+    def half(r: int, out: str, prev: str, key_in: str, key_out: str) -> str:
+        return f"""{out}{r}_raw AS (
+  SELECT e.{key_out} AS node, sum(p.fp) AS raw
+  FROM e JOIN {prev} p ON p.node = e.{key_in} GROUP BY e.{key_out}
+), {out}{r}_m AS (
+  SELECT max(raw) AS m FROM {out}{r}_raw
+), {out}{r} AS (
+  SELECT n.node,
+         (CASE WHEN m > 0 THEN (coalesce(raw, 0) * {s}) // m
+               ELSE 0 END)::bigint AS fp
+  FROM nodes n LEFT JOIN {out}{r}_raw USING (node) CROSS JOIN {out}{r}_m
+)"""
+
+    rounds, prev_h = [], "h0"
+    for r in range(1, _HITS_ITERS + 1):
+        rounds.append(half(r, "a", prev_h, "s", "d"))
+        rounds.append(half(r, "h", f"a{r}", "d", "s"))
+        prev_h = f"h{r}"
+    chain = ",\n".join(rounds)
+    last = _HITS_ITERS
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey::varchar AS s,
+         's' || l_suppkey::varchar AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT s AS node FROM e UNION SELECT d FROM e
+), h0 AS (
+  SELECT node, {s}::bigint AS fp FROM nodes
+),
+{chain}
+SELECT n.node, h{last}.fp AS h_fp, a{last}.fp AS a_fp,
+       h{last}.fp::double / {float(s)!r} AS hub,
+       a{last}.fp::double / {float(s)!r} AS auth
+FROM nodes n JOIN h{last} USING (node) JOIN a{last} USING (node)
+ORDER BY n.node
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4656,6 +4923,10 @@ def queries():
         "q78_bfs_hops": q78_bfs_hops,
         "q79_dsir_select": q79_dsir_select,
         "q80_semantic_dedup": q80_semantic_dedup,
+        "q81_assoc_rules": q81_assoc_rules,
+        "q82_hll_grouped": q82_hll_grouped,
+        "q83_pack_sequences": q83_pack_sequences,
+        "q84_hits": q84_hits,
     }
 
 
@@ -4741,4 +5012,8 @@ def oracle_sql():
         "q78_bfs_hops": _q78_sql(),
         "q79_dsir_select": _q79_sql(),
         "q80_semantic_dedup": _q80_sql(),
+        "q81_assoc_rules": _q81_sql(),
+        "q82_hll_grouped": _q82_sql(),
+        "q83_pack_sequences": _q83_sql(),
+        "q84_hits": _q84_sql(),
     }

@@ -75,6 +75,31 @@ def _gate_one(spark, duck_con, name, sf_dir):
     res = duck_con.execute(sql)
     dcols = [d[0].lower() for d in res.description]
     drows = res.fetchall()
+    # driver-faithfulness probe (the q46 lesson): the driver's DuckDB fetch
+    # behaves like Arrow — nullable BIGINT stays int64 (q25's mostly-NULL
+    # width/height were gate-GREEN in r4), but an uncast sum(bigint) is
+    # HUGEINT, which Arrow has no int128 for, so it ships as
+    # decimal128(38,0) and canonicalizes float-style (q46 was gate-RED on
+    # exactly this in r4). Refuse any column that is integral on the Spark
+    # side but not an integer in the oracle result's Arrow schema.
+    atypes = {
+        f.name.lower(): f.type
+        for f in duck_con.execute(sql).arrow().schema
+    }
+    spark_int_cols = {
+        f.name.lower()
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+    import pyarrow.types as patypes
+
+    for col, typ in atypes.items():
+        if col in spark_int_cols and not patypes.is_integer(typ):
+            raise AssertionError(
+                f"{name}: oracle column {col} reaches the driver as Arrow"
+                f" {typ} while Spark emits an integer type — cast the"
+                " aggregate (::bigint) in the oracle SQL"
+            )
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
     sset = _rowset(scols, srows)

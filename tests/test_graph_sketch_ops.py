@@ -157,3 +157,118 @@ def test_fuzzy_join_long_strings_use_gram_path(spark):
 
     want = {(a, b) for a in words for b in words if lev(a, b) <= 2}
     assert got == want
+
+
+def test_hll_grouped_matches_per_group_ungrouped(spark):
+    from pathhier_spark.operators.textstats import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    grouped = {
+        (r["g"], r["j"]): r["reg"]
+        for r in hll_registers_grouped(df, "g", "v").collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = {
+            r["j"]: r["reg"]
+            for r in hll_registers(df.filter(F.col("g") == g), "v").collect()
+        }
+        assert {j: grouped[(g, j)] for j in solo} == solo
+    ests = {
+        r["g"]: r["est"]
+        for r in hll_estimate_grouped(
+            hll_registers_grouped(df, "g", "v"), "g"
+        ).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo_est = hll_estimate(
+            hll_registers(df.filter(F.col("g") == g), "v")
+        ).collect()[0]["est"]
+        assert ests[g] == pytest.approx(solo_est, rel=1e-12)
+
+
+def test_hll_grouped_merge_by_max_across_shards(spark):
+    from pathhier_spark.operators.textstats import hll_registers_grouped
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    shard_a = df.filter(F.col("id") < 1000)
+    shard_b = df.subtract(shard_a)
+    full = {
+        (r["g"], r["j"]): r["reg"]
+        for r in hll_registers_grouped(df, "g", "v").collect()
+    }
+    merged = {
+        (r["g"], r["j"]): r["reg"]
+        for r in (
+            hll_registers_grouped(shard_a, "g", "v")
+            .unionByName(hll_registers_grouped(shard_b, "g", "v"))
+            .groupBy("g", "j")
+            .agg(F.max("reg").alias("reg"))
+        ).collect()
+    }
+    assert full == merged
+
+
+def test_hits_bipartite_ranking(spark):
+    from pathhier_spark.operators.graph import hits_fixedpoint
+
+    # h1 points at both authorities, h2 at one; a1 has both hubs, a2 one
+    edges = _edges_str(spark, [("h1", "a1"), ("h1", "a2"), ("h2", "a1")])
+    out = {r["node"]: r for r in hits_fixedpoint(edges).collect()}
+    assert out["h1"]["h_fp"] == 1_000_000  # top hub pinned at scale
+    assert out["a1"]["a_fp"] == 1_000_000  # top authority pinned at scale
+    assert out["h1"]["h_fp"] > out["h2"]["h_fp"] > 0
+    assert out["a1"]["a_fp"] > out["a2"]["a_fp"] > 0
+    # pure-source / pure-sink: hubs have no authority and vice versa
+    assert out["h1"]["a_fp"] == 0 and out["a1"]["h_fp"] == 0
+
+
+def _edges_str(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_hits_matches_integer_replica(spark):
+    from pathhier_spark.operators.graph import hits_fixedpoint
+
+    pairs = [
+        ("u0", "v0"), ("u0", "v1"), ("u1", "v1"), ("u1", "v2"),
+        ("u2", "v0"), ("u2", "v2"), ("v0", "u1"),
+    ]
+    scale, iters = 1_000_000, 3
+    nodes = sorted({x for p in pairs for x in p})
+    h = {n: scale for n in nodes}
+
+    def half(score, fwd):
+        raw = {}
+        for s, d in pairs:
+            src, dst = (s, d) if fwd else (d, s)
+            raw[dst] = raw.get(dst, 0) + score[src]
+        m = max(raw.values())
+        return {
+            n: (raw.get(n, 0) * scale) // m if m > 0 else 0 for n in nodes
+        }
+
+    for _ in range(iters):
+        a = half(h, True)
+        h = half(a, False)
+    out = {
+        r["node"]: (r["h_fp"], r["a_fp"])
+        for r in hits_fixedpoint(_edges_str(spark, pairs)).collect()
+    }
+    assert out == {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_empty_graph_scores_zero(spark):
+    from pathhier_spark.operators.graph import hits_fixedpoint
+
+    # no edges at all -> no nodes, empty result (guard: no div-by-zero)
+    df = spark.createDataFrame([], "src string, dst string")
+    assert hits_fixedpoint(df).collect() == []

@@ -484,3 +484,41 @@ def test_resize_ppm_nearest_2d(spark):
     # upsample duplicates: out (1,1) -> src (1*4//8, 1*2//4) = (0,0)
     body = bytes(up["payload"]).split(b"\n", 3)[3]
     assert body[(8 * 1 + 1) * 3 : (8 * 1 + 1) * 3 + 3] == bytes([0, 100, 200])
+
+
+def test_assoc_rules_known_baskets(spark):
+    from pathhier_spark.operators.baskets import assoc_rules
+
+    rows = [
+        (1, "bread"), (1, "butter"), (1, "milk"),
+        (2, "bread"), (2, "butter"),
+        (3, "bread"), (3, "milk"),
+        (4, "milk"),
+        (2, "bread"),  # duplicate (basket, item) must not inflate counts
+    ]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    out = {
+        (r["ia"], r["ib"]): r for r in assoc_rules(df, min_support=2).collect()
+    }
+    # bread+butter in baskets 1,2; bread+milk in 1,3; butter+milk only in 1
+    assert set(out) == {("bread", "butter"), ("bread", "milk")}
+    bb = out[("bread", "butter")]
+    assert (bb["c_ab"], bb["c_a"], bb["c_b"]) == (2, 3, 2)
+    assert bb["confidence"] == pytest.approx(2 / 3)
+    assert bb["lift"] == pytest.approx(4 * 2 / (3 * 2))  # n=4 baskets
+    bm = out[("bread", "milk")]
+    assert (bm["c_ab"], bm["c_a"], bm["c_b"]) == (2, 3, 3)
+    assert bm["lift"] == pytest.approx(4 * 2 / (3 * 3))
+
+
+def test_assoc_rules_min_support_prunes(spark):
+    from pathhier_spark.operators.baskets import assoc_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    assert assoc_rules(df, min_support=2).collect() == []
+    got = {
+        (r["ia"], r["ib"])
+        for r in assoc_rules(df, min_support=1).collect()
+    }
+    assert got == {("a", "b"), ("a", "c")}
