@@ -222,6 +222,10 @@ def main() -> None:
         "q82_hll_grouped",
         "q83_pack_sequences",
         "q84_hits",
+        # containment join (prefix-filtered set-join family) and c-TF-IDF
+        # (grouped vocabulary-analytics family)
+        "q85_containment_join",
+        "q86_ctfidf_terms",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

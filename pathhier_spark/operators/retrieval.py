@@ -219,3 +219,96 @@ def setsim_join_exact(
     return verified.select(
         "a", "b", (F.round("jacc", 6) + F.lit(0.0)).alias("jacc")
     )
+
+
+def containment_join_exact(
+    docs: DataFrame,
+    tokens_col,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact DIRECTIONAL containment join over n-token shingle sets:
+    emit every ordered pair (a, b), a != b, with
+    C(a->b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold —
+    "a is mostly contained in b", the quote/subset-detection asymmetric
+    cousin of setsim_join_exact's Jaccard (which this reuses the prefix
+    machinery of).
+
+    Losslessness: only the La - ceil(t*La) + 1 globally-rarest shingles of
+    the CONTAINED side a are emitted as join keys; if a qualifying pair
+    shared no prefix shingle, the intersection would be at most
+    La - pref_len = ceil(t*La) - 1 < ceil(t*La), contradiction — so
+    candidate generation misses nothing (pinned vs brute force in tests).
+    The superset side b has no size bound, so b emits ALL its shingles:
+    the posting lists are n-gram keyed (naturally short — cross-document
+    shingle collisions are rare outside boilerplate; strip boilerplate
+    first (q40) or cap postings to get the approximate variant). The
+    prefix side still avoids hot keys by construction.
+
+    Containment is ONE IEEE division of exact integers (inter / La) —
+    bit-exact on any engine, no round() (the q81 half-way-tie lesson).
+    Docs with fewer than n tokens have no shingles and never pair.
+    Output: (a, b, size_a, inter, containment)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col.alias("_ts")
+    ).filter(F.size("_ts") >= n)
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_ts", i, n)),
+        )
+    )
+    sets = toks.select("_id", sh_arr.alias("ss")).localCheckpoint(
+        eager=True
+    )
+    posts = sets.select(
+        "_id",
+        F.size("ss").cast("long").alias("setlen"),
+        F.explode("ss").alias("sh"),
+    )
+    freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+    pref_len = (
+        F.col("setlen")
+        - F.ceil(F.lit(threshold) * F.col("setlen")).cast("long")
+        + F.lit(1)
+    )
+    order_w = Window.partitionBy("_id").orderBy(F.asc("cnt"), F.asc("sh"))
+    prefix = (
+        posts.join(F.broadcast(freq), "sh")
+        .withColumn("pos", F.row_number().over(order_w))
+        .filter(F.col("pos") <= pref_len)
+        .select(F.col("_id").alias("a"), "sh")
+    )
+    cands = (
+        prefix.join(
+            posts.select(F.col("_id").alias("b"), "sh"), "sh"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cands.join(
+            sets.select(F.col("_id").alias("a"), F.col("ss").alias("ss_a")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("_id").alias("b"), F.col("ss").alias("ss_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.size("ss_a").cast("long").alias("size_a"),
+            F.size(F.array_intersect("ss_a", "ss_b")).cast("long").alias(
+                "inter"
+            ),
+            (
+                F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
+                / F.size("ss_a")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

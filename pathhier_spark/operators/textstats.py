@@ -1042,3 +1042,70 @@ def hll_estimate_grouped(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
     ).otherwise(raw)
     return agg.select(group_col, corrected.alias("est"), "n_zero")
+
+
+def ctfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    tokens_col,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic labeling statistic): the k most
+    DISTINCTIVE terms per group — score = tf(term, group) *
+    ln(n_groups / group_df(term)), where group_df counts GROUPS containing
+    the term, so vocabulary shared by every group (stopwords, boilerplate)
+    scores exactly 0 and never ranks.
+
+    Determinism: the rank key is (round(score, 6) DESC, term ASC) —
+    rounding before ranking so both engines order identical values (the
+    q06 rounded-ln discipline); tf and group_df are integer aggregates;
+    ln's argument n_groups/group_df is one of n_groups distinct rationals.
+
+    Scale shape: one combiner-friendly (group, term) count (the only
+    corpus-scale shuffle); group_df is a count over the (group, term)
+    distinct — vocabulary-sized; the 1-row group count broadcasts; the
+    top-k window partitions by group over the vocabulary-sized scored
+    table, never over corpus rows. Output: (group_col, rank, term, tf,
+    group_df, score)."""
+    gt = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens_col).alias("term")
+    )
+    tf = gt.groupBy("g", "term").agg(F.count(F.lit(1)).alias("tf"))
+    gdf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("group_df")
+    )
+    ng = tf.select("g").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    )
+    scored = (
+        tf.join(gdf, "term")
+        .crossJoin(F.broadcast(ng))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_groups").cast("double")
+                    / F.col("group_df").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            "rank",
+            "term",
+            "tf",
+            "group_df",
+            "score",
+        )
+    )

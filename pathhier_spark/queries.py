@@ -4841,6 +4841,99 @@ ORDER BY n.node
 """
 
 
+# ---------------------------------------------------------------------------
+# Q85 — directional containment join (operators/retrieval.py
+# containment_join_exact): C(a->b) = |shingles(a) ∩ shingles(b)| /
+# |shingles(a)| >= t over 3-token shingles — quote/subset detection, the
+# asymmetric cousin of q65's Jaccard. Spark prunes with the lossless
+# prefix filter on the contained side; the oracle is the brute all-pairs
+# — so the prefix filter's losslessness is what the hash checks.
+# Containment is a single exact-integer IEEE division (no round()).
+# ---------------------------------------------------------------------------
+
+_CONT_N = 3
+_CONT_T = 0.5
+
+
+def q85_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import containment_join_exact
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    return containment_join_exact(
+        docs, _tokens("text"), n=_CONT_N, threshold=_CONT_T
+    ).orderBy("a", "b")
+
+
+def _q85_sql() -> str:
+    n = _CONT_N
+    gram = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ts) - {n - 1}), i -> {gram})) AS ss
+  FROM t WHERE len(ts) >= {n}
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(a.ss)::bigint AS size_a,
+       len(list_intersect(a.ss, b.ss))::bigint AS inter,
+       len(list_intersect(a.ss, b.ss))::double / len(a.ss) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.ss, b.ss))::double / len(a.ss) >= {_CONT_T!r}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q86 — c-TF-IDF distinctive terms per language (operators/textstats.py
+# ctfidf_top_terms): the BERTopic labeling statistic — score =
+# tf(term, group) * ln(n_groups / group_df), so vocabulary present in
+# every group scores exactly 0. Rank key is (round(score, 6) DESC, term
+# ASC) — rounded BEFORE ranking so both engines order identically (the
+# q06 rounded-ln discipline); tf/group_df all-integer.
+# ---------------------------------------------------------------------------
+
+_CTFIDF_K = 10
+
+
+def q86_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import _tokens, ctfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    return ctfidf_top_terms(docs, "lang", _tokens("text"), k=_CTFIDF_K).orderBy(
+        "lang", "rank"
+    )
+
+
+def _q86_sql() -> str:
+    return f"""
+WITH gt AS (
+  SELECT lang AS g, unnest({_SQL_WS_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT g, term, count(*)::bigint AS tf FROM gt GROUP BY g, term
+), gdf AS (
+  SELECT term, count(*)::bigint AS group_df FROM tf GROUP BY term
+), ng AS (
+  SELECT count(DISTINCT g)::bigint AS n_groups FROM tf
+), scored AS (
+  SELECT tf.g, tf.term, tf.tf, gdf.group_df,
+         round(tf.tf * ln(ng.n_groups::double / gdf.group_df::double), 6)
+           + 0.0 AS score
+  FROM tf JOIN gdf USING (term) CROSS JOIN ng
+), ranked AS (
+  SELECT g, term, tf, group_df, score,
+         row_number() OVER (PARTITION BY g ORDER BY score DESC, term ASC)
+           AS rank
+  FROM scored
+)
+SELECT g AS lang, rank::bigint AS rank, term, tf, group_df, score
+FROM ranked WHERE rank <= {_CTFIDF_K} ORDER BY lang, rank
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4927,6 +5020,8 @@ def queries():
         "q82_hll_grouped": q82_hll_grouped,
         "q83_pack_sequences": q83_pack_sequences,
         "q84_hits": q84_hits,
+        "q85_containment_join": q85_containment_join,
+        "q86_ctfidf_terms": q86_ctfidf_terms,
     }
 
 
@@ -5016,4 +5111,6 @@ def oracle_sql():
         "q82_hll_grouped": _q82_sql(),
         "q83_pack_sequences": _q83_sql(),
         "q84_hits": _q84_sql(),
+        "q85_containment_join": _q85_sql(),
+        "q86_ctfidf_terms": _q86_sql(),
     }

@@ -286,3 +286,57 @@ def stream_training_corpus(
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def stream_hll_rollup(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    group_col: str,
+    col: str,
+    *,
+    m: int = 64,
+    prefix: str = "hll",
+    checkpoint_dir: str,
+):
+    """Incrementally maintained per-group HyperLogLog sketches: each
+    micro-batch's grouped registers (textstats.hll_registers_grouped) are
+    APPENDED to the warehouse as a sketch delta — exactly-once via the
+    batch-id fingerprint — and readers max-merge deltas at query time
+    (hll_rollup_read). Append-only beats read-modify-write here twice
+    over: no cross-writer races, and register max-merge is commutative /
+    idempotent, so even a replayed delta that slipped past the
+    fingerprint would not change a single register. This is the q82
+    'store sketches per shard/day, never rescan history' shape running
+    live: the corpus-sized token stream is reduced to m-row frames inside
+    each micro-batch, and nothing downstream ever touches raw text.
+    Returns the StreamingQuery."""
+    from pathhier_spark.operators.textstats import hll_registers_grouped
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers_grouped(
+            batch_df, group_col, col, m=m, prefix=prefix
+        )
+        warehouse.write(
+            regs, table, mode="append", fingerprint=f"batch:{batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def hll_rollup_read(
+    warehouse, table: str, group_col: str
+) -> DataFrame:
+    """Max-merge the appended sketch deltas of stream_hll_rollup back into
+    one dense register frame per group — input rows = m x groups x
+    batches (tiny), so the merge never touches corpus data."""
+    return (
+        warehouse.read(table)
+        .groupBy(group_col, "j")
+        .agg(F.max("reg").cast("long").alias("reg"))
+    )

@@ -522,3 +522,42 @@ def test_assoc_rules_min_support_prunes(spark):
         for r in assoc_rules(df, min_support=1).collect()
     }
     assert got == {("a", "b"), ("a", "c")}
+
+
+def test_ctfidf_shared_vocab_scores_zero(spark):
+    from pathhier_spark.operators.textstats import _tokens, ctfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "common apple apple apple"),
+            (1, "fr", "common pomme pomme"),
+            (2, "de", "common apfel"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = ctfidf_top_terms(docs, "lang", _tokens("text"), k=10).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    # 'common' is in every group -> score exactly 0, ranks LAST of 2 terms
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["term"] != "common" and rows[0]["score"] > 0
+        assert rows[-1]["term"] == "common" and rows[-1]["score"] == 0.0
+    # distinctive term with highest tf wins its group
+    assert by_group["en"][0]["term"] == "apple"
+    assert by_group["en"][0]["tf"] == 3
+
+
+def test_ctfidf_k_caps_output(spark):
+    from pathhier_spark.operators.textstats import _tokens, ctfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "a", "t1 t2 t3 t4 t5"), (1, "b", "u1 u2")],
+        "doc_id long, lang string, text string",
+    )
+    out = ctfidf_top_terms(docs, "lang", _tokens("text"), k=3).collect()
+    counts = {}
+    for r in out:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"a": 3, "b": 2}

@@ -130,3 +130,73 @@ def test_pmi_cap_bounds_pairs(spark):
     assert len(out) == 10  # C(5,2)
     toks = {t for r in out for t in (r["x"], r["y"])}
     assert toks == {f"t{i:02d}" for i in range(5)}
+
+
+def test_containment_join_directional_quote(spark):
+    from pathhier_spark.operators.retrieval import containment_join_exact
+    from pathhier_spark.operators.textstats import _tokens
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quote = "gamma delta epsilon zeta"  # contiguous slice of big
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(0, big), (1, quote), (2, other)], "doc_id long, text string"
+    )
+    out = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_join_exact(
+            docs, _tokens("text"), n=3, threshold=0.9
+        ).collect()
+    }
+    # quote (2 shingles) fully contained in big; big NOT contained in quote
+    assert out == {(1, 0): 1.0}
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    from pathhier_spark.operators.retrieval import containment_join_exact
+    from pathhier_spark.operators.textstats import _tokens
+
+    # overlapping sentence fragments force partial containments
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    toks = base.split()
+    rows = [
+        (i, " ".join(toks[s:s + ln]))
+        for i, (s, ln) in enumerate(
+            [(0, 12), (0, 6), (3, 6), (6, 6), (2, 9), (0, 3), (9, 3)]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r["a"], r["b"], r["inter"])
+        for r in containment_join_exact(
+            docs, _tokens("text"), n=3, threshold=t
+        ).collect()
+    }
+
+    def sh(text, n=3):
+        ws = text.split()
+        return {
+            " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+        } if len(ws) >= n else set()
+
+    want = set()
+    for a, ta in rows:
+        for b, tb in rows:
+            sa, sb = sh(ta), sh(tb)
+            if a != b and sa and len(sa & sb) / len(sa) >= t:
+                want.add((a, b, len(sa & sb)))
+    assert got == want and len(want) > 3
+
+
+def test_containment_skips_short_docs(spark):
+    from pathhier_spark.operators.retrieval import containment_join_exact
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = spark.createDataFrame(
+        [(0, "just two"), (1, "just two words here now")],
+        "doc_id long, text string",
+    )
+    assert containment_join_exact(
+        docs, _tokens("text"), n=3, threshold=0.1
+    ).collect() == []

@@ -411,3 +411,76 @@ def test_stream_to_warehouse_incremental_consumer(spark, tmp_path):
     finally:
         q.stop()
     assert seen == {r["url"] for r in wh.read("ev").collect()}
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    """Incrementally-maintained per-lang HLL sketches (stream_hll_rollup:
+    per-batch register deltas appended exactly-once, max-merged at read)
+    must equal the batch recompute over the full static input —
+    register-for-register, and therefore estimate-for-estimate."""
+    import datetime
+
+    from pathhier_spark.operators.textstats import (
+        _tokens,
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import (
+        hll_rollup_read,
+        stream_hll_rollup,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    b1 = [
+        ("u1", ts, "alpha beta gamma alpha", "en"),
+        ("u2", ts, "delta epsilon", "en"),
+        ("u3", ts, "un deux trois", "fr"),
+    ]
+    b2 = [
+        ("u4", ts, "gamma zeta eta theta", "en"),
+        ("u5", ts, "trois quatre cinq", "fr"),
+        ("u6", ts, "iota kappa", "de"),
+    ]
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(input_dir)
+        .select("lang", F.explode(_tokens("text")).alias("tok"))
+    )
+    q = stream_hll_rollup(
+        stream, wh, "lang_sketches", "lang", "tok",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = hll_rollup_read(wh, "lang_sketches", "lang")
+    batch = spark.read.parquet(input_dir).select(
+        "lang", F.explode(_tokens("text")).alias("tok")
+    )
+    full = hll_registers_grouped(batch, "lang", "tok")
+    got = {(r["lang"], r["j"]): r["reg"] for r in merged.collect()}
+    want = {(r["lang"], r["j"]): r["reg"] for r in full.collect()}
+    assert got == want
+    # at least two deltas were appended (one per micro-batch)
+    man = wh.manifest("lang_sketches")
+    assert len([s for s in man["snapshots"]]) >= 2
+    # estimates agree too
+    est_s = {
+        r["lang"]: r["est"]
+        for r in hll_estimate_grouped(merged, "lang").collect()
+    }
+    est_b = {
+        r["lang"]: r["est"]
+        for r in hll_estimate_grouped(full, "lang").collect()
+    }
+    assert est_s == est_b
