@@ -226,6 +226,8 @@ def main() -> None:
         # (grouped vocabulary-analytics family)
         "q85_containment_join",
         "q86_ctfidf_terms",
+        # the composite curation funnel (four stages, one plan)
+        "q87_curation_funnel",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

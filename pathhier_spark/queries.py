@@ -4934,6 +4934,179 @@ FROM ranked WHERE rank <= {_CTFIDF_K} ORDER BY lang, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q87 — the COMPOSITE curation funnel: exact dedup + quality/language
+# filtering + benchmark decontamination + sequence packing, chained the
+# way a production pre-training prep run chains them, with per-stage
+# verdict flags for every document (the audit view a data team actually
+# ships). Flags are computed on the RAW corpus independently (dup keeper =
+# min doc_id per md5; quality/lang = the q35 floor; contamination = the
+# q54 5-gram benchmark probe, benchmark = doc_id % 50 == 0) and kept =
+# none of them fired; survivors are packed with q83's parallel prefix
+# sum. The oracle replays every stage: the q35 quality/lang fragments,
+# the q54 gram probe, a group-min dedup, and the naive-window packing —
+# one hash checks the whole pipeline composition, not just each stage.
+# ---------------------------------------------------------------------------
+
+
+def q87_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.decontam import decontaminate
+    from pathhier_spark.operators.packing import pack_sequences
+    from pathhier_spark.operators.textstats import (
+        with_lang_id,
+        with_quality_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # the scored frame feeds dedup (twice), flags, and the pack branch —
+    # checkpoint it ONCE, lazily (the RDD dedups across branches inside
+    # the first job, no separate materialization job), carrying the md5
+    # instead of the full text so raw text never enters checkpoint storage
+    scored = (
+        with_lang_id(with_quality_features(docs))
+        .select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            "n_tokens",
+            "quality_score",
+            "lang_pred",
+        )
+        .localCheckpoint(eager=False)
+    )
+    keepers = scored.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    dup = (
+        scored.select("doc_id", "h")
+        .join(keepers, "h")
+        .select("doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup"))
+    )
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    cont = decontaminate(docs, bench, n=_DECON_N).select(
+        "doc_id", "n_contaminated", "contaminated"
+    )
+    low_q = (F.col("quality_score") < _Q35_QUALITY_FLOOR) | (
+        F.col("lang_pred") != "en"
+    )
+    flags = (
+        scored.join(dup, "doc_id")
+        .join(cont, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _rz(F.col("quality_score"), 6).alias("quality_score"),
+            "lang_pred",
+            "is_dup",
+            low_q.alias("low_quality"),
+            (F.col("doc_id") % _DECON_BENCH_MOD == 0).alias("in_benchmark"),
+            "n_contaminated",
+            "contaminated",
+            (
+                ~F.col("is_dup")
+                & ~low_q
+                & (F.col("doc_id") % _DECON_BENCH_MOD != 0)
+                & ~F.col("contaminated")
+            ).alias("kept"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    packed = pack_sequences(
+        flags.filter(F.col("kept")).select("doc_id", "n_tokens"),
+        capacity=_PACK_CAP,
+        block_size=_PACK_BLOCK,
+    ).select("doc_id", "start_off", "first_chunk", "last_chunk")
+    return flags.join(packed, "doc_id", "left").orderBy("doc_id")
+
+
+def _q87_sql() -> str:
+    from pathhier_spark.operators.textstats import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_exprs.append(
+            f"len(list_intersect(dtoks, {lit}))::double / {len(markers)}"
+            f" AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest(score_{lang}, {best})"
+    cap = _PACK_CAP
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, toks,
+         list_distinct(toks) AS dtoks,
+         len(toks)::bigint AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::double / len(toks)
+              ELSE 0 END AS distinct_ratio,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))::double / len(text)
+              ELSE 0 END AS punct_ratio
+  FROM t
+), scored AS (
+  SELECT doc_id, text, toks, n_tokens, {', '.join(score_exprs)},
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * distinct_ratio
+             + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6)
+           AS quality_score
+  FROM feat
+), pred AS (
+  SELECT doc_id, text, toks, n_tokens, quality_score, {pred} AS lang_pred
+  FROM scored
+), keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper FROM pred GROUP BY md5(text)
+), dup AS (
+  SELECT doc_id, doc_id <> keeper AS is_dup
+  FROM pred JOIN keepers ON md5(pred.text) = keepers.h
+), g AS (
+  SELECT doc_id, {_sql_word_ngrams(_DECON_N)} AS grams FROM t
+), bg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE doc_id % {_DECON_BENCH_MOD} = 0
+), dg AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+), hits AS (
+  SELECT doc_id, count(*)::bigint AS n FROM dg JOIN bg USING (gram)
+  GROUP BY doc_id
+), flags AS (
+  SELECT p.doc_id, p.n_tokens, p.quality_score, p.lang_pred, d.is_dup,
+         (p.quality_score < {_Q35_QUALITY_FLOOR} OR p.lang_pred <> 'en')
+           AS low_quality,
+         p.doc_id % {_DECON_BENCH_MOD} = 0 AS in_benchmark,
+         coalesce(hits.n, 0)::bigint AS n_contaminated,
+         coalesce(hits.n, 0) > 0 AS contaminated,
+         (NOT d.is_dup
+          AND NOT (p.quality_score < {_Q35_QUALITY_FLOOR}
+                   OR p.lang_pred <> 'en')
+          AND p.doc_id % {_DECON_BENCH_MOD} <> 0
+          AND NOT coalesce(hits.n, 0) > 0) AS kept
+  FROM pred p JOIN dup d USING (doc_id) LEFT JOIN hits USING (doc_id)
+), pk AS (
+  SELECT doc_id,
+         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens)::bigint AS start_off,
+         n_tokens
+  FROM flags WHERE kept
+), pk2 AS (
+  SELECT doc_id, start_off,
+         (start_off // {cap})::bigint AS first_chunk,
+         ((start_off + n_tokens - 1) // {cap})::bigint AS last_chunk
+  FROM pk
+)
+SELECT f.doc_id, f.n_tokens, f.quality_score, f.lang_pred, f.is_dup,
+       f.low_quality, f.in_benchmark, f.n_contaminated, f.contaminated,
+       f.kept, pk2.start_off, pk2.first_chunk, pk2.last_chunk
+FROM flags f LEFT JOIN pk2 USING (doc_id) ORDER BY f.doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5022,6 +5195,7 @@ def queries():
         "q84_hits": q84_hits,
         "q85_containment_join": q85_containment_join,
         "q86_ctfidf_terms": q86_ctfidf_terms,
+        "q87_curation_funnel": q87_curation_funnel,
     }
 
 
@@ -5113,4 +5287,5 @@ def oracle_sql():
         "q84_hits": _q84_sql(),
         "q85_containment_join": _q85_sql(),
         "q86_ctfidf_terms": _q86_sql(),
+        "q87_curation_funnel": _q87_sql(),
     }

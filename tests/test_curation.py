@@ -299,3 +299,35 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     out2 = {r["doc_id"]: r["dsir_logratio"] for r in
             dsir_logratio(pool.repartition(7), target.repartition(3)).collect()}
     assert out == out2
+
+
+def test_curation_funnel_invariants(spark):
+    """q87 composite: flags are mutually consistent, packing covers
+    exactly the kept docs with contiguous offsets."""
+    from pathhier_spark.queries import q87_curation_funnel
+
+    rows = q87_curation_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    kept = [r for r in rows if r["kept"]]
+    assert kept, "funnel must keep something at sf0.001"
+    for r in rows:
+        fired = (
+            r["is_dup"] or r["low_quality"] or r["in_benchmark"]
+            or r["contaminated"]
+        )
+        assert r["kept"] == (not fired)
+        if r["kept"]:
+            assert r["start_off"] is not None and r["first_chunk"] is not None
+        else:
+            assert r["start_off"] is None and r["last_chunk"] is None
+        assert (r["n_contaminated"] > 0) == r["contaminated"]
+        if r["in_benchmark"]:
+            # benchmark docs match their own grams
+            assert r["contaminated"]
+    kept.sort(key=lambda r: r["doc_id"])
+    off = 0
+    for r in kept:
+        assert r["start_off"] == off
+        assert r["first_chunk"] == off // 256
+        assert r["last_chunk"] == (off + r["n_tokens"] - 1) // 256
+        off += r["n_tokens"]
