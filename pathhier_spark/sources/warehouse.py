@@ -356,6 +356,65 @@ class Warehouse:
             )
         return commits, idx[-1]
 
+    def vacuum(self, table: str, *, older_than_s: float = 24 * 3600.0) -> dict:
+        """Orphan-directory GC — the Iceberg `remove_orphan_files` analog.
+        Overwrites and compactions swap the manifest to a NEW directory and
+        leave the superseded data_* directories on disk unreferenced (that
+        is what makes them crash-safe: readers of the old snapshot finish
+        undisturbed). At 100 TB an un-GC'd table doubles its footprint on
+        every compaction, so this deletes every data_* directory under the
+        table that is referenced by neither the live snapshot list nor the
+        commit log (time-travel targets), PROVIDED its newest file is older
+        than `older_than_s`.
+
+        The age horizon is the concurrency contract, exactly as in
+        Iceberg: a concurrent writer creates its directory BEFORE taking
+        the commit lock, so an uncommitted-but-in-progress write looks
+        orphaned — the horizon must exceed the longest plausible write
+        duration (default 24h; tests pass 0 single-threadedly). Age is the
+        NEWEST mtime in the directory tree, not the root's — a partitioned
+        write touches the root once at the start but keeps writing files
+        into subdirectories. The scan-and-delete runs under the commit
+        lock so the live set cannot change mid-sweep.
+
+        Returns {"removed": n, "kept_young": n, "live": n}."""
+        import shutil
+
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if man["format"] == "iceberg":
+            raise NotImplementedError(
+                "iceberg backend GC = CALL remove_orphan_files; no iceberg "
+                "runtime in this sandbox"
+            )
+        tdir = self._table_dir(table)
+        removed = kept_young = 0
+        with self._commit_lock(table):
+            man = self.manifest(table)  # re-read under the lock
+            live = set(self._snapshot_dirs(man))
+            for c in man.get("commits") or []:
+                live.update(c["dirs"])
+            now = time.time()
+            for name in sorted(os.listdir(tdir)):
+                p = os.path.join(tdir, name)
+                if not (name.startswith("data_") and os.path.isdir(p)):
+                    continue
+                if p in live:
+                    continue
+                newest = os.path.getmtime(p)
+                for root, _dirs, names in os.walk(p):
+                    for n in names:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, n))
+                        )
+                if now - newest < older_than_s:
+                    kept_young += 1
+                    continue
+                shutil.rmtree(p)
+                removed += 1
+        return {"removed": removed, "kept_young": kept_young, "live": len(live)}
+
     def read_at(self, table: str, fingerprint: str) -> DataFrame:
         """Snapshot time-travel — read the table AS OF the commit carrying
         `fingerprint`: exactly the directories of that commit and every

@@ -631,3 +631,61 @@ def test_read_at_time_travel(spark, tmp_path):
     assert {r["id"] for r in wh.read_at("t", last).collect()} == {1, 2, 3}
     with _pytest.raises(ValueError):
         wh.read_at("t", "b1")
+
+
+def test_vacuum_removes_only_aged_orphans(spark, tmp_path):
+    """vacuum (the remove_orphan_files analog): overwrite + compaction
+    leave superseded data_* dirs on disk; vacuum deletes exactly the
+    unreferenced ones past the age horizon, never live snapshot or
+    commit-log dirs, and reads/time-travel are unaffected."""
+    import os
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    df2 = spark.range(10, 25).withColumnRenamed("id", "v")
+    wh.write(df1, "t", mode="overwrite", fingerprint="v1")
+    wh.write(df2, "t", mode="append", fingerprint="a1")
+    wh.write(df1, "t", mode="overwrite", fingerprint="v2")  # orphans v1+a1
+    wh.write(df2, "t", mode="append", fingerprint="a2")
+    wh.compact("t", target_file_bytes=1 << 30)  # orphans v2+a2 dirs
+
+    tdir = os.path.join(str(tmp_path / "wh"), "t")
+    data_dirs = [d for d in os.listdir(tdir) if d.startswith("data_")]
+    man = wh.manifest("t")
+    live = set(wh._snapshot_dirs(man))
+    for c in man.get("commits") or []:
+        live.update(c["dirs"])
+    n_orphans = len(data_dirs) - len(
+        {os.path.basename(d) for d in live} & set(data_dirs)
+    )
+    assert n_orphans >= 4  # v1, a1, v2, a2 all superseded
+
+    # young orphans survive a long horizon
+    res = wh.vacuum("t", older_than_s=10_000)
+    assert res["removed"] == 0 and res["kept_young"] == n_orphans
+
+    before = sorted(r["v"] for r in wh.read("t").collect())
+    res = wh.vacuum("t", older_than_s=0)
+    assert res["removed"] == n_orphans and res["kept_young"] == 0
+    # live dirs intact; reads and current-fingerprint time-travel unaffected
+    remaining = {
+        os.path.join(tdir, d)
+        for d in os.listdir(tdir)
+        if d.startswith("data_")
+    }
+    assert remaining == live
+    assert sorted(r["v"] for r in wh.read("t").collect()) == before
+    # second vacuum is a no-op
+    assert wh.vacuum("t", older_than_s=0)["removed"] == 0
+
+
+def test_vacuum_missing_table_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    with _pytest.raises(FileNotFoundError):
+        wh.vacuum("nope")
