@@ -89,3 +89,71 @@ def pack_sequences(
         .cast("long")
         .alias("n_chunks"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the RAG /
+    retrieval-indexing chunker (size-token windows every stride tokens,
+    overlap = size - stride), the per-document counterpart of
+    pack_sequences' corpus-level concat-and-chunk: packing feeds
+    pretraining, overlapped chunking feeds embedding + retrieval indexes,
+    and both consume the same whitespace tokenization (q21/q44/q45).
+
+    Window rule (deterministic, engine-portable): chunk starts at every
+    multiple of stride below n_tokens; each chunk covers
+    min(size, n - start) tokens, so trailing chunks shrink rather than
+    re-anchor (re-anchoring — snapping the last window to n-size — makes
+    chunk content depend on n in a way incremental pipelines can't cache;
+    a fixed start grid means a doc's chunk k never changes when text is
+    appended). Empty docs produce no rows.
+
+    Output: id_col, chunk_id (0-based), start_tok, chunk_len,
+    chunk_md5 (md5 of the space-joined window — the dedup/content key;
+    the text itself stays out of the output so the result table is
+    index-sized, not corpus-sized).
+
+    Scale shape: pure per-row column work — tokenize, F.sequence over the
+    start grid, posexplode, F.slice — no shuffle at all (the plan is one
+    map stage at scan speed); output rows ~ n_tokens/stride per doc.
+    Chunk text is recomputable from (doc, start, len) on demand."""
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+    exploded = base.select(
+        id_col,
+        "n",
+        "toks",
+        F.posexplode(starts_over("toks", stride)).alias("chunk_id", "start_tok"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.col("n") - F.col("start_tok"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(size)), " "
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+def starts_over(toks_col: str, stride: int):
+    """Start-offset grid for chunk_with_overlap: [0, stride, 2*stride, ...)
+    up to (exclusive) the token count — empty array for empty docs."""
+    n = F.size(F.col(toks_col))
+    return F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))

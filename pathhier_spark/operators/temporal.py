@@ -160,3 +160,58 @@ def range_join(
         )
         return hit.unionByName(missed)
     raise ValueError(f"unsupported how={how!r}")
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each user's events in (ts, tiebreak) order, every adjacent pair
+    (event i, event i+1) contributes one (src_event, dst_event) transition;
+    output is (src_event, dst_event, n_trans, prob) where prob is the
+    row-normalized conditional P(dst | src). The classic behavioural-model
+    aggregate downstream of sessionize (q16) — funnel (q87) and retention
+    (q76) ask "did X happen"; the transition matrix asks "what follows X",
+    which is what journey mining, anomaly scoring, and next-event
+    prediction consume.
+
+    Determinism: the successor is lead() over (ts, tiebreak) — the same
+    total order q16's sessionizer uses — so ties never flip pairs between
+    engines. prob is computed from the two integer counts at the very end
+    (one division, round-6), never accumulated in floats.
+
+    Scale shape: one shuffle by user (the lead window — per-user state,
+    bounded by a user's event count, the same partitioning sessionize
+    already established, so a pipeline computing both reuses the
+    exchange); then one combiner-friendly groupBy whose cardinality is
+    |event types|^2 — tiny. The row-sum join is broadcast (matrix-sized)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(type_col).alias("src_event"),
+        )
+        .withColumn("dst_event", F.lead("src_event").over(w))
+        .where(F.col("dst_event").isNotNull())
+    )
+    counts = pairs.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    totals = counts.groupBy("src_event").agg(
+        F.sum("n_trans").alias("n_src")
+    )
+    return counts.join(F.broadcast(totals), "src_event").select(
+        "src_event",
+        "dst_event",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("n_src"), 6
+        ).alias("prob"),
+    )

@@ -1109,3 +1109,78 @@ def ctfidf_top_terms(
             "score",
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Mean conditional bigram surprisal per document: avg over the doc's
+    adjacent token pairs of -ln p(w2 | w1) under the CORPUS's own bigram
+    counts, p(w2|w1) = c(w1,w2) / c1(w1) where c1 counts w1's occurrences
+    AS A BIGRAM PREFIX (so the conditional sums to 1 and every observed
+    bigram has c >= 1 — no smoothing needed when scoring the corpus
+    against itself). The order-2 upgrade of unigram_surprisal (q44): a doc
+    whose individual words are common but whose *transitions* are rare
+    (shuffled text, keyword stuffing, boilerplate splices) scores high
+    here while the unigram signal sleeps — the cheap stand-in for the
+    CCNet/KenLM perplexity filter in pretraining prep.
+
+    Scale shape: bigram counts are one combiner-friendly groupBy (bigram
+    vocabulary ~ tens of millions at corpus scale — broadcastable for most
+    corpora; pass broadcast_vocab=False to shuffle-join, where AQE's skew
+    split handles the Zipf-hot pairs). Prefix counts reuse the bigram table
+    (one more tiny groupBy) instead of re-scanning the corpus.
+
+    Determinism: per-document sums fold ln-counts in POSITION order
+    (array_sort by pos, sequential F.aggregate) exactly like
+    unigram_surprisal — never a float sum across shuffled rows — so the
+    oracle can replay the identical left-to-right fold. Docs with < 2
+    tokens have no bigram: n_bigrams = 0, avg_surprisal NULL.
+
+    avg = sum(ln c1(w1) - ln c(w1,w2)) / n_bigrams."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pre = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    b = F.broadcast(big) if broadcast_vocab else big
+    p = F.broadcast(pre) if broadcast_vocab else pre
+    scored = (
+        pairs.join(b, ["w1", "w2"])
+        .join(p, "w1")
+        .select(
+            id_col,
+            "pos",
+            (
+                F.log(F.col("c1").cast("double"))
+                - F.log(F.col("c2").cast("double"))
+            ).alias("lnp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+                lambda s: s["lnp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_lnp"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0, F.col("sum_lnp") / F.col("n_bigrams")
+        ).alias("avg_surprisal"),
+    )

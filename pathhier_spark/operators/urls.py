@@ -140,3 +140,61 @@ def domain_stats(
             & (mean_chars >= F.lit(float(min_mean_chars)))
         ).alias("keep"),
     )
+
+
+HREF_RE = r'href="([^"]*)"'
+
+
+def anchor_host_edges(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Host-level link graph from raw HTML anchors — the web-KG edge
+    extractor: every `href="..."` in a page becomes a (src_host, dst_host)
+    edge, aggregated to (src_host, dst_host, internal, n_links). This is
+    the Common-Crawl "web graph" construction step that feeds PageRank/HITS
+    (q51/q57/q84 consume exactly this edge shape) and domain-curation
+    joins (domain_stats): the reference links entities inside curated
+    databases; a crawl links *hosts*, and the anchor graph is the only
+    structure the crawl itself provides.
+
+    Resolution rules (deliberately minimal and engine-portable):
+      * absolute hrefs (with a scheme) -> url_host(href);
+      * scheme-relative and path-relative hrefs resolve to the SOURCE
+        host (we only build a host graph, so any same-host reference
+        collapses to src_host — no path resolution needed);
+      * empty hrefs are dropped;
+      * `internal` = (dst_host == src_host); self-edges are kept but
+        flagged, so PageRank callers can filter them in one predicate.
+
+    Scale shape: extraction is regexp_extract_all + explode (map-only,
+    scan speed, no Python); the only shuffle is the final combiner-friendly
+    groupBy on (src_host, dst_host) whose cardinality is the host-pair
+    graph, orders of magnitude below the page count. Hot hosts (every page
+    links the same CDN) are exactly the keys map-side combining collapses
+    before the shuffle."""
+    src = url_host(F.col(url_col))
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
+    exploded = df.select(
+        src.alias("src_host"), F.explode(hrefs).alias("href")
+    ).where(F.col("href") != "")
+    dst = F.when(
+        F.regexp_extract(F.col("href"), _SCHEME_RE, 1) != "",
+        url_host(F.col("href")),
+    ).otherwise(F.col("src_host"))
+    edges = exploded.select(
+        "src_host",
+        dst.alias("dst_host"),
+    ).where(F.col("dst_host") != "")
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .select(
+            "src_host",
+            "dst_host",
+            (F.col("dst_host") == F.col("src_host")).alias("internal"),
+            "n_links",
+        )
+    )

@@ -5107,6 +5107,272 @@ FROM flags f LEFT JOIN pk2 USING (doc_id) ORDER BY f.doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q88 — host-level anchor link graph (operators/urls.anchor_host_edges):
+# deterministic HTML pages (body text + absolute/relative/empty anchors
+# derived from doc_id) are parsed for href targets with the SAME regex on
+# both engines, resolved to hosts, and aggregated into the web-graph edge
+# table that PageRank (q51/q57) and HITS (q84) consume. Absolute anchors
+# point at a 7-host ring; every 4th page adds a relative (self-host) link;
+# every 4k+1 page adds an empty href (dropped) plus a second absolute.
+# ---------------------------------------------------------------------------
+
+
+def q88_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.urls import anchor_host_edges
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    a1 = F.concat(
+        F.lit('<a href="https://h'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/a">x</a>'),
+    )
+    extra = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit('<a href="/local">rel</a>'))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<a href="">e</a><a href="https://h'),
+                ((F.col("doc_id") * 3) % 7).cast("string"),
+                F.lit('.example.org/b">y</a>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"), a1, extra,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return anchor_host_edges(pages).orderBy("src_host", "dst_host")
+
+
+# DuckDB feature req: regexp_extract_all (core). The oracle PARSES the
+# generated html with the same href regex rather than shortcutting to the
+# generator arithmetic — extraction parity is the point of the query.
+def _q88_sql() -> str:
+    return r"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/p/' || (doc_id % 10)::varchar
+           AS url,
+         '<html><body><p>' || text || '</p>'
+         || '<a href="https://h' || (doc_id % 7)::varchar
+         || '.example.org/a">x</a>'
+         || CASE WHEN doc_id % 4 = 0 THEN '<a href="/local">rel</a>'
+                 WHEN doc_id % 4 = 1 THEN '<a href="">e</a><a href="https://h'
+                      || ((doc_id * 3) % 7)::varchar || '.example.org/b">y</a>'
+                 ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+), hrefs AS (
+  SELECT lower(regexp_extract(regexp_replace(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^:/?#]*)', 1)) AS src_host,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM pages
+), resolved AS (
+  SELECT src_host,
+         CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+              THEN lower(regexp_extract(regexp_replace(href,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^:/?#]*)', 1))
+              ELSE src_host END AS dst_host
+  FROM hrefs WHERE href <> ''
+)
+SELECT src_host, dst_host, (dst_host = src_host) AS internal,
+       count(*) AS n_links
+FROM resolved WHERE dst_host <> ''
+GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q89 — first-order Markov transition matrix over per-user event streams
+# (operators/temporal.transition_matrix): adjacent event pairs in
+# (ts, event_id) order, counted per (src, dst) with the row-normalized
+# conditional probability. Same total order as q16's sessionizer.
+# ---------------------------------------------------------------------------
+
+
+def q89_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import transition_matrix
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return transition_matrix(ev).orderBy("src_event", "dst_event")
+
+
+Q89_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src_event,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst_event
+  FROM events
+), p AS (
+  SELECT * FROM pairs WHERE dst_event IS NOT NULL
+), counts AS (
+  SELECT src_event, dst_event, count(*) AS n_trans
+  FROM p GROUP BY src_event, dst_event
+), totals AS (
+  SELECT src_event, sum(n_trans)::bigint AS n_src FROM counts GROUP BY src_event
+)
+SELECT c.src_event, c.dst_event, c.n_trans,
+       (round(c.n_trans::double / t.n_src, 6) + 0.0) AS prob
+FROM counts c JOIN totals t USING (src_event)
+ORDER BY c.src_event, c.dst_event
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q90 — overlapping token-window chunking (operators/packing.
+# chunk_with_overlap): RAG/retrieval chunks of SIZE tokens every STRIDE
+# tokens on the fixed start grid, trailing chunks shrink, empty docs emit
+# nothing. Output carries the chunk md5 (content key), not the text.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q90_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.packing import chunk_with_overlap
+
+    docs = _docs(spark, sf_dir)
+    return chunk_with_overlap(
+        docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _q90_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n FROM d
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS start_tok
+  FROM s WHERE n > 0
+)
+SELECT doc_id, (start_tok // {_CHUNK_STRIDE})::bigint AS chunk_id,
+       start_tok::bigint AS start_tok,
+       least({_CHUNK_SIZE}, n - start_tok)::bigint AS chunk_len,
+       md5(array_to_string(
+         toks[start_tok + 1 : start_tok + {_CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q91 — single-pass dataset profile (operators/profile.profile_columns)
+# over orders with deterministically injected NULLs (every 7th custkey,
+# every 11th orderstatus) so null accounting is actually exercised.
+# ---------------------------------------------------------------------------
+
+_PROF_COLS = [
+    "o_orderkey", "cust", "status", "o_totalprice", "o_orderpriority",
+]
+
+
+def q91_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import profile_columns
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey")).alias("cust"),
+        F.when(F.col("o_orderkey") % 11 != 0, F.col("o_orderstatus")).alias(
+            "status"
+        ),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return profile_columns(o, columns=_PROF_COLS).orderBy("col_idx")
+
+
+def _q91_sql() -> str:
+    specs = [
+        ("o_orderkey", "o_orderkey", True),
+        ("cust", "CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END", True),
+        ("status",
+         "CASE WHEN o_orderkey % 11 <> 0 THEN o_orderstatus END", False),
+        ("o_totalprice", "o_totalprice", True),
+        ("o_orderpriority", "o_orderpriority", False),
+    ]
+    parts = []
+    for i, (name, expr, numeric) in enumerate(specs):
+        if numeric:
+            mn = f"(round(min({expr})::double, 6) + 0.0)"
+            mx = f"(round(max({expr})::double, 6) + 0.0)"
+            ms, xs = "NULL::varchar", "NULL::varchar"
+        else:
+            mn, mx = "NULL::double", "NULL::double"
+            ms, xs = f"min({expr})", f"max({expr})"
+        parts.append(f"""
+  SELECT {i}::bigint AS col_idx, '{name}' AS "column",
+         count(*)::bigint AS n_rows,
+         (count(*) - count({expr}))::bigint AS n_nulls,
+         count(DISTINCT {expr})::bigint AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {ms} AS min_str, {xs} AS max_str
+  FROM orders""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_idx"
+
+
+# ---------------------------------------------------------------------------
+# Q92 — mean conditional bigram surprisal per document (operators/
+# textstats.bigram_surprisal): -ln p(w2|w1) under the corpus's own bigram
+# counts, folded in POSITION order on both engines exactly like q44.
+# Docs with < 2 tokens carry n_bigrams = 0 and a NULL average.
+# ---------------------------------------------------------------------------
+
+
+def q92_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import bigram_surprisal
+
+    docs = _docs(spark, sf_dir)
+    return bigram_surprisal(docs).select(
+        "doc_id",
+        "n_bigrams",
+        _rz(F.col("avg_surprisal"), 6).alias("avg_surprisal"),
+    ).orderBy("doc_id")
+
+
+def _q92_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1)::int AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  )
+), pairs AS (
+  SELECT doc_id, pos, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), p AS (
+  SELECT * FROM pairs WHERE w2 IS NOT NULL
+), big AS (
+  SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2
+), pre AS (
+  SELECT w1, sum(c2)::bigint AS c1 FROM big GROUP BY w1
+), per_doc AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         list_sum(list(ln(c1::double) - ln(c2::double) ORDER BY p.pos))
+           AS sum_lnp
+  FROM p JOIN big USING (w1, w2) JOIN pre USING (w1)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(per_doc.n_bigrams, 0)::bigint AS n_bigrams,
+       CASE WHEN per_doc.n_bigrams > 0
+            THEN round(per_doc.sum_lnp / per_doc.n_bigrams, 6) + 0.0
+       END AS avg_surprisal
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5196,6 +5462,11 @@ def queries():
         "q85_containment_join": q85_containment_join,
         "q86_ctfidf_terms": q86_ctfidf_terms,
         "q87_curation_funnel": q87_curation_funnel,
+        "q88_anchor_graph": q88_anchor_graph,
+        "q89_event_transitions": q89_event_transitions,
+        "q90_chunk_overlap": q90_chunk_overlap,
+        "q91_profile_orders": q91_profile_orders,
+        "q92_bigram_surprisal": q92_bigram_surprisal,
     }
 
 
@@ -5288,4 +5559,9 @@ def oracle_sql():
         "q85_containment_join": _q85_sql(),
         "q86_ctfidf_terms": _q86_sql(),
         "q87_curation_funnel": _q87_sql(),
+        "q88_anchor_graph": _q88_sql(),
+        "q89_event_transitions": Q89_SQL,
+        "q90_chunk_overlap": _q90_sql(),
+        "q91_profile_orders": _q91_sql(),
+        "q92_bigram_surprisal": _q92_sql(),
     }

@@ -1,0 +1,213 @@
+"""Round-5 additions: anchor-host link graph (operators/urls.py), Markov
+transition matrix (operators/temporal.py), overlapped chunking
+(operators/packing.py), single-pass profiler (operators/profile.py), and
+bigram surprisal (operators/textstats.py). The q88-q92 gate rows carry the
+full-corpus DuckDB parity; these tests pin the hand-checkable edge
+semantics the gate's synthetic data can't isolate."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathhier_spark.operators.packing import chunk_with_overlap
+from pathhier_spark.operators.profile import profile_columns
+from pathhier_spark.operators.temporal import transition_matrix
+from pathhier_spark.operators.textstats import bigram_surprisal
+from pathhier_spark.operators.urls import anchor_host_edges
+
+
+# --------------------------- anchor_host_edges ---------------------------
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_anchor_edges_absolute_relative_empty(spark):
+    pages = _pages(spark, [
+        (
+            "https://a.example.com/p/1",
+            '<a href="https://B.example.org/x">1</a>'   # host lowercased
+            '<a href="/local">2</a>'                     # relative -> src
+            '<a href="">3</a>'                           # empty -> dropped
+            '<a href="https://b.example.org:8080/y">4</a>',  # port stripped
+        ),
+    ])
+    got = {
+        (r["src_host"], r["dst_host"]): (r["internal"], r["n_links"])
+        for r in anchor_host_edges(pages).collect()
+    }
+    assert got == {
+        ("a.example.com", "b.example.org"): (False, 2),
+        ("a.example.com", "a.example.com"): (True, 1),
+    }
+
+
+def test_anchor_edges_no_anchors_and_aggregation(spark):
+    pages = _pages(spark, [
+        ("https://a.example.com/", "<p>no links here</p>"),
+        ("https://a.example.com/2", '<a href="https://c.example.org/">x</a>'),
+        ("https://a.example.com/3", '<a href="https://c.example.org/">y</a>'),
+    ])
+    rows = anchor_host_edges(pages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_host"], r["dst_host"], r["n_links"]) == (
+        "a.example.com", "c.example.org", 2)
+
+
+# --------------------------- transition_matrix ---------------------------
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    # user 1: a -> b -> a -> c; user 2: a -> b; user 3: single event (none)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+            (5, 2, 10, "a"), (6, 2, 20, "b"),
+            (7, 3, 10, "z"),
+        ],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    got = {
+        (r["src_event"], r["dst_event"]): (r["n_trans"], r["prob"])
+        for r in transition_matrix(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 0.666667),
+        ("a", "c"): (1, 0.333333),
+        ("b", "a"): (1, 1.0),
+    }
+    # outgoing probabilities sum to 1 per src
+    sums = {}
+    for (s, _), (_, p) in got.items():
+        sums[s] = round(sums.get(s, 0.0) + p, 5)
+    assert all(abs(v - 1.0) < 1e-4 for v in sums.values())
+
+
+def test_transition_matrix_tiebreak_order(spark):
+    # equal ts: event_id breaks the tie, so the order is a(1) -> b(2) -> c(3)
+    ev = spark.createDataFrame(
+        [(1, 1, 10, "a"), (2, 1, 10, "b"), (3, 1, 10, "c")],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    got = {(r["src_event"], r["dst_event"]) for r in
+           transition_matrix(ev).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+# --------------------------- chunk_with_overlap ---------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_overlap_grid_and_trailing(spark):
+    # 10 tokens, size 4, stride 3 -> starts 0,3,6,9; lens 4,4,4,1
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = chunk_with_overlap(
+        _docs(spark, [(1, text)]), size=4, stride=3
+    ).orderBy("chunk_id").collect()
+    assert [(r["chunk_id"], r["start_tok"], r["chunk_len"]) for r in rows] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)]
+    # overlap: chunk 1 covers tokens 3..6, chunk 0 covers 0..3
+    import hashlib
+    want = hashlib.md5(" ".join(
+        f"t{i}" for i in range(3, 7)).encode()).hexdigest()
+    assert rows[1]["chunk_md5"] == want
+
+
+def test_chunk_overlap_small_and_empty_docs(spark):
+    rows = chunk_with_overlap(
+        _docs(spark, [(1, "only two"), (2, "   "), (3, "")]),
+        size=4, stride=3,
+    ).collect()
+    # doc 1: single chunk shorter than size; docs 2/3: no rows
+    assert [(r["doc_id"], r["chunk_id"], r["chunk_len"]) for r in rows] == [
+        (1, 0, 2)]
+
+
+def test_chunk_overlap_rejects_bad_params(spark):
+    d = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        chunk_with_overlap(d, size=0, stride=3)
+    with pytest.raises(ValueError):
+        chunk_with_overlap(d, size=4, stride=0)
+
+
+# --------------------------- profile_columns ---------------------------
+
+
+def test_profile_columns_stats(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.25, None), (4, 7.25, "a")],
+        "k long, v double, s string",
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"k", "v", "s"}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 4)
+    assert (k["min_num"], k["max_num"]) == (1.0, 4.0)
+    assert k["min_str"] is None and k["max_str"] is None
+    v = rows["v"]
+    assert (v["n_nulls"], v["n_distinct"]) == (1, 2)
+    assert (v["min_num"], v["max_num"]) == (2.5, 7.25)
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None and s["max_num"] is None
+
+
+def test_profile_columns_validation_and_approx(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "k long, arr array<long>")
+    with pytest.raises(ValueError):
+        profile_columns(df, columns=["missing"])
+    with pytest.raises(ValueError):
+        profile_columns(df, columns=["arr"])
+    # default column selection skips non-scalar columns entirely
+    assert [r["column"] for r in profile_columns(df).collect()] == ["k"]
+    # approx path returns a sane estimate on a tiny exact-cardinality input
+    big = spark.range(100).select(F.col("id").alias("k"))
+    r = profile_columns(big, exact_distinct=False).collect()[0]
+    assert 90 <= r["n_distinct"] <= 110
+
+
+# --------------------------- bigram_surprisal ---------------------------
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    # corpus: doc1 = "a b a b", doc2 = "a b", doc3 = "a" (no bigram)
+    # bigrams: (a,b) x3, (b,a) x1; prefix counts: a->3, b->1
+    # p(b|a) = 3/3 = 1 -> ln 0; p(a|b) = 1/1 = 1 -> ln 0
+    docs = _docs(spark, [(1, "a b a b"), (2, "a b"), (3, "a")])
+    got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[1]["avg_surprisal"] == 0.0
+    assert got[2]["n_bigrams"] == 1 and got[2]["avg_surprisal"] == 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_surprisal"] is None
+
+
+def test_bigram_surprisal_rare_transition_scores_higher(spark):
+    # "x y" appears once; "x x" dominates x's continuations, so the doc
+    # holding the rare transition x->y scores strictly higher
+    docs = _docs(spark, [
+        (1, "x x x x x"), (2, "x y"),
+    ])
+    got = {r["doc_id"]: r["avg_surprisal"]
+           for r in bigram_surprisal(docs).collect()}
+    assert got[2] > got[1]
+    # exact: p(y|x) = 1/5 -> ln 5; p(x|x) = 4/5 -> ln(5/4)
+    assert math.isclose(got[2], math.log(5.0), rel_tol=1e-9)
+    assert math.isclose(got[1], math.log(5.0 / 4.0), rel_tol=1e-9)
+
+
+def test_bigram_surprisal_shuffle_join_path_matches_broadcast(spark):
+    docs = _docs(spark, [
+        (i, f"w{i % 3} common w{(i * 2) % 5} tail") for i in range(20)
+    ])
+    a = {(r["doc_id"], r["n_bigrams"], round(r["avg_surprisal"], 9))
+         for r in bigram_surprisal(docs, broadcast_vocab=True).collect()}
+    b = {(r["doc_id"], r["n_bigrams"], round(r["avg_surprisal"], 9))
+         for r in bigram_surprisal(docs, broadcast_vocab=False).collect()}
+    assert a == b
