@@ -440,6 +440,120 @@ class Warehouse:
             )
         return out
 
+    def merge(
+        self,
+        updates: DataFrame,
+        table: str,
+        *,
+        key: str | list[str],
+        fingerprint: str,
+        delete_col: str | None = None,
+    ) -> None:
+        """MERGE INTO — copy-on-write upsert/delete, the Iceberg
+        `MERGE INTO target USING updates ON key` analog: rows whose key
+        matches an update are replaced (or removed when the update's
+        `delete_col` is true — CDC tombstones), unmatched updates insert,
+        untouched rows carry over. Commits one fresh snapshot under the
+        same OCC discipline as compact(): the base is pinned to the
+        manifest captured at entry (_read_dirs, not a re-resolving
+        read()), the merged data is written to its own fingerprint-keyed
+        directory, and the manifest swap under the commit lock ABORTS if
+        any commit landed since the capture — so a racing append is never
+        silently folded-out or double-applied; the caller reruns merge()
+        against the fresh snapshot. Replay after a crash is idempotent:
+        the rewrite targets the same directory, and a replay after a
+        successful commit no-ops on the fingerprint match.
+
+        Merging into a table that doesn't exist yet creates it
+        (insert-only; tombstones drop).
+
+        Scale shape: one shuffle of base + updates on the key for the
+        left-anti (AQE broadcasts the update side when it's small — the
+        common CDC case — making the carry-over a scan + broadcast
+        filter), then the full COW rewrite. The rewrite IS proportional
+        to table size — that's copy-on-write's contract. For
+        high-frequency CDC at 100 TB, append batches to a changelog
+        table (write mode='append', one cheap commit each) and read
+        through apply_changelog() (merge-on-read over
+        read()/read_incremental), collapsing the changelog into a real
+        merge() at compaction cadence — the standard Iceberg COW/MOR
+        split, built from the same two primitives."""
+        import hashlib
+
+        keys = [key] if isinstance(key, str) else list(key)
+        for k in keys:
+            if k not in updates.columns:
+                raise ValueError(f"merge key {k!r} missing from updates")
+        if delete_col is not None and delete_col not in updates.columns:
+            raise ValueError(f"delete_col {delete_col!r} missing from updates")
+        if self.fmt == "iceberg":
+            raise NotImplementedError(
+                "iceberg-backend merge needs the runtime jar's MERGE INTO; "
+                "see _iceberg_available"
+            )
+        man0 = self.manifest(table)
+        if man0 and man0.get("fingerprint") == fingerprint:
+            return  # replay after a successful commit
+        partition_by = list(man0.get("partition_by") or []) if man0 else []
+        if man0:
+            base = self._read_dirs(self._snapshot_dirs(man0))
+            data_cols = base.columns
+            want = set(updates.columns) - ({delete_col} if delete_col else set())
+            if want != set(data_cols):
+                raise ValueError(
+                    f"updates schema {sorted(want)} does not match table "
+                    f"columns {sorted(data_cols)}"
+                )
+            merged = apply_changelog(
+                base, updates, key=keys, delete_col=delete_col
+            )
+        else:
+            merged = updates
+            if delete_col is not None:
+                from pyspark.sql import functions as F
+
+                merged = merged.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+        suffix = hashlib.md5(f"merge:{fingerprint}".encode()).hexdigest()[:16]
+        new_dir = os.path.join(self._table_dir(table), f"data_{suffix}")
+        if man0 and new_dir in self._snapshot_dirs(man0):
+            raise ValueError(
+                f"merge into '{table}' reuses fingerprint {fingerprint!r} "
+                "whose data directory is still in the live snapshot list; "
+                "pick a fresh fingerprint"
+            )
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(new_dir)
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        with self._commit_lock(table):
+            current = self.manifest(table)
+            if (current is None) != (man0 is None) or (
+                current is not None
+                and man0 is not None
+                and (
+                    current.get("fingerprint") != man0.get("fingerprint")
+                    or self._snapshot_dirs(current)
+                    != self._snapshot_dirs(man0)
+                )
+            ):
+                raise RuntimeError(
+                    f"concurrent commit to '{table}' during merge; rerun "
+                    "merge() against the fresh snapshot"
+                )
+            self._swap_manifest(
+                table,
+                new_dir,
+                [new_dir],
+                fingerprint,
+                {fingerprint},
+                partition_by,
+                [{"fingerprint": fingerprint, "mode": "merge",
+                  "dirs": [new_dir]}],
+            )
+
     def compact(
         self,
         table: str,
@@ -655,3 +769,34 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read preserving the bucket spec (a plain path read would
     discard it and re-shuffle on the next join)."""
     return spark.table(table)
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str | list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Merge-on-read: `base` with `changes` applied — keyed rows replaced
+    (last-write-wins is the CALLER's job: pass one row per key, e.g. the
+    max-ts row per key of a CDC stream), tombstones (delete_col true)
+    removed, new keys inserted. Warehouse.merge() materializes exactly
+    this; reading it lazily over read()/read_incremental gives the MOR
+    half of the Iceberg COW/MOR split — query-time cost is one anti-join
+    of base against the (usually broadcastable) change keys.
+
+    NULL keys: a NULL-keyed change never matches a base row (left_anti
+    uses plain equality, NULL never equals NULL — the asof_join NULL-key
+    rule), so NULL-keyed upserts insert."""
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    upserts = changes
+    if delete_col is not None:
+        upserts = upserts.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    touched = changes.select(*keys).distinct()
+    kept = base.join(touched, keys, "left_anti")
+    return kept.unionByName(upserts.select(*base.columns))

@@ -689,3 +689,122 @@ def test_vacuum_missing_table_raises(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
     with _pytest.raises(FileNotFoundError):
         wh.vacuum("nope")
+
+
+# --------------------------- merge / apply_changelog ---------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "id long, pred string, v long")
+
+
+def test_merge_upsert_delete_insert(spark, tmp_path):
+    from pathhier_spark.sources.warehouse import Warehouse as W
+
+    wh = W(spark, str(tmp_path / "wh"))
+    wh.write(_kv(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)]),
+             "t", partition_by=["pred"], fingerprint="v1")
+    updates = spark.createDataFrame(
+        [(2, "b", 99, False),   # update in place
+         (4, "c", 40, False),   # insert new key
+         (3, "a", 0, True)],    # tombstone
+        "id long, pred string, v long, deleted boolean",
+    )
+    wh.merge(updates, "t", key="id", fingerprint="m1", delete_col="deleted")
+    got = {r["id"]: (r["pred"], r["v"]) for r in wh.read("t").collect()}
+    assert got == {1: ("a", 10), 2: ("b", 99), 4: ("c", 40)}
+    man = wh.manifest("t")
+    # partition layout survives the merge; history reset to the merge commit
+    assert man["partition_by"] == ["pred"]
+    assert [c["mode"] for c in man["commits"]] == ["merge"]
+    # replay with the same fingerprint is a no-op
+    mtime = os.path.getmtime(wh._manifest_path("t"))
+    wh.merge(updates, "t", key="id", fingerprint="m1", delete_col="deleted")
+    assert os.path.getmtime(wh._manifest_path("t")) == mtime
+
+
+def test_merge_creates_table_and_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse as W
+
+    wh = W(spark, str(tmp_path / "wh"))
+    ups = spark.createDataFrame(
+        [(1, "a", 10, False), (2, "b", 20, True)],
+        "id long, pred string, v long, deleted boolean",
+    )
+    wh.merge(ups, "fresh", key="id", fingerprint="m1", delete_col="deleted")
+    assert {r["id"] for r in wh.read("fresh").collect()} == {1}
+    # bad key / bad delete_col / schema drift all refuse
+    with _pytest.raises(ValueError, match="merge key"):
+        wh.merge(ups, "fresh", key="nope", fingerprint="m2")
+    with _pytest.raises(ValueError, match="delete_col"):
+        wh.merge(ups, "fresh", key="id", fingerprint="m2", delete_col="nope")
+    drift = spark.createDataFrame([(1, 5)], "id long, extra long")
+    with _pytest.raises(ValueError, match="schema"):
+        wh.merge(drift, "fresh", key="id", fingerprint="m2")
+
+
+def test_merge_aborts_on_concurrent_commit(spark, tmp_path):
+    """A commit landing between merge's manifest capture and its swap must
+    abort the merge (same OCC contract as compact) — otherwise the racing
+    append's rows would be silently folded out of the rewritten snapshot."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse as W
+
+    wh = W(spark, str(tmp_path / "wh"))
+    wh.write(_kv(spark, [(1, "a", 10)]), "t", fingerprint="v1")
+
+    real_manifest = W.manifest
+    state = {"injected": False}
+
+    def racing_manifest(self, table):
+        man = real_manifest(self, table)
+        if not state["injected"]:
+            state["injected"] = True
+            W.write(self, _kv(spark, [(9, "z", 90)]), table,
+                    mode="append", fingerprint="race")
+        return man
+
+    ups = spark.createDataFrame([(1, "a", 11, False)],
+                                "id long, pred string, v long, deleted boolean")
+    try:
+        W.manifest = racing_manifest
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            wh.merge(ups, "t", key="id", fingerprint="m1",
+                     delete_col="deleted")
+    finally:
+        W.manifest = real_manifest
+    # the racing append survived; rerunning the merge now succeeds
+    assert wh.read("t").count() == 2
+    wh.merge(ups, "t", key="id", fingerprint="m1", delete_col="deleted")
+    got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: 11, 9: 90}
+
+
+def test_apply_changelog_mor_matches_merge_cow(spark, tmp_path):
+    """Merge-on-read over base+changelog equals the materialized COW merge
+    — the two halves of the Iceberg COW/MOR split agree row-for-row."""
+    from pathhier_spark.sources.warehouse import Warehouse as W, apply_changelog
+
+    wh = W(spark, str(tmp_path / "wh"))
+    base_rows = [(i, "a" if i % 2 else "b", i * 10) for i in range(20)]
+    wh.write(_kv(spark, base_rows), "t", fingerprint="v1")
+    changes = spark.createDataFrame(
+        [(5, "a", 999, False), (6, "b", 0, True), (100, "c", 1, False),
+         (None, "n", 7, False)],
+        "id long, pred string, v long, deleted boolean",
+    )
+    mor = apply_changelog(wh.read("t"), changes, key="id",
+                          delete_col="deleted")
+    mor_rows = {tuple(r) for r in mor.collect()}
+    wh.merge(changes, "t", key="id", fingerprint="m1", delete_col="deleted")
+    cow_rows = {tuple(r) for r in wh.read("t").collect()}
+    assert mor_rows == cow_rows
+    # NULL-keyed upsert inserted, never matched against base
+    assert (None, "n", 7) in cow_rows
+    # tombstoned key gone, updated key replaced, new key present
+    ids = {r[0] for r in cow_rows}
+    assert 6 not in ids and 100 in ids
+    assert dict((r[0], r[2]) for r in cow_rows)[5] == 999
