@@ -239,6 +239,39 @@ def canonicalize_classes(ontology: DataFrame) -> DataFrame:
     )
 
 
+def canonical_edges(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Triple endpoints rewritten to canonical class ids via two broadcast
+    joins of the (ontology-sized) canonical-node map — the final KG edge
+    shape (subj, pred, obj, url, provenance)."""
+    return (
+        triples.join(
+            F.broadcast(
+                canon.select(
+                    F.col("class_id").alias("subj_id"),
+                    F.col("canonical_id").alias("subj_canon"),
+                )
+            ),
+            "subj_id",
+        )
+        .join(
+            F.broadcast(
+                canon.select(
+                    F.col("class_id").alias("obj_id"),
+                    F.col("canonical_id").alias("obj_canon"),
+                )
+            ),
+            "obj_id",
+        )
+        .select(
+            F.col("subj_canon").alias("subj"),
+            "pred",
+            F.col("obj_canon").alias("obj"),
+            "url",
+            F.lit("pathhier_spark").alias("provenance"),
+        )
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -290,33 +323,7 @@ def run_pipeline(
     )
     edges = cp.stage(
         "edges",
-        lambda: (
-            triples.join(
-                F.broadcast(
-                    canon.select(
-                        F.col("class_id").alias("subj_id"),
-                        F.col("canonical_id").alias("subj_canon"),
-                    )
-                ),
-                "subj_id",
-            )
-            .join(
-                F.broadcast(
-                    canon.select(
-                        F.col("class_id").alias("obj_id"),
-                        F.col("canonical_id").alias("obj_canon"),
-                    )
-                ),
-                "obj_id",
-            )
-            .select(
-                F.col("subj_canon").alias("subj"),
-                "pred",
-                F.col("obj_canon").alias("obj"),
-                "url",
-                F.lit("pathhier_spark").alias("provenance"),
-            )
-        ),
+        lambda: canonical_edges(triples, canon),
         fingerprint=fp,
         partition_by=["pred"],
     )
@@ -329,6 +336,90 @@ def run_pipeline(
         "canonical_nodes": canon,
         "edges": edges,
         "lineage": spark.createDataFrame(cp.lineage()),
+    }
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    new_documents: DataFrame,
+    ontology: DataFrame,
+    warehouse_root: str,
+    batch_id: str,
+    *,
+    edges_table: str = "kg_edges",
+) -> dict[str, DataFrame]:
+    """Incremental KG ingest: run extract → link → assemble → canonical
+    rewrite on ONE crawl batch and MERGE its edges into the warehouse KG
+    table keyed by url — a re-crawled url's edges are replaced wholesale,
+    new urls insert, and a url whose re-crawl yields NO triples is
+    tombstoned (its stale edges drop). Batch-wise ingest is EXACTLY
+    equivalent to a full recompute over the union of all batches (pinned
+    in tests): every stage is per-document except linking, whose IDF and
+    candidate postings come from the ONTOLOGY side only (link_mentions) —
+    no corpus-level statistic exists to drift between batch and full runs.
+
+    Per-batch cost is proportional to the batch (the 10^12-document
+    story: the crawl delta, not the corpus, pays extraction+linking);
+    the merge commit is copy-on-write (Warehouse.merge — table-
+    proportional rewrite, OCC against racing commits, idempotent replay
+    per batch_id). For high-frequency small batches, swap the merge for
+    an append to a changelog table + apply_changelog() reads, collapsing
+    on compaction cadence — see Warehouse.merge's docstring; the updates
+    frame built here (upserts + url tombstones) is the changelog row
+    shape either way."""
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, warehouse_root)
+    extracted = with_extracted_text(new_documents).select(
+        "url", "warc_ts", "lang", "extracted_text"
+    )
+    mentions = extract_mentions(
+        extracted.withColumnRenamed("extracted_text", "text")
+    )
+    links = link_mentions(
+        mentions.select(F.col("subj_mention").alias("mention")).union(
+            mentions.select(F.col("obj_mention").alias("mention"))
+        ),
+        ontology,
+    )
+    triples = assemble_triples(mentions, links)
+    canon = canonicalize_classes(ontology)
+    edges = canonical_edges(triples, canon)
+    fingerprint = f"batch:{batch_id}"
+    if wh.manifest(edges_table) is None:
+        # first batch creates the table (and pins the partition layout
+        # every later merge preserves)
+        wh.write(
+            edges, edges_table, partition_by=["pred"], fingerprint=fingerprint
+        )
+    else:
+        upserts = edges.withColumn("_deleted", F.lit(False))
+        tombstones = (
+            new_documents.select("url")
+            .distinct()
+            .join(edges.select("url").distinct(), "url", "left_anti")
+            .select(
+                F.lit(None).cast("string").alias("subj"),
+                F.lit(None).cast("string").alias("pred"),
+                F.lit(None).cast("string").alias("obj"),
+                "url",
+                F.lit(None).cast("string").alias("provenance"),
+                F.lit(True).alias("_deleted"),
+            )
+        )
+        wh.merge(
+            upserts.unionByName(tombstones),
+            edges_table,
+            key="url",
+            fingerprint=fingerprint,
+            delete_col="_deleted",
+        )
+    return {
+        "mentions": mentions,
+        "links": links,
+        "triples": triples,
+        "edges_delta": edges,
+        "edges": wh.read(edges_table),
     }
 
 

@@ -172,3 +172,86 @@ def test_link_mentions_nonbroadcast_regime_identical(spark, corpus):
         }
 
     assert rows(True) == rows(False)
+
+
+# --------------------------- incremental ingest ---------------------------
+
+
+def test_incremental_batches_equal_full_run(spark, corpus, tmp_path_factory):
+    """Batch-wise incremental ingest == one full run over the union: no
+    stage carries corpus-level state (linking IDF is ontology-side), so
+    splitting the crawl into batches must not change a single edge."""
+    from pathhier_spark.plans.pipeline import run_pipeline_incremental
+
+    docs, onto, *_ = corpus
+    full_root = str(tmp_path_factory.mktemp("full"))
+    wh_root = str(tmp_path_factory.mktemp("wh_inc"))
+
+    cols = ["subj", "pred", "obj", "url", "provenance"]
+    full = run_pipeline(spark, docs, onto, full_root)
+    full_edges = {tuple(r) for r in full["edges"].select(*cols).collect()}
+
+    b1 = docs.filter(F.crc32(F.col("url")) % 2 == 0)
+    b2 = docs.filter(F.crc32(F.col("url")) % 2 == 1)
+    run_pipeline_incremental(spark, b1, onto, wh_root, "b1")
+    out2 = run_pipeline_incremental(spark, b2, onto, wh_root, "b2")
+    inc_edges = {tuple(r) for r in out2["edges"].select(*cols).collect()}
+    assert inc_edges == full_edges
+    # partition layout pinned by the first batch survives the merge
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    man = Warehouse(spark, wh_root).manifest("kg_edges")
+    assert man["partition_by"] == ["pred"]
+
+
+def test_incremental_recrawl_replaces_and_tombstones(spark, corpus,
+                                                     tmp_path_factory):
+    """A re-crawled url's edges are replaced wholesale; a re-crawl that
+    yields no triples removes the url's stale edges entirely."""
+    from pathhier_spark.plans.pipeline import run_pipeline_incremental
+
+    docs, onto, *_ = corpus
+    wh_root = str(tmp_path_factory.mktemp("wh_rec"))
+    cols = ["subj", "pred", "obj", "url", "provenance"]
+    out1 = run_pipeline_incremental(spark, docs, onto, wh_root, "b1")
+    edges1 = out1["edges"].select(*cols)
+    # pick a url that produced edges
+    some_url = edges1.select("url").first()["url"]
+    before = {tuple(r) for r in
+              edges1.filter(F.col("url") == some_url).collect()}
+    assert before
+
+    # recrawl 1: same url, new content = the html of a DIFFERENT doc that
+    # yields different triples
+    other = docs.filter(F.col("url") != some_url).orderBy("url").first()
+    recrawl = (
+        docs.filter(F.col("url") == some_url)
+        .select(
+            "url", "warc_ts",
+            F.lit(other["html"]).alias("html"),
+            F.lit(other["text"]).alias("text"),
+            "lang",
+        )
+    )
+    out2 = run_pipeline_incremental(spark, recrawl, onto, wh_root, "b2")
+    after = {tuple(r) for r in out2["edges"].select(*cols)
+             .filter(F.col("url") == some_url).collect()}
+    delta = {tuple(r) for r in out2["edges_delta"].select(*cols).collect()}
+    assert after == delta and after != before
+    # untouched urls unchanged
+    n_other_before = edges1.filter(F.col("url") != some_url).count()
+    assert out2["edges"].filter(F.col("url") != some_url).count() == n_other_before
+
+    # recrawl 2: same url, empty page -> tombstone drops every edge
+    empty = recrawl.select(
+        "url", "warc_ts",
+        F.lit(b"<html><body></body></html>").alias("html"),
+        F.lit("").alias("text"),
+        "lang",
+    )
+    out3 = run_pipeline_incremental(spark, empty, onto, wh_root, "b3")
+    assert out3["edges"].filter(F.col("url") == some_url).count() == 0
+    assert out3["edges"].filter(F.col("url") != some_url).count() == n_other_before
+    # replaying the same batch id is a no-op (idempotent resume)
+    out4 = run_pipeline_incremental(spark, empty, onto, wh_root, "b3")
+    assert out4["edges"].count() == n_other_before
