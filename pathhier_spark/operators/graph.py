@@ -400,9 +400,12 @@ def hits_fixedpoint(
     Scale shape: edges and the node table are eagerly localCheckpoint-ed
     once before the loop; each half-step is one node-sized equi-join of
     scores onto edges plus one combiner-friendly integer sum; the 1-row
-    max broadcasts. The per-half raw-score table is ALSO eagerly
-    localCheckpoint-ed: it is read by TWO branches (the max aggregate and
-    the normalized join-back), and Spark does not dedup common subtrees —
+    max broadcasts. The per-half raw-score table is ALSO localCheckpoint-ed
+    (LAZILY — eager would run one materialization job per half-step during
+    loop construction; lazy truncates the lineage identically and
+    materializes once on the first action): it is read by TWO branches
+    (the max aggregate and the normalized join-back), and Spark does not
+    dedup common subtrees —
     left lazy, the two branches would each re-derive the whole previous
     round, doubling the plan per half-step (observed: 2^6 plan blowup, 566
     SortMergeJoins, 8.5s for a 1600-node graph). Materialized per half,
@@ -449,7 +452,9 @@ def hits_fixedpoint(
             )
         )
 
-    auth = None
+    # initial authority frame so iterations=0 returns the uniform scores
+    # instead of crashing on a None join (pagerank's 0-iteration contract)
+    auth = nodes.withColumn("a_fp", F.lit(int(scale)).cast("long"))
     for _ in range(iterations):
         auth = _half(hub, "h_fp", "s", "d", "a_fp")
         hub = _half(auth, "a_fp", "d", "s", "h_fp")

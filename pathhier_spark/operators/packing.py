@@ -125,8 +125,12 @@ def chunk_with_overlap(
     Chunk text is recomputable from (doc, start, len) on demand."""
     if size <= 0 or stride <= 0:
         raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    # explicit whitespace class, not \s: Java's \s matches \x0B, RE2's (the
+    # DuckDB oracle's) does not — the WS_SPLIT_RE parity rule (q21/q44/q45)
+    from pathhier_spark.functions.text import WS_SPLIT_RE
+
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_RE), lambda t: t != ""
     )
     base = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
     exploded = base.select(

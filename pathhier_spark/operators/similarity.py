@@ -460,9 +460,12 @@ def semantic_dedup(
         c, id_col, n_centroids, kmeans_iters, literal_plan_limit
     )
     if fitted is None:
+        # empty-corpus schema keeps the id column's REAL type (string ids
+        # would otherwise come back long and break downstream unions)
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [],
-            f"{id_col} long, cell int, cdist_fp long, is_dropped boolean",
+            f"{id_col} {id_type}, cell int, cdist_fp long, is_dropped boolean",
         )
     centroids, nearest_cells = fitted
     assigned = nearest_cells(c, "_qv", centroids, 1, [id_col, "cv", "_qv"])

@@ -926,9 +926,15 @@ def dsir_logratio(
     unigram_surprisal. Pass broadcast_vocab=False for unbounded
     vocabularies (Zipf-hot join keys are the well-replicated ones; AQE
     splits the skewed probe side)."""
+    # lazy-localCheckpoint the two shared subtrees (the hits/assoc_rules
+    # discipline): pool_toks feeds BOTH the frequency aggregate and the
+    # per-doc probe, vocab feeds BOTH the scalars aggregate and the probe
+    # join — Spark does not dedup common subtrees, so left lazy the
+    # pool-scale tokenize+explode (the dominant scan at the 100 TB pool
+    # this targets) runs twice
     pool_toks = pool.select(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "tok")
-    )
+    ).localCheckpoint(eager=False)
     tgt_toks = target.select(F.explode(_tokens(text_col)).alias("tok"))
     pool_freqs = pool_toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c_r")
@@ -941,6 +947,7 @@ def dsir_logratio(
             F.coalesce("c_r", F.lit(0)).alias("c_r"),
             F.coalesce("c_t", F.lit(0)).alias("c_t"),
         )
+        .localCheckpoint(eager=False)
     )
     # corpus scalars: one row — totals and union-vocabulary size
     scalars = vocab.agg(
@@ -1003,17 +1010,19 @@ def hll_registers_grouped(
     per-day per-language vocabulary sketches rolled up by max, never
     rescanning history)."""
     j, rho = _hll_hash_cols(col, m, prefix)
+    # lazy-localCheckpoint: `built` feeds BOTH the dense frame's group
+    # enumeration and the register join — and deriving the group set from
+    # the (groups x m)-sized aggregate instead of df.distinct() keeps the
+    # corpus from being scanned a second time just to list groups (groupBy
+    # keeps NULL-hash rows, so every group in df appears in built)
     built = (
         df.select(F.col(group_col).alias("g"), j.alias("j"), rho.alias("rho"))
         .groupBy("g", "j")
         .agg(F.max("rho").cast("long").alias("reg"))
+        .localCheckpoint(eager=False)
     )
     allj = df.sparkSession.range(m).select(F.col("id").alias("j"))
-    frame = (
-        df.select(F.col(group_col).alias("g")).distinct().crossJoin(
-            F.broadcast(allj)
-        )
-    )
+    frame = built.select("g").distinct().crossJoin(F.broadcast(allj))
     return frame.join(built, ["g", "j"], "left").select(
         F.col("g").alias(group_col),
         "j",
@@ -1146,8 +1155,14 @@ def bigram_surprisal(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
-    pairs = toks.withColumn("w2", F.lead("w1").over(w)).where(
-        F.col("w2").isNotNull()
+    # materialize the pairs subtree ONCE (lazy localCheckpoint — the hits/
+    # assoc_rules discipline): it feeds `big`, `pre` (via big), and the
+    # scored probe, and Spark does not dedup common subtrees — left lazy,
+    # the tokenize+explode+lead pipeline (the corpus-scale stage) runs 3x
+    pairs = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
     )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     pre = big.groupBy("w1").agg(F.sum("c2").alias("c1"))

@@ -162,9 +162,12 @@ def anchor_host_edges(
 
     Resolution rules (deliberately minimal and engine-portable):
       * absolute hrefs (with a scheme) -> url_host(href);
-      * scheme-relative and path-relative hrefs resolve to the SOURCE
-        host (we only build a host graph, so any same-host reference
-        collapses to src_host — no path resolution needed);
+      * protocol-relative hrefs (`//host/path` — ubiquitous in real crawl
+        HTML for CDN links) carry an explicit host: that host, lowercased,
+        port stripped — NOT a self-edge;
+      * path-relative hrefs resolve to the SOURCE host (we only build a
+        host graph, so a same-host reference collapses to src_host — no
+        path resolution needed);
       * empty hrefs are dropped;
       * `internal` = (dst_host == src_host); self-edges are kept but
         flagged, so PageRank callers can filter them in one predicate.
@@ -180,10 +183,17 @@ def anchor_host_edges(
     exploded = df.select(
         src.alias("src_host"), F.explode(hrefs).alias("href")
     ).where(F.col("href") != "")
-    dst = F.when(
-        F.regexp_extract(F.col("href"), _SCHEME_RE, 1) != "",
-        url_host(F.col("href")),
-    ).otherwise(F.col("src_host"))
+    dst = (
+        F.when(
+            F.regexp_extract(F.col("href"), _SCHEME_RE, 1) != "",
+            url_host(F.col("href")),
+        )
+        .when(
+            F.col("href").startswith("//"),
+            F.lower(F.regexp_extract(F.col("href"), r"^//([^:/?#]*)", 1)),
+        )
+        .otherwise(F.col("src_host"))
+    )
     edges = exploded.select(
         "src_host",
         dst.alias("dst_host"),

@@ -5132,7 +5132,14 @@ def q88_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('.example.org/a">x</a>'),
     )
     extra = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit('<a href="/local">rel</a>'))
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<a href="/local">rel</a><a href="//cdn'),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('.example.net:8080/lib.js">c</a>'),
+            ),
+        )
         .when(
             F.col("doc_id") % 4 == 1,
             F.concat(
@@ -5162,7 +5169,8 @@ WITH pages AS (
          '<html><body><p>' || text || '</p>'
          || '<a href="https://h' || (doc_id % 7)::varchar
          || '.example.org/a">x</a>'
-         || CASE WHEN doc_id % 4 = 0 THEN '<a href="/local">rel</a>'
+         || CASE WHEN doc_id % 4 = 0 THEN '<a href="/local">rel</a><a href="//cdn'
+                      || (doc_id % 3)::varchar || '.example.net:8080/lib.js">c</a>'
                  WHEN doc_id % 4 = 1 THEN '<a href="">e</a><a href="https://h'
                       || ((doc_id * 3) % 7)::varchar || '.example.org/b">y</a>'
                  ELSE '' END
@@ -5178,6 +5186,8 @@ WITH pages AS (
          CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://')
               THEN lower(regexp_extract(regexp_replace(href,
                      '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^:/?#]*)', 1))
+              WHEN href LIKE '//%'
+              THEN lower(regexp_extract(href, '^//([^:/?#]*)', 1))
               ELSE src_host END AS dst_host
   FROM hrefs WHERE href <> ''
 )

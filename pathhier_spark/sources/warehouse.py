@@ -462,7 +462,11 @@ class Warehouse:
         silently folded-out or double-applied; the caller reruns merge()
         against the fresh snapshot. Replay after a crash is idempotent:
         the rewrite targets the same directory, and a replay after a
-        successful commit no-ops on the fingerprint match.
+        successful commit no-ops because the fingerprint sits in the
+        applied set — which merge carries FORWARD (old appends' rows live
+        on inside the merged snapshot, so their replays must keep
+        deduping; and a replayed OLDER batch must not clobber newer
+        merges with its stale rewrite). Only overwrite resets the set.
 
         Merging into a table that doesn't exist yet creates it
         (insert-only; tombstones drop).
@@ -492,8 +496,20 @@ class Warehouse:
                 "see _iceberg_available"
             )
         man0 = self.manifest(table)
-        if man0 and man0.get("fingerprint") == fingerprint:
-            return  # replay after a successful commit
+        applied0 = (
+            set(man0.get("applied_fingerprints", [man0["fingerprint"]]))
+            if man0
+            else set()
+        )
+        # replay no-ops against the FULL applied set, not just the head
+        # fingerprint: (a) a replayed pre-merge append must still dedupe —
+        # the merge folded its rows into the new snapshot, so re-applying
+        # would duplicate them (hence the applied set is carried FORWARD
+        # below, unlike overwrite's reset, where the old rows are gone);
+        # (b) a replayed OLDER merge/create batch must not clobber a newer
+        # re-crawl's edges with its stale rewrite
+        if man0 and fingerprint in applied0:
+            return
         partition_by = list(man0.get("partition_by") or []) if man0 else []
         if man0:
             base = self._read_dirs(self._snapshot_dirs(man0))
@@ -548,7 +564,7 @@ class Warehouse:
                 new_dir,
                 [new_dir],
                 fingerprint,
-                {fingerprint},
+                applied0 | {fingerprint},
                 partition_by,
                 [{"fingerprint": fingerprint, "mode": "merge",
                   "dirs": [new_dir]}],

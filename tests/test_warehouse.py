@@ -808,3 +808,39 @@ def test_apply_changelog_mor_matches_merge_cow(spark, tmp_path):
     ids = {r[0] for r in cow_rows}
     assert 6 not in ids and 100 in ids
     assert dict((r[0], r[2]) for r in cow_rows)[5] == 999
+
+
+def test_merge_replay_dedupes_old_appends_and_stale_batches(spark, tmp_path):
+    """merge carries the applied-fingerprint set FORWARD: (a) replaying an
+    append that predates the merge must no-op (its rows live inside the
+    merged snapshot — re-applying would duplicate them); (b) replaying an
+    OLDER merge batch must not clobber a newer batch's rows with its
+    stale rewrite."""
+    from pathhier_spark.sources.warehouse import Warehouse as W
+
+    wh = W(spark, str(tmp_path / "wh"))
+    wh.write(_kv(spark, [(1, "a", 10)]), "t", fingerprint="v1")
+    wh.write(_kv(spark, [(2, "b", 20)]), "t", mode="append", fingerprint="a1")
+    m1 = spark.createDataFrame([(1, "a", 11, False)],
+                               "id long, pred string, v long, deleted boolean")
+    wh.merge(m1, "t", key="id", fingerprint="m1", delete_col="deleted")
+    # (a) at-least-once replay of the pre-merge append: must not duplicate
+    wh.write(_kv(spark, [(2, "b", 20)]), "t", mode="append", fingerprint="a1")
+    assert wh.read("t").count() == 2
+    assert {r["v"] for r in wh.read("t").collect()} == {11, 20}
+    # (b) newer merge, then replay of the older one: stale rewrite no-ops
+    m2 = spark.createDataFrame([(1, "a", 12, False)],
+                               "id long, pred string, v long, deleted boolean")
+    wh.merge(m2, "t", key="id", fingerprint="m2", delete_col="deleted")
+    wh.merge(m1, "t", key="id", fingerprint="m1", delete_col="deleted")
+    got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: 12, 2: 20}
+
+
+def test_hits_zero_iterations_returns_uniform(spark):
+    from pathhier_spark.operators.graph import hits_fixedpoint
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = hits_fixedpoint(e, iterations=0).collect()
+    assert len(rows) == 3
+    assert all(r["h_fp"] == 1_000_000 and r["a_fp"] == 1_000_000 for r in rows)

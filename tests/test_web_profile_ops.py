@@ -31,7 +31,8 @@ def test_anchor_edges_absolute_relative_empty(spark):
             '<a href="https://B.example.org/x">1</a>'   # host lowercased
             '<a href="/local">2</a>'                     # relative -> src
             '<a href="">3</a>'                           # empty -> dropped
-            '<a href="https://b.example.org:8080/y">4</a>',  # port stripped
+            '<a href="https://b.example.org:8080/y">4</a>'  # port stripped
+            '<a href="//CDN.example.net:443/l.js">5</a>',  # protocol-relative
         ),
     ])
     got = {
@@ -41,6 +42,7 @@ def test_anchor_edges_absolute_relative_empty(spark):
     assert got == {
         ("a.example.com", "b.example.org"): (False, 2),
         ("a.example.com", "a.example.com"): (True, 1),
+        ("a.example.com", "cdn.example.net"): (False, 1),
     }
 
 
