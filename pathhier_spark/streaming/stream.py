@@ -340,3 +340,61 @@ def hll_rollup_read(
         .groupBy(group_col, "j")
         .agg(F.max("reg").cast("long").alias("reg"))
     )
+
+
+def stream_kg_ingest(
+    docs_stream: DataFrame,
+    ontology: DataFrame,
+    warehouse_root: str,
+    *,
+    checkpoint_dir: str,
+    edges_table: str = "kg_edges",
+):
+    """Continuous crawl -> KG: every micro-batch of pages runs the FULL
+    incremental pipeline (plans.pipeline.run_pipeline_incremental —
+    extract, link, assemble, url-keyed merge into the warehouse edge
+    table), so a re-crawled url's edges are replaced and an
+    empty re-crawl tombstones them, continuously. foreachBatch rather
+    than a streaming plan because linking joins + the COW merge aren't
+    expressible as one incremental streaming query — the standard
+    Structured Streaming escape hatch for batch-shaped sinks.
+
+    Exactly-once at the table level, same argument as stream_to_warehouse:
+    Spark replays a crashed micro-batch under the SAME batch_id, and the
+    merge no-ops on the already-applied 'stream:<id>' fingerprint. Within
+    one run batch_ids are monotone, so the stale-batch guard
+    (Warehouse.merge's carried-forward applied set) only ever suppresses
+    true replays, never fresh batches.
+
+    Batch-wise == full-recompute equivalence carries over verbatim from
+    run_pipeline_incremental (no stage holds corpus state); the streaming
+    form just decides WHEN batches happen. A url crawled twice WITHIN one
+    micro-batch keeps only its latest version (max warc_ts, content-hash
+    tie-break) before the pipeline runs — otherwise both versions' edges
+    would union under the url, something the per-url merge can only
+    prevent ACROSS batches. Returns the StreamingQuery."""
+    from pyspark.sql import Window
+
+    from pathhier_spark.plans.pipeline import run_pipeline_incremental
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc(), F.md5(F.col("html")).desc()
+            )
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            run_pipeline_incremental(
+                batch_df.sparkSession, latest, ontology, warehouse_root,
+                f"stream:{batch_id}", edges_table=edges_table,
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

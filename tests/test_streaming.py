@@ -484,3 +484,119 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
         for r in hll_estimate_grouped(full, "lang").collect()
     }
     assert est_s == est_b
+
+
+def test_stream_kg_ingest_matches_batch_pipeline(spark, tmp_path):
+    """Continuous-crawl KG construction: stream_kg_ingest (foreachBatch ->
+    run_pipeline_incremental -> url-keyed merge) over a file stream of
+    crawl batches must produce EXACTLY the edges of one batch run_pipeline
+    over the union — including a cross-batch re-crawl, whose stale edges
+    the later micro-batch replaces."""
+    from pathhier_spark.plans.pipeline import run_pipeline
+    from pathhier_spark.sources import corpus as corpus_mod
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import stream_documents, stream_kg_ingest
+
+    c = corpus_mod.generate(n_classes=40, n_docs=60, seed=7)
+    docs, onto, *_ = corpus_mod.to_spark(spark, c)
+    half_a = docs.filter(F.crc32(F.col("url")) % 2 == 0)
+    half_b = docs.filter(F.crc32(F.col("url")) % 2 == 1)
+
+    input_dir = str(tmp_path / "crawl_in")
+    # batch 1 = half_a; batch 2 = half_b PLUS a re-crawl of one half_a url
+    # carrying different content (a half_b doc's html under half_a's url)
+    recrawl_url = half_a.select("url").orderBy("url").first()["url"]
+    donor = half_b.orderBy("url").first()
+    recrawl = half_a.filter(F.col("url") == recrawl_url).select(
+        "url", "warc_ts",
+        F.lit(bytes(donor["html"])).alias("html"),
+        F.lit(donor["text"]).alias("text"),
+        "lang",
+    )
+    half_a.coalesce(1).write.mode("append").parquet(input_dir)
+    half_b.unionByName(recrawl).coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+
+    wh_root = str(tmp_path / "wh_kg")
+    q = stream_kg_ingest(
+        stream_documents(spark, input_dir, max_files_per_trigger=1),
+        onto, wh_root, checkpoint_dir=str(tmp_path / "ckpt_kg"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # reference: one batch run over the FINAL corpus state (recrawl wins)
+    final_docs = half_a.filter(F.col("url") != recrawl_url).unionByName(
+        half_b
+    ).unionByName(recrawl)
+    full = run_pipeline(
+        spark, final_docs, onto, str(tmp_path / "full_ckpt")
+    )
+    cols = ["subj", "pred", "obj", "url", "provenance"]
+    want = {tuple(r) for r in full["edges"].select(*cols).collect()}
+    got = {
+        tuple(r)
+        for r in Warehouse(spark, wh_root).read("kg_edges").select(*cols).collect()
+    }
+    assert got == want
+
+    # resume from the streaming checkpoint with a batch holding TWO
+    # versions of one url: latest-wins inside the micro-batch, so only the
+    # newer version's edges land
+    donor2 = half_b.orderBy(F.desc("url")).first()
+    old_row = half_a.filter(F.col("url") == recrawl_url).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    new_row = old_row.select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.lit(bytes(donor2["html"])).alias("html"),
+        F.lit(donor2["text"]).alias("text"),
+        "lang",
+    )
+    old_row.unionByName(new_row).coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+    q2 = stream_kg_ingest(
+        stream_documents(spark, input_dir, max_files_per_trigger=1),
+        onto, wh_root, checkpoint_dir=str(tmp_path / "ckpt_kg"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    from pathhier_spark.plans.pipeline import (
+        assemble_triples, canonical_edges, canonicalize_classes, link_mentions,
+    )
+    from pathhier_spark.operators.extract import (
+        extract_mentions, with_extracted_text,
+    )
+    m = extract_mentions(
+        with_extracted_text(new_row)
+        .select("url", "warc_ts", "lang", "extracted_text")
+        .withColumnRenamed("extracted_text", "text")
+    )
+    lk = link_mentions(
+        m.select(F.col("subj_mention").alias("mention")).union(
+            m.select(F.col("obj_mention").alias("mention"))
+        ),
+        onto,
+    )
+    expect_new = {
+        tuple(r)
+        for r in canonical_edges(
+            assemble_triples(m, lk), canonicalize_classes(onto)
+        ).select(*cols).collect()
+    }
+    got_url = {
+        tuple(r)
+        for r in Warehouse(spark, wh_root)
+        .read("kg_edges")
+        .filter(F.col("url") == recrawl_url)
+        .select(*cols)
+        .collect()
+    }
+    assert got_url == expect_new
