@@ -228,6 +228,10 @@ def main() -> None:
         "q86_ctfidf_terms",
         # the composite curation funnel (four stages, one plan)
         "q87_curation_funnel",
+        # anchor-graph extraction (regex-parse + combiner groupBy — the
+        # web-KG edge table) and bigram surprisal (order-2 LM scoring)
+        "q88_anchor_graph",
+        "q92_bigram_surprisal",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

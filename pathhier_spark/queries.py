@@ -5213,6 +5213,7 @@ def q89_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(ev).orderBy("src_event", "dst_event")
 
 
+# DuckDB feature req: core only (lead window).
 Q89_SQL = """
 WITH pairs AS (
   SELECT event_type AS src_event,
@@ -5254,6 +5255,8 @@ def q90_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+# DuckDB feature req: core only (generate_series, 1-based inclusive list
+# slicing, array_to_string, md5).
 def _q90_sql() -> str:
     return f"""
 WITH d AS (
@@ -5300,6 +5303,8 @@ def q91_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(o, columns=_PROF_COLS).orderBy("col_idx")
 
 
+# DuckDB feature req: core only (UNION ALL of per-column aggregates;
+# "column" quoted — reserved word).
 def _q91_sql() -> str:
     specs = [
         ("o_orderkey", "o_orderkey", True),
@@ -5348,6 +5353,8 @@ def q92_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# DuckDB feature req: core only (lead window, list(... ORDER BY) fold —
+# the q44 position-order discipline).
 def _q92_sql() -> str:
     return f"""
 WITH toks AS (
