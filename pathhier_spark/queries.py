@@ -3689,8 +3689,24 @@ def q65_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.textstats import _tokens
 
     docs = _docs(spark, sf_dir)
-    return setsim_join_exact(docs, _tokens("text"), threshold=_SETSIM_T).orderBy(
-        "a", "b"
+    pairs = setsim_join_exact(docs, _tokens("text"), threshold=_SETSIM_T)
+    # per-endpoint aggregate rather than the raw pair list: on similarity-
+    # dense corpora the TRUE result is quadratic (sf0.1's template docs
+    # produce ~9M pairs — nothing any engine should ship through a value
+    # gate), and a lost/extra/mis-scored pair still perturbs its
+    # endpoint's count and integer jaccard sum, so the brute-force oracle
+    # still certifies prefix-filter losslessness pair-for-pair. The sum is
+    # an exact INTEGER sum of round(jacc * 1e6) — never a float sum across
+    # shuffled rows.
+    jfp = F.round(F.col("jacc") * 1e6).cast("long")
+    return (
+        pairs.groupBy("a")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jacc").alias("max_jacc"),
+            F.sum(jfp).alias("sum_jacc_fp"),
+        )
+        .orderBy("a")
     )
 
 
@@ -3707,9 +3723,14 @@ WITH s AS (
            AS uni
   FROM s a JOIN s b ON a.doc_id < b.doc_id
 )
-SELECT a, b, round(inter::double / uni, 6) + 0.0 AS jacc
-FROM pairs WHERE inter::double / uni >= {_SETSIM_T!r}
-ORDER BY a, b
+, sim AS (
+  SELECT a, b, round(inter::double / uni, 6) + 0.0 AS jacc
+  FROM pairs WHERE inter::double / uni >= {_SETSIM_T!r}
+)
+SELECT a, count(*)::bigint AS n_pairs,
+       (max(jacc) + 0.0) AS max_jacc,
+       sum(round(jacc * 1e6)::bigint)::bigint AS sum_jacc_fp
+FROM sim GROUP BY a ORDER BY a
 """
 
 
