@@ -172,3 +172,64 @@ def extract_token_triples(
             F.col("w.obj").alias("obj"),
         )
     )
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """KG quality profile per predicate: the constraint statistics a
+    knowledge-graph factory checks before trusting extracted edges.
+
+    Over the DISTINCT (subj, pred, obj) triple set:
+
+    * ``n_triples`` / ``n_subj`` / ``n_obj`` — edge and endpoint counts.
+    * ``functionality`` — n_subj / n_triples (PARIS-style, Suchanek et
+      al. 2011): 1.0 means every subject takes exactly one object (the
+      predicate behaves like a function); low values mean fan-out.
+    * ``inv_functionality`` — n_obj / n_triples, the same for the
+      inverse direction.
+    * ``n_multi_subj`` — subjects asserting >1 distinct object: the
+      VIOLATION count if the predicate is declared functional; the pairs
+      a curation pass would send to conflict resolution.
+
+    Scale shape: one distinct over the triple set (the only corpus-sized
+    shuffle, keyed on the full triple — no hot key), then two
+    combiner-friendly groupBys whose outputs are |preds|- and
+    |pred, subj|-sized; the final join is on the tiny predicate domain
+    and broadcasts. Ratios are single IEEE divisions of exact integers —
+    bit-reproducible on any engine.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    base = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+    )
+    multi = (
+        t.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+        .filter(F.col("n_o") > 1)
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_multi_subj"))
+    )
+    return (
+        base.join(F.broadcast(multi), "pred", "left")
+        .na.fill({"n_multi_subj": 0})
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            (
+                F.round(
+                    F.col("n_subj").cast("double") / F.col("n_triples"), 6
+                )
+                + F.lit(0.0)
+            ).alias("functionality"),
+            (
+                F.round(
+                    F.col("n_obj").cast("double") / F.col("n_triples"), 6
+                )
+                + F.lit(0.0)
+            ).alias("inv_functionality"),
+            "n_multi_subj",
+        )
+    )

@@ -255,6 +255,134 @@ def triangle_count(
     )
 
 
+def local_clustering(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient: lcc(v) =
+    2 * triangles(v) / (deg(v) * (deg(v) - 1)) over the canonical
+    undirected simple graph — the standard "how clique-like is this
+    node's neighborhood" signal (Watts-Strogatz), the per-node
+    refinement of q67's triangle counts.
+
+    Scale shape: the canonical edge set is localCheckpoint-ed once so
+    the degree count and the triangle kernel share one materialization
+    instead of re-deriving the upstream lineage twice (the q51 lesson);
+    triangles come from ``triangle_count``'s degree-ordered orientation
+    (wedge fan-out O(sqrt(m)) per edge, power-law safe). The join back
+    is node-keyed and narrow. lcc is ONE IEEE division of exact
+    integers (2 * n_tri exact, d * (d - 1) exact) — bit-reproducible.
+
+    Returns (node, deg, n_tri, lcc) for nodes with deg >= 2 (lcc is
+    undefined below); nodes in no triangle report n_tri = 0, lcc = 0.0.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_count(und, src="u", dst="v")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .na.fill({"n_tri": 0})
+        .select(
+            "node",
+            "deg",
+            "n_tri",
+            (
+                F.round(
+                    (F.lit(2.0) * F.col("n_tri"))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lcc"),
+        )
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    *,
+    n_seeds: int = 50,
+    length: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic "random" walks over a directed graph — the corpus
+    generator for DeepWalk/node2vec-style KG embeddings, with the
+    random choice derandomized so two engines (and two cluster runs)
+    emit IDENTICAL walks: at step s, walk w standing on node u moves to
+    the out-neighbor v minimizing (md5(w || ':' || s || ':' || v), v).
+    The hash varies per walk and per step, so walks diverge like random
+    ones, but the choice is a pure function of (walk, step, candidate)
+    — no RNG, no seed plumbing, replayable anywhere.
+
+    Seeds are the ``n_seeds`` highest-out-degree nodes (ties by node id)
+    — the hubs real walk corpora start from. A walk reaching a sink
+    (no out-edges) simply ends; emitted rows are (walk_id, step, node)
+    with step 0 the seed itself.
+
+    Scale shape: the edge set is localCheckpoint-ed once and reused by
+    all ``length`` steps (the q51 lineage lesson); each step is one
+    equi-join of the |walks|-sized frontier against out-edges followed
+    by a combiner-friendly min(struct) per walk — the argmin never
+    windows over edges. Each frontier is checkpointed so plan depth
+    stays flat in ``length``. Hub fan-out: a frontier node joins to its
+    full out-list before the min; at web scale cap out-lists first
+    (sample per src) — the argmin semantic is unchanged if the cap
+    keeps the hash-minimal candidate, and the hash makes any cap a
+    documented approximation, not silent nondeterminism.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .orderBy(F.desc("od"), F.asc("s"))
+        .limit(n_seeds)
+        .select(F.col("s").alias("walk_id"))
+    )
+    cur = seeds.select(
+        "walk_id", F.lit(0).cast("int").alias("step"),
+        F.col("walk_id").alias("node"),
+    ).localCheckpoint(eager=True)
+    frames = [cur]
+    for s in range(1, length + 1):
+        h = F.md5(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(s)), F.col("d"))
+        )
+        cur = (
+            cur.join(e, cur["node"] == e["s"])
+            .select("walk_id", h.alias("h"), "d")
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("h", "d")).alias("m"))
+            .select(
+                "walk_id",
+                F.lit(s).cast("int").alias("step"),
+                F.col("m.d").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     *,

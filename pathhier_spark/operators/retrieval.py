@@ -312,3 +312,75 @@ def containment_join_exact(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def rrf_fuse(
+    channels: dict[str, DataFrame],
+    *,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N independent retrieval channels.
+
+    ``channels`` maps a channel name to its ranking DataFrame
+    (qid, id, rank) — e.g. a sparse BM25 ranking and a dense cosine
+    ranking over the same query set. The fused score of a candidate is
+    sum over channels of 1 / (k0 + rank), the standard RRF form
+    (Cormack, Clarke & Buettcher 2009): rank-based, so the channels'
+    incomparable raw scores never need calibrating against each other.
+
+    Determinism: each 1/(k0+rank) term is an exact IEEE division of
+    integers, and the per-candidate sum is folded in CHANNEL-NAME order
+    (array_sort over (channel, rank) structs — the q44/q63 sorted-fold
+    discipline), so the fused score is bit-reproducible across
+    partitionings and engines. Final ranking tie-breaks by candidate id.
+
+    Scale shape: each channel is k-bounded per query BEFORE fusion (its
+    own top-k cut), so the union the fusion groupBy shuffles holds at
+    most n_channels * k_channel rows per query — fusion cost is
+    independent of corpus size; the corpus-sized work stays inside the
+    channels, each free to use its own scale path (inverted index,
+    IVF/LSH ANN). Per-channel ranks ride along as nullable columns so
+    the caller (and the q93 value gate) can audit each channel's
+    contribution.
+
+    Returns (qid, rank, id, rrf, <name>_rank ...) with rank = 1..k,
+    rrf rounded to 6.
+    """
+    tagged = [
+        df.select(
+            "qid",
+            "id",
+            F.lit(name).alias("channel"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        for name, df in sorted(channels.items())
+    ]
+    uni = tagged[0]
+    for t in tagged[1:]:
+        uni = uni.unionByName(t)
+    aggs = [
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("channel", "rank"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / (F.lit(float(k0)) + x["rank"]),
+        ).alias("rrf")
+    ] + [
+        F.max(
+            F.when(F.col("channel") == name, F.col("rank"))
+        ).alias(f"{name}_rank")
+        for name in sorted(channels)
+    ]
+    fused = uni.groupBy("qid", "id").agg(*aggs)
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "rank",
+            "id",
+            (F.round("rrf", 6) + F.lit(0.0)).alias("rrf"),
+            *[f"{name}_rank" for name in sorted(channels)],
+        )
+    )

@@ -5411,6 +5411,341 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q93 — reciprocal-rank fusion hybrid retrieval (operators/retrieval.py
+# rrf_fuse): the standard two-tower serving shape — a sparse BM25 channel
+# (q63's machinery, k=20) and a dense brute-force cosine channel (q12's
+# machinery, k=20) over the SAME deterministic query set, fused with
+# RRF 1/(60 + rank) and cut to the top 10. Both channel rankings are
+# individually bit-reproducible (q63/q12 are gate-green), each RRF term
+# is an exact IEEE division of integers, and the fused sum folds in
+# channel-name order on both engines — so the fusion is hash-exact.
+# Queries: ids divisible by 50 that have BOTH a document (sparse text)
+# and an embedding (dense probe).
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60
+_RRF_K = 10
+_RRF_CHANNEL_K = 20
+
+
+def q93_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qids = (
+        docs.select(F.col("doc_id").alias("qid"))
+        .filter(F.col("qid") % _BM25_QMOD == 0)
+        .join(
+            emb.select(F.col("vec_id").alias("qid")).distinct(), "qid"
+        )
+    )
+
+    # sparse channel: q63's deterministic query construction (first
+    # _BM25_QLEN first-occurrence tokens of the query doc), k=20
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qsrc = (
+        toks.join(qids, toks.doc_id == qids.qid)
+        .select(
+            "qid", F.posexplode("ts").alias("pos", "term")
+        )
+        .groupBy("qid", "term")
+        .agg(F.min("pos").alias("mp"))
+    )
+    qw = Window.partitionBy("qid").orderBy("mp", "term")
+    qterms = (
+        qsrc.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _BM25_QLEN)
+        .select("qid", "term")
+    )
+    sparse = bm25_topk(
+        toks, qterms, F.col("ts"), k1=_BM25_K1, b=_BM25_B, k=_RRF_CHANNEL_K
+    ).select("qid", F.col("doc_id").alias("id"), "rank")
+
+    # dense channel: brute-force cosine (q12's machinery), k=20. The
+    # brute form is the verification channel; q24/q36 are the scale
+    # paths and slot into rrf_fuse unchanged.
+    probes = emb.join(
+        qids, emb.vec_id == qids.qid
+    ).select(F.col("qid").alias("q_id"), "embedding")
+    dense = brute_force_topk(
+        probes, emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+        k=_RRF_CHANNEL_K,
+    ).select(
+        F.col("q_id").alias("qid"),
+        F.col("c_id").alias("id"),
+        F.col("nn_rank").alias("rank"),
+    )
+
+    return rrf_fuse(
+        {"bm25": sparse, "dense": dense}, k0=_RRF_K0, k=_RRF_K
+    ).orderBy("qid", "rank")
+
+
+# DuckDB feature req: list_transform/list_sum (core) + window functions.
+def _q93_sql() -> str:
+    k1p1 = _BM25_K1 + 1.0
+    omb = 1.0 - _BM25_B
+    return f"""
+WITH qids AS (
+  SELECT d.doc_id AS qid FROM documents d
+  JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % {_BM25_QMOD} = 0
+), tl AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+), dl AS (
+  SELECT doc_id, len(ts)::bigint AS dl FROM tl
+), stats AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl)::double / count(*) AS avgdl
+  FROM dl
+), toks AS (
+  SELECT doc_id, i::bigint AS pos, ts[i] AS term
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM tl)
+), postings AS (
+  SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::bigint AS df FROM postings GROUP BY term
+), qt0 AS (
+  SELECT doc_id AS qid, term, min(pos) AS mp
+  FROM toks JOIN qids ON qids.qid = toks.doc_id GROUP BY doc_id, term
+), qterms AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY mp, term) AS rn
+    FROM qt0
+  ) WHERE rn <= {_BM25_QLEN}
+), scored AS (
+  SELECT q.qid, p.doc_id, q.term,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * {k1p1!r})
+           / (p.tf + {_BM25_K1!r} * ({omb!r} + {_BM25_B!r} * l.dl / s.avgdl))
+           AS sc
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id, stats s
+), folded AS (
+  SELECT qid, doc_id, list_sum(list(sc ORDER BY term)) AS score
+  FROM scored GROUP BY qid, doc_id
+), bm AS (
+  SELECT qid, doc_id AS id, rnk FROM (
+    SELECT qid, doc_id, row_number() OVER (
+      PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+    FROM folded
+  ) WHERE rnk <= {_RRF_CHANNEL_K}
+), probes AS (
+  SELECT qids.qid, e.embedding AS qv
+  FROM qids JOIN embeddings e ON e.vec_id = qids.qid
+), cos AS (
+  SELECT p.qid, c.vec_id AS id,
+         list_sum(list_transform(generate_series(1, len(p.qv)),
+                  i -> p.qv[i]::double * c.embedding[i]::double))
+         / (sqrt(list_sum(list_transform(p.qv, x -> x::double * x::double)))
+            * sqrt(list_sum(list_transform(c.embedding,
+                    x -> x::double * x::double)))) AS cs
+  FROM probes p, embeddings c
+), dn AS (
+  SELECT qid, id, rnk FROM (
+    SELECT qid, id, row_number() OVER (
+      PARTITION BY qid ORDER BY cs DESC, id) AS rnk
+    FROM cos
+  ) WHERE rnk <= {_RRF_CHANNEL_K}
+), fused AS (
+  SELECT coalesce(b.qid, d.qid) AS qid, coalesce(b.id, d.id) AS id,
+         coalesce(1.0 / ({_RRF_K0} + b.rnk), 0.0)
+           + coalesce(1.0 / ({_RRF_K0} + d.rnk), 0.0) AS rrf,
+         b.rnk AS bm25_rank, d.rnk AS dense_rank
+  FROM bm b FULL OUTER JOIN dn d ON b.qid = d.qid AND b.id = d.id
+), ranked AS (
+  SELECT qid, id, rrf, bm25_rank, dense_rank,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+           AS "rank"
+  FROM fused
+)
+SELECT qid, "rank", id, round(rrf, 6) + 0.0 AS rrf, bm25_rank, dense_rank
+FROM ranked WHERE "rank" <= {_RRF_K} ORDER BY qid, "rank"
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q94 — KG predicate constraint profile (operators/extract.py
+# predicate_profile): per-predicate functionality / inverse functionality
+# (PARIS-style n_endpoints / n_triples over the distinct triple set) and
+# the functional-violation count (subjects with >1 distinct object) —
+# the quality gate a triple factory runs before shipping edges. All
+# counts integer; the two ratios are single IEEE divisions.
+# ---------------------------------------------------------------------------
+
+
+def q94_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.extract import predicate_profile
+
+    docs = _docs(spark, sf_dir)
+    triples = extract_token_triples(docs, TRIGGERS)
+    return predicate_profile(triples).orderBy("pred")
+
+
+def _q94_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(TRIGGERS.items())
+    )
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH t AS (
+  SELECT DISTINCT t[i-1] AS subj, CASE t[i] {cases} END AS pred,
+         t[i+1] AS obj
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), base AS (
+  SELECT pred, count(*)::bigint AS n_triples,
+         count(DISTINCT subj)::bigint AS n_subj,
+         count(DISTINCT obj)::bigint AS n_obj
+  FROM t GROUP BY pred
+), multi AS (
+  SELECT pred, count(*)::bigint AS n_multi_subj FROM (
+    SELECT pred, subj FROM t GROUP BY pred, subj HAVING count(*) > 1
+  ) GROUP BY pred
+)
+SELECT b.pred, b.n_triples, b.n_subj, b.n_obj,
+       round(b.n_subj::double / b.n_triples, 6) + 0.0 AS functionality,
+       round(b.n_obj::double / b.n_triples, 6) + 0.0 AS inv_functionality,
+       coalesce(m.n_multi_subj, 0)::bigint AS n_multi_subj
+FROM base b LEFT JOIN multi m USING (pred)
+ORDER BY b.pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q95 — local clustering coefficient (operators/graph.py
+# local_clustering) on the KG subject-object graph (q57's edge set).
+# Spark runs the degree-ordered-orientation triangle kernel; the oracle
+# recounts triangles with an INDEPENDENT id-ordered enumeration (q67's
+# discipline), so agreement checks the algorithm, not a replay. lcc =
+# 2 * n_tri / (d * (d - 1)) — one IEEE division of exact integers.
+# ---------------------------------------------------------------------------
+
+
+def q95_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import local_clustering
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return local_clustering(edges).orderBy("node")
+
+
+def _q95_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), deg AS (
+  SELECT node, count(*)::bigint AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), ntri AS (
+  SELECT node, count(*)::bigint AS n_tri FROM (
+    SELECT unnest([x, y, z]) AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg, coalesce(t.n_tri, 0)::bigint AS n_tri,
+       round((2.0 * coalesce(t.n_tri, 0)) / (d.deg * (d.deg - 1)), 6)
+         + 0.0 AS lcc
+FROM deg d LEFT JOIN ntri t USING (node)
+WHERE d.deg >= 2
+ORDER BY d.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q96 — deterministic random walks (operators/graph.py
+# deterministic_walks) over the directed KG subject->object graph: the
+# DeepWalk/node2vec corpus generator with the step choice derandomized
+# to argmin (md5(walk:step:candidate), candidate) so both engines emit
+# identical walks. Seeds = top-50 out-degree hubs. The oracle unrolls
+# the 4 steps as CTEs computing the same argmin with row_number —
+# a DIFFERENT argmin mechanism (window vs min-struct), so agreement
+# checks the choice semantics, not a replay. All string/int — exact.
+# ---------------------------------------------------------------------------
+
+_WALK_SEEDS = 50
+_WALK_LEN = 4
+
+
+def q96_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import deterministic_walks
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return deterministic_walks(
+        edges, n_seeds=_WALK_SEEDS, length=_WALK_LEN
+    ).orderBy("walk_id", "step")
+
+
+def _q96_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    steps = []
+    for s in range(1, _WALK_LEN + 1):
+        steps.append(f"""w{s} AS (
+  SELECT walk_id, {s}::int AS step, d AS node FROM (
+    SELECT w.walk_id, e.d,
+           row_number() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5(w.walk_id || ':' || '{s}' || ':' || e.d), e.d
+           ) AS rn
+    FROM w{s - 1} w JOIN e ON e.s = w.node
+  ) WHERE rn = 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM w{s}" for s in range(0, _WALK_LEN + 1)
+    )
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT s, d FROM raw
+), seeds AS (
+  SELECT s AS walk_id FROM (
+    SELECT s, count(*) AS od FROM e GROUP BY s
+    ORDER BY od DESC, s LIMIT {_WALK_SEEDS}
+  )
+), w0 AS (
+  SELECT walk_id, 0::int AS step, walk_id AS node FROM seeds
+), {", ".join(steps)}
+{unions}
+ORDER BY walk_id, step
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5505,6 +5840,10 @@ def queries():
         "q90_chunk_overlap": q90_chunk_overlap,
         "q91_profile_orders": q91_profile_orders,
         "q92_bigram_surprisal": q92_bigram_surprisal,
+        "q93_rrf_fusion": q93_rrf_fusion,
+        "q94_predicate_profile": q94_predicate_profile,
+        "q95_local_clustering": q95_local_clustering,
+        "q96_random_walks": q96_random_walks,
     }
 
 
@@ -5602,4 +5941,8 @@ def oracle_sql():
         "q90_chunk_overlap": _q90_sql(),
         "q91_profile_orders": _q91_sql(),
         "q92_bigram_surprisal": _q92_sql(),
+        "q93_rrf_fusion": _q93_sql(),
+        "q94_predicate_profile": _q94_sql(),
+        "q95_local_clustering": _q95_sql(),
+        "q96_random_walks": _q96_sql(),
     }

@@ -1,5 +1,6 @@
 """Extraction stage: byte-identical text invariant + mention/triple parsing."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pathhier_spark.operators.extract import (
@@ -53,3 +54,32 @@ def test_token_triples_driver_table(spark, sf_dir):
         if toks[i] in trig
     ]
     assert [(r["pos"], r["subj"], r["pred"], r["obj"]) for r in rows] == expected
+
+
+def test_predicate_profile_known_graph(spark):
+    from pathhier_spark.operators.extract import predicate_profile
+
+    triples = spark.createDataFrame(
+        [
+            # "born_in": functional (each subj one obj), shared obj
+            ("a", "born_in", "x"),
+            ("b", "born_in", "x"),
+            ("c", "born_in", "y"),
+            ("c", "born_in", "y"),  # duplicate mention collapses
+            # "knows": subj a asserts two objects -> one violation
+            ("a", "knows", "b"),
+            ("a", "knows", "c"),
+            ("b", "knows", "c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r["pred"]: r for r in predicate_profile(triples).collect()}
+    bi = out["born_in"]
+    assert (bi["n_triples"], bi["n_subj"], bi["n_obj"]) == (3, 3, 2)
+    assert bi["functionality"] == 1.0
+    assert bi["inv_functionality"] == pytest.approx(2 / 3, abs=1e-6)
+    assert bi["n_multi_subj"] == 0
+    kn = out["knows"]
+    assert (kn["n_triples"], kn["n_subj"], kn["n_obj"]) == (3, 2, 2)
+    assert kn["functionality"] == pytest.approx(2 / 3, abs=1e-6)
+    assert kn["n_multi_subj"] == 1

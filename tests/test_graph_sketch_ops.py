@@ -272,3 +272,69 @@ def test_hits_empty_graph_scores_zero(spark):
     # no edges at all -> no nodes, empty result (guard: no div-by-zero)
     df = spark.createDataFrame([], "src string, dst string")
     assert hits_fixedpoint(df).collect() == []
+
+
+# --- local clustering coefficient ------------------------------------------
+
+
+def test_local_clustering_known_graph(spark):
+    from pathhier_spark.operators.graph import local_clustering
+
+    # K4 on {0,1,2,3} plus pendant 4 attached to 0:
+    #   nodes 1,2,3: deg 3, tri 3 -> lcc = 2*3/(3*2) = 1.0
+    #   node 0: deg 4, tri 3 -> lcc = 2*3/(4*3) = 0.5
+    #   node 4: deg 1 -> excluded (lcc undefined)
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b] + [(0, 4)]
+    out = {r["node"]: r for r in local_clustering(_edges(spark, pairs)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["lcc"] == 0.5 and out[0]["deg"] == 4
+    assert all(out[n]["lcc"] == 1.0 for n in (1, 2, 3))
+
+
+def test_local_clustering_triangle_free(spark):
+    from pathhier_spark.operators.graph import local_clustering
+
+    # path graph: middle nodes have deg 2 but no triangles -> lcc 0.0
+    out = {
+        r["node"]: r
+        for r in local_clustering(
+            _edges(spark, [(0, 1), (1, 2), (2, 3)])
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert all(r["n_tri"] == 0 and r["lcc"] == 0.0 for r in out.values())
+
+
+# --- deterministic walks ----------------------------------------------------
+
+
+def test_deterministic_walks_reproducible_and_sinks(spark):
+    from pathhier_spark.operators.graph import deterministic_walks
+
+    # hub 0 -> {1,2,3}; 1 -> {4}; everything else is a sink
+    e = spark.createDataFrame(
+        [("n0", "n1"), ("n0", "n2"), ("n0", "n3"), ("n1", "n4")],
+        "src string, dst string",
+    )
+    out1 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in deterministic_walks(e, n_seeds=2, length=3).collect()
+    )
+    # seeds = top out-degree: n0 (3), n1 (1)
+    assert {w for w, _, _ in out1} == {"n0", "n1"}
+    # step 0 is the seed itself
+    assert ("n0", 0, "n0") in out1 and ("n1", 0, "n1") in out1
+    # n1's walk: n1 -> n4 (only edge) then n4 is a sink -> walk ends
+    n1_walk = [(s, n) for w, s, n in out1 if w == "n1"]
+    assert n1_walk == [(0, "n1"), (1, "n4")]
+    # n0's walk takes exactly one of {n1,n2,n3} at step 1 (hash argmin)
+    n0_step1 = [n for w, s, n in out1 if w == "n0" and s == 1]
+    assert len(n0_step1) == 1 and n0_step1[0] in {"n1", "n2", "n3"}
+    # reproducible under a different partitioning of the same edges
+    out2 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in deterministic_walks(
+            e.repartition(7), n_seeds=2, length=3
+        ).collect()
+    )
+    assert out1 == out2

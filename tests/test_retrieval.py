@@ -200,3 +200,50 @@ def test_containment_skips_short_docs(spark):
     assert containment_join_exact(
         docs, _tokens("text"), n=3, threshold=0.1
     ).collect() == []
+
+
+# --- reciprocal-rank fusion -------------------------------------------------
+
+
+def test_rrf_fuse_known_values(spark):
+    from pathhier_spark.operators.retrieval import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "qid long, id long, rank long"
+    )
+    dn = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)], "qid long, id long, rank long"
+    )
+    out = rrf_fuse({"bm25": bm, "dense": dn}, k0=60, k=10).collect()
+    rows = {r["id"]: r for r in out}
+    # doc 20 appears in both channels: 1/62 + 1/61 — the winner
+    assert rows[20]["rank"] == 1
+    assert rows[20]["rrf"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert rows[20]["bm25_rank"] == 2 and rows[20]["dense_rank"] == 1
+    # single-channel docs carry a NULL for the missing channel
+    assert rows[10]["dense_rank"] is None
+    assert rows[40]["bm25_rank"] is None
+    # 1/61 (rank-1 single channel) beats 1/63 but loses to the fused doc
+    assert rows[10]["rrf"] == pytest.approx(1 / 61, abs=1e-6)
+    assert [r["id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        20, 10, 40, 30,
+    ]
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    from pathhier_spark.operators.retrieval import rrf_fuse
+
+    # two docs with identical (symmetric) channel ranks -> equal rrf;
+    # the lower id must win the tie deterministically
+    bm = spark.createDataFrame(
+        [(1, 7, 1), (1, 5, 2)], "qid long, id long, rank long"
+    )
+    dn = spark.createDataFrame(
+        [(1, 5, 1), (1, 7, 2)], "qid long, id long, rank long"
+    )
+    out = sorted(
+        rrf_fuse({"bm25": bm, "dense": dn}, k0=60, k=10).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["id"] for r in out] == [5, 7]
+    assert out[0]["rrf"] == out[1]["rrf"]
