@@ -215,3 +215,64 @@ def transition_matrix(
             F.col("n_trans").cast("double") / F.col("n_src"), 6
         ).alias("prob"),
     )
+
+
+def sliding_window_distinct(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-window activity metrics per day: for each calendar
+    day present in the data, the event count and DISTINCT active-key
+    count over the trailing ``window_days`` window — the rolling-WAU/MAU
+    family, computed EXACTLY.
+
+    Exact sliding distincts cannot be built from per-day distinct counts
+    (distinct does not re-aggregate), and a windowed countDistinct over
+    raw events would sort the full stream. The scale shape used here:
+
+    1. collapse the stream ONCE to distinct (day, key) pairs — the only
+       event-volume shuffle, and a combiner-friendly one;
+    2. explode each pair into the <= ``window_days`` output days it
+       contributes to (bounded constant fan-out, map-side);
+    3. semi-join to the observed-day domain and countDistinct per
+       output day — cardinality bounded by days x keys, not events.
+
+    Rolling event counts ride the same contribution explode off the
+    tiny per-day totals table. All-integer output — hash-exact.
+
+    Returns (day, n_events_day, n_users_day, n_events_win, n_users_win)
+    ordered by day, where *_win covers [day - window_days + 1, day].
+    """
+    d = F.to_date(F.col(ts_col)).alias("day")
+    days = events.select(d).distinct()
+    span = F.sequence(
+        F.col("day"), F.date_add(F.col("day"), window_days - 1)
+    )
+    pairs = events.select(d, F.col(key_col).alias("k")).distinct()
+    u_win = (
+        pairs.select(F.explode(span).alias("day"), "k")
+        .join(days, "day")  # only observed days emit output rows
+        .groupBy("day")
+        .agg(F.countDistinct("k").cast("long").alias("n_users_win"))
+    )
+    daily = events.select(d, F.col(key_col).alias("k")).groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events_day"),
+        F.countDistinct("k").cast("long").alias("n_users_day"),
+    )
+    e_win = (
+        daily.select(
+            F.explode(span).alias("day"), F.col("n_events_day").alias("ne")
+        )
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.sum("ne").cast("long").alias("n_events_win"))
+    )
+    return (
+        daily.join(u_win, "day").join(e_win, "day").select(
+            "day", "n_events_day", "n_users_day", "n_events_win",
+            "n_users_win",
+        )
+    )

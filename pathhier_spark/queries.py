@@ -5746,6 +5746,54 @@ ORDER BY walk_id, step
 """
 
 
+# ---------------------------------------------------------------------------
+# Q97 — exact trailing-window activity (operators/temporal.py
+# sliding_window_distinct): rolling 7-day event counts and EXACT rolling
+# distinct active users per day. Distinct counts do not re-aggregate, so
+# the kernel collapses the stream to (day, user) pairs once, explodes
+# each pair into the <= 7 days it serves (constant map-side fan-out),
+# and countDistincts per output day — never a sorted window over raw
+# events. All-integer.
+# ---------------------------------------------------------------------------
+
+_SWD_DAYS = 7
+
+
+def q97_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import sliding_window_distinct
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return sliding_window_distinct(
+        ev, ts_col="ts", key_col="user_id", window_days=_SWD_DAYS
+    ).orderBy("day")
+
+
+def _q97_sql() -> str:
+    w = _SWD_DAYS - 1
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT ts::date AS day, user_id AS k FROM events
+), days AS (
+  SELECT DISTINCT day FROM pairs
+), u_win AS (
+  SELECT d.day, count(DISTINCT p.k)::bigint AS n_users_win
+  FROM pairs p JOIN days d ON d.day BETWEEN p.day AND p.day + {w}
+  GROUP BY d.day
+), daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS n_events_day,
+         count(DISTINCT user_id)::bigint AS n_users_day
+  FROM events GROUP BY 1
+), e_win AS (
+  SELECT d.day, sum(x.n_events_day)::bigint AS n_events_win
+  FROM daily x JOIN days d ON d.day BETWEEN x.day AND x.day + {w}
+  GROUP BY d.day
+)
+SELECT daily.day, n_events_day, n_users_day, n_events_win, n_users_win
+FROM daily JOIN u_win USING (day) JOIN e_win USING (day)
+ORDER BY daily.day
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5844,6 +5892,7 @@ def queries():
         "q94_predicate_profile": q94_predicate_profile,
         "q95_local_clustering": q95_local_clustering,
         "q96_random_walks": q96_random_walks,
+        "q97_sliding_window": q97_sliding_window,
     }
 
 
@@ -5945,4 +5994,5 @@ def oracle_sql():
         "q94_predicate_profile": _q94_sql(),
         "q95_local_clustering": _q95_sql(),
         "q96_random_walks": _q96_sql(),
+        "q97_sliding_window": _q97_sql(),
     }

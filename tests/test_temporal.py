@@ -163,3 +163,36 @@ def test_asof_join_null_key_never_matches(spark):
         for r in asof_join(left, right, on="k").collect()
     }
     assert got == {"l1": None, "l2": "rv"}
+
+
+# --- sliding-window distinct -----------------------------------------------
+
+
+def test_sliding_window_distinct_hand_computed(spark):
+    from pathhier_spark.operators.temporal import sliding_window_distinct
+
+    rows = [
+        # (ts, user): day 1 has users {1,2}; day 2 {2}; day 5 {3};
+        # gap days 3-4 have no rows (and must emit no output rows)
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 11:00:00", 2),
+        ("2024-01-01 12:00:00", 1),  # same user twice in one day
+        ("2024-01-02 09:00:00", 2),
+        ("2024-01-05 09:00:00", 3),
+    ]
+    ev = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    out = {
+        str(r["day"]): r
+        for r in sliding_window_distinct(ev, window_days=3).collect()
+    }
+    assert sorted(out) == ["2024-01-01", "2024-01-02", "2024-01-05"]
+    d1 = out["2024-01-01"]
+    assert (d1["n_events_day"], d1["n_users_day"]) == (3, 2)
+    assert (d1["n_events_win"], d1["n_users_win"]) == (3, 2)
+    d2 = out["2024-01-02"]  # window covers days 1-2: users {1,2}
+    assert (d2["n_events_day"], d2["n_users_day"]) == (1, 1)
+    assert (d2["n_events_win"], d2["n_users_win"]) == (4, 2)
+    d5 = out["2024-01-05"]  # window covers days 3-5: only user 3
+    assert (d5["n_events_win"], d5["n_users_win"]) == (1, 1)
