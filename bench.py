@@ -232,6 +232,11 @@ def main() -> None:
         # web-KG edge table) and bigram surprisal (order-2 LM scoring)
         "q88_anchor_graph",
         "q92_bigram_surprisal",
+        # round-5 closing: RRF hybrid retrieval (two-channel fusion — the
+        # serving composite over the BM25 + dense families) and exact
+        # sliding-window distincts (rolling-WAU family)
+        "q93_rrf_fusion",
+        "q97_sliding_window",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

@@ -5444,8 +5444,14 @@ def q93_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # sparse channel: q63's deterministic query construction (first
-    # _BM25_QLEN first-occurrence tokens of the query doc), k=20
-    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    # _BM25_QLEN first-occurrence tokens of the query doc), k=20.
+    # Checkpoint the tokenized corpus once: the query-term derivation
+    # and bm25_topk's postings/doc-length/df branches all re-read it,
+    # and without the checkpoint each branch re-tokenizes from parquet
+    # (the q51 lineage lesson; measured 16s -> ~8s at sf0.1).
+    toks = docs.select(
+        "doc_id", _tokens("text").alias("ts")
+    ).localCheckpoint(eager=True)
     qsrc = (
         toks.join(qids, toks.doc_id == qids.qid)
         .select(
