@@ -598,3 +598,200 @@ def hits_fixedpoint(
             ),
         )
     )
+
+
+def neighborhood_aggregate(
+    edges: DataFrame,
+    features: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    feat_col: str = "feat",
+    hops: int = 2,
+) -> DataFrame:
+    """GNN-style integer message passing over the directed KG: round k
+    gives every node the (sum, path-count) of its k-hop out-neighborhood's
+    integer feature, counted WITH path multiplicity (exactly what a
+    mean-aggregator GNN layer composes before normalizing). Generalizes
+    the reference's one-hop neighbor feature gathering
+    (pathway.py:769-781 hierarchy walk + pw_aligner.py:104-135 BOW
+    overlap) into the k-layer propagation a KG embedding stage needs.
+
+    All arithmetic is int64 (sums of bigint features) so partitioning
+    can never perturb results; callers divide sum/count themselves if
+    they want the float mean.
+
+    Scale shape: each hop is ONE equi-join of the (node-sized) message
+    frame onto edges at `dst` + one combiner-friendly groupBy at `src` —
+    the same join the ranks table makes in pagerank_fixedpoint, so the
+    same bucketing answer applies at 100 TB (bucket edges by dst; the
+    message frame is node-sized and co-partitions for free). The message
+    frame is localCheckpoint-ed per hop to keep lineage flat. Path counts
+    grow multiplicatively with degree — at hops<=3 on web graphs the
+    int64 headroom (9.2e18) holds to ~10^6-degree hubs; beyond that cap
+    hub degree upstream.
+
+    Output: (node, feat, then per hop k: h{k}_sum, h{k}_cnt) for every
+    node in `features`; nodes with no k-hop out-path get (0, 0)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    base = features.select(
+        F.col(node_col).alias("node"), F.col(feat_col).cast("long").alias("feat")
+    )
+    out = base
+    # msg carries (node, m_sum, m_cnt): the hop-(k-1) aggregate being
+    # pushed one more hop. Hop 1 propagates the raw feature itself.
+    msg = base.select(
+        "node", F.col("feat").alias("m_sum"), F.lit(1).cast("long").alias("m_cnt")
+    )
+    for k in range(1, hops + 1):
+        hop = (
+            e.join(msg.withColumnRenamed("node", "d"), "d")
+            .groupBy("s")
+            .agg(
+                F.sum("m_sum").alias("m_sum"),
+                F.sum("m_cnt").alias("m_cnt"),
+            )
+            .withColumnRenamed("s", "node")
+            .localCheckpoint(eager=True)
+        )
+        out = out.join(hop, "node", "left").select(
+            out["*"],
+            F.coalesce(F.col("m_sum"), F.lit(0)).cast("long").alias(f"h{k}_sum"),
+            F.coalesce(F.col("m_cnt"), F.lit(0)).cast("long").alias(f"h{k}_cnt"),
+        )
+        msg = hop
+    return out
+
+
+def common_neighbor_links(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction on the undirected KG —
+    the classic KG-completion primitive: for every non-adjacent node pair
+    that closes an open wedge, count shared neighbors and score
+    jaccard = common / (deg(a) + deg(b) - common). This is the candidate
+    generator a curation loop runs after canonicalization to propose
+    missing edges (the alignment analogue of pw_aligner's token-overlap
+    candidate stage, lifted from strings to graph structure).
+
+    Algorithm: canonicalize to undirected (u < v) edges, then enumerate
+    wedges by joining the adjacency list with itself on the center node
+    (a < b kills mirror duplicates), groupBy-count the pair, anti-join
+    existing edges, join degrees. Every step is an equi-join or a
+    combiner-friendly count — no crossJoin anywhere.
+
+    Scale shape: wedge count is sum(deg_w^2) — a hub with degree D emits
+    D^2/2 candidate pairs, THE skew hazard of this op at web scale.
+    `max_degree` drops hub centers before enumeration (the standard
+    Vernica/ANN-benchmarks mitigation; at 10^12 docs set it near p99.9
+    degree so celebrity hubs don't dominate); capped results are a
+    documented under-approximation (hub-mediated wedges vanish).
+    Output: (a, b, common, deg_a, deg_b, jaccard DOUBLE), one IEEE
+    division of exact int64s per row."""
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") < F.col("v")).distinct().localCheckpoint(eager=True)
+    adj = und.select(
+        F.col("u").alias("w"), F.col("v").alias("n")
+    ).union(und.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        centers = adj.join(
+            deg.filter(F.col("deg") <= max_degree), "w"
+        ).select("w", "n")
+    else:
+        centers = adj
+    wedges = (
+        centers.alias("x")
+        .join(centers.alias("y"), "w")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common")
+    ).filter(F.col("common") >= min_common)
+    cand = common.join(
+        und,
+        (common["a"] == und["u"]) & (common["b"] == und["v"]),
+        "left_anti",
+    )
+    return (
+        cand.join(deg.withColumnRenamed("w", "a").withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("w", "b").withColumnRenamed("deg", "deg_b"), "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def transitive_closure_mindist(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    doublings: int = 3,
+) -> DataFrame:
+    """All-pairs shortest hop-distance up to 2**doublings via iterative
+    min-plus doubling — the ontology subsumption-closure operator (the
+    full materialization of what bfs_closure walks from fixed roots;
+    reference: biocyc_ontology.py:45-79 ancestor closure). After round r
+    the frame holds EXACTLY the pairs whose true distance is <= 2**r,
+    each at its true distance: any shortest path of length L <= 2**r
+    splits at its midpoint into two shortest halves of length <= 2**(r-1),
+    so the min-plus self-join finds it, and every emitted value is the
+    length of a real path so it can never undershoot.
+
+    log2(diameter) rounds instead of diameter rounds — the reason to
+    prefer doubling over frontier BFS when the closure itself is the
+    output (ontology is-a DAGs run 10-20 levels deep; 4-5 doublings
+    close them). Scope honestly: the output is the closure, which is
+    inherently O(reachable pairs) — right-sized for ontology/hierarchy
+    graphs (10^4-10^6 nodes, the reference's regime), NOT for the full
+    web graph, where bounded-depth bfs_closure from seed sets is the
+    tool. Each round is one self-equi-join (dst==src) + one min-combiner
+    groupBy, checkpointed to keep lineage flat. Cycles are benign:
+    self-pairs are filtered at the end, and min() absorbs revisits.
+    Output: (src, dst, dist INT), src != dst, dist <= 2**doublings."""
+    d = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(doublings):
+        composed = (
+            d.alias("p")
+            .join(d.alias("q"), F.col("p.b") == F.col("q.a"))
+            .select(
+                F.col("p.a").alias("a"),
+                F.col("q.b").alias("b"),
+                (F.col("p.dist") + F.col("q.dist")).alias("dist"),
+            )
+        )
+        d = (
+            d.union(composed)
+            .groupBy("a", "b")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return d.filter(F.col("a") != F.col("b")).select(
+        F.col("a").alias(src), F.col("b").alias(dst), F.col("dist")
+    )

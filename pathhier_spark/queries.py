@@ -5800,6 +5800,202 @@ ORDER BY daily.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q98 — 2-hop GNN-style neighborhood aggregation (operators/graph.py
+# neighborhood_aggregate) over the directed KG word graph (q57's edge
+# set). Feature = out-degree; hop k carries (sum, path-count) of the
+# k-hop out-neighborhood with path multiplicity — all int64, so no float
+# summation order exists to diverge. The oracle recomputes both hops as
+# plain aggregating self-joins (a DIFFERENT evaluation shape than the
+# operator's message-frame loop).
+# ---------------------------------------------------------------------------
+
+
+def q98_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import neighborhood_aggregate
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        extract_token_triples(docs, TRIGGERS)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("feat"))
+        .withColumnRenamed("src", "node")
+    )
+    feats = nodes.join(outdeg, "node", "left").select(
+        "node", F.coalesce(F.col("feat"), F.lit(0)).cast("long").alias("feat")
+    )
+    return neighborhood_aggregate(edges, feats, hops=2).orderBy("node")
+
+
+# DuckDB feature req: core only. Every sum() is wrapped ::bigint — DuckDB
+# sums BIGINT into HUGEINT, which pandas-path fetches turn into float64
+# and the driver then hash-diverges (q46's r4 lesson).
+def _q98_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), nodes AS (
+  SELECT s AS node FROM e UNION SELECT d FROM e
+), od AS (
+  SELECT s AS node, count(*)::bigint AS feat FROM e GROUP BY s
+), f AS (
+  SELECT n.node, coalesce(od.feat, 0)::bigint AS feat
+  FROM nodes n LEFT JOIN od USING (node)
+), h1 AS (
+  SELECT e.s AS node, sum(f.feat)::bigint AS h1_sum,
+         count(*)::bigint AS h1_cnt
+  FROM e JOIN f ON f.node = e.d GROUP BY e.s
+), h2 AS (
+  SELECT e.s AS node, sum(h1.h1_sum)::bigint AS h2_sum,
+         sum(h1.h1_cnt)::bigint AS h2_cnt
+  FROM e JOIN h1 ON h1.node = e.d GROUP BY e.s
+)
+SELECT f.node, f.feat,
+       coalesce(h1.h1_sum, 0)::bigint AS h1_sum,
+       coalesce(h1.h1_cnt, 0)::bigint AS h1_cnt,
+       coalesce(h2.h2_sum, 0)::bigint AS h2_sum,
+       coalesce(h2.h2_cnt, 0)::bigint AS h2_cnt
+FROM f LEFT JOIN h1 USING (node) LEFT JOIN h2 USING (node)
+ORDER BY f.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q99 — common-neighbor / Jaccard link prediction (operators/graph.py
+# common_neighbor_links) on the undirected canonical KG: propose the
+# non-adjacent node pairs that close >= 2 open wedges, scored
+# jaccard = common / (deg_a + deg_b - common). The KG-completion
+# candidate generator a curation loop runs after canonicalization. The
+# oracle enumerates wedges with NOT EXISTS anti-semantics instead of the
+# operator's left_anti join.
+# ---------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 2
+
+
+def q99_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import common_neighbor_links
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    r = common_neighbor_links(edges, min_common=_LP_MIN_COMMON)
+    return r.select(
+        "a", "b", "common", "deg_a", "deg_b",
+        _rz(F.col("jaccard"), 6).alias("jaccard"),
+    ).orderBy("a", "b")
+
+
+def _q99_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), adj AS (
+  SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e
+), deg AS (
+  SELECT w, count(*)::bigint AS deg FROM adj GROUP BY w
+), common AS (
+  SELECT x.n AS a, y.n AS b, count(*)::bigint AS common
+  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+  GROUP BY x.n, y.n
+  HAVING count(*) >= {_LP_MIN_COMMON}
+), cand AS (
+  SELECT * FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+)
+SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+       round(c.common::double / (da.deg + db.deg - c.common), 6) + 0.0
+         AS jaccard
+FROM cand c
+JOIN deg da ON da.w = c.a
+JOIN deg db ON db.w = c.b
+ORDER BY c.a, c.b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q100 — ontology subsumption closure (operators/graph.py
+# transitive_closure_mindist): all-pairs min hop-distance <= 8 over the
+# KG's containment hierarchy (pred = 'component'), computed in 3
+# min-plus DOUBLING rounds (log2(diameter) joins, vs the oracle's
+# depth-by-depth recursive CTE — two different closure algorithms
+# agreeing exactly). The full materialization of what bfs_closure (G5,
+# biocyc_ontology.py:45-79) walks from fixed roots.
+# ---------------------------------------------------------------------------
+
+_TC_DOUBLINGS = 3  # closes distances <= 2**3 = 8
+
+
+def q100_subsumption_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import transitive_closure_mindist
+
+    docs = _docs(spark, sf_dir)
+    hier = (
+        extract_token_triples(docs, TRIGGERS)
+        .filter(F.col("pred") == "component")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    return transitive_closure_mindist(hier, doublings=_TC_DOUBLINGS).orderBy(
+        "src", "dst"
+    )
+
+
+# DuckDB feature req: WITH RECURSIVE (core). The UNION (not UNION ALL)
+# dedupes (s, d, dist) triples per level so cyclic token graphs terminate
+# under the dist < 8 cap.
+def _q100_sql() -> str:
+    max_dist = 2 ** _TC_DOUBLINGS
+    # the 'merge' trigger maps to pred 'component' (TRIGGERS)
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] = 'merge'
+), r AS (
+  SELECT s, d, 1 AS dist FROM e
+  UNION
+  SELECT r.s, e.d, r.dist + 1 FROM r JOIN e ON e.s = r.d
+  WHERE r.dist < {max_dist}
+)
+SELECT s AS src, d AS dst, min(dist)::int AS dist
+FROM r WHERE s <> d
+GROUP BY s, d
+ORDER BY src, dst
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5899,6 +6095,9 @@ def queries():
         "q95_local_clustering": q95_local_clustering,
         "q96_random_walks": q96_random_walks,
         "q97_sliding_window": q97_sliding_window,
+        "q98_neighbor_agg": q98_neighbor_agg,
+        "q99_link_predict": q99_link_predict,
+        "q100_subsumption_closure": q100_subsumption_closure,
     }
 
 
@@ -6001,4 +6200,7 @@ def oracle_sql():
         "q95_local_clustering": _q95_sql(),
         "q96_random_walks": _q96_sql(),
         "q97_sliding_window": _q97_sql(),
+        "q98_neighbor_agg": _q98_sql(),
+        "q99_link_predict": _q99_sql(),
+        "q100_subsumption_closure": _q100_sql(),
     }

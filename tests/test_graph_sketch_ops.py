@@ -338,3 +338,113 @@ def test_deterministic_walks_reproducible_and_sinks(spark):
         ).collect()
     )
     assert out1 == out2
+
+
+# --- neighborhood_aggregate / common_neighbor_links /
+# --- transitive_closure_mindist (round 5)
+
+def test_neighbor_agg_hand_computed(spark):
+    from pathhier_spark.operators.graph import neighborhood_aggregate
+
+    # 1 -> 2, 1 -> 3, 2 -> 3 ; feat = out-degree: {1: 2, 2: 1, 3: 0}
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src int, dst int")
+    f = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 0)], "node int, feat int"
+    )
+    got = {
+        r["node"]: (r["h1_sum"], r["h1_cnt"], r["h2_sum"], r["h2_cnt"])
+        for r in neighborhood_aggregate(e, f, hops=2).collect()
+    }
+    # node 1: 1-hop nbrs {2,3} -> sum 1+0=1 cnt 2; 2-hop paths 1->2->3 -> sum 0 cnt 1
+    # node 2: 1-hop {3} -> (0,1); no 2-hop (3 has no out-edges) -> (0,0)
+    # node 3: no out-edges -> all zero
+    assert got == {1: (1, 2, 0, 1), 2: (0, 1, 0, 0), 3: (0, 0, 0, 0)}
+
+
+def test_neighbor_agg_path_multiplicity(spark):
+    from pathhier_spark.operators.graph import neighborhood_aggregate
+
+    # diamond: 1->2, 1->3, 2->4, 3->4 — TWO 2-hop paths from 1 to 4
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    f = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 7)], "node int, feat int"
+    )
+    got = {
+        r["node"]: (r["h2_sum"], r["h2_cnt"])
+        for r in neighborhood_aggregate(e, f, hops=2).collect()
+    }
+    assert got[1] == (14, 2)  # 4's feat counted once per path
+
+
+def test_common_neighbor_links_wedge(spark):
+    from pathhier_spark.operators.graph import common_neighbor_links
+
+    # square 1-2-3-4-1: (1,3) and (2,4) are the non-adjacent diagonals,
+    # each sharing exactly the two opposite corners
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    rows = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in common_neighbor_links(e, min_common=2).collect()
+    }
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)] == (2, 2, 2, 1.0)  # jaccard 2/(2+2-2)
+
+
+def test_common_neighbor_links_excludes_existing_edges(spark):
+    from pathhier_spark.operators.graph import common_neighbor_links
+
+    # triangle + pendant: every wedge pair is already an edge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    assert common_neighbor_links(e, min_common=1).count() == 0
+
+
+def test_common_neighbor_links_max_degree_drops_hub_wedges(spark):
+    from pathhier_spark.operators.graph import common_neighbor_links
+
+    # star: hub 0 connects 1..4; all pairs share only the hub
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src int, dst int"
+    )
+    assert common_neighbor_links(e, min_common=1).count() == 6
+    assert (
+        common_neighbor_links(e, min_common=1, max_degree=3).count() == 0
+    )
+
+
+def test_transitive_closure_chain_and_bound(spark):
+    from pathhier_spark.operators.graph import transitive_closure_mindist
+
+    # chain 0->1->...->9: distances up to 9, but 3 doublings close only <= 8
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src int, dst int"
+    )
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in transitive_closure_mindist(e, doublings=3).collect()
+    }
+    assert got[(0, 8)] == 8
+    assert (0, 9) not in got  # dist 9 > 2**3
+    assert got[(3, 7)] == 4
+    assert len(got) == sum(min(9 - i, 8) for i in range(9))
+
+
+def test_transitive_closure_takes_min_and_survives_cycles(spark):
+    from pathhier_spark.operators.graph import transitive_closure_mindist
+
+    # cycle 1->2->3->1 plus shortcut 1->3
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src int, dst int"
+    )
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in transitive_closure_mindist(e, doublings=3).collect()
+    }
+    assert got[(1, 3)] == 1  # min(shortcut, via 2)
+    assert got[(3, 2)] == 2  # 3->1->2
+    assert all(a != b for (a, b) in got)  # self-pairs filtered
