@@ -65,3 +65,73 @@ def entity_bow_embeddings(
             ).alias("embedding")
         )
     )
+
+
+def jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Achlioptas-style +-1 Johnson-Lindenstrauss sign matrix, every entry
+    derived from md5('jl:<j>:<i>') — the engine-portable hex32 trick the
+    SRP planes use (similarity.md5_hyperplanes), so the projection is
+    exactly reproducible in DuckDB SQL. Rows are output dims."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss compression of an embedding column: project
+    `in_dim`-dim float vectors onto `out_dim` deterministic +-1 sign rows
+    (jl_signs) in EXACT integer arithmetic — quantize to int64
+    (floor(x * 1e6), the q24 discipline), then each output component is an
+    integer signed sum, bit-exact across engines, partitionings, and
+    retries. JL guarantees pairwise distances/cosines survive within
+    (1 +- eps) at out_dim = O(log n / eps^2); q101 measures the actual
+    distortion rather than citing it.
+
+    The compression stage a 10^12-scale ANN pipeline runs FIRST: shrink
+    768-dim float32 vectors ~10-50x before LSH/IVF bucketing so every
+    downstream shuffle (bucket join, centroid assign, verify) moves
+    short integer arrays instead of wide floats. Map-only: the sign
+    matrix rides in as one broadcast nested-array row (the IVF
+    broadcast-centroid regime — never out_dim*in_dim inline literals);
+    no shuffle, whole-stage codegen end to end.
+
+    Overflow headroom: |component| <= in_dim * max|x| * 1e6 — at 768 dims
+    that bounds |x| < ~12e3, far past any normalized embedding.
+    Output: (id_col, proj: array<bigint> length out_dim)."""
+    spark = df.sparkSession
+    signs = jl_signs(out_dim, in_dim)
+    mat = spark.createDataFrame(
+        [(signs,)], "jl_mat: array<array<bigint>>"
+    )
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1_000_000)
+    )
+    proj = F.transform(
+        F.col("jl_mat"),
+        lambda row: F.aggregate(
+            F.zip_with(F.col("_qv"), row, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(mat))
+        .withColumn("_qv", q)
+        .select(F.col(id_col), proj.alias("proj"))
+    )

@@ -5996,6 +5996,138 @@ ORDER BY src, dst
 
 
 
+# ---------------------------------------------------------------------------
+# Q101 — Johnson-Lindenstrauss compression + measured distortion
+# (operators/embeddings.jl_project): project the 64-dim float embeddings
+# onto 16 deterministic md5-derived +-1 sign rows in exact int64, then
+# report, for each consecutive-id vector pair, the original vs projected
+# cosine and the absolute distortion — the JL guarantee measured instead
+# of cited. The projection itself is bit-exact (integer signed sums);
+# only the final cosines are floats, rounded-6 on both engines.
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIM = 16
+
+
+def q101_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.embeddings import jl_project
+    from pathhier_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    proj = jl_project(
+        emb, in_dim=_EMB_DIM, out_dim=_JL_OUT_DIM
+    ).localCheckpoint(eager=True)
+
+    # cast to double BEFORE the multiply: Spark's float32*float32 rounds
+    # each product to float32 while the oracle's ::double * ::double does
+    # not — at ~1000 pairs the 7th-decimal drift lands on round-half
+    # boundaries (q12 dodges this only by sampling 10 queries)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pairs = (
+        emb.select(F.col("vec_id").alias("a"), dbl.alias("va"))
+        .filter(F.col("a") % 2 == 0)
+        .join(
+            emb.select((F.col("vec_id") - 1).alias("a"), dbl.alias("vb")),
+            "a",
+        )
+    )
+    ppairs = (
+        proj.select(F.col("vec_id").alias("a"), F.col("proj").alias("pa"))
+        .join(
+            proj.select(
+                (F.col("vec_id") - 1).alias("a"), F.col("proj").alias("pb")
+            ),
+            "a",
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("pa", "pb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def _inorm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.col(c), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).cast("double")
+        )
+
+    cos_proj = idot.cast("double") / (_inorm("pa") * _inorm("pb"))
+    out = pairs.join(ppairs, "a").select(
+        "a",
+        (F.col("a") + 1).alias("b"),
+        _rz(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos_orig"),
+        _rz(cos_proj, 6).alias("cos_proj"),
+        # distortion from the ALREADY-ROUNDED cosines: the raw difference
+        # sits at round-half boundaries whenever the engines' float32-vs-
+        # double multiply diverges in the 7th decimal (observed at
+        # sf0.001: 0.438375 vs 0.438376)
+        _rz(
+            F.abs(
+                _rz(cosine_expr(F.col("va"), F.col("vb")), 6)
+                - _rz(cos_proj, 6)
+            ),
+            6,
+        ).alias("abs_err"),
+    )
+    return out.orderBy("a")
+
+
+# DuckDB feature req: md5() + list higher-order fns (core). The +-1 sign
+# matrix is re-derived from the same md5 formula; the projection compares
+# as exact int64, the cosines as round-6 doubles (q24's discipline).
+def _q101_sql() -> str:
+    d, od = _EMB_DIM, _JL_OUT_DIM
+    sign_key = "'jl:' || j.j::varchar || ':' || i.i::varchar"
+    quant = "list_transform(embedding, x -> floor(x::double * 1000000)::bigint)"
+    fdot = (
+        "list_sum(list_transform(generate_series(1, {n}),"
+        " i -> {a}[i]::double * {b}[i]::double))"
+    )
+    return f"""
+WITH coef AS (
+  SELECT j.j AS j, i.i AS i,
+         CASE WHEN {_sql_hex32(sign_key)} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM range(0, {od}) j(j), range(0, {d}) i(i)
+), mat AS (
+  SELECT j, list(s ORDER BY i) AS ss FROM coef GROUP BY j
+), pr AS (
+  SELECT vec_id, list(comp ORDER BY j) AS proj FROM (
+    SELECT e.vec_id, m.j,
+           list_sum(list_transform(generate_series(1, {d}),
+             i -> qv[i] * m.ss[i]))::bigint AS comp
+    FROM (SELECT vec_id, {quant} AS qv FROM embeddings) e, mat m
+  ) GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, a.embedding AS va, b.embedding AS vb,
+         pa.proj AS pa, pb.proj AS pb
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  JOIN pr pa ON pa.vec_id = a.vec_id
+  JOIN pr pb ON pb.vec_id = b.vec_id
+  WHERE a.vec_id % 2 = 0
+), scored AS (
+  SELECT a, b,
+         {fdot.format(n=d, a='va', b='vb')}
+           / (sqrt({fdot.format(n=d, a='va', b='va')})
+              * sqrt({fdot.format(n=d, a='vb', b='vb')})) AS cos_orig,
+         list_sum(list_transform(generate_series(1, {od}),
+                                 i -> pa[i] * pb[i]))::double
+           / (sqrt(list_sum(list_transform(pa, x -> x * x))::double)
+              * sqrt(list_sum(list_transform(pb, x -> x * x))::double))
+           AS cos_proj
+  FROM pairs
+)
+SELECT a, b, (round(cos_orig, 6) + 0.0) AS cos_orig,
+       (round(cos_proj, 6) + 0.0) AS cos_proj,
+       (round(abs(round(cos_orig, 6) - round(cos_proj, 6)), 6) + 0.0)
+         AS abs_err
+FROM scored ORDER BY a
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6098,6 +6230,7 @@ def queries():
         "q98_neighbor_agg": q98_neighbor_agg,
         "q99_link_predict": q99_link_predict,
         "q100_subsumption_closure": q100_subsumption_closure,
+        "q101_jl_distortion": q101_jl_distortion,
     }
 
 
@@ -6203,4 +6336,5 @@ def oracle_sql():
         "q98_neighbor_agg": _q98_sql(),
         "q99_link_predict": _q99_sql(),
         "q100_subsumption_closure": _q100_sql(),
+        "q101_jl_distortion": _q101_sql(),
     }

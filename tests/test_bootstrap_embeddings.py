@@ -164,3 +164,55 @@ def test_bootstrap_final_fit_reuses_seed_rows(spark):
     expected = fit_lr(collect_training_rows(final_train))
     assert model.coef == expected.coef
     assert model.intercept == expected.intercept
+
+
+# --- jl_project (round 5) ---
+
+def test_jl_signs_deterministic_and_pm1():
+    from pathhier_spark.operators.embeddings import jl_signs
+
+    s1 = jl_signs(4, 8)
+    s2 = jl_signs(4, 8)
+    assert s1 == s2
+    assert all(v in (-1, 1) for row in s1 for v in row)
+    assert len(s1) == 4 and all(len(r) == 8 for r in s1)
+
+
+def test_jl_project_exact_integer_output(spark):
+    from pathhier_spark.operators.embeddings import jl_project, jl_signs
+
+    import math
+
+    vecs = [(0, [0.5, -0.25, 1.0]), (1, [0.0, 0.125, -0.5])]
+    df = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, in_dim=3, out_dim=2).collect()
+    }
+    signs = jl_signs(2, 3)
+    for vid, vec in vecs:
+        q = [math.floor(x * 1_000_000) for x in vec]
+        expect = [sum(qi * s for qi, s in zip(q, row)) for row in signs]
+        assert out[vid] == expect
+
+
+def test_jl_project_preserves_self_similarity_ordering(spark):
+    from pathhier_spark.operators.embeddings import jl_project
+
+    # identical vectors must project identically; a sign-flipped vector
+    # must project to the exact negation (linearity)
+    # dyadic values: exact in float32 AND x*1e6 integral, so
+    # floor(-x*1e6) == -floor(x*1e6) holds exactly
+    base = [0.25, -0.75, 0.5, 0.875]
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, [-x for x in base])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, in_dim=4, out_dim=3).collect()
+    }
+    assert out[0] == out[1]
+    assert out[2] == [-v for v in out[0]]
