@@ -237,6 +237,10 @@ def main() -> None:
         # sliding-window distincts (rolling-WAU family)
         "q93_rrf_fusion",
         "q97_sliding_window",
+        # graph-ML message passing and the JL compression stage every
+        # downstream ANN/near-dup shuffle inherits
+        "q98_neighbor_agg",
+        "q101_jl_distortion",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}
