@@ -1241,3 +1241,71 @@ def bigram_surprisal(
             F.col("n_bigrams") > 0, F.col("sum_lnp") / F.col("n_bigrams")
         ).alias("avg_surprisal"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    bucket_col: str = "bucket",
+    snap_col: str = "snap",
+    n_buckets: int,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    distribution-drift monitor every continuously-ingesting pipeline runs
+    (is today's crawl's length/language/quality mix still yesterday's?).
+
+    Input: one row per document with an integer `bucket_col` in
+    [0, n_buckets) and `snap_col` in {0, 1} (0 = baseline A, 1 = current
+    B). Output: one row per bucket over the DENSE domain (empty buckets
+    included) with Laplace-(+1)-smoothed counts `c_a`/`c_b` (exact int64;
+    smoothing keeps ln finite and makes every downstream division exact
+    integers-to-double) and the PSI contribution
+    `(c_a/n_a - c_b/n_b) * ln((c_a/c_b) * (n_b/n_a))` — four exact
+    int64→double divisions and one ln, the engine-portable shape (no
+    int64 cross-products that overflow at 1e11-doc scale; each count is
+    exactly representable as a double up to 2^53). Sum of `psi_term` is
+    the corpus PSI (>0.2 = actionable drift by the usual rule of thumb).
+
+    Scale shape: ONE combiner-friendly groupBy over (bucket, snap) — the
+    only thing that touches corpus-sized data — then everything else
+    (dense-domain left join, totals, divisions) happens on the
+    2*n_buckets-row table, broadcast-joined. Reference parity: the
+    distribution-stats role of pathway_kb.py's histogram summaries,
+    re-expressed as a two-snapshot comparison.
+    """
+    spark = df.sparkSession
+    counts = df.groupBy(bucket_col, snap_col).agg(
+        F.count(F.lit(1)).alias("c_raw")
+    )
+    dom = spark.range(n_buckets).select(F.col("id").alias(bucket_col))
+    snaps = spark.range(2).select(F.col("id").alias(snap_col))
+    sm = (
+        dom.crossJoin(snaps)
+        .join(counts, [bucket_col, snap_col], "left")
+        .select(
+            bucket_col,
+            snap_col,
+            (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    wide = sm.groupBy(bucket_col).agg(
+        F.sum(F.when(F.col(snap_col) == 0, F.col("c"))).alias("c_a"),
+        F.sum(F.when(F.col(snap_col) == 1, F.col("c"))).alias("c_b"),
+    )
+    tot = wide.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    psi = (ca / na - cb / nb) * F.log((ca / cb) * (nb / na))
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(bucket_col),
+            F.col("c_a"),
+            F.col("c_b"),
+            (F.round(psi, 6) + F.lit(0.0)).alias("psi_term"),
+        )
+    )

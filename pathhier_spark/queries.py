@@ -6128,6 +6128,70 @@ FROM scored ORDER BY a
 
 
 
+
+# ---------------------------------------------------------------------------
+# Q102 — corpus distribution drift (PSI) between two snapshots
+# (operators/textstats.psi_drift): split documents by doc_id parity into a
+# baseline and a current snapshot, bucket by whitespace-token length
+# (width-32 buckets, top-capped), and report the per-bucket Population
+# Stability Index contribution with Laplace-smoothed exact-int64 counts —
+# the drift monitor a continuously-ingesting 100 TB pipeline runs per
+# crawl. One combiner groupBy touches corpus-sized data; everything after
+# is a 2*n_buckets-row broadcast. Counts compare exact; psi_term is the
+# q06 rounded-ln discipline (exact int->double divisions, one ln, round-6).
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 20
+
+
+def q102_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import psi_drift, with_token_counts
+
+    docs = _docs(spark, sf_dir)
+    # bucket width 32 is a power of two: ws/32.0 is an EXACT double (no
+    # floor-vs-intdiv divergence against the oracle's // 32)
+    bucketed = with_token_counts(docs).select(
+        F.least(
+            F.floor(F.col("ws_tokens") / F.lit(32)).cast("long"),
+            F.lit(_PSI_BUCKETS - 1).cast("long"),
+        ).alias("bucket"),
+        (F.col("doc_id") % 2).alias("snap"),
+    )
+    return psi_drift(bucketed, n_buckets=_PSI_BUCKETS).orderBy("bucket")
+
+
+# DuckDB feature req: core SQL only (string_split_regex, ln, range).
+Q102_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::bigint AS ws
+  FROM documents
+), b AS (
+  SELECT least(ws // 32, {_PSI_BUCKETS - 1}) AS bucket, doc_id % 2 AS snap FROM t
+), dom AS (
+  SELECT d.i AS bucket, s.j AS snap
+  FROM range(0, {_PSI_BUCKETS}) d(i), range(0, 2) s(j)
+), c AS (
+  SELECT dom.bucket, dom.snap, (count(b.bucket) + 1)::bigint AS c
+  FROM dom LEFT JOIN b ON b.bucket = dom.bucket AND b.snap = dom.snap
+  GROUP BY dom.bucket, dom.snap
+), w AS (
+  SELECT bucket,
+         sum(CASE WHEN snap = 0 THEN c END)::bigint AS c_a,
+         sum(CASE WHEN snap = 1 THEN c END)::bigint AS c_b
+  FROM c GROUP BY bucket
+), tot AS (
+  SELECT sum(c_a)::bigint AS n_a, sum(c_b)::bigint AS n_b FROM w
+)
+SELECT bucket, c_a, c_b,
+       (round((c_a::double / n_a::double - c_b::double / n_b::double)
+              * ln((c_a::double / c_b::double) * (n_b::double / n_a::double)),
+              6) + 0.0) AS psi_term
+FROM w, tot
+ORDER BY bucket
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6231,6 +6295,7 @@ def queries():
         "q99_link_predict": q99_link_predict,
         "q100_subsumption_closure": q100_subsumption_closure,
         "q101_jl_distortion": q101_jl_distortion,
+        "q102_dist_drift": q102_dist_drift,
     }
 
 
@@ -6337,4 +6402,5 @@ def oracle_sql():
         "q99_link_predict": _q99_sql(),
         "q100_subsumption_closure": _q100_sql(),
         "q101_jl_distortion": _q101_sql(),
+        "q102_dist_drift": Q102_SQL,
     }

@@ -561,3 +561,39 @@ def test_ctfidf_k_caps_output(spark):
     for r in out:
         counts[r["lang"]] = counts.get(r["lang"], 0) + 1
     assert counts == {"a": 3, "b": 2}
+
+
+# --- psi_drift (q102, round 5) ---
+
+def test_psi_drift_identical_snapshots_zero(spark):
+    from pathhier_spark.operators.textstats import psi_drift
+
+    rows = [(b, s) for b in range(3) for s in (0, 1) for _ in range(5 * (b + 1))]
+    df = spark.createDataFrame(rows, "bucket bigint, snap bigint")
+    out = psi_drift(df, n_buckets=4).collect()
+    assert len(out) == 4  # dense domain: empty bucket 3 present
+    for r in out:
+        assert r["c_a"] == r["c_b"]
+        assert r["psi_term"] == 0.0
+
+
+def test_psi_drift_hand_computed(spark):
+    import math
+
+    from pathhier_spark.operators.textstats import psi_drift
+
+    # A: 8 docs in bucket 0, 2 in bucket 1; B: 2 and 8 — strong drift
+    rows = (
+        [(0, 0)] * 8 + [(1, 0)] * 2 + [(0, 1)] * 2 + [(1, 1)] * 8
+    )
+    df = spark.createDataFrame(rows, "bucket bigint, snap bigint")
+    out = {r["bucket"]: r for r in psi_drift(df, n_buckets=2).collect()}
+    # smoothed counts: A=(9,3) n_a=12, B=(3,9) n_b=12
+    assert (out[0]["c_a"], out[0]["c_b"]) == (9, 3)
+    assert (out[1]["c_a"], out[1]["c_b"]) == (3, 9)
+    for b, (ca, cb) in {0: (9, 3), 1: (3, 9)}.items():
+        expect = round((ca / 12 - cb / 12) * math.log((ca / cb) * (12 / 12)), 6)
+        assert abs(out[b]["psi_term"] - expect) < 1e-12
+    # drift is symmetric here and the corpus PSI is the sum
+    total = sum(r["psi_term"] for r in out.values())
+    assert total > 0.2  # "actionable drift" territory by construction
