@@ -384,3 +384,62 @@ def rrf_fuse(
             *[f"{name}_rank" for name in sorted(channels)],
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index: the retrieval
+    primitive BM25 (bag-of-words) cannot express — "these tokens, adjacent,
+    in this order". Classic IR positional-postings intersection (the
+    Manning/Raghavan/Schuetze IIR ch.2 algorithm) as a DataFrame plan:
+
+    1. one corpus scan builds positional postings (id, pos, token) and
+       filters to the phrase's terms IMMEDIATELY — the filter runs inside
+       the explode projection, so only phrase-term postings (term-selective:
+       a vanishing fraction of a 100 TB corpus) survive into the plan;
+       the filtered frame is localCheckpoint-ed so the k-way intersection
+       reads ONE materialized tiny table, not k corpus scans;
+    2. occurrence k of the phrase joins term k's postings at (id, pos - k)
+       — an equi-join on (id, pos), never an inequality;
+    3. one combiner groupBy per matching doc: occurrence count + first
+       match position.
+
+    Positions are 0-based token offsets after the shared `_tokens`
+    normalization (lower, whitespace split, empties dropped). Duplicate
+    phrase terms are handled naturally (each leg filters independently).
+    Output: (id_col, n_hits bigint, first_pos bigint).
+
+    Reference anchor: pathhier matches multi-word names only as token SETS
+    (string_utils.py jaccard); phrase adjacency is the exactness upgrade a
+    web-scale corpus query surface needs (quote search, boilerplate probes).
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    from pathhier_spark.operators.textstats import _tokens
+
+    terms = [t.lower() for t in phrase]
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(_tokens(text_col)).alias("pos", "token"),
+        )
+        .filter(F.col("token").isin(terms))
+        .localCheckpoint(eager=True)
+    )
+    base = postings.filter(F.col("token") == terms[0]).select(
+        id_col, "pos"
+    )
+    for k, term in enumerate(terms[1:], start=1):
+        leg = postings.filter(F.col("token") == term).select(
+            id_col, (F.col("pos") - F.lit(k)).alias("pos")
+        )
+        base = base.join(leg, [id_col, "pos"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("pos").alias("first_pos"),
+    )

@@ -6192,6 +6192,47 @@ ORDER BY bucket
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q103 — exact phrase search over positional postings
+# (operators/retrieval.phrase_search): every document containing the
+# adjacent-token phrase "table scan", with occurrence count and first
+# match offset — the positional-intersection retrieval primitive q63's
+# bag-of-words BM25 cannot express. The Spark side intersects per-term
+# positional postings with (id, pos-k) equi-joins; the oracle scans each
+# doc's token list directly (a genuinely different algorithm), so the
+# hash checks the index semantics, not a replay. All-integer output.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["table", "scan"]
+
+
+def q103_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import phrase_search
+
+    docs = _docs(spark, sf_dir)
+    return phrase_search(docs, _PHRASE).orderBy("doc_id")
+
+
+# DuckDB feature req: core list fns only (generate_series, list_filter).
+Q103_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                     i -> toks[i] = 'table' AND toks[i + 1] = 'scan') AS hits
+  FROM t
+)
+SELECT doc_id, len(hits)::bigint AS n_hits, (hits[1] - 1)::bigint AS first_pos
+FROM m
+WHERE len(hits) > 0
+ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6296,6 +6337,7 @@ def queries():
         "q100_subsumption_closure": q100_subsumption_closure,
         "q101_jl_distortion": q101_jl_distortion,
         "q102_dist_drift": q102_dist_drift,
+        "q103_phrase_search": q103_phrase_search,
     }
 
 
@@ -6403,4 +6445,5 @@ def oracle_sql():
         "q100_subsumption_closure": _q100_sql(),
         "q101_jl_distortion": _q101_sql(),
         "q102_dist_drift": Q102_SQL,
+        "q103_phrase_search": Q103_SQL,
     }

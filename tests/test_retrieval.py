@@ -247,3 +247,53 @@ def test_rrf_fuse_tie_breaks_by_id(spark):
     )
     assert [r["id"] for r in out] == [5, 7]
     assert out[0]["rrf"] == out[1]["rrf"]
+
+
+# --- phrase_search (q103, round 5) ---
+
+def test_phrase_search_counts_and_positions(spark):
+    from pathhier_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan beats small table scan"),
+            (2, "table scan"),
+            (3, "scan table"),           # reversed: no match
+            (4, "table only here"),
+            (5, "TABLE   Scan"),         # case + multi-space normalize
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, ["table", "scan"]).collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1]["n_hits"], out[1]["first_pos"]) == (2, 1)
+    assert (out[2]["n_hits"], out[2]["first_pos"]) == (1, 0)
+    assert (out[5]["n_hits"], out[5]["first_pos"]) == (1, 0)
+
+
+def test_phrase_search_duplicate_term_overlaps(spark):
+    from pathhier_spark.operators.retrieval import phrase_search
+
+    # "batch batch batch" contains TWO overlapping "batch batch" matches
+    docs = spark.createDataFrame(
+        [(1, "batch batch batch"), (2, "batch x batch")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, ["batch", "batch"]).collect()}
+    assert set(out) == {1}
+    assert (out[1]["n_hits"], out[1]["first_pos"]) == (2, 0)
+
+
+def test_phrase_search_single_token_and_empty(spark):
+    import pytest as _pytest
+
+    from pathhier_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, ["a"]).collect()}
+    assert (out[1]["n_hits"], out[1]["first_pos"]) == (2, 0)
+    assert 2 not in out
+    with _pytest.raises(ValueError):
+        phrase_search(docs, [])
