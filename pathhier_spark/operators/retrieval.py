@@ -399,9 +399,10 @@ def phrase_search(
     Manning/Raghavan/Schuetze IIR ch.2 algorithm) as a DataFrame plan:
 
     1. one corpus scan builds positional postings (id, pos, token) and
-       filters to the phrase's terms IMMEDIATELY — the filter runs inside
-       the explode projection, so only phrase-term postings (term-selective:
-       a vanishing fraction of a 100 TB corpus) survive into the plan;
+       filters to the phrase's terms IMMEDIATELY after the explode
+       (streaming — nothing materializes or shuffles first), so only
+       phrase-term postings (term-selective: a vanishing fraction of a
+       100 TB corpus) survive;
        the filtered frame is localCheckpoint-ed so the k-way intersection
        reads ONE materialized tiny table, not k corpus scans;
     2. occurrence k of the phrase joins term k's postings at (id, pos - k)
