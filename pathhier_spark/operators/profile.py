@@ -97,3 +97,82 @@ def profile_columns(
 
     rows = F.array(*[_row(i, c) for i, c in enumerate(columns)])
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def source_chisq(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group chi-square goodness-of-fit of the token distribution
+    against the whole corpus — the "which crawl source looks wrong"
+    anomaly score (a spam injection, an encoding break, or a template
+    flood shows up as a token mix that diverges from everyone else's).
+    Complements psi_drift (textstats): PSI compares two SNAPSHOTS of one
+    corpus; this ranks GROUPS within one snapshot.
+
+    Exactness discipline: observed counts, group totals, token totals,
+    and the corpus total are exact int64 from ONE combiner-friendly
+    groupBy(group, token). The per-token statistic is computed from the
+    exact integer residual diff = obs*corpus_total - tok_total*grp_total
+    (a difference of ~1e12-scale products — int64-safe far past this
+    corpus; the SQUARE happens in double, after the exact subtraction),
+    then chi2_term = diff^2 / (corpus_total * tok_total * grp_total) —
+    the algebraic identity of (obs-exp)^2/exp with exp =
+    tok_total*grp_total/corpus_total, picked so both engines do the
+    identical double ops on identical integers. The per-group sum folds
+    in TOKEN order (array_sort + aggregate, the bm25/unigram-surprisal
+    discipline) so the float total is partition- and engine-invariant.
+
+    Scale shape: one corpus-sized explode + groupBy; everything after is
+    vocab x groups sized, with the token/corpus totals broadcast. Output:
+    (group_col, n_tokens bigint, chi2 double round-6), one row per group.
+    """
+    from pathhier_spark.operators.textstats import _tokens
+
+    obs = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    grp_tot = obs.groupBy("grp").agg(F.sum("obs").alias("grp_total"))
+    tok_tot = obs.groupBy("token").agg(F.sum("obs").alias("tok_total"))
+    corpus = obs.agg(F.sum("obs").alias("corpus_total"))
+    diff = (
+        F.col("obs") * F.col("corpus_total")
+        - F.col("tok_total") * F.col("grp_total")
+    ).cast("double")
+    term = (diff * diff) / (
+        F.col("corpus_total").cast("double")
+        * F.col("tok_total").cast("double")
+        * F.col("grp_total").cast("double")
+    )
+    # dense (group x token) domain: a token a group never emits still
+    # contributes its expected count (diff = -tok_total*grp_total, term =
+    # exp) — the textbook zero-cell term, and the cell count is
+    # groups x vocab, not corpus-sized
+    dense = (
+        grp_tot.crossJoin(F.broadcast(tok_tot))
+        .join(obs, ["grp", "token"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    scored = dense.crossJoin(F.broadcast(corpus)).select(
+        "grp", "token", F.col("grp_total"), term.alias("t")
+    )
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.first("grp_total").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("chi2_raw"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_tokens"),
+            (F.round("chi2_raw", 6) + F.lit(0.0)).alias("chi2"),
+        )
+    )

@@ -6233,6 +6233,61 @@ ORDER BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q104 — per-source chi-square token-distribution anomaly
+# (operators/profile.source_chisq): goodness-of-fit of every source's
+# token mix against the corpus — the "which crawl source looks wrong"
+# curation score (q102's PSI compares two snapshots; this ranks groups
+# within one). All counts exact int64 from one combiner groupBy; the
+# per-token statistic squares an EXACT integer residual in double, and
+# the per-group sum folds in token order (the q63 discipline), so both
+# engines produce the identical double. Output one row per source.
+# ---------------------------------------------------------------------------
+
+
+def q104_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import source_chisq
+
+    docs = _docs(spark, sf_dir)
+    return source_chisq(docs).orderBy("source")
+
+
+# DuckDB feature req: core SQL + list(ORDER BY)/list_sum (the q63 fold).
+Q104_SQL = """
+WITH t AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), obs AS (
+  SELECT grp, token, count(*)::bigint AS obs FROM t GROUP BY grp, token
+), gt AS (
+  SELECT grp, sum(obs)::bigint AS grp_total FROM obs GROUP BY grp
+), tt AS (
+  SELECT token, sum(obs)::bigint AS tok_total FROM obs GROUP BY token
+), c AS (
+  SELECT sum(obs)::bigint AS corpus_total FROM obs
+), dense AS (
+  SELECT gt.grp, tt.token, gt.grp_total, tt.tok_total,
+         coalesce(o.obs, 0)::bigint AS obs
+  FROM gt CROSS JOIN tt
+  LEFT JOIN obs o ON o.grp = gt.grp AND o.token = tt.token
+), terms AS (
+  SELECT grp, token, grp_total,
+         ((obs * corpus_total - tok_total * grp_total)::double
+          * (obs * corpus_total - tok_total * grp_total)::double)
+         / (corpus_total::double * tok_total::double * grp_total::double) AS trm
+  FROM dense, c
+)
+SELECT grp AS source,
+       any_value(grp_total) AS n_tokens,
+       (round(list_sum(list(trm ORDER BY token)), 6) + 0.0) AS chi2
+FROM terms
+GROUP BY grp
+ORDER BY source
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6338,6 +6393,7 @@ def queries():
         "q101_jl_distortion": q101_jl_distortion,
         "q102_dist_drift": q102_dist_drift,
         "q103_phrase_search": q103_phrase_search,
+        "q104_source_chisq": q104_source_chisq,
     }
 
 
@@ -6446,4 +6502,5 @@ def oracle_sql():
         "q101_jl_distortion": _q101_sql(),
         "q102_dist_drift": Q102_SQL,
         "q103_phrase_search": Q103_SQL,
+        "q104_source_chisq": Q104_SQL,
     }

@@ -597,3 +597,44 @@ def test_psi_drift_hand_computed(spark):
     # drift is symmetric here and the corpus PSI is the sum
     total = sum(r["psi_term"] for r in out.values())
     assert total > 0.2  # "actionable drift" territory by construction
+
+
+# --- source_chisq (q104, round 5) ---
+
+def test_source_chisq_uniform_is_zero(spark):
+    from pathhier_spark.operators.profile import source_chisq
+
+    # every source has the identical token mix -> obs == exp everywhere
+    docs = spark.createDataFrame(
+        [(s, "a a b") for s in ("s1", "s2", "s3")],
+        "source string, text string",
+    )
+    out = source_chisq(docs).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_tokens"] == 3
+        assert r["chi2"] == 0.0
+
+
+def test_source_chisq_hand_computed_with_zero_cell(spark):
+    from pathhier_spark.operators.profile import source_chisq
+
+    # s1: a a b (no c) ; s2: a c c — the zero cells (s1,c) and (s2,b)
+    # must contribute their expected counts
+    docs = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a c c")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in source_chisq(docs).collect()}
+    # totals: corpus 6; tokens a=3 b=1 c=2; groups s1=3 s2=3
+    def chi2(obs_by_tok):
+        tot = {"a": 3, "b": 1, "c": 2}
+        s = 0.0
+        for t, obs in obs_by_tok.items():
+            exp = tot[t] * 3 / 6
+            s += (obs - exp) ** 2 / exp
+        return round(s, 6)
+
+    assert out["s1"]["chi2"] == chi2({"a": 2, "b": 1, "c": 0})
+    assert out["s2"]["chi2"] == chi2({"a": 1, "b": 0, "c": 2})
+    assert out["s1"]["n_tokens"] == 3 and out["s2"]["n_tokens"] == 3
