@@ -176,3 +176,60 @@ def source_chisq(
             (F.round("chi2_raw", 6) + F.lit(0.0)).alias("chi2"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns — chance-corrected
+    agreement, the metrology scalar behind every "do my two quality
+    signals / annotators / classifiers agree?" question (the confusion
+    matrix q15 emits, summarized to one auditable number).
+
+    kappa = (po - pe) / (1 - pe), po = agreements/N,
+    pe = sum_k row_k*col_k / N^2 (expected agreement by chance).
+
+    Exactness: ONE combiner groupBy(col_a, col_b) touches row-scale data;
+    N, the diagonal, the marginals, and sum_k row_k*col_k are exact int64
+    (products of marginals — int64-safe to ~3e9 rows per class; past
+    that, pre-aggregate per shard). po/pe/kappa are then single
+    int64->double divisions in a fixed expression shape, identical on
+    both engines, round-6. Degenerate pe == 1 (both columns constant and
+    equal) yields NULL kappa rather than a division blow-up.
+
+    Output: one row (n_total, n_agree, po, pe, kappa)."""
+    cm = (
+        df.groupBy(F.col(col_a).alias("ka"), F.col(col_b).alias("kb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scalars = cm.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("ka") == F.col("kb"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows = cm.groupBy("ka").agg(F.sum("n").alias("ra"))
+    cols = cm.groupBy("kb").agg(F.sum("n").alias("cb"))
+    pe_num = (
+        rows.join(cols, rows["ka"] == cols["kb"])
+        .agg(F.sum(F.col("ra") * F.col("cb")).cast("long").alias("pe_num"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_total").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_total").cast("double") * F.col("n_total").cast("double")
+    )
+    return (
+        scalars.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n_total",
+            "n_agree",
+            (F.round(po, 6) + F.lit(0.0)).alias("po"),
+            (F.round(pe, 6) + F.lit(0.0)).alias("pe"),
+            F.when(
+                pe < 1.0,
+                F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0),
+            ).alias("kappa"),
+        )
+    )

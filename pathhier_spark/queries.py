@@ -6288,6 +6288,58 @@ ORDER BY source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q105 — Cohen's kappa: declared lang vs predicted lang
+# (operators/profile.cohens_kappa over textstats.with_lang_id): the
+# chance-corrected scalar summary of q15's confusion matrix — "is the
+# lang-ID operator actually agreeing with the declared labels beyond
+# chance?". All counts/marginals exact int64 from one combiner groupBy;
+# po/pe/kappa are fixed-shape int64->double divisions, round-6.
+# ---------------------------------------------------------------------------
+
+
+def q105_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import cohens_kappa
+    from pathhier_spark.operators.textstats import with_lang_id
+
+    docs = _docs(spark, sf_dir)
+    return cohens_kappa(with_lang_id(docs), "lang", "lang_pred")
+
+
+# DuckDB feature req: core SQL; the pred CTE is q15's oracle argmax.
+def _q105_sql() -> str:
+    import re as _re
+
+    q15 = _q15_sql()
+    pred_cte = q15[q15.index("WITH t AS") : q15.index("SELECT lang, lang_pred, count(*)")]
+    return f"""
+{pred_cte.rstrip()}, cm AS (
+  SELECT lang AS ka, lang_pred AS kb, count(*)::bigint AS n FROM pred
+  GROUP BY 1, 2
+), scalars AS (
+  SELECT sum(n)::bigint AS n_total,
+         coalesce(sum(n) FILTER (ka = kb), 0)::bigint AS n_agree
+  FROM cm
+), r AS (SELECT ka, sum(n)::bigint AS ra FROM cm GROUP BY ka),
+c AS (SELECT kb, sum(n)::bigint AS cb FROM cm GROUP BY kb),
+pe_n AS (
+  SELECT coalesce(sum(ra * cb), 0)::bigint AS pe_num
+  FROM r JOIN c ON r.ka = c.kb
+)
+SELECT n_total, n_agree,
+       (round(n_agree::double / n_total::double, 6) + 0.0) AS po,
+       (round(pe_num::double / (n_total::double * n_total::double), 6) + 0.0) AS pe,
+       CASE WHEN pe_num::double / (n_total::double * n_total::double) < 1.0
+            THEN (round((n_agree::double / n_total::double
+                         - pe_num::double / (n_total::double * n_total::double))
+                        / (1.0 - pe_num::double / (n_total::double * n_total::double)),
+                        6) + 0.0)
+       END AS kappa
+FROM scalars, pe_n
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6394,6 +6446,7 @@ def queries():
         "q102_dist_drift": q102_dist_drift,
         "q103_phrase_search": q103_phrase_search,
         "q104_source_chisq": q104_source_chisq,
+        "q105_lang_kappa": q105_lang_kappa,
     }
 
 
@@ -6503,4 +6556,5 @@ def oracle_sql():
         "q102_dist_drift": Q102_SQL,
         "q103_phrase_search": Q103_SQL,
         "q104_source_chisq": Q104_SQL,
+        "q105_lang_kappa": _q105_sql(),
     }

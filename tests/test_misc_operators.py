@@ -638,3 +638,39 @@ def test_source_chisq_hand_computed_with_zero_cell(spark):
     assert out["s1"]["chi2"] == chi2({"a": 2, "b": 1, "c": 0})
     assert out["s2"]["chi2"] == chi2({"a": 1, "b": 0, "c": 2})
     assert out["s1"]["n_tokens"] == 3 and out["s2"]["n_tokens"] == 3
+
+
+# --- cohens_kappa (q105, round 5) ---
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from pathhier_spark.operators.profile import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 3, "x string, y string"
+    )
+    r = cohens_kappa(perfect, "x", "y").collect()[0]
+    assert (r["n_total"], r["n_agree"], r["po"], r["kappa"]) == (6, 6, 1.0, 1.0)
+
+    # marginals independent -> po == pe -> kappa == 0
+    chance = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")], "x string, y string"
+    )
+    r = cohens_kappa(chance, "x", "y").collect()[0]
+    assert r["po"] == 0.5 and r["pe"] == 0.5 and r["kappa"] == 0.0
+
+
+def test_cohens_kappa_hand_computed_and_degenerate(spark):
+    from pathhier_spark.operators.profile import cohens_kappa
+
+    # 2x2: agreements 7 of 10; rows a=6,b=4; cols a=5,b=5
+    rows = [("a", "a")] * 4 + [("a", "b")] * 2 + [("b", "a")] * 1 + [("b", "b")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cohens_kappa(df, "x", "y").collect()[0]
+    po, pe = 0.7, (6 * 5 + 4 * 5) / 100
+    assert r["po"] == round(po, 6) and r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+    # degenerate: both constant and equal -> pe == 1 -> NULL kappa
+    const = spark.createDataFrame([("a", "a")] * 5, "x string, y string")
+    r = cohens_kappa(const, "x", "y").collect()[0]
+    assert r["pe"] == 1.0 and r["kappa"] is None
