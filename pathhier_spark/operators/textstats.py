@@ -1309,3 +1309,70 @@ def psi_drift(
             (F.round(psi, 6) + F.lit(0.0)).alias("psi_term"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    permilles: list[int],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — for each target coverage p (in
+    per-mille), the smallest vocabulary (most-frequent-first) whose
+    cumulative token mass reaches p, and the coverage it actually
+    achieves. THE tokenizer-sizing statistic: "how many types cover 99%
+    of the corpus?" decides vocab size / UNK rate before any BPE run
+    (q62 trains the merges; this decides their budget).
+
+    Exactness: token counts and the cumulative sum are int64; the
+    threshold test is the integer cross-multiply cum*1000 >= p*total
+    (no float CDF — total*1000 is int64-safe to ~9e15 tokens);
+    coverage_achieved is one exact int64->double division, round-6.
+    Rank order is the deterministic total order (count DESC, token ASC).
+
+    Scale shape: one corpus-sized explode + combiner groupBy(token);
+    the running sum's unpartitioned window runs over the VOCAB-sized
+    count table (the q45 argument: window over the tiny domain, never
+    over rows), and the per-target argmin is a broadcast join + min.
+    Output: (permille, vocab_size, coverage) — one row per target.
+    """
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("token"))
+        ).alias("rank"),
+        F.sum("n").over(w).alias("cum"),
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    targets = spark.createDataFrame(
+        [(int(p),) for p in sorted(permilles)], "permille: bigint"
+    )
+    hits = (
+        ranked.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(targets),
+            F.col("cum") * 1000 >= F.col("permille") * F.col("total"),
+        )
+        .groupBy("permille")
+        .agg(
+            F.min(F.struct("rank", "cum", "total")).alias("s"),
+        )
+    )
+    return hits.select(
+        "permille",
+        F.col("s.rank").alias("vocab_size"),
+        (
+            F.round(
+                F.col("s.cum").cast("double") / F.col("s.total").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("coverage"),
+    ).orderBy("permille")

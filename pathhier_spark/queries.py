@@ -6340,6 +6340,53 @@ FROM scalars, pe_n
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q106 — vocabulary coverage curve (operators/textstats.vocab_coverage):
+# the smallest most-frequent-first vocabulary reaching 500/900/990
+# per-mille of token mass, plus the coverage it actually achieves — the
+# tokenizer-sizing statistic that budgets q62's BPE merges. Thresholds
+# are integer cross-multiplies (cum*1000 >= p*total, no float CDF); the
+# only window runs over the VOCAB-sized count table (the q45 argument).
+# ---------------------------------------------------------------------------
+
+_COVERAGE_PERMILLES = [500, 900, 990]
+
+
+def q106_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import vocab_coverage
+
+    docs = _docs(spark, sf_dir)
+    return vocab_coverage(docs, _COVERAGE_PERMILLES)
+
+
+# DuckDB feature req: core SQL (window, integer arithmetic).
+Q106_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*)::bigint AS n FROM tok GROUP BY token
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+         sum(n) OVER (ORDER BY n DESC, token ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM counts
+), tot AS (
+  SELECT sum(n)::bigint AS total FROM counts
+), targets AS (
+  SELECT unnest([{', '.join(str(p) for p in _COVERAGE_PERMILLES)}])::bigint AS permille
+)
+SELECT t.permille,
+       min(r.rank)::bigint AS vocab_size,
+       (round(min_by(r.cum, r.rank)::double / any_value(tot.total)::double, 6) + 0.0) AS coverage
+FROM targets t, ranked r, tot
+WHERE r.cum * 1000 >= t.permille * tot.total
+GROUP BY t.permille
+ORDER BY t.permille
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6447,6 +6494,7 @@ def queries():
         "q103_phrase_search": q103_phrase_search,
         "q104_source_chisq": q104_source_chisq,
         "q105_lang_kappa": q105_lang_kappa,
+        "q106_vocab_coverage": q106_vocab_coverage,
     }
 
 
@@ -6557,4 +6605,5 @@ def oracle_sql():
         "q103_phrase_search": Q103_SQL,
         "q104_source_chisq": Q104_SQL,
         "q105_lang_kappa": _q105_sql(),
+        "q106_vocab_coverage": Q106_SQL,
     }

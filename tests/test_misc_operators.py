@@ -674,3 +674,32 @@ def test_cohens_kappa_hand_computed_and_degenerate(spark):
     const = spark.createDataFrame([("a", "a")] * 5, "x string, y string")
     r = cohens_kappa(const, "x", "y").collect()[0]
     assert r["pe"] == 1.0 and r["kappa"] is None
+
+
+# --- vocab_coverage (q106, round 5) ---
+
+def test_vocab_coverage_hand_computed(spark):
+    from pathhier_spark.operators.textstats import vocab_coverage
+
+    # counts: a=5, b=3, c=1, d=1 (total 10); order a,b,c,d
+    docs = spark.createDataFrame(
+        [(1, "a a a a a b b b c d")], "doc_id bigint, text string"
+    )
+    out = {r["permille"]: r for r in vocab_coverage(docs, [500, 800, 1000]).collect()}
+    # 500: a alone (cum 5) covers exactly 50.0%
+    assert (out[500]["vocab_size"], out[500]["coverage"]) == (1, 0.5)
+    # 800: a+b (cum 8) covers exactly 80%
+    assert (out[800]["vocab_size"], out[800]["coverage"]) == (2, 0.8)
+    # 1000: needs the whole vocab
+    assert (out[1000]["vocab_size"], out[1000]["coverage"]) == (4, 1.0)
+
+
+def test_vocab_coverage_tie_break_is_token_order(spark):
+    from pathhier_spark.operators.textstats import vocab_coverage
+
+    # equal counts: rank order must be token-ascending (b before c)
+    docs = spark.createDataFrame(
+        [(1, "c b c b")], "doc_id bigint, text string"
+    )
+    out = vocab_coverage(docs, [500]).collect()[0]
+    assert (out["vocab_size"], out["coverage"]) == (1, 0.5)
