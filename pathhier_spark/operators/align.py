@@ -243,3 +243,46 @@ def aggregate_pair_scores(
         ).alias("align_score"),
         "n_matches",
     )
+
+
+def mutual_best_match(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Reciprocal-best-match alignment: keep (left, right) pairs where
+    each side is the OTHER's argmax — the classic high-precision
+    ontology/KG matcher (PARIS-style mutual-best, the bidirectional
+    strictness the reference's greedy matcher (T5/G7, this module)
+    relaxes one side at a time). Unlike greedy matching it needs no
+    sequential passes: two combiner-friendly argmax aggregations + one
+    equi-join, fully parallel.
+
+    Determinism: argmax via min(struct(-score, right)) — a partial-agg
+    (combiner) shape, no window over the candidate table; ties break on
+    the smallest partner id, and callers should pass an already-ROUNDED
+    score so ties are decided identically across engines (rounding
+    first, then tie-breaking, is the engine-portable order). The -x
+    negation round-trips exactly in IEEE.
+
+    Scale shape: two groupBys keyed on the two entity-id columns and one
+    (left,right) equi-join — all combiner-friendly; nothing corpus-sized
+    survives past the first agg. Output: (left, right, score), the
+    score from the left argmax row."""
+    neg = (-F.col(score_col)).alias("ns")
+    best_l = (
+        df.groupBy(left_col)
+        .agg(F.min(F.struct(neg, F.col(right_col).alias("p"))).alias("b"))
+        .select(
+            left_col,
+            F.col("b.p").alias(right_col),
+            (-F.col("b.ns")).alias(score_col),
+        )
+    )
+    best_r = (
+        df.groupBy(right_col)
+        .agg(F.min(F.struct(neg, F.col(left_col).alias("p"))).alias("b"))
+        .select(F.col("b.p").alias(left_col), right_col)
+    )
+    return best_l.join(best_r, [left_col, right_col])

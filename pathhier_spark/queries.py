@@ -6387,6 +6387,50 @@ ORDER BY t.permille
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q107 — reciprocal best match over the q07 candidate scores
+# (operators/align.mutual_best_match): the high-precision alignment rule
+# — keep (doc, part) pairs where each is the other's argmax — computed
+# as two combiner argmax aggregations + one equi-join (no windows, no
+# sequential greedy passes). Scores are rounded BEFORE the argmax so
+# ties are decided identically on both engines; the oracle reuses q07's
+# full candidate SQL and resolves both argmaxes with row_number windows
+# — a different mechanism agreeing exactly.
+# ---------------------------------------------------------------------------
+
+
+def q107_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.align import mutual_best_match
+
+    cands = q07_candidate_link_parts(spark, sf_dir)
+    return mutual_best_match(
+        cands, "doc_id", "p_partkey", "cand_score"
+    ).orderBy("doc_id")
+
+
+# DuckDB feature req: core SQL; embeds q07's oracle as a nested-WITH CTE.
+def _q107_sql() -> str:
+    return f"""
+WITH cand AS ({_q07_sql()}),
+bl AS (
+  SELECT doc_id, p_partkey, cand_score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cand_score DESC, p_partkey ASC) AS rn
+  FROM cand
+), br AS (
+  SELECT doc_id, p_partkey,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY cand_score DESC, doc_id ASC) AS rn
+  FROM cand
+)
+SELECT bl.doc_id, bl.p_partkey, bl.cand_score
+FROM bl JOIN br ON bl.doc_id = br.doc_id AND bl.p_partkey = br.p_partkey
+WHERE bl.rn = 1 AND br.rn = 1
+ORDER BY bl.doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6495,6 +6539,7 @@ def queries():
         "q104_source_chisq": q104_source_chisq,
         "q105_lang_kappa": q105_lang_kappa,
         "q106_vocab_coverage": q106_vocab_coverage,
+        "q107_mutual_best": q107_mutual_best,
     }
 
 
@@ -6606,4 +6651,5 @@ def oracle_sql():
         "q104_source_chisq": Q104_SQL,
         "q105_lang_kappa": _q105_sql(),
         "q106_vocab_coverage": Q106_SQL,
+        "q107_mutual_best": _q107_sql(),
     }

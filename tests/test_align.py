@@ -173,3 +173,55 @@ def test_fused_similarity_cells_matches_numpy_reference(spark):
     }
     assert (0, 0) in matches
     assert all(i != 3 for i, _ in matches)  # restricted row never matches
+
+
+# --- mutual_best_match (q107, round 5) ---
+
+def test_mutual_best_match_basic(spark):
+    from pathhier_spark.operators.align import mutual_best_match
+
+    # l1's best is r1 and r1's best is l1 (mutual). l2's best is r1 (taken,
+    # not mutual); r2's best is l2 but l2's best is r1 -> no pair for l2/r2.
+    df = spark.createDataFrame(
+        [
+            ("l1", "r1", 9.0),
+            ("l1", "r2", 1.0),
+            ("l2", "r1", 8.0),
+            ("l2", "r2", 2.0),
+        ],
+        "l string, r string, s double",
+    )
+    out = [tuple(r) for r in mutual_best_match(df, "l", "r", "s").collect()]
+    assert out == [("l1", "r1", 9.0)]
+
+
+def test_mutual_best_match_tie_breaks_on_smaller_partner(spark):
+    from pathhier_spark.operators.align import mutual_best_match
+
+    # l1 ties r1/r2 at 5.0 -> picks r1 (smaller id); r1's best is l1
+    df = spark.createDataFrame(
+        [("l1", "r1", 5.0), ("l1", "r2", 5.0), ("l2", "r1", 3.0)],
+        "l string, r string, s double",
+    )
+    out = [tuple(r) for r in mutual_best_match(df, "l", "r", "s").collect()]
+    assert out == [("l1", "r1", 5.0)]
+
+
+def test_mutual_best_match_one_to_one(spark):
+    from pathhier_spark.operators.align import mutual_best_match
+
+    # output is a partial matching: each left and each right at most once
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"l{i}", f"r{j}", float(rng.randint(1, 50)))
+        for i in range(12)
+        for j in range(12)
+    ]
+    df = spark.createDataFrame(rows, "l string, r string, s double")
+    out = mutual_best_match(df, "l", "r", "s").collect()
+    ls = [r["l"] for r in out]
+    rs = [r["r"] for r in out]
+    assert len(ls) == len(set(ls)) and len(rs) == len(set(rs))
+    assert len(out) >= 1
