@@ -795,3 +795,44 @@ def transitive_closure_mindist(
     return d.filter(F.col("a") != F.col("b")).select(
         F.col("a").alias(src), F.col("b").alias(dst), F.col("dist")
     )
+
+
+def reciprocity(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of distinct directed
+    edges (u, v), u != v, whose reverse (v, u) is also present — the
+    network-metrology scalar separating citation-like graphs
+    (reciprocity ~ 0) from social/link-exchange graphs (~ 0.3+), and for
+    a web-KG the quick probe for symmetric-predicate extraction leaks.
+
+    Plan: canonical distinct directed edge set is localCheckpoint-ed
+    ONCE (the local_clustering discipline) so the total count and the
+    reverse-probe share a materialization; the reverse test is a
+    LEFT SEMI self-join on the edge key (no fan-out, no row
+    duplication); both counts are exact int64 1-row aggregates and the
+    division is the only double, round-6. Output: one row
+    (n_edges, n_reciprocal, reciprocity)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    n_all = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_rec = e.join(rev, ["u", "v"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return n_all.crossJoin(F.broadcast(n_rec)).select(
+        "n_edges",
+        "n_reciprocal",
+        (
+            F.round(
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("reciprocity"),
+    )

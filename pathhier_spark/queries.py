@@ -6431,6 +6431,54 @@ ORDER BY bl.doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q108 — KG edge reciprocity (operators/graph.reciprocity): fraction of
+# distinct directed subject->object edges whose reverse also exists —
+# the network-metrology probe for symmetric-predicate leaks in the
+# extracted web KG. All-integer counts (one distinct + one left-semi
+# self-join on the checkpointed edge set); the division is the only
+# double, round-6.
+# ---------------------------------------------------------------------------
+
+
+def q108_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import reciprocity
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return reciprocity(edges)
+
+
+# DuckDB feature req: core SQL. Edge derivation is q95's raw CTE, kept
+# DIRECTED (no least/greatest canonicalization).
+def _q108_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT s AS u, d AS v FROM raw WHERE s <> d
+), n AS (
+  SELECT count(*)::bigint AS n_edges FROM e
+), r AS (
+  SELECT count(*)::bigint AS n_reciprocal
+  FROM e WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.u = e.v AND e2.v = e.u)
+)
+SELECT n_edges, n_reciprocal,
+       (round(n_reciprocal::double / n_edges::double, 6) + 0.0) AS reciprocity
+FROM n, r
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6540,6 +6588,7 @@ def queries():
         "q105_lang_kappa": q105_lang_kappa,
         "q106_vocab_coverage": q106_vocab_coverage,
         "q107_mutual_best": q107_mutual_best,
+        "q108_reciprocity": q108_reciprocity,
     }
 
 
@@ -6652,4 +6701,5 @@ def oracle_sql():
         "q105_lang_kappa": _q105_sql(),
         "q106_vocab_coverage": Q106_SQL,
         "q107_mutual_best": _q107_sql(),
+        "q108_reciprocity": _q108_sql(),
     }

@@ -448,3 +448,33 @@ def test_transitive_closure_takes_min_and_survives_cycles(spark):
     assert got[(1, 3)] == 1  # min(shortcut, via 2)
     assert got[(3, 2)] == 2  # 3->1->2
     assert all(a != b for (a, b) in got)  # self-pairs filtered
+
+
+# --- reciprocity (q108, round 5) ---
+
+def test_reciprocity_hand_computed(spark):
+    from pathhier_spark.operators.graph import reciprocity
+
+    # edges: a->b, b->a (reciprocal pair), a->c (one-way), c->c (self,
+    # dropped), plus a duplicate a->b (deduped)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+        "src string, dst string",
+    )
+    r = reciprocity(edges).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_reciprocity_extremes(spark):
+    from pathhier_spark.operators.graph import reciprocity
+
+    dag = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    assert reciprocity(dag).collect()[0]["reciprocity"] == 0.0
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    assert reciprocity(sym).collect()[0]["reciprocity"] == 1.0
