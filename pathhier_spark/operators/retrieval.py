@@ -444,3 +444,51 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("pos").alias("first_pos"),
     )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    phrase: list[str],
+    *,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """KWIC (keyword-in-context) snippets: for every document matching
+    the phrase (phrase_search above), the +-window-token context around
+    the FIRST occurrence — the search-results preview surface that turns
+    q103's match list into something a human can triage.
+
+    Composition, not a new algorithm: phrase_search supplies
+    (id, n_hits, first_pos); this joins the matches back to the
+    documents (the match side is term-selective-tiny, so Spark
+    broadcasts it) and slices the token array with pure column
+    expressions — F.slice on the shared `_tokens` normalization, 1-based,
+    clamped at the left edge. Map-only after the join; no shuffle is
+    added beyond phrase_search's own.
+
+    Output: (id_col, first_pos, n_hits, snippet string) where snippet is
+    the space-joined window [first_pos - window, first_pos + len(phrase)
+    - 1 + window] clipped to the document."""
+    hits = phrase_search(docs, phrase, id_col=id_col, text_col=text_col)
+    toks = _tokens_expr(text_col)
+    start = F.greatest(F.col("first_pos") + 1 - window, F.lit(1))
+    length = (
+        F.col("first_pos") + F.lit(len(phrase) + window) - start + F.lit(1)
+    )
+    return (
+        docs.select(id_col, toks.alias("_toks"))
+        .join(F.broadcast(hits), id_col)
+        .select(
+            id_col,
+            "first_pos",
+            "n_hits",
+            F.concat_ws(" ", F.slice("_toks", start, length)).alias("snippet"),
+        )
+    )
+
+
+def _tokens_expr(text_col: str):
+    from pathhier_spark.operators.textstats import _tokens
+
+    return _tokens(text_col)

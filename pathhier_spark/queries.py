@@ -6479,6 +6479,51 @@ FROM n, r
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q109 — KWIC snippets for the q103 phrase
+# (operators/retrieval.kwic_snippets): +-3-token context around the
+# FIRST "table scan" occurrence per matching doc — the search-preview
+# surface composing phrase_search with a broadcast join-back and a pure
+# column-expression token slice. The oracle re-derives the first match
+# by walking the token list and slices with list_slice — different
+# mechanism, same snippet string.
+# ---------------------------------------------------------------------------
+
+_KWIC_WINDOW = 3
+
+
+def q109_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import kwic_snippets
+
+    docs = _docs(spark, sf_dir)
+    return kwic_snippets(docs, _PHRASE, window=_KWIC_WINDOW).orderBy("doc_id")
+
+
+# DuckDB feature req: core list fns (list_slice / array_to_string).
+Q109_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, toks,
+         list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                     i -> toks[i] = 'table' AND toks[i + 1] = 'scan') AS hits
+  FROM t
+)
+SELECT doc_id,
+       (hits[1] - 1)::bigint AS first_pos,
+       len(hits)::bigint AS n_hits,
+       array_to_string(
+         list_slice(toks, greatest(hits[1] - {_KWIC_WINDOW}, 1),
+                    hits[1] + 1 + {_KWIC_WINDOW}), ' ') AS snippet
+FROM m
+WHERE len(hits) > 0
+ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6589,6 +6634,7 @@ def queries():
         "q106_vocab_coverage": q106_vocab_coverage,
         "q107_mutual_best": q107_mutual_best,
         "q108_reciprocity": q108_reciprocity,
+        "q109_kwic": q109_kwic,
     }
 
 
@@ -6702,4 +6748,5 @@ def oracle_sql():
         "q106_vocab_coverage": Q106_SQL,
         "q107_mutual_best": _q107_sql(),
         "q108_reciprocity": _q108_sql(),
+        "q109_kwic": Q109_SQL,
     }

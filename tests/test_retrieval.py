@@ -297,3 +297,36 @@ def test_phrase_search_single_token_and_empty(spark):
     assert 2 not in out
     with _pytest.raises(ValueError):
         phrase_search(docs, [])
+
+
+# --- kwic_snippets (q109, round 5) ---
+
+def test_kwic_snippet_window_and_edges(spark):
+    from pathhier_spark.operators.retrieval import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 table scan x1 x2 x3 x4"),   # interior match
+            (2, "table scan tail1 tail2"),            # left-edge clamp
+            (3, "a b c d e table scan"),              # right-edge clamp
+            (4, "no match here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in kwic_snippets(docs, ["table", "scan"], window=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["snippet"] == "w2 w3 table scan x1 x2"
+    assert out[2]["snippet"] == "table scan tail1 tail2"
+    assert out[3]["snippet"] == "d e table scan"
+    assert out[2]["first_pos"] == 0 and out[3]["first_pos"] == 5
+
+
+def test_kwic_uses_first_occurrence(spark):
+    from pathhier_spark.operators.retrieval import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "x table scan y z table scan w")], "doc_id bigint, text string"
+    )
+    r = kwic_snippets(docs, ["table", "scan"], window=1).collect()[0]
+    assert r["n_hits"] == 2
+    assert r["snippet"] == "x table scan y"
