@@ -836,3 +836,67 @@ def reciprocity(
             + F.lit(0.0)
         ).alias("reciprocity"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of the
+    degrees at the two ends of each undirected edge — positive when hubs
+    wire to hubs (social graphs), negative when hubs wire to leaves (the
+    web, most extracted KGs). With reciprocity and local clustering this
+    completes the one-look structural fingerprint of the extracted
+    graph.
+
+    Plan: canonicalize undirected distinct edges (u < v), checkpoint
+    once, count degrees with one combiner groupBy, join degrees back to
+    both endpoints (the rank-joined edge table is edge-sized), then emit
+    BOTH orientations of each edge (the standard symmetrization — makes
+    the statistic orientation-free) and reduce to the six Pearson sums
+    (n, Sx, Sy, Sxy, Sxx, Syy) in ONE exact-int64 aggregate; degrees are
+    bounded by max-degree so the int64 sums hold to ~1e12 edges x 1e3
+    mean degree. r is then a fixed shape of double products of those
+    integers (identical on both engines), round-6. NULL when the
+    variance is zero (regular graph). Output: one row
+    (n_pairs, assortativity)."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("xv"))
+    both = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(F.col("xu").alias("x"), F.col("xv").alias("y"))
+    )
+    sym = both.unionAll(both.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    sums = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (var_x > 0) & (var_y > 0), F.round(r, 6) + F.lit(0.0)
+        ).alias("assortativity"),
+    )

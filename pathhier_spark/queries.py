@@ -6524,6 +6524,69 @@ ORDER BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q110 — degree assortativity of the extracted KG
+# (operators/graph.degree_assortativity): Pearson r of endpoint degrees
+# over the canonical undirected edge set, symmetrized (both
+# orientations) — with q95's clustering and q108's reciprocity, the
+# one-look structural fingerprint. Six exact-int64 Pearson sums from
+# one aggregate; r is a fixed shape of double products, round-6.
+# ---------------------------------------------------------------------------
+
+
+def q110_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import degree_assortativity
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+# DuckDB feature req: core SQL. Edge/degree derivation matches q95's e/deg.
+def _q110_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), deg AS (
+  SELECT node, count(*)::bigint AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+), xy AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), sym AS (
+  SELECT x, y FROM xy UNION ALL SELECT y AS x, x AS y FROM xy
+), sums AS (
+  SELECT count(*)::bigint AS n, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+         sum(y * y)::bigint AS syy
+  FROM sym
+)
+SELECT n AS n_pairs,
+       CASE WHEN (n::double * sxx::double - sx::double * sx::double) > 0
+             AND (n::double * syy::double - sy::double * sy::double) > 0
+            THEN (round((n::double * sxy::double - sx::double * sy::double)
+                        / sqrt((n::double * sxx::double - sx::double * sx::double)
+                               * (n::double * syy::double - sy::double * sy::double)),
+                        6) + 0.0)
+       END AS assortativity
+FROM sums
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6635,6 +6698,7 @@ def queries():
         "q107_mutual_best": q107_mutual_best,
         "q108_reciprocity": q108_reciprocity,
         "q109_kwic": q109_kwic,
+        "q110_assortativity": q110_assortativity,
     }
 
 
@@ -6749,4 +6813,5 @@ def oracle_sql():
         "q107_mutual_best": _q107_sql(),
         "q108_reciprocity": _q108_sql(),
         "q109_kwic": Q109_SQL,
+        "q110_assortativity": _q110_sql(),
     }

@@ -478,3 +478,36 @@ def test_reciprocity_extremes(spark):
         "src string, dst string",
     )
     assert reciprocity(sym).collect()[0]["reciprocity"] == 1.0
+
+
+# --- degree assortativity (q110, round 5) ---
+
+def test_assortativity_hand_computed(spark):
+    from pathhier_spark.operators.graph import degree_assortativity
+
+    # triangle a-b-c plus pendant c-d (degrees a=2 b=2 c=3 d=1):
+    # networkx degree_assortativity_coefficient = -5/7; duplicates and
+    # self-loops must be dropped before degree counting
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("b", "a"), ("d", "d")],
+        "src string, dst string",
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["n_pairs"] == 8  # 4 undirected edges, both orientations
+    assert r["assortativity"] == round(-5 / 7, 6)
+
+
+def test_assortativity_extremes(spark):
+    from pathhier_spark.operators.graph import degree_assortativity
+
+    # star K1,3: hub wires only to leaves -> perfectly disassortative
+    star = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d")], "src string, dst string"
+    )
+    assert degree_assortativity(star).collect()[0]["assortativity"] == -1.0
+    # 3-cycle: regular graph, zero degree variance -> NULL (undefined)
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
