@@ -6587,6 +6587,51 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Q111 — redirect-chain resolution via pointer doubling
+# (operators/graph.resolve_chains): every URL of a deterministic redirect
+# forest resolves to its terminal in O(log chain-length) self-join
+# rounds — the parallel path-compression primitive behind URL
+# canonicalization, alias->canonical maps, and symlink forests. The
+# synthetic forest (doc_id % 16 != 0 redirects to doc_id - 1) has chain
+# lengths 1..15, so convergence takes 4 doubling rounds; the oracle
+# re-WALKS the same forest with a recursive CTE (different mechanism,
+# same terminals + exact hop counts).
+# ---------------------------------------------------------------------------
+
+
+def q111_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import resolve_chains
+
+    docs = _docs(spark, sf_dir)
+    url = lambda c: F.concat(F.lit("https://r.example.com/"), c.cast("string"))  # noqa: E731
+    edges = docs.filter(F.col("doc_id") % 16 != 0).select(
+        url(F.col("doc_id")).alias("src"),
+        url(F.col("doc_id") - 1).alias("dst"),
+    )
+    return resolve_chains(edges).orderBy("src")
+
+
+# DuckDB feature req: WITH RECURSIVE (core). The oracle walks the chain
+# hop-by-hop — mechanism-independent parity with the doubling operator.
+Q111_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT 'https://r.example.com/' || doc_id::varchar AS src,
+         'https://r.example.com/' || (doc_id - 1)::varchar AS dst
+  FROM documents WHERE doc_id % 16 <> 0
+), walk AS (
+  SELECT src, dst AS cur, 1::bigint AS hops FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+)
+SELECT w.src, w.cur AS final, w.hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+ORDER BY w.src
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6699,6 +6744,7 @@ def queries():
         "q108_reciprocity": q108_reciprocity,
         "q109_kwic": q109_kwic,
         "q110_assortativity": q110_assortativity,
+        "q111_redirect_resolve": q111_redirect_resolve,
     }
 
 
@@ -6814,4 +6860,5 @@ def oracle_sql():
         "q108_reciprocity": _q108_sql(),
         "q109_kwic": Q109_SQL,
         "q110_assortativity": _q110_sql(),
+        "q111_redirect_resolve": Q111_SQL,
     }

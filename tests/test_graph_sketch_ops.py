@@ -511,3 +511,46 @@ def test_assortativity_extremes(spark):
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+# --- redirect-chain resolution / pointer doubling (q111, round 5) ---
+
+def test_resolve_chains_hand_computed(spark):
+    from pathhier_spark.operators.graph import resolve_chains
+
+    # two chains merging into terminal T: a->b->c->T and y->x->T
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T"), ("x", "T"), ("y", "x")],
+        "src string, dst string",
+    )
+    got = sorted(tuple(r) for r in resolve_chains(edges).collect())
+    assert got == [
+        ("a", "T", 3), ("b", "T", 2), ("c", "T", 1),
+        ("x", "T", 1), ("y", "T", 2),
+    ]
+
+
+def test_resolve_chains_long_chain_log_rounds(spark):
+    from pathhier_spark.operators.graph import resolve_chains
+
+    # a 200-link chain must converge within ceil(log2(200)) = 8 doubling
+    # rounds — max_rounds=8 passing IS the log-convergence assertion
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(200)], "src string, dst string"
+    )
+    out = {r["src"]: (r["final"], r["hops"]) for r in
+           resolve_chains(edges, max_rounds=8).collect()}
+    assert out["n0"] == ("n200", 200)
+    assert out["n199"] == ("n200", 1)
+    assert out["n100"] == ("n200", 100)
+
+
+def test_resolve_chains_cycle_raises(spark):
+    from pathhier_spark.operators.graph import resolve_chains
+    import pytest as _pytest
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_chains(cyc, max_rounds=5).collect()
