@@ -971,3 +971,88 @@ def resolve_chains(
         f"resolve_chains did not converge in {max_rounds} rounds — "
         "the pointer graph almost certainly contains a cycle"
     )
+
+
+def trustrank_fixedpoint(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """TrustRank (Gyongyi et al., VLDB 2004): PageRank with the teleport
+    mass restricted to a trusted SEED set, so rank becomes propagated
+    trust — the classic web-spam damper, and for an extracted KG the
+    "how far is this entity from a curated anchor" score. Same integer
+    fixed-point discipline as pagerank_fixedpoint (int64 micro-units,
+    floor divisions, dangling mass leaks) so the iterative algorithm
+    stays deterministic and engine-portable; the ONLY deltas are r0
+    (seeds start at `scale`, everything else at 0) and the per-round
+    teleport term (is_seed * teleport instead of uniform). Un-normalized
+    variant: each seed injects a full unit of trust (no 1/|seeds|
+    split) — mirrored exactly in the oracle.
+
+    Scale shape: identical to pagerank — loop inputs eagerly
+    localCheckpoint-ed once, each round one node-sized equi-join onto
+    edges + a combiner integer sum. The seed flag rides the node table
+    as an int column (seeds join is a broadcast: trust lists are
+    human-curated, thousands at most). Output: (node, rank_fp INT64,
+    rank DOUBLE)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(sd.withColumn("seed_tag", F.lit(1))), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("seed_tag"), F.lit(0)).cast("long").alias("is_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("s").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        "node", (F.col("is_seed") * int(scale)).cast("long").alias("rank_fp")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.floor(F.col("rank_fp") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("is_seed") * teleport
+                    + F.floor(
+                        damping_pct
+                        * F.coalesce(F.col("in_sum"), F.lit(0))
+                        / 100
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        (F.col("rank_fp") / F.lit(float(scale))).alias("rank"),
+    )

@@ -2841,11 +2841,22 @@ def q51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "rank_fp", _rz(F.col("rank"), 6).alias("rank"))
 
 
-def _sql_pagerank_chain(edge_cte: str) -> str:
+def _sql_pagerank_chain(edge_cte: str, seed_where: str | None = None) -> str:
     """Unrolled fixed-point PageRank rounds over an arbitrary edge CTE
-    (must define `e(s, d)`) — shared by the trade-graph (q51) and the
-    extracted-KG-triple-graph (q57) oracles."""
+    (must define `e(s, d)`) — shared by the trade-graph (q51), the
+    extracted-KG-triple-graph (q57), and (with `seed_where`, a predicate
+    over `node`) the TrustRank (q112) oracles. With a seed predicate the
+    teleport term and the r0 unit mass are restricted to seed nodes —
+    the exact two deltas of trustrank_fixedpoint."""
     teleport = (100 - _PR_DAMP) * _PR_SCALE // 100
+    if seed_where is None:
+        node_cols = "node"
+        tele_expr = str(teleport)
+        r0_rank = f"{_PR_SCALE}::bigint"
+    else:
+        node_cols = f"node, CASE WHEN {seed_where} THEN 1 ELSE 0 END AS is_seed"
+        tele_expr = f"(n.is_seed * {teleport})"
+        r0_rank = f"(is_seed * {_PR_SCALE})::bigint"
 
     def rnd(prev, c, cur):
         return f"""{c} AS (
@@ -2855,7 +2866,7 @@ def _sql_pagerank_chain(edge_cte: str) -> str:
   GROUP BY e.d
 ), {cur} AS (
   SELECT n.node,
-         ({teleport} + floor(({_PR_DAMP} * coalesce(c.in_sum, 0))::double
+         ({tele_expr} + floor(({_PR_DAMP} * coalesce(c.in_sum, 0))::double
                              / 100)::bigint)::bigint AS rank_fp
   FROM nodes n LEFT JOIN {c} c ON n.node = c.node
 )"""
@@ -2867,13 +2878,15 @@ def _sql_pagerank_chain(edge_cte: str) -> str:
 WITH e AS (
 {edge_cte}
 ), nodes AS (
-  SELECT DISTINCT node FROM (
-    SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+  SELECT {node_cols} FROM (
+    SELECT DISTINCT node FROM (
+      SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+    )
   )
 ), deg AS (
   SELECT s, count(*) AS deg FROM e GROUP BY s
 ), r0 AS (
-  SELECT node, {_PR_SCALE}::bigint AS rank_fp FROM nodes
+  SELECT node, {r0_rank} AS rank_fp FROM nodes
 ),
 {rounds}
 SELECT node, rank_fp,
@@ -6632,6 +6645,54 @@ ORDER BY w.src
 """
 
 
+# ---------------------------------------------------------------------------
+# Q112 — TrustRank over the extracted KG
+# (operators/graph.trustrank_fixedpoint): seeded-teleport PageRank — the
+# web-spam/trust-propagation classic (Gyongyi et al., VLDB 2004). Seeds
+# are md5-derived (first hex digit 0 or 1, ~1/8 of nodes) so both
+# engines select the identical set with no RNG; the oracle reuses the
+# q51/q57 unrolled round chain with the seed predicate threaded through
+# r0 and the teleport term.
+# ---------------------------------------------------------------------------
+
+_TR_SEED_WHERE = "substr(md5(node), 1, 1) IN ('0', '1')"
+
+
+def q112_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import trustrank_fixedpoint
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        extract_token_triples(docs, TRIGGERS)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # seeds + operator both read it
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.substring(F.md5(F.col("node")), 1, 1).isin("0", "1"))
+    )
+    return trustrank_fixedpoint(
+        edges, seeds, iterations=_PR_ITERS, damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+    ).select("node", "rank_fp", _rz(F.col("rank"), 6).alias("rank"))
+
+
+def _q112_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return _sql_pagerank_chain(
+        f"""  SELECT DISTINCT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}""",
+        seed_where=_TR_SEED_WHERE,
+    )
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6745,6 +6806,7 @@ def queries():
         "q109_kwic": q109_kwic,
         "q110_assortativity": q110_assortativity,
         "q111_redirect_resolve": q111_redirect_resolve,
+        "q112_trustrank": q112_trustrank,
     }
 
 
@@ -6861,4 +6923,5 @@ def oracle_sql():
         "q109_kwic": Q109_SQL,
         "q110_assortativity": _q110_sql(),
         "q111_redirect_resolve": Q111_SQL,
+        "q112_trustrank": _q112_sql(),
     }

@@ -554,3 +554,26 @@ def test_resolve_chains_cycle_raises(spark):
     )
     with _pytest.raises(ValueError, match="cycle"):
         resolve_chains(cyc, max_rounds=5).collect()
+
+
+# --- TrustRank (q112, round 5) ---
+
+def test_trustrank_hand_computed(spark):
+    from pathhier_spark.operators.graph import trustrank_fixedpoint
+
+    # chain a->b->c with seed {a}, plus a seed-unreachable edge x->y;
+    # 2 rounds at damping 85, scale 1e6 (teleport 150000):
+    #   r1: a=150000, b=floor(.85*1e6)=850000, c=0
+    #   r2: a=150000, b=floor(.85*150000)=127500, c=floor(.85*850000)=722500
+    # x and y never see trust — the defining TrustRank property
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in trustrank_fixedpoint(edges, seeds, iterations=2).collect()
+    }
+    assert got == {
+        "a": 150000, "b": 127500, "c": 722500, "x": 0, "y": 0,
+    }
