@@ -1056,3 +1056,48 @@ def trustrank_fixedpoint(
         "rank_fp",
         (F.col("rank_fp") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_degree: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973, the web-graph classic): two
+    targets are similar when the same sources link to both; the score is
+    the number of distinct co-citing sources. The direct computation is
+    a per-source pair expansion — quadratic in out-degree, so one
+    directory hub with 1e5 out-links would emit 5e9 pairs and dominate
+    the whole job. The standard guard: DROP sources above
+    `max_out_degree` before expanding (hub pages carry near-zero
+    similarity signal anyway — they cite everything), which bounds
+    per-source work at max_out_degree^2/2 and makes total cost linear in
+    surviving edges. min_count=2 prunes the long tail of
+    single-co-citation noise pairs BEFORE the final sort.
+
+    Plan: distinct edges -> out-degree combiner groupBy -> degree filter
+    (a broadcast-able source list is NOT needed: the degree joins back
+    on the edge's own key) -> per-source self-join generating ordered
+    pairs (a < b, so each pair counts once) -> combiner count. Output:
+    (dst_a, dst_b, n_cociting)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    kept = e.join(deg, "s").filter(F.col("outdeg") <= max_out_degree)
+    pairs = (
+        kept.alias("l")
+        .join(kept.alias("r"), F.col("l.s") == F.col("r.s"))
+        .filter(F.col("l.d") < F.col("r.d"))
+        .select(
+            F.col("l.d").alias("dst_a"), F.col("r.d").alias("dst_b")
+        )
+    )
+    return (
+        pairs.groupBy("dst_a", "dst_b")
+        .agg(F.count(F.lit(1)).alias("n_cociting"))
+        .filter(F.col("n_cociting") >= min_count)
+    )

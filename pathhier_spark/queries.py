@@ -6693,6 +6693,59 @@ def _q112_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q113 — co-citation similarity over the extracted KG
+# (operators/graph.cocitation_pairs): two objects are similar when the
+# same subjects link to both (Small 1973). The hub guard — drop sources
+# above max_out_degree BEFORE the per-source pair expansion — is the
+# whole scale story: expansion is quadratic in out-degree, and the guard
+# bounds it. min_count prunes single-co-citation noise.
+# ---------------------------------------------------------------------------
+
+_COCITE_MAX_OUTDEG = 50
+_COCITE_MIN_COUNT = 2
+
+
+def q113_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import cocitation_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return cocitation_pairs(
+        edges,
+        max_out_degree=_COCITE_MAX_OUTDEG,
+        min_count=_COCITE_MIN_COUNT,
+    ).orderBy("dst_a", "dst_b")
+
+
+def _q113_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT s, d FROM raw
+), deg AS (
+  SELECT s, count(*) AS outdeg FROM e GROUP BY s
+), kept AS (
+  SELECT e.s, e.d FROM e JOIN deg ON deg.s = e.s
+  WHERE deg.outdeg <= {_COCITE_MAX_OUTDEG}
+)
+SELECT l.d AS dst_a, r.d AS dst_b, count(*)::bigint AS n_cociting
+FROM kept l JOIN kept r ON l.s = r.s AND l.d < r.d
+GROUP BY l.d, r.d
+HAVING count(*) >= {_COCITE_MIN_COUNT}
+ORDER BY dst_a, dst_b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6807,6 +6860,7 @@ def queries():
         "q110_assortativity": q110_assortativity,
         "q111_redirect_resolve": q111_redirect_resolve,
         "q112_trustrank": q112_trustrank,
+        "q113_cocitation": q113_cocitation,
     }
 
 
@@ -6924,4 +6978,5 @@ def oracle_sql():
         "q110_assortativity": _q110_sql(),
         "q111_redirect_resolve": Q111_SQL,
         "q112_trustrank": _q112_sql(),
+        "q113_cocitation": _q113_sql(),
     }

@@ -577,3 +577,41 @@ def test_trustrank_hand_computed(spark):
     assert got == {
         "a": 150000, "b": 127500, "c": 722500, "x": 0, "y": 0,
     }
+
+
+# --- co-citation similarity (q113, round 5) ---
+
+def test_cocitation_hand_computed(spark):
+    from pathhier_spark.operators.graph import cocitation_pairs
+
+    # s1 and s2 both cite {a, b}; s3 cites {a, c}; duplicate edge deduped
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+         ("s3", "a"), ("s3", "c"), ("s1", "a")],
+        "src string, dst string",
+    )
+    got = sorted(tuple(r) for r in cocitation_pairs(edges).collect())
+    # (a,b) co-cited by s1+s2 = 2 >= min_count; (a,c) only by s3 -> pruned
+    assert got == [("a", "b", 2)]
+
+
+def test_cocitation_hub_guard(spark):
+    from pathhier_spark.operators.graph import cocitation_pairs
+
+    # a hub citing 5 targets is dropped at max_out_degree=4, so the pairs
+    # it alone would have created disappear entirely
+    hub = [("hub", t) for t in ["a", "b", "c", "d", "e"]]
+    pair = [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")]
+    edges = spark.createDataFrame(hub + pair, "src string, dst string")
+    got = sorted(
+        tuple(r)
+        for r in cocitation_pairs(edges, max_out_degree=4).collect()
+    )
+    assert got == [("a", "b", 2)]
+    # raising the cap readmits the hub: (a,b) now 3, hub-only pairs at 1
+    # stay below min_count
+    got2 = sorted(
+        tuple(r)
+        for r in cocitation_pairs(edges, max_out_degree=5).collect()
+    )
+    assert got2 == [("a", "b", 3)]
