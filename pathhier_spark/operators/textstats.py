@@ -1376,3 +1376,83 @@ def vocab_coverage(
             + F.lit(0.0)
         ).alias("coverage"),
     ).orderBy("permille")
+
+
+def heaps_curve(
+    df: DataFrame,
+    n_slices: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: vocabulary size after each
+    1/n_slices prefix of the corpus in `id_col` order — the empirical
+    V(n) ~ K * n^beta curve that sizes tokenizer vocabularies and
+    predicts how much NEW vocabulary the next 10 TB of crawl will add
+    (complement of vocab_coverage, which slices by token mass at one
+    snapshot). Whitespace tokens on lowered text, empties dropped (the
+    q106 convention).
+
+    Exact without any global sort: a document's position is defined by
+    its id, slice boundaries are exact id thresholds
+    floor((max_id+1) * s / n_slices), and "vocabulary after prefix s" =
+    count of tokens whose FIRST-occurrence id (one min-combiner groupBy
+    over the token table) falls under the threshold. The thresholds
+    table is n_slices rows — it BROADCASTS onto the first-occurrence
+    table (vocab-sized) and the per-doc count table (doc-sized), and
+    every count is a combiner aggregate. Nothing is ever ordered,
+    windowed, or single-partitioned; ids need not be contiguous (slices
+    are then uneven in doc count, but n_docs per row reports the real
+    prefix size). Output: (slice_idx, id_threshold, n_docs, n_tokens,
+    vocab_size), n_slices rows."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    first = tok.groupBy("token").agg(F.min("id").alias("first_id"))
+    per_doc = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    bounds = (
+        df.agg(F.max(F.col(id_col)).alias("max_id"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(n_slices)))
+            ).alias("slice_idx"),
+            F.col("max_id"),
+        )
+        .select(
+            "slice_idx",
+            F.floor(
+                (F.col("max_id") + 1) * F.col("slice_idx") / int(n_slices)
+            ).alias("id_threshold"),
+        )
+    )
+    b = F.broadcast(bounds)
+    vocab = (
+        b.join(first, first["first_id"] < bounds["id_threshold"])
+        .groupBy("slice_idx")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    docs_toks = (
+        b.join(per_doc, per_doc["id"] < bounds["id_threshold"])
+        .groupBy("slice_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    return (
+        bounds.join(docs_toks, "slice_idx", "left")
+        .join(vocab, "slice_idx", "left")
+        .select(
+            "slice_idx",
+            "id_threshold",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("vocab_size"), F.lit(0)).alias("vocab_size"),
+        )
+    )

@@ -6746,6 +6746,64 @@ ORDER BY dst_a, dst_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q114 — Heaps'-law vocabulary growth curve
+# (operators/textstats.heaps_curve): vocabulary size after each decile
+# prefix of the corpus in doc_id order — the V(n) ~ K*n^beta curve that
+# sizes tokenizer vocabularies and predicts new-vocabulary yield of the
+# next crawl tranche. Exact with NO global sort: slice boundaries are
+# integer id thresholds, "vocab after prefix" counts tokens by their
+# min-doc_id first occurrence, thresholds broadcast onto vocab-sized and
+# doc-sized tables.
+# ---------------------------------------------------------------------------
+
+_HEAPS_SLICES = 10
+
+
+def q114_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import heaps_curve
+
+    docs = _docs(spark, sf_dir)
+    return heaps_curve(docs, _HEAPS_SLICES).orderBy("slice_idx")
+
+
+# DuckDB feature req: core SQL (generate_series, list_filter/unnest).
+Q114_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), first AS (
+  SELECT token, min(id) AS first_id FROM tok GROUP BY token
+), per_doc AS (
+  SELECT id, count(*)::bigint AS n_tok FROM tok GROUP BY id
+), bounds AS (
+  SELECT s AS slice_idx,
+         ((SELECT max(doc_id) FROM documents) + 1) * s // {_HEAPS_SLICES}
+           AS id_threshold
+  FROM generate_series(1, {_HEAPS_SLICES}) t(s)
+), vocab AS (
+  SELECT b.slice_idx, count(*)::bigint AS vocab_size
+  FROM bounds b JOIN first f ON f.first_id < b.id_threshold
+  GROUP BY b.slice_idx
+), dt AS (
+  SELECT b.slice_idx, count(*)::bigint AS n_docs,
+         sum(p.n_tok)::bigint AS n_tokens
+  FROM bounds b JOIN per_doc p ON p.id < b.id_threshold
+  GROUP BY b.slice_idx
+)
+SELECT b.slice_idx, b.id_threshold,
+       coalesce(dt.n_docs, 0)::bigint AS n_docs,
+       coalesce(dt.n_tokens, 0)::bigint AS n_tokens,
+       coalesce(v.vocab_size, 0)::bigint AS vocab_size
+FROM bounds b
+LEFT JOIN dt ON dt.slice_idx = b.slice_idx
+LEFT JOIN vocab v ON v.slice_idx = b.slice_idx
+ORDER BY b.slice_idx
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6861,6 +6919,7 @@ def queries():
         "q111_redirect_resolve": q111_redirect_resolve,
         "q112_trustrank": q112_trustrank,
         "q113_cocitation": q113_cocitation,
+        "q114_heaps_curve": q114_heaps_curve,
     }
 
 
@@ -6979,4 +7038,5 @@ def oracle_sql():
         "q111_redirect_resolve": Q111_SQL,
         "q112_trustrank": _q112_sql(),
         "q113_cocitation": _q113_sql(),
+        "q114_heaps_curve": Q114_SQL,
     }

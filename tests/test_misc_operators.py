@@ -703,3 +703,43 @@ def test_vocab_coverage_tie_break_is_token_order(spark):
     )
     out = vocab_coverage(docs, [500]).collect()[0]
     assert (out["vocab_size"], out["coverage"]) == (1, 0.5)
+
+
+# --- Heaps'-law vocabulary growth curve (q114, round 5) ---
+
+def test_heaps_curve_hand_computed(spark):
+    from pathhier_spark.operators.textstats import heaps_curve
+
+    # ids 0..3, max_id=3 -> thresholds at 2 slices: floor(4*1/2)=2,
+    # floor(4*2/2)=4. Prefix id<2 = docs {0,1}: tokens {a,b,c}, 4 total;
+    # full corpus: vocab {a,b,c,d}, 8 tokens.
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "B c"), (2, "c d"), (3, "a  d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["slice_idx"]: (
+            r["id_threshold"], r["n_docs"], r["n_tokens"], r["vocab_size"]
+        )
+        for r in heaps_curve(docs, 2).collect()
+    }
+    assert got == {1: (2, 2, 4, 3), 2: (4, 4, 8, 4)}
+
+
+def test_heaps_curve_empty_prefix_and_monotone(spark):
+    from pathhier_spark.operators.textstats import heaps_curve
+
+    # non-contiguous ids: the first slices can be empty prefixes (0-rows,
+    # not missing rows), and every column is monotone nondecreasing
+    docs = spark.createDataFrame(
+        [(90, "x y"), (95, "y z"), (99, "z")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["slice_idx"], r["n_docs"], r["n_tokens"], r["vocab_size"])
+        for r in heaps_curve(docs, 10).collect()
+    )
+    assert len(rows) == 10
+    assert rows[0][1:] == (0, 0, 0)  # empty prefix still reported
+    for a, b in zip(rows, rows[1:]):
+        assert a[1] <= b[1] and a[2] <= b[2] and a[3] <= b[3]
+    assert rows[-1][1:] == (3, 5, 3)
