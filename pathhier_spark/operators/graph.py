@@ -1101,3 +1101,118 @@ def cocitation_pairs(
         .agg(F.count(F.lit(1)).alias("n_cociting"))
         .filter(F.col("n_cociting") >= min_count)
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """EXACT neighborhood function N(h): the number of ordered pairs
+    (u, v) with a directed path of length <= h — the curve whose 90%
+    point is the graph's effective diameter (Palmer/Faloutsos ANF). This
+    is the verification baseline: it materializes the full reachable-pair
+    set, which on a well-connected graph grows toward |V|^2 — at web
+    scale you run hyperball_neighborhood below (O(|V| * m) state) and
+    keep this for sampled/test subgraphs, exactly the brute-vs-bucketed
+    split of q32/q52.
+
+    Plan: hop 1 is the distinct edge set; each further hop joins the
+    frontier pair table onto edges and unions+distincts, eagerly
+    localCheckpoint-ed (the CC/q51 lineage discipline) since each round's
+    count() drives the output. Output: (hop, n_pairs), max_hops rows,
+    n_pairs monotone nondecreasing."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    cur = e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    rows = [(1, cur.count())]
+    for h in range(2, max_hops + 1):
+        cur = (
+            cur.join(e, cur["v"] == e["s"])
+            .select("u", F.col("d").alias("v"))
+            .union(cur)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rows.append((h, cur.count()))
+    return edges.sparkSession.createDataFrame(
+        rows, "hop long, n_pairs long"
+    )
+
+
+def hyperball_neighborhood(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    m: int = 64,
+    prefix: str = "hb",
+) -> DataFrame:
+    """HyperBall (Boldi/Vigna 2013): the neighborhood function estimated
+    with one HyperLogLog counter per node — B_h(u) = N(u) union
+    B_{h-1}(w) for out-neighbors w, so each hop is ONE edge join + ONE
+    (node, register) max-combine groupBy over O(|V| * m) state, never a
+    pair table. This is how effective diameter gets computed on
+    billion-node graphs; the md5-derived registers (textstats hll
+    machinery) make every estimate deterministic, so tests can pin exact
+    relative-error numbers rather than distributions.
+
+    Per hop the shuffle volume is |E| * m register rows — m trades
+    accuracy (~1.04/sqrt(m) per node) for shuffle width. Registers are
+    eagerly localCheckpoint-ed per hop (each hop's estimate aggregate
+    AND the next hop's join both read them). Output: (hop, est_pairs
+    DOUBLE round-6) — est_pairs estimates exact neighborhood_function's
+    n_pairs; per-node ball sizes are available from the intermediate
+    registers via hll_estimate_grouped."""
+    from pathhier_spark.operators.textstats import (
+        _hll_hash_cols,
+        hll_estimate_grouped,
+    )
+
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    j, rho = _hll_hash_cols("d", m, prefix)
+    # dense per-node frames so hop-0 register joins stay max-mergeable
+    base = (
+        e.select(F.col("s").alias("node"), j.alias("j"), rho.alias("rho"))
+        .groupBy("node", "j")
+        .agg(F.max("rho").cast("long").alias("reg"))
+        .localCheckpoint(eager=True)
+    )
+
+    allj = edges.sparkSession.range(m).select(F.col("id").alias("j"))
+
+    def _total(regs: DataFrame):
+        # densify before estimating: the loop state is SPARSE (absent
+        # register = 0, which max-merge preserves) but the harmonic-mean
+        # estimate must see all m registers per node
+        frame = regs.select("node").distinct().crossJoin(F.broadcast(allj))
+        dense = frame.join(regs, ["node", "j"], "left").select(
+            "node", "j", F.coalesce("reg", F.lit(0)).cast("long").alias("reg")
+        )
+        est = hll_estimate_grouped(dense, "node", m=m)
+        return est.agg(F.sum("est")).collect()[0][0]
+
+    regs = base
+    rows = [(1, float(_total(regs)))]
+    for h in range(2, max_hops + 1):
+        pulled = (
+            e.join(regs.withColumnRenamed("node", "d"), "d")
+            .select(F.col("s").alias("node"), "j", "reg")
+        )
+        regs = (
+            pulled.union(base)
+            .groupBy("node", "j")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        rows.append((h, float(_total(regs))))
+    out = edges.sparkSession.createDataFrame(rows, "hop long, est double")
+    return out.select(
+        "hop", (F.round(F.col("est"), 6) + F.lit(0.0)).alias("est_pairs")
+    )

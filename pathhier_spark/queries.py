@@ -6804,6 +6804,63 @@ ORDER BY b.slice_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Q115 — exact neighborhood function of the extracted KG
+# (operators/graph.neighborhood_function): ordered reachable pairs
+# within h hops, h = 1..3 — the curve whose 90% point is the effective
+# diameter (ANF). The exact pair-table form is the verification
+# baseline; the production path is hyperball_neighborhood (one HLL
+# counter per node, O(|V|*m) state), pinned against this exact curve in
+# pytest at <= 5% per-hop relative error.
+# ---------------------------------------------------------------------------
+
+_NEIGH_HOPS = 3
+
+
+def q115_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import neighborhood_function
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return neighborhood_function(edges, max_hops=_NEIGH_HOPS).orderBy("hop")
+
+
+def _q115_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT s, d FROM raw
+), r1 AS (
+  SELECT s AS u, d AS v FROM e
+), r2 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT r.u, e.d AS v FROM r1 r JOIN e ON r.v = e.s
+    UNION ALL SELECT u, v FROM r1
+  )
+), r3 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT r.u, e.d AS v FROM r2 r JOIN e ON r.v = e.s
+    UNION ALL SELECT u, v FROM r2
+  )
+)
+SELECT 1::bigint AS hop, (SELECT count(*) FROM r1)::bigint AS n_pairs
+UNION ALL
+SELECT 2::bigint, (SELECT count(*) FROM r2)::bigint
+UNION ALL
+SELECT 3::bigint, (SELECT count(*) FROM r3)::bigint
+ORDER BY hop
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6920,6 +6977,7 @@ def queries():
         "q112_trustrank": q112_trustrank,
         "q113_cocitation": q113_cocitation,
         "q114_heaps_curve": q114_heaps_curve,
+        "q115_neighborhood": q115_neighborhood,
     }
 
 
@@ -7039,4 +7097,5 @@ def oracle_sql():
         "q112_trustrank": _q112_sql(),
         "q113_cocitation": _q113_sql(),
         "q114_heaps_curve": Q114_SQL,
+        "q115_neighborhood": _q115_sql(),
     }

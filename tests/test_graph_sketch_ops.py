@@ -615,3 +615,42 @@ def test_cocitation_hub_guard(spark):
         for r in cocitation_pairs(edges, max_out_degree=5).collect()
     )
     assert got2 == [("a", "b", 3)]
+
+
+# --- neighborhood function: exact + HyperBall (q115, round 5) ---
+
+def test_neighborhood_exact_hand_computed(spark):
+    from pathhier_spark.operators.graph import neighborhood_function
+
+    # chain a->b->c->d: hop1 = 3 edges, hop2 adds (a,c),(b,d), hop3 adds
+    # (a,d); saturates at 6
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["hop"]: r["n_pairs"]
+           for r in neighborhood_function(edges, max_hops=4).collect()}
+    assert got == {1: 3, 2: 5, 3: 6, 4: 6}
+
+
+def test_hyperball_tracks_exact_curve(spark):
+    from pathhier_spark.operators.graph import (
+        hyperball_neighborhood, neighborhood_function,
+    )
+
+    # deterministic 2-out expander on 300 nodes; md5-derived registers
+    # make the estimates exact constants, so the bound is a pinned fact,
+    # not a flaky statistical assertion
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 300}") for i in range(300)]
+        + [(f"n{i}", f"n{(i * 13 + 5) % 300}") for i in range(300)],
+        "src string, dst string",
+    )
+    exact = {r["hop"]: r["n_pairs"]
+             for r in neighborhood_function(edges, max_hops=4).collect()}
+    est = {r["hop"]: r["est_pairs"]
+           for r in hyperball_neighborhood(edges, max_hops=4).collect()}
+    assert exact == {1: 600, 2: 1800, 3: 4194, 4: 8874}
+    for h, n in exact.items():
+        assert abs(est[h] - n) / n < 0.05, (h, est[h], n)
+    # the estimate curve must be monotone like the exact one
+    assert est[1] < est[2] < est[3] < est[4]
