@@ -6861,6 +6861,63 @@ ORDER BY hop
 """
 
 
+# ---------------------------------------------------------------------------
+# Q116 — component-size distribution of the extracted KG
+# (canonicalize.connected_components + one histogram groupBy): the KG
+# health scalar set — is the graph one giant blob (over-merged
+# canonicalization), confetti (under-linked extraction), or the healthy
+# giant-plus-dust shape? Composes the q18 large/small-star CC kernel on
+# the UNDIRECTED triple graph; the histogram is two combiner groupBys on
+# the node-sized labeling. Oracle: the q18 recursive-CTE min-label
+# closure + the same two-level count.
+# ---------------------------------------------------------------------------
+
+
+def q116_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.canonicalize import connected_components
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("xref_a"), F.col("obj").alias("xref_b")
+    )
+    labels = connected_components(edges)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("component_size"))
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("component_size")
+    )
+
+
+def _q116_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), sym AS (
+  SELECT s AS u, d AS v FROM raw UNION SELECT d, s FROM raw
+), nodes AS (
+  SELECT DISTINCT u AS node FROM sym
+), reach(n, m) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+), labels AS (
+  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+), sizes AS (
+  SELECT component, count(*)::bigint AS sz FROM labels GROUP BY component
+)
+SELECT sz AS component_size, count(*)::bigint AS n_components
+FROM sizes GROUP BY sz ORDER BY component_size
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6978,6 +7035,7 @@ def queries():
         "q113_cocitation": q113_cocitation,
         "q114_heaps_curve": q114_heaps_curve,
         "q115_neighborhood": q115_neighborhood,
+        "q116_component_sizes": q116_component_sizes,
     }
 
 
@@ -7098,4 +7156,5 @@ def oracle_sql():
         "q113_cocitation": _q113_sql(),
         "q114_heaps_curve": Q114_SQL,
         "q115_neighborhood": _q115_sql(),
+        "q116_component_sizes": _q116_sql(),
     }

@@ -69,3 +69,27 @@ def test_cooccurrence_edges_degree_guard(spark):
     with_ids = assign_local_ids(comps)
     ids = {r["node"]: r["local_id"] for r in with_ids.collect()}
     assert ids["a"] == ids["d"] != ids["z"]
+
+
+def test_component_size_histogram_shape(spark):
+    """q116 composition: CC labels -> size histogram. Two triangles and
+    one isolated pair -> histogram {2: 1, 3: 2}."""
+    from pyspark.sql import functions as F
+    from pathhier_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("p", "q"), ("q", "r"), ("r", "p"),
+         ("x", "y")],
+        "xref_a string, xref_b string",
+    )
+    hist = {
+        r["component_size"]: r["n_components"]
+        for r in connected_components(edges)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("component_size"))
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .collect()
+    }
+    assert hist == {2: 1, 3: 2}
