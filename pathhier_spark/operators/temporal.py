@@ -276,3 +276,57 @@ def sliding_window_distinct(
             "n_users_win",
         )
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    *,
+    series_col: str = "series",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward — the
+    hypertable companion to the q49 rollup: densify each series to every
+    day between its own first and last observation, then fill missing
+    days with the most recent prior value. Input: one row per (series,
+    day) with an exact-integer value (quantize floats to cents FIRST —
+    the q49 discipline — so the fill is bit-portable). Output adds
+    is_gap (1 = synthesized row).
+
+    Plan: per-series span is one min/max combiner groupBy (series-count
+    rows); the dense grid is an in-row sequence+explode of that tiny
+    table — span * series rows, never event rows; observations join back
+    on (series, day); the fill is ONE window per series
+    (last(ignorenulls) over rows unbounded-preceding..current), i.e.
+    partitioned by series key and therefore fully parallel across
+    series — no global sort, no SinglePartition. Leading gaps (before a
+    series' first observation) cannot exist by construction since the
+    grid starts at the first observed day."""
+    span = df.groupBy(F.col(series_col).alias("s")).agg(
+        F.min(day_col).alias("d0"), F.max(day_col).alias("d1")
+    )
+    grid = span.select(
+        "s",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    obs = df.select(
+        F.col(series_col).alias("s"),
+        F.col(day_col).alias("day"),
+        F.col(value_col).alias("v"),
+    )
+    joined = grid.join(obs, ["s", "day"], "left")
+    w = (
+        Window.partitionBy("s")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("s").alias(series_col),
+        F.col("day").alias(day_col),
+        F.last("v", ignorenulls=True).over(w).alias(value_col),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias(
+            "is_gap"
+        ),
+    )

@@ -6918,6 +6918,58 @@ FROM sizes GROUP BY sz ORDER BY component_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Q117 — gap-fill + last-observation-carried-forward
+# (operators/temporal.gapfill_locf): densify each event_type's daily
+# series and LOCF-fill the holes — the hypertable staple next to q49's
+# rollup and q47's as-of join. Gaps are synthesized deterministically
+# (days divisible by 3 dropped) since the testdata is dense; values are
+# integer cents (the q49 discipline) so the carried-forward fill is
+# bit-portable.
+# ---------------------------------------------------------------------------
+
+
+def q117_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import gapfill_locf
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    daily = (
+        ev.filter(F.dayofmonth("ts") % 3 != 0)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("value"))
+    )
+    return gapfill_locf(daily).orderBy("series", "day")
+
+
+# DuckDB feature req: last_value(... IGNORE NULLS) window (DuckDB >= 0.9)
+# and generate_series over DATE with an INTERVAL step.
+Q117_SQL = """
+WITH daily AS (
+  SELECT event_type AS series, date_trunc('day', ts)::date AS day,
+         sum(floor(value * 100))::bigint AS v
+  FROM events
+  WHERE date_part('day', ts)::bigint % 3 <> 0
+  GROUP BY 1, 2
+), span AS (
+  SELECT series, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY series
+), grid AS (
+  SELECT s.series, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY))::date AS day
+  FROM span s
+)
+SELECT g.series, g.day,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY g.series ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::bigint AS value,
+       (CASE WHEN d.v IS NULL THEN 1 ELSE 0 END)::bigint AS is_gap
+FROM grid g LEFT JOIN daily d ON d.series = g.series AND d.day = g.day
+ORDER BY g.series, g.day
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7036,6 +7088,7 @@ def queries():
         "q114_heaps_curve": q114_heaps_curve,
         "q115_neighborhood": q115_neighborhood,
         "q116_component_sizes": q116_component_sizes,
+        "q117_gapfill": q117_gapfill,
     }
 
 
@@ -7157,4 +7210,5 @@ def oracle_sql():
         "q114_heaps_curve": Q114_SQL,
         "q115_neighborhood": _q115_sql(),
         "q116_component_sizes": _q116_sql(),
+        "q117_gapfill": Q117_SQL,
     }

@@ -196,3 +196,41 @@ def test_sliding_window_distinct_hand_computed(spark):
     assert (d2["n_events_win"], d2["n_users_win"]) == (4, 2)
     d5 = out["2024-01-05"]  # window covers days 3-5: only user 3
     assert (d5["n_events_win"], d5["n_users_win"]) == (1, 1)
+
+
+# --- gap-fill + LOCF (q117, round 5) ---
+
+def test_gapfill_locf_hand_computed(spark):
+    import datetime as dt
+    from pathhier_spark.operators.temporal import gapfill_locf
+
+    d = lambda day: dt.date(2024, 1, day)  # noqa: E731
+    daily = spark.createDataFrame(
+        [("a", d(1), 10), ("a", d(4), 40), ("b", d(2), 20)],
+        "series string, day date, value long",
+    )
+    got = sorted(
+        (r["series"], r["day"].day, r["value"], r["is_gap"])
+        for r in gapfill_locf(daily).collect()
+    )
+    # series a: days 1-4 dense, 2 and 3 carry 10; series b: single day,
+    # no grid beyond its own span
+    assert got == [
+        ("a", 1, 10, 0), ("a", 2, 10, 1), ("a", 3, 10, 1), ("a", 4, 40, 0),
+        ("b", 2, 20, 0),
+    ]
+
+
+def test_gapfill_locf_no_cross_series_leak(spark):
+    import datetime as dt
+    from pathhier_spark.operators.temporal import gapfill_locf
+
+    d = lambda day: dt.date(2024, 1, day)  # noqa: E731
+    daily = spark.createDataFrame(
+        [("a", d(1), 111), ("b", d(1), 222), ("b", d(3), 333)],
+        "series string, day date, value long",
+    )
+    got = {(r["series"], r["day"].day): r["value"]
+           for r in gapfill_locf(daily).collect()}
+    # b's gap on day 2 must carry b's 222, never a's 111
+    assert got[("b", 2)] == 222
