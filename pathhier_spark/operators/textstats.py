@@ -1456,3 +1456,79 @@ def heaps_curve(
             F.coalesce(F.col("vocab_size"), F.lit(0)).alias("vocab_size"),
         )
     )
+
+
+def quantile_bins_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    permilles: list[int],
+) -> DataFrame:
+    """Mergeable quantile sketch via power-of-two histogram bins — the
+    quantile member of the deterministic sketch family (KMV/HLL ->
+    distinct, count-min -> frequency, Bloom -> membership). A
+    non-negative integer value lands in bin = bit_length(value) (0 for
+    value 0), so the per-group state is <= 64 integer counters that
+    merge across shards/days by plain addition — the property t-digest
+    has to work for, obtained here with zero float arithmetic: binning
+    is F.bin/length (the HLL rho trick), bounds are exact powers of two,
+    and the answer for permille p is the bin holding the ceil(p*n/1000)-th
+    ordered value with its [2^(b-1), 2^b - 1] bounds. Relative error is
+    bounded by the bin width (a factor of 2); the pytest pins that the
+    EXACT percentile always falls inside the reported bounds.
+
+    Plan: one (group, bin) combiner groupBy over the data; everything
+    after runs on the histogram (<= 64 rows per group) — the cumulative
+    window partitions by group over those tiny frames, and the permille
+    probes are a broadcast cross join. Output: (group, permille, bin,
+    lo_bound, hi_bound, n) — n is the group row count."""
+    v = F.col(col).cast("long")
+    bin_ = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v))).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("g"), bin_.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "g", "bin", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    probes = df.sparkSession.createDataFrame(
+        [(int(p),) for p in permilles], "permille long"
+    )
+    # target rank = ceil(p * n / 1000), all-integer: (p*n + 999) div 1000
+    hit = (
+        cum.crossJoin(F.broadcast(probes))
+        .filter(
+            F.col("cum") >= F.floor((F.col("permille") * F.col("n") + 999) / 1000)
+        )
+        .groupBy("g", "permille")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min("n").alias("n"),
+        )
+    )
+    # integer shifts, not pow(): 2^62 bounds stay exact int64 (the
+    # function API wants a literal shift count, so expr() it)
+    return hit.select(
+        F.col("g").alias(group_col),
+        "permille",
+        "bin",
+        F.when(F.col("bin") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(1L, cast(bin - 1 AS int))"))
+        .alias("lo_bound"),
+        F.when(F.col("bin") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(1L, cast(bin AS int)) - 1"))
+        .alias("hi_bound"),
+        "n",
+    )

@@ -6970,6 +6970,65 @@ ORDER BY g.series, g.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q118 — mergeable quantile sketch via power-of-two bins
+# (operators/textstats.quantile_bins_grouped): the quantile member of
+# the deterministic sketch family — per-group state is <= 64 integer
+# counters (bin = bit_length(value)) that merge by plain addition, the
+# t-digest property with zero float arithmetic. Per-source n_chars
+# permille bounds; the pytest pins that exact percentiles fall inside
+# the reported [2^(b-1), 2^b - 1] bounds.
+# ---------------------------------------------------------------------------
+
+_QBIN_PERMILLES = [500, 900, 990]
+
+
+def q118_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import quantile_bins_grouped
+
+    docs = _docs(spark, sf_dir)
+    return quantile_bins_grouped(
+        docs, "source", "n_chars", _QBIN_PERMILLES
+    ).orderBy("source", "permille")
+
+
+# DuckDB feature req: bin() over integers (core since 0.8).
+def _q118_sql() -> str:
+    probes = ", ".join(f"({p})" for p in _QBIN_PERMILLES)
+    return f"""
+WITH hist AS (
+  SELECT source AS g,
+         CASE WHEN n_chars <= 0 THEN 0
+              ELSE length(bin(n_chars::bigint)) END::bigint AS bin,
+         count(*)::bigint AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT g, bin, c,
+         sum(c) OVER (PARTITION BY g ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::bigint AS cum,
+         sum(c) OVER (PARTITION BY g)::bigint AS n
+  FROM hist
+), probes(permille) AS (
+  VALUES {probes}
+), hit AS (
+  SELECT cum.g, p.permille::bigint AS permille, min(cum.bin) AS bin,
+         min(cum.n) AS n
+  FROM cum CROSS JOIN probes p
+  WHERE cum.cum >= (p.permille * cum.n + 999) // 1000
+  GROUP BY cum.g, p.permille
+)
+SELECT g AS source, permille, bin,
+       (CASE WHEN bin <= 0 THEN 0 ELSE (1::bigint << (bin - 1)) END)::bigint
+         AS lo_bound,
+       (CASE WHEN bin <= 0 THEN 0 ELSE (1::bigint << bin) - 1 END)::bigint
+         AS hi_bound,
+       n
+FROM hit
+ORDER BY source, permille
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7089,6 +7148,7 @@ def queries():
         "q115_neighborhood": q115_neighborhood,
         "q116_component_sizes": q116_component_sizes,
         "q117_gapfill": q117_gapfill,
+        "q118_quantile_bins": q118_quantile_bins,
     }
 
 
@@ -7211,4 +7271,5 @@ def oracle_sql():
         "q115_neighborhood": _q115_sql(),
         "q116_component_sizes": _q116_sql(),
         "q117_gapfill": Q117_SQL,
+        "q118_quantile_bins": _q118_sql(),
     }

@@ -743,3 +743,64 @@ def test_heaps_curve_empty_prefix_and_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert a[1] <= b[1] and a[2] <= b[2] and a[3] <= b[3]
     assert rows[-1][1:] == (3, 5, 3)
+
+
+# --- mergeable quantile sketch (q118, round 5) ---
+
+def test_quantile_bins_hand_computed(spark):
+    from pathhier_spark.operators.textstats import quantile_bins_grouped
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]] + [("b", 0)],
+        "g string, v long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in quantile_bins_grouped(df, "g", "v", [500, 990]).collect()
+    )
+    # a: p500 rank ceil(4.5)=5 -> value 5 -> bin 3 bounds [4,7];
+    #    p990 rank 9 -> value 100 -> bin 7 bounds [64,127]
+    # b: all zeros -> bin 0, bounds [0,0]
+    assert got == [
+        ("a", 500, 3, 4, 7, 9), ("a", 990, 7, 64, 127, 9),
+        ("b", 500, 0, 0, 0, 1), ("b", 990, 0, 0, 0, 1),
+    ]
+
+
+def test_quantile_bins_bracket_exact_percentile(spark):
+    from pyspark.sql import functions as F
+    from pathhier_spark.operators.textstats import quantile_bins_grouped
+
+    # the sketch's contract: the EXACT permille value lies inside the
+    # reported power-of-two bounds, for every group and probe
+    vals = [(g, (i * 37 + 11) % 4097) for g in ("x", "y") for i in range(500)]
+    df = spark.createDataFrame(vals, "g string, v long")
+    bounds = {
+        (r["g"], r["permille"]): (r["lo_bound"], r["hi_bound"])
+        for r in quantile_bins_grouped(df, "g", "v", [500, 900, 990]).collect()
+    }
+    import math
+    rows = df.collect()
+    for g in ("x", "y"):
+        ordered = sorted(r["v"] for r in rows if r["g"] == g)
+        for p in (500, 900, 990):
+            exact = ordered[math.ceil(p * len(ordered) / 1000) - 1]
+            lo, hi = bounds[(g, p)]
+            assert lo <= exact <= hi, (g, p, exact, lo, hi)
+
+
+def test_quantile_bins_merge_by_addition(spark):
+    from pyspark.sql import functions as F
+    from pathhier_spark.operators.textstats import quantile_bins_grouped
+
+    # mergeability: the sketch over shard1 UNION shard2 equals the sketch
+    # over the concatenation — histograms add, so answers agree
+    s1 = [("g", v) for v in range(1, 100)]
+    s2 = [("g", v) for v in range(200, 800)]
+    whole = spark.createDataFrame(s1 + s2, "g string, v long")
+    parts = spark.createDataFrame(s1, "g string, v long").union(
+        spark.createDataFrame(s2, "g string, v long")
+    )
+    a = sorted(tuple(r) for r in quantile_bins_grouped(whole, "g", "v", [500]).collect())
+    b = sorted(tuple(r) for r in quantile_bins_grouped(parts, "g", "v", [500]).collect())
+    assert a == b
