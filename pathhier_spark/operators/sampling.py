@@ -19,7 +19,7 @@ float comparison sits on a boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _GRAN = 1_000_000
@@ -187,3 +187,49 @@ def weighted_sample(
         "skey", F.log(uniform) / w
     )
     return keyed.orderBy(F.desc("skey"), F.asc(key_col)).limit(k)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    epoch: int = 0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: give every row a shard and a
+    position WITHOUT a global sort. The order key is a salted md5 of
+    (salt, epoch, id) — changing `epoch` reshuffles the whole corpus
+    reproducibly, the property data loaders need for multi-epoch
+    training with resumable, audit-identical ordering. Shard =
+    hash % n_shards (uniform, skew-free by construction); position =
+    row_number over (shard, order by hash, id) — a window PARTITIONED BY
+    SHARD, so ranking parallelizes across shards and no stage ever sees
+    a global order. The id tiebreak makes position total even on the
+    ~2^-32 hash collision.
+
+    At 100 TB this is one hash column (map-only) + one shuffle into
+    n_shards partitions + a per-shard sort — exactly the cost of writing
+    the shuffled epoch out, with no driver-side state. Output: input
+    columns + (shard INT64, pos INT64)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:{int(epoch)}:"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("_ekey", h).withColumn(
+        "shard", (F.col("_ekey") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_ekey", F.col(id_col))
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("_ekey")

@@ -7029,6 +7029,46 @@ ORDER BY source, permille
 """
 
 
+# ---------------------------------------------------------------------------
+# Q119 — deterministic epoch shuffle / shard assignment
+# (operators/sampling.epoch_shuffle): the training-data-loader global
+# shuffle without a global sort — order key is md5(salt:epoch:id), shard
+# = key % n_shards, position = row_number per shard (window PARTITIONED
+# BY SHARD, parallel across shards). The oracle recomputes the identical
+# hex32 key and ranks with the same per-shard window.
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHARDS = 8
+_EPOCH_N = 1
+
+
+def q119_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import epoch_shuffle
+
+    docs = _docs(spark, sf_dir)
+    return (
+        epoch_shuffle(docs, n_shards=_EPOCH_SHARDS, epoch=_EPOCH_N)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def _q119_sql() -> str:
+    key = _sql_hex32(f"'epoch:{_EPOCH_N}:' || doc_id::varchar")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {key} AS ekey FROM documents
+), sharded AS (
+  SELECT doc_id, ekey, (ekey % {_EPOCH_SHARDS})::bigint AS shard FROM keyed
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id)::bigint
+         AS pos
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7149,6 +7189,7 @@ def queries():
         "q116_component_sizes": q116_component_sizes,
         "q117_gapfill": q117_gapfill,
         "q118_quantile_bins": q118_quantile_bins,
+        "q119_epoch_shuffle": q119_epoch_shuffle,
     }
 
 
@@ -7272,4 +7313,5 @@ def oracle_sql():
         "q116_component_sizes": _q116_sql(),
         "q117_gapfill": Q117_SQL,
         "q118_quantile_bins": _q118_sql(),
+        "q119_epoch_shuffle": _q119_sql(),
     }

@@ -331,3 +331,35 @@ def test_curation_funnel_invariants(spark):
         assert r["first_chunk"] == off // 256
         assert r["last_chunk"] == (off + r["n_tokens"] - 1) // 256
         off += r["n_tokens"]
+
+
+# --- deterministic epoch shuffle (q119, round 5) ---
+
+def test_epoch_shuffle_contract(spark):
+    from pathhier_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    a = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(df, n_shards=4, epoch=0).collect()
+    )
+    # reproducible: same epoch -> identical assignment
+    b = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(df, n_shards=4, epoch=0).collect()
+    )
+    assert a == b
+    # a different epoch genuinely reshuffles
+    c = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(df, n_shards=4, epoch=1).collect()
+    )
+    assert a != c
+    # per-shard positions are dense 1..n and every doc appears exactly once
+    from collections import Counter
+    cnt = Counter(s for _, s, _ in a)
+    for sh, n in cnt.items():
+        assert sorted(p for _, s, p in a if s == sh) == list(range(1, n + 1))
+    assert sum(cnt.values()) == 40
