@@ -21,7 +21,7 @@ sketches are the same estimator exposed as data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
@@ -231,5 +231,82 @@ def cohens_kappa(
                 pe < 1.0,
                 F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0),
             ).alias("kappa"),
+        )
+    )
+
+
+def join_key_skew(
+    df: DataFrame,
+    key_col: str,
+    *,
+    permille: int = 990,
+) -> DataFrame:
+    """Pre-join skew probe: the numbers that decide a join strategy
+    BEFORE running it — broadcast / plain shuffle / salted / AQE skew
+    hints (the BENCH/SKEW.md regimes, as a queryable operator instead of
+    a post-mortem). NULL keys count as one key (they hash to one
+    partition in a real shuffle — exactly the skew that hurts).
+
+    Statistics and why they are scalable: key frequencies are one
+    combiner groupBy (key-sized result); max/avg/top-share are a 1-row
+    aggregate over it; the p-th permille frequency uses the
+    histogram-of-the-histogram trick — groupBy freq gives (freq,
+    n_keys) with at most a few thousand DISTINCT frequency values on
+    any real distribution (Zipf included), and the cumulative walk runs
+    on that tiny table, so nothing is ever globally sorted at data or
+    key scale. skew_factor = max_freq / mean_freq is the one number to
+    alert on: ~1 = uniform, >> 1 = salt it.
+
+    Output: one row (n_rows, n_keys, max_freq, p{permille}_freq,
+    top1_share, skew_factor), shares round-6."""
+    freqs = (
+        df.select(F.col(key_col).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).localCheckpoint(eager=False)
+    hist = freqs.groupBy("freq").agg(F.count(F.lit(1)).alias("nk"))
+    w = (
+        Window.orderBy("freq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = hist.agg(
+        F.sum("nk").alias("n_keys"),
+        F.sum(F.col("nk") * F.col("freq")).alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+    )
+    # cumulative over the tiny (distinct-frequency)-sized histogram: the
+    # Window.orderBy here IS single-partition, but over ~1e3 rows by the
+    # histogram-of-histogram argument, never data- or key-sized
+    cum = hist.select(
+        "freq", F.sum("nk").over(w).alias("cum")
+    )
+    p = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum")
+            >= F.floor((F.lit(int(permille)) * F.col("n_keys") + 999) / 1000)
+        )
+        .agg(F.min("freq").alias("p_freq"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(p))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.col("p_freq").alias(f"p{int(permille)}_freq"),
+            (
+                F.round(
+                    F.col("max_freq") / F.col("n_rows").cast("double"), 6
+                ) + F.lit(0.0)
+            ).alias("top1_share"),
+            (
+                F.round(
+                    F.col("max_freq")
+                    * F.col("n_keys")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ) + F.lit(0.0)
+            ).alias("skew_factor"),
         )
     )

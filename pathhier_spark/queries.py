@@ -7069,6 +7069,51 @@ ORDER BY shard, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# Q120 — join-key skew probe (operators/profile.join_key_skew): the
+# numbers that pick a join strategy BEFORE running it (broadcast /
+# shuffle / salt — the BENCH/SKEW.md regimes as a queryable operator).
+# Key frequencies are one combiner groupBy; the permille frequency uses
+# the histogram-of-the-histogram trick so nothing data- or key-sized is
+# ever sorted.
+# ---------------------------------------------------------------------------
+
+
+def q120_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import join_key_skew
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return join_key_skew(ev, "user_id", permille=990)
+
+
+Q120_SQL = """
+WITH freqs AS (
+  SELECT user_id AS k, count(*)::bigint AS freq FROM events GROUP BY user_id
+), hist AS (
+  SELECT freq, count(*)::bigint AS nk FROM freqs GROUP BY freq
+), tot AS (
+  SELECT sum(nk)::bigint AS n_keys, sum(nk * freq)::bigint AS n_rows,
+         max(freq)::bigint AS max_freq
+  FROM hist
+), cum AS (
+  SELECT freq,
+         sum(nk) OVER (ORDER BY freq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::bigint AS cum
+  FROM hist
+), p AS (
+  SELECT min(freq)::bigint AS p_freq
+  FROM cum CROSS JOIN tot
+  WHERE cum.cum >= (990 * tot.n_keys + 999) // 1000
+)
+SELECT t.n_rows, t.n_keys, t.max_freq, p.p_freq AS p990_freq,
+       (round(t.max_freq / t.n_rows::double, 6) + 0.0) AS top1_share,
+       (round(t.max_freq * t.n_keys / t.n_rows::double, 6) + 0.0)
+         AS skew_factor
+FROM tot t CROSS JOIN p
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7190,6 +7235,7 @@ def queries():
         "q117_gapfill": q117_gapfill,
         "q118_quantile_bins": q118_quantile_bins,
         "q119_epoch_shuffle": q119_epoch_shuffle,
+        "q120_skew_probe": q120_skew_probe,
     }
 
 
@@ -7314,4 +7360,5 @@ def oracle_sql():
         "q117_gapfill": Q117_SQL,
         "q118_quantile_bins": _q118_sql(),
         "q119_epoch_shuffle": _q119_sql(),
+        "q120_skew_probe": Q120_SQL,
     }

@@ -213,3 +213,36 @@ def test_bigram_surprisal_shuffle_join_path_matches_broadcast(spark):
     b = {(r["doc_id"], r["n_bigrams"], round(r["avg_surprisal"], 9))
          for r in bigram_surprisal(docs, broadcast_vocab=False).collect()}
     assert a == b
+
+
+# --- join-key skew probe (q120, round 5) ---
+
+def test_join_key_skew_hand_computed(spark):
+    from pathhier_spark.operators.profile import join_key_skew
+
+    # one hot key holding 90% of rows over 11 keys
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    r = join_key_skew(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_freq"], r["p990_freq"]) == (
+        100, 11, 90, 90,
+    )
+    assert r["top1_share"] == 0.9
+    assert r["skew_factor"] == 9.9
+
+
+def test_join_key_skew_uniform_and_nulls(spark):
+    from pathhier_spark.operators.profile import join_key_skew
+
+    # perfectly uniform -> skew_factor exactly 1; NULL keys count as ONE
+    # key (they land on one shuffle partition in a real join)
+    uni = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(50)], "k string"
+    )
+    r = join_key_skew(uni, "k").collect()[0]
+    assert (r["n_keys"], r["skew_factor"]) == (5, 1.0)
+    nulls = spark.createDataFrame(
+        [(None,), (None,), (None,), ("a",)], "k string"
+    )
+    r2 = join_key_skew(nulls, "k").collect()[0]
+    assert (r2["n_rows"], r2["n_keys"], r2["max_freq"]) == (4, 2, 3)
