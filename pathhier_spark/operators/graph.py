@@ -1216,3 +1216,65 @@ def hyperball_neighborhood(
     return out.select(
         "hop", (F.round(F.col("est"), 6) + F.lit(0.0)).alias("est_pairs")
     )
+
+
+def metapath_counts(
+    triples: DataFrame,
+    *,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    max_mid_degree: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Relation-composition discovery (metapath counting): how often does
+    pred1 compose with pred2 through a shared middle entity
+    (s -p1-> m -p2-> o)? The schema-induction signal of KG construction —
+    high-count compositions are rule candidates (born_in . located_in =>
+    citizen_of) and the raw material for path-based link prediction.
+
+    The join key is the MIDDLE entity, so fan-out is in_degree(m) *
+    out_degree(m) — a celebrity node with 1e5 of each would emit 1e10
+    paths. Same cure as co-citation's hub cap: drop middles whose
+    in-degree OR out-degree exceeds max_mid_degree before joining
+    (ultra-hubs compose with everything and carry no schema signal).
+    Counts are then linear in surviving edge pairs.
+
+    Plan: distinct triples -> two degree combiner groupBys -> degree
+    filter joined back on the middle key -> one equi-join on the middle
+    -> (pred1, pred2) combiner count + distinct endpoint-pair count.
+    Output: (pred1, pred2, n_paths, n_pairs), n_paths >= min_count."""
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct().localCheckpoint(eager=True)
+    ind = t.groupBy(F.col("o").alias("m")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    outd = t.groupBy(F.col("s").alias("m")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    mids = (
+        ind.join(outd, "m")
+        .filter(
+            (F.col("in_deg") <= max_mid_degree)
+            & (F.col("out_deg") <= max_mid_degree)
+        )
+        .select("m")
+    )
+    left = t.join(mids, t["o"] == mids["m"]).select(
+        F.col("s").alias("s1"), F.col("p").alias("p1"), F.col("o").alias("mid")
+    )
+    right = t.select(
+        F.col("s").alias("mid2"), F.col("p").alias("p2"), F.col("o").alias("o2")
+    )
+    paths = left.join(right, left["mid"] == right["mid2"])
+    return (
+        paths.groupBy(
+            F.col("p1").alias("pred1"), F.col("p2").alias("pred2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("s1", "o2").alias("n_pairs"),
+        )
+        .filter(F.col("n_paths") >= min_count)
+    )

@@ -7114,6 +7114,63 @@ FROM tot t CROSS JOIN p
 """
 
 
+# ---------------------------------------------------------------------------
+# Q121 — metapath composition counts
+# (operators/graph.metapath_counts): how often pred1 composes with pred2
+# through a shared middle entity — the schema-induction signal of KG
+# construction (rule candidates, path features for link prediction).
+# Join key is the MIDDLE entity; the q113-style degree cap bounds the
+# in_deg×out_deg fan-out before the join.
+# ---------------------------------------------------------------------------
+
+_META_MAX_DEG = 50
+_META_MIN_COUNT = 2
+
+
+def q121_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import metapath_counts
+
+    docs = _docs(spark, sf_dir)
+    triples = extract_token_triples(docs, TRIGGERS)
+    return metapath_counts(
+        triples, max_mid_degree=_META_MAX_DEG, min_count=_META_MIN_COUNT
+    ).orderBy("pred1", "pred2")
+
+
+def _q121_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    trig_map = ", ".join(
+        f"('{k}', '{v}')" for k, v in sorted(TRIGGERS.items())
+    )
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i] AS trig, t[i+1] AS o
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), pm(trig, p) AS (
+  VALUES {trig_map}
+), t AS (
+  SELECT DISTINCT raw.s, pm.p, raw.o FROM raw JOIN pm ON pm.trig = raw.trig
+), ind AS (
+  SELECT o AS m, count(*)::bigint AS in_deg FROM t GROUP BY o
+), outd AS (
+  SELECT s AS m, count(*)::bigint AS out_deg FROM t GROUP BY s
+), mids AS (
+  SELECT ind.m FROM ind JOIN outd ON outd.m = ind.m
+  WHERE ind.in_deg <= {_META_MAX_DEG} AND outd.out_deg <= {_META_MAX_DEG}
+)
+SELECT l.p AS pred1, r.p AS pred2, count(*)::bigint AS n_paths,
+       count(DISTINCT (l.s, r.o))::bigint AS n_pairs
+FROM t l JOIN mids ON mids.m = l.o JOIN t r ON r.s = l.o
+GROUP BY l.p, r.p
+HAVING count(*) >= {_META_MIN_COUNT}
+ORDER BY pred1, pred2
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7236,6 +7293,7 @@ def queries():
         "q118_quantile_bins": q118_quantile_bins,
         "q119_epoch_shuffle": q119_epoch_shuffle,
         "q120_skew_probe": q120_skew_probe,
+        "q121_metapaths": q121_metapaths,
     }
 
 
@@ -7361,4 +7419,5 @@ def oracle_sql():
         "q118_quantile_bins": _q118_sql(),
         "q119_epoch_shuffle": _q119_sql(),
         "q120_skew_probe": Q120_SQL,
+        "q121_metapaths": _q121_sql(),
     }

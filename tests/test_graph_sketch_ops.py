@@ -654,3 +654,42 @@ def test_hyperball_tracks_exact_curve(spark):
         assert abs(est[h] - n) / n < 0.05, (h, est[h], n)
     # the estimate curve must be monotone like the exact one
     assert est[1] < est[2] < est[3] < est[4]
+
+
+# --- metapath composition counts (q121, round 5) ---
+
+def test_metapath_hand_computed(spark):
+    from pathhier_spark.operators.graph import metapath_counts
+
+    # a -p1-> m -p2-> x, a -p1-> m -p2-> y, b -p1-> m -p2-> x
+    # => (p1,p2): paths = 2 subj-sides x 2 obj-sides via m = 4, pairs 4
+    triples = spark.createDataFrame(
+        [("a", "p1", "m"), ("b", "p1", "m"),
+         ("m", "p2", "x"), ("m", "p2", "y"),
+         ("z", "p3", "w")],  # p3 composes with nothing
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        tuple(r) for r in metapath_counts(triples, min_count=1).collect()
+    )
+    assert got == [("p1", "p2", 4, 4)]
+
+
+def test_metapath_mid_degree_cap(spark):
+    from pathhier_spark.operators.graph import metapath_counts
+
+    # hub middle with in_deg 3 > cap 2 is dropped entirely
+    triples = spark.createDataFrame(
+        [("a", "p1", "hub"), ("b", "p1", "hub"), ("c", "p1", "hub"),
+         ("hub", "p2", "x"),
+         ("a", "p1", "m"), ("m", "p2", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in metapath_counts(
+            triples, max_mid_degree=2, min_count=1
+        ).collect()
+    )
+    # only the small middle m survives
+    assert got == [("p1", "p2", 1, 1)]
