@@ -5,7 +5,7 @@ entity-count stats (A5), BOW overlap features (A6), string-entry builders
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1277,4 +1277,89 @@ def metapath_counts(
             F.countDistinct("s1", "o2").alias("n_pairs"),
         )
         .filter(F.col("n_paths") >= min_count)
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    *,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training: corrupt
+    every triple's object with a pseudo-random OTHER entity — without
+    RNG, so the training set is reproducible and both engines derive the
+    identical corruption. The corrupted object for triple t is the
+    entity whose md5-hash is the PREDECESSOR of t's own hash (largest
+    entity hash <= hash(t)) — uniform over the entity set because md5
+    scatters both sides uniformly.
+
+    The scalable mechanics are the point: a predecessor lookup is
+    normally a global sort-merge; here hash space is cut into
+    `n_buckets` CONTIGUOUS ranges, entities and triples are unioned and
+    ordered WITHIN each bucket (window partitioned by bucket — parallel,
+    never SinglePartition), and last(entity, ignorenulls) carries the
+    predecessor forward (the q117 LOCF trick applied to a join). A
+    triple at the head of its bucket (no preceding entity in-range)
+    falls back to the GLOBAL max-hash entity — the deterministic
+    wrap-around. Corruptions that happen to equal the true object are
+    dropped (both engines drop the same rows). Output: (subj, pred, obj,
+    neg_obj)."""
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+    ents = (
+        t.select(F.col("s").alias("ent"))
+        .union(t.select(F.col("o").alias("ent")))
+        .distinct()
+    )
+
+    def _hex32(col):
+        return F.conv(
+            F.substring(F.md5(col), 1, 8), 16, 10
+        ).cast("long")
+
+    width = (1 << 32) // int(n_buckets)
+    eh = _hex32(F.concat(F.lit("ent:"), F.col("ent")))
+    th = _hex32(
+        F.concat(
+            F.lit("neg:"), F.col("s"), F.lit(":"), F.col("p"),
+            F.lit(":"), F.col("o"),
+        )
+    )
+    e_rows = ents.select(
+        eh.alias("h"), F.lit(0).alias("kind"), F.col("ent"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("string").alias("p"),
+        F.lit(None).cast("string").alias("o"),
+    )
+    t_rows = t.select(
+        th.alias("h"), F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("ent"), "s", "p", "o",
+    )
+    u = e_rows.union(t_rows).withColumn(
+        "bucket", F.floor(F.col("h") / F.lit(int(width)))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pred_ent = u.withColumn(
+        "prev_ent", F.last("ent", ignorenulls=True).over(w)
+    ).filter(F.col("kind") == 1)
+    gmax = ents.select(
+        F.max_by("ent", eh).alias("wrap_ent")
+    )
+    return (
+        pred_ent.crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("s").alias(subj),
+            F.col("p").alias(pred),
+            F.col("o").alias(obj),
+            F.coalesce(F.col("prev_ent"), F.col("wrap_ent")).alias("neg_obj"),
+        )
+        .filter(F.col("neg_obj") != F.col(obj))
     )

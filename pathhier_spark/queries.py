@@ -7171,6 +7171,81 @@ ORDER BY pred1, pred2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q122 — deterministic negative sampling for KG-embedding training
+# (operators/graph.negative_samples): corrupt each triple's object with
+# the hash-PREDECESSOR entity — RNG-free, so the training negatives are
+# reproducible and both engines derive the identical corruption. The
+# predecessor lookup runs as bucketed LOCF windows (never a global
+# sort); bucket-head triples wrap to the global max-hash entity.
+# ---------------------------------------------------------------------------
+
+_NEG_BUCKETS = 64
+
+
+def q122_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import negative_samples
+
+    docs = _docs(spark, sf_dir)
+    triples = extract_token_triples(docs, TRIGGERS)
+    return negative_samples(triples, n_buckets=_NEG_BUCKETS).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+# DuckDB feature req: last_value(IGNORE NULLS) window (>= 0.9), arg_max.
+def _q122_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    trig_map = ", ".join(
+        f"('{k}', '{v}')" for k, v in sorted(TRIGGERS.items())
+    )
+    width = (1 << 32) // _NEG_BUCKETS
+    ent_h = _sql_hex32("'ent:' || ent")
+    tri_h = _sql_hex32("'neg:' || s || ':' || p || ':' || o")
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i] AS trig, t[i+1] AS o
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), pm(trig, p) AS (
+  VALUES {trig_map}
+), t AS (
+  SELECT DISTINCT raw.s, pm.p, raw.o FROM raw JOIN pm ON pm.trig = raw.trig
+), ents AS (
+  SELECT DISTINCT ent FROM (
+    SELECT s AS ent FROM t UNION ALL SELECT o AS ent FROM t
+  )
+), eh AS (
+  SELECT ent, {ent_h} AS h FROM ents
+), th AS (
+  SELECT s, p, o, {tri_h} AS h FROM t
+), u AS (
+  SELECT h, 0 AS kind, ent, NULL::varchar AS s, NULL::varchar AS p,
+         NULL::varchar AS o
+  FROM eh
+  UNION ALL
+  SELECT h, 1, NULL::varchar, s, p, o FROM th
+), pe AS (
+  SELECT *,
+         last_value(ent IGNORE NULLS) OVER (
+           PARTITION BY h // {width} ORDER BY h, kind
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS prev_ent
+  FROM u
+), g AS (
+  SELECT arg_max(ent, h) AS wrap_ent FROM eh
+)
+SELECT pe.s AS subj, pe.p AS pred, pe.o AS obj,
+       coalesce(pe.prev_ent, g.wrap_ent) AS neg_obj
+FROM pe CROSS JOIN g
+WHERE pe.kind = 1 AND coalesce(pe.prev_ent, g.wrap_ent) <> pe.o
+ORDER BY subj, pred, obj
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7294,6 +7369,7 @@ def queries():
         "q119_epoch_shuffle": q119_epoch_shuffle,
         "q120_skew_probe": q120_skew_probe,
         "q121_metapaths": q121_metapaths,
+        "q122_negative_samples": q122_negative_samples,
     }
 
 
@@ -7420,4 +7496,5 @@ def oracle_sql():
         "q119_epoch_shuffle": _q119_sql(),
         "q120_skew_probe": Q120_SQL,
         "q121_metapaths": _q121_sql(),
+        "q122_negative_samples": _q122_sql(),
     }

@@ -693,3 +693,40 @@ def test_metapath_mid_degree_cap(spark):
     )
     # only the small middle m survives
     assert got == [("p1", "p2", 1, 1)]
+
+
+# --- deterministic negative sampling (q122, round 5) ---
+
+def test_negative_samples_contract(spark):
+    from pathhier_spark.operators.graph import negative_samples
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a"), ("a", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    rows = sorted(tuple(r) for r in negative_samples(t).collect())
+    # deterministic: identical on re-run
+    assert rows == sorted(tuple(r) for r in negative_samples(t).collect())
+    # every corruption is a real entity and never the true object
+    ents = {"a", "b", "c"}
+    for s, p, o, neg in rows:
+        assert neg in ents and neg != o
+    # collision rows (corruption == true obj) are dropped, not mutated:
+    # output is a subset of the input triples
+    inputs = {("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a"),
+              ("a", "q", "c")}
+    assert {(s, p, o) for s, p, o, _ in rows} <= inputs
+
+
+def test_negative_samples_spread_on_larger_graph(spark):
+    from pathhier_spark.operators.graph import negative_samples
+
+    # 100 triples over 50 entities: corruptions must hit MANY distinct
+    # entities (the md5 predecessor is uniform, not a constant fallback)
+    t = spark.createDataFrame(
+        [(f"e{i}", "p", f"e{(i * 7 + 3) % 50}") for i in range(100)],
+        "subj string, pred string, obj string",
+    )
+    rows = negative_samples(t).collect()
+    distinct_negs = {r["neg_obj"] for r in rows}
+    assert len(distinct_negs) > 20, len(distinct_negs)
