@@ -330,3 +330,72 @@ def gapfill_locf(
             "is_gap"
         ),
     )
+
+
+def change_intervals(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Change-point intervalization (SCD Type 2 without the warehouse):
+    collapse each key's time-ordered value sequence into maximal runs of
+    the same value, emitting one row per run with its validity interval
+    [valid_from, valid_to) — valid_to is the NEXT run's start, NULL for
+    the still-open run. This is how a fact stream becomes a versioned
+    dimension: the KG's "value of attribute A for entity E during
+    [t1, t2)" surface.
+
+    Plan: the classic gaps-and-islands pair of windows, both PARTITIONED
+    BY KEY (parallel across keys, no global order): (1) a change flag
+    via lag(value) with a running sum assigning run ids, (2) after the
+    per-run groupBy, lead(valid_from) supplies valid_to. `tiebreak_col`
+    makes the order total when timestamps can tie (pass the event id) —
+    without a total order the run boundaries would be
+    partition-dependent. Output: (key, value, valid_from, valid_to,
+    n_events)."""
+    order_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.lit(0)
+    )
+    flagged = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        tb.alias("tb"),
+        F.col(value_col).alias("v"),
+        F.when(
+            F.lag(F.col(value_col)).over(w).isNull()
+            | (F.lag(F.col(value_col)).over(w) != F.col(value_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    # the running sum must walk the IDENTICAL total order the lag used —
+    # ordering by anything else would mis-assign run ids on ts ties
+    w2 = (
+        Window.partitionBy("k")
+        .orderBy("t", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(w2))
+    grouped = runs.groupBy("k", "run_id").agg(
+        F.min_by("v", "t").alias("value"),
+        F.min("t").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w3 = Window.partitionBy("k").orderBy("run_id")
+    return grouped.select(
+        F.col("k").alias(key_col),
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w3).alias("valid_to"),
+        "n_events",
+    )

@@ -7246,6 +7246,55 @@ ORDER BY subj, pred, obj
 """
 
 
+# ---------------------------------------------------------------------------
+# Q123 — SCD2 change-point intervalization
+# (operators/temporal.change_intervals): collapse each user's
+# time-ordered event_type sequence into maximal same-value runs with
+# [valid_from, valid_to) validity — the versioned-dimension builder
+# (gaps-and-islands, both windows partitioned by key, event_id
+# tiebreak for a total order).
+# ---------------------------------------------------------------------------
+
+
+def q123_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import change_intervals
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return change_intervals(
+        ev.select(
+            F.col("user_id").alias("key"), "ts",
+            F.col("event_type").alias("value"), "event_id",
+        ),
+        tiebreak_col="event_id",
+    ).orderBy("key", "valid_from", "value")
+
+
+Q123_SQL = """
+WITH flagged AS (
+  SELECT user_id AS k, ts AS t, event_id AS tb, event_type AS v,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY t, tb
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS run_id
+  FROM flagged
+), grouped AS (
+  SELECT k, run_id, arg_min(v, t) AS value, min(t) AS valid_from,
+         count(*)::bigint AS n_events
+  FROM runs GROUP BY k, run_id
+)
+SELECT k AS key, value, valid_from,
+       lead(valid_from) OVER (PARTITION BY k ORDER BY run_id) AS valid_to,
+       n_events
+FROM grouped
+ORDER BY key, valid_from, value
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7370,6 +7419,7 @@ def queries():
         "q120_skew_probe": q120_skew_probe,
         "q121_metapaths": q121_metapaths,
         "q122_negative_samples": q122_negative_samples,
+        "q123_change_intervals": q123_change_intervals,
     }
 
 
@@ -7497,4 +7547,5 @@ def oracle_sql():
         "q120_skew_probe": Q120_SQL,
         "q121_metapaths": _q121_sql(),
         "q122_negative_samples": _q122_sql(),
+        "q123_change_intervals": Q123_SQL,
     }

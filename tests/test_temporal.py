@@ -234,3 +234,46 @@ def test_gapfill_locf_no_cross_series_leak(spark):
            for r in gapfill_locf(daily).collect()}
     # b's gap on day 2 must carry b's 222, never a's 111
     assert got[("b", 2)] == 222
+
+
+# --- SCD2 change-point intervalization (q123, round 5) ---
+
+def test_change_intervals_hand_computed(spark):
+    import datetime as dt
+    from pathhier_spark.operators.temporal import change_intervals
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [("u1", T(0), 1, "A"), ("u1", T(1), 2, "A"), ("u1", T(2), 3, "B"),
+            ("u1", T(3), 4, "B"), ("u1", T(4), 5, "A"), ("u2", T(0), 6, "X")]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, eid long, value string"
+    )
+    got = sorted(
+        (r["key"], r["value"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None, r["n_events"])
+        for r in change_intervals(df, tiebreak_col="eid").collect()
+    )
+    # A-run reappearing after B must open a NEW interval (A,0-2), (B,2-4),
+    # (A,4-open) — not merge with the first A run
+    assert got == sorted([
+        ("u1", "A", 0, 2, 2), ("u1", "B", 2, 4, 2), ("u1", "A", 4, None, 1),
+        ("u2", "X", 0, None, 1),
+    ])
+
+
+def test_change_intervals_ts_tie_total_order(spark):
+    import datetime as dt
+    from pathhier_spark.operators.temporal import change_intervals
+
+    # two rows at the SAME timestamp: the tiebreak column decides run
+    # boundaries deterministically (eid 1's A precedes eid 2's B)
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", t0, 2, "B"), ("u", t0, 1, "A")],
+        "key string, ts timestamp, eid long, value string",
+    )
+    got = sorted(
+        (r["value"], r["n_events"])
+        for r in change_intervals(df, tiebreak_col="eid").collect()
+    )
+    assert got == [("A", 1), ("B", 1)]
