@@ -12,7 +12,7 @@ the whole chain carries a full DuckDB value oracle (q43).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # query parameters dropped during canonicalization: tracking/attribution
@@ -206,5 +206,48 @@ def anchor_host_edges(
             "dst_host",
             (F.col("dst_host") == F.col("src_host")).alias("internal"),
             "n_links",
+        )
+    )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    *,
+    url_col: str = "url",
+    delay: int = 16,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Crawl-frontier politeness scheduling: assign every URL a fetch
+    slot such that two fetches against the SAME host are always >= delay
+    slots apart — the per-host rate limit every polite crawler enforces —
+    while different hosts interleave freely to keep the fetch fleet
+    saturated. Each host starts at offset md5(host) % delay so hosts do
+    not burst in lockstep at slot 0 (the thundering-herd smear).
+
+    slot = offset(host) + (rank_within_host - 1) * delay, where rank is
+    a row_number PARTITIONED BY HOST ordered by (priority, url) — the
+    window parallelizes across hosts, and hosts are the natural crawl
+    unit so no partition is ever data-sized. A host with k URLs finishes
+    at slot ~k*delay regardless of corpus size: the schedule length is
+    max per-host queue depth, not total URLs. Output: (url, host, slot).
+    """
+    host = url_host(F.col(url_col)).alias("host")
+    order = [F.col(priority_col)] if priority_col else []
+    order.append(F.col("url"))
+    w = Window.partitionBy("host").orderBy(*order)
+    offset = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+        % delay
+    )
+    cols = [F.col(url_col).alias("url"), host]
+    if priority_col:
+        cols.append(F.col(priority_col))
+    return (
+        urls.select(*cols)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "url",
+            "host",
+            (offset + (F.col("rank") - 1) * delay).alias("slot"),
         )
     )

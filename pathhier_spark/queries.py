@@ -7295,6 +7295,53 @@ ORDER BY key, valid_from, value
 """
 
 
+# ---------------------------------------------------------------------------
+# Q124 — crawl-frontier politeness scheduling
+# (operators/urls.frontier_schedule): per-host rate-limited fetch slots —
+# same-host fetches exactly `delay` apart, md5 host offsets smear the
+# start burst, hosts interleave freely. The window partitions by host
+# (the natural crawl unit), so schedule length is max queue depth, not
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_FRONTIER_DELAY = 16
+
+
+def q124_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.urls import frontier_schedule
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return frontier_schedule(urls, delay=_FRONTIER_DELAY).orderBy(
+        "host", "slot"
+    )
+
+
+def _q124_sql() -> str:
+    off = _sql_hex32("host")
+    return f"""
+WITH urls AS (
+  SELECT 'https://' || source || '.example.com/p/' || doc_id::varchar AS url,
+         source || '.example.com' AS host
+  FROM documents
+), ranked AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url)::bigint AS rank
+  FROM urls
+)
+SELECT url, host,
+       (({off} % {_FRONTIER_DELAY}) + (rank - 1) * {_FRONTIER_DELAY})::bigint
+         AS slot
+FROM ranked
+ORDER BY host, slot
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7420,6 +7467,7 @@ def queries():
         "q121_metapaths": q121_metapaths,
         "q122_negative_samples": q122_negative_samples,
         "q123_change_intervals": q123_change_intervals,
+        "q124_frontier_schedule": q124_frontier_schedule,
     }
 
 
@@ -7548,4 +7596,5 @@ def oracle_sql():
         "q121_metapaths": _q121_sql(),
         "q122_negative_samples": _q122_sql(),
         "q123_change_intervals": Q123_SQL,
+        "q124_frontier_schedule": _q124_sql(),
     }

@@ -804,3 +804,40 @@ def test_quantile_bins_merge_by_addition(spark):
     a = sorted(tuple(r) for r in quantile_bins_grouped(whole, "g", "v", [500]).collect())
     b = sorted(tuple(r) for r in quantile_bins_grouped(parts, "g", "v", [500]).collect())
     assert a == b
+
+
+# --- crawl-frontier politeness scheduling (q124, round 5) ---
+
+def test_frontier_schedule_politeness_invariants(spark):
+    from collections import defaultdict
+    from pathhier_spark.operators.urls import frontier_schedule
+
+    urls = [(f"https://h{i % 3}.example.com/p{i}",) for i in range(12)]
+    df = spark.createDataFrame(urls, "url string")
+    rows = [(r["host"], r["slot"]) for r in
+            frontier_schedule(df, delay=10).collect()]
+    by_host = defaultdict(list)
+    for h, s in rows:
+        by_host[h].append(s)
+    assert len(by_host) == 3
+    for h, slots in by_host.items():
+        ss = sorted(slots)
+        # per-host offset inside [0, delay); consecutive fetches exactly
+        # delay apart — THE politeness invariant
+        assert 0 <= ss[0] < 10
+        assert all(b - a == 10 for a, b in zip(ss, ss[1:]))
+
+
+def test_frontier_schedule_priority_order(spark):
+    from pathhier_spark.operators.urls import frontier_schedule
+
+    df = spark.createDataFrame(
+        [("https://h.example.com/low", 5), ("https://h.example.com/hi", 1)],
+        "url string, prio long",
+    )
+    rows = sorted(
+        (r["slot"], r["url"])
+        for r in frontier_schedule(df, delay=4, priority_col="prio").collect()
+    )
+    # the priority-1 URL fetches first (earlier slot)
+    assert rows[0][1].endswith("/hi") and rows[1][1].endswith("/low")
