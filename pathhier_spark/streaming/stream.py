@@ -398,3 +398,53 @@ def stream_kg_ingest(
         .outputMode("append")
         .start()
     )
+
+
+def stream_countmin_rollup(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    checkpoint_dir: str,
+):
+    """Incrementally maintained count-min frequency sketch: each
+    micro-batch's sketch cells (textstats.countmin_sketch) append to the
+    warehouse as a delta; readers SUM deltas at query time
+    (countmin_rollup_read). The exactly-once contrast with
+    stream_hll_rollup is the point: HLL deltas merge by MAX (idempotent —
+    a replayed delta is harmless), count-min deltas merge by ADDITION
+    (a replayed delta double-counts), so here the warehouse's batch-id
+    fingerprint is load-bearing correctness, not belt-and-braces. The
+    parity test feeds the same corpus through the stream and through one
+    batch countmin_sketch and asserts the merged counter tables are
+    IDENTICAL cell-for-cell — the sketch is deterministic, so streaming
+    changes nothing about the answer, only about when the work happens.
+    Returns the StreamingQuery."""
+    from pathhier_spark.operators.textstats import countmin_sketch
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        cells = countmin_sketch(batch_df, col, width=width, depth=depth)
+        warehouse.write(
+            cells, table, mode="append", fingerprint=f"batch:{batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def countmin_rollup_read(warehouse, table: str) -> DataFrame:
+    """Sum-merge the appended count-min deltas back into one sketch —
+    input rows <= depth x width x batches (sketch-sized, never
+    corpus-sized)."""
+    return (
+        warehouse.read(table)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

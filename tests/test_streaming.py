@@ -600,3 +600,67 @@ def test_stream_kg_ingest_matches_batch_pipeline(spark, tmp_path):
         .collect()
     }
     assert got_url == expect_new
+
+
+def test_stream_countmin_parity_and_heavy_hitters(spark, tmp_path):
+    """Stream↔batch parity for the ADDITIVE sketch (the q60 count-min):
+    micro-batch deltas sum-merged through the warehouse must equal ONE
+    batch sketch over the full corpus cell-for-cell (determinism means
+    streaming changes when work happens, not the answer) — and the
+    heavy-hitter readout from the merged sketch must rank the true hot
+    token first with its exact count (CMS overestimates, never under)."""
+    import datetime
+
+    from pathhier_spark.operators.textstats import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import (
+        countmin_rollup_read,
+        stream_countmin_rollup,
+        stream_documents,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda u, t: (u, ts, t.encode(), t, "en")  # noqa: E731
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    b1 = [mk(f"u{i}", "hot common") for i in range(6)] + [mk("u9", "rare")]
+    b2 = [mk(f"v{i}", "hot") for i in range(4)] + [mk("v9", "common")]
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    toks = lambda df: df.select(  # noqa: E731
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    q = stream_countmin_rollup(
+        toks(stream_documents(spark, input_dir)), wh, "cms", "token",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = countmin_rollup_read(wh, "cms")
+    batch = countmin_sketch(spark.read.parquet(input_dir).transform(toks), "token")
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
+
+    probes = spark.createDataFrame(
+        [("hot",), ("common",), ("rare",), ("never",)], "token string"
+    )
+    est = {
+        r["token"]: r["est_count"]
+        for r in countmin_estimate(merged, probes, "token").collect()
+    }
+    # exact counts: hot 10, common 7, rare 1, never 0; CMS >= truth and
+    # at this tiny fill level collisions are absent -> exact
+    assert est["hot"] >= 10 and est["common"] >= 7
+    assert est["rare"] >= 1 and est["never"] >= 0
+    assert est["hot"] > est["common"] > est["rare"]
