@@ -427,6 +427,27 @@ class Warehouse:
         dirs = [d for c in commits[: idx + 1] for d in c["dirs"]]
         return self._read_dirs(dirs)
 
+    def diff(
+        self,
+        table: str,
+        from_fingerprint: str,
+        to_fingerprint: str,
+        *,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """CDC-style diff between two committed fingerprints of the same
+        table (delegates to snapshot_diff below). History caveat: only
+        commits still in the log are addressable — merge/overwrite/
+        compaction rewrite the snapshot and clear older fingerprints
+        (read_at's contract), so cross-merge diffs need exported
+        snapshots compared via snapshot_diff directly. Between append
+        commits the result is insert-only by construction."""
+        return snapshot_diff(
+            self.read_at(table, from_fingerprint),
+            self.read_at(table, to_fingerprint),
+            key_cols=key_cols,
+        )
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         """Per-dir reads unioned by name: a single multi-path read REFUSES
         partitioned layouts across several roots
@@ -816,3 +837,58 @@ def apply_changelog(
     touched = changes.select(*keys).distinct()
     kept = base.join(touched, keys, "left_anti")
     return kept.unionByName(upserts.select(*base.columns))
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: what changed going from A
+    to B. Without keys, multiset row semantics via exceptAll — inserts
+    are rows of B not in A, deletes the reverse (duplicates respected).
+    With `key_cols`, a keyed three-way classification: insert (key only
+    in B), delete (key only in A), update (key in both, any non-key
+    column differing — detected by ONE xxhash64 over the full row, so a
+    200-column row compares as an 8-byte value, not column by column).
+    Updated/inserted rows are emitted from the B side, deletes from A,
+    all behind a leading `_change` column.
+
+    Scale shape: the keyless path is two full-row hash shuffles
+    (exceptAll); the keyed path shuffles on the keys only and carries
+    one struct + one hash per side. Keyed mode assumes keys unique per
+    snapshot (the merge() contract) — duplicate keys pair arbitrarily,
+    the caveat every keyed CDC tool carries."""
+    from pyspark.sql import functions as F
+
+    if key_cols is None:
+        ins = b.exceptAll(a).select(F.lit("insert").alias("_change"), "*")
+        dele = a.exceptAll(b).select(F.lit("delete").alias("_change"), "*")
+        return ins.unionByName(dele)
+    cols = b.columns
+    ah = a.select(
+        *key_cols,
+        F.struct(*cols).alias("_row_a"),
+        F.xxhash64(*cols).alias("_h_a"),
+    )
+    bh = b.select(
+        *key_cols,
+        F.struct(*cols).alias("_row_b"),
+        F.xxhash64(*cols).alias("_h_b"),
+    )
+    j = ah.join(bh, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_row_a").isNull(), F.lit("insert"))
+        .when(F.col("_row_b").isNull(), F.lit("delete"))
+        .when(F.col("_h_a") != F.col("_h_b"), F.lit("update"))
+    )
+    picked = F.when(F.col("_row_b").isNull(), F.col("_row_a")).otherwise(
+        F.col("_row_b")
+    )
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .withColumn("_pick", picked)
+        .select("_change", F.col("_pick.*"))
+    )

@@ -844,3 +844,47 @@ def test_hits_zero_iterations_returns_uniform(spark):
     rows = hits_fixedpoint(e, iterations=0).collect()
     assert len(rows) == 3
     assert all(r["h_fp"] == 1_000_000 and r["a_fp"] == 1_000_000 for r in rows)
+
+
+def test_snapshot_diff_multiset_and_keyed(spark, tmp_path):
+    """snapshot_diff: multiset exceptAll semantics without keys;
+    insert/delete/update three-way classification with keys (updates
+    emitted from the NEW side); warehouse.diff between APPEND commits is
+    insert-only by construction."""
+    from pathhier_spark.sources.warehouse import Warehouse, snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    keyed = sorted(
+        (r["_change"], r["id"], r["v"])
+        for r in snapshot_diff(a, b, key_cols=["id"]).collect()
+    )
+    assert keyed == [
+        ("delete", 3, "c"), ("insert", 4, "d"), ("update", 2, "B"),
+    ]
+    flat = sorted(
+        (r["_change"], r["id"], r["v"])
+        for r in snapshot_diff(a, b).collect()
+    )
+    # multiset view: the update shows as delete-old + insert-new
+    assert flat == [
+        ("delete", 2, "b"), ("delete", 3, "c"),
+        ("insert", 2, "B"), ("insert", 4, "d"),
+    ]
+
+    # warehouse.diff across the append-only commit log
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(a, "t", mode="append", fingerprint="c1")
+    wh.write(
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        "t", mode="append", fingerprint="c2",
+    )
+    got = sorted(
+        (r["_change"], r["id"], r["v"])
+        for r in wh.diff("t", "c1", "c2").collect()
+    )
+    assert got == [("insert", 4, "d")]
