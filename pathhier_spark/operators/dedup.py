@@ -506,3 +506,102 @@ def duplicated_ngram_spans(
         .join(covered, "doc_id", "left")
         .fillna(0, subset=["n_dup_starts", "n_dup_tokens"])
     )
+
+
+def minhash_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """TWO-SIDED MinHash LSH join: near-duplicate pairs ACROSS two
+    corpora — the dedup-matrix cell the self-join forms (q11/q31) and
+    the broadcast decontaminator (q54) both miss: train-vs-holdout
+    near-dup screening where BOTH sides are too large to broadcast and
+    similarity is fuzzy, not exact-n-gram. Each side computes its own
+    signatures (the q10 md5 machinery, engine-portable); band buckets
+    become the join key, so the shuffle is (band, bucket)-partitioned on
+    both sides — co-located by construction, no corpus ever crosses the
+    wire whole. The bucket-size cap applies to the COMBINED bucket
+    population (left + right): a boilerplate bucket hot on either side
+    would otherwise explode the pairwise product l_count * r_count.
+    Survivors verify with exact shingle Jaccard (only candidates pay),
+    thresholded. Output: (id_l, id_r, jaccard round-6)."""
+    sig_l = minhash_signatures(
+        left, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    sig_r = minhash_signatures(
+        right, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+
+    def _banded(signatures, out_id):
+        return signatures.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(out_id, "bb.band", "bb.bucket")
+    bl = _banded(sig_l, "id_l")
+    br = _banded(sig_r, "id_r")
+    sizes = (
+        bl.select("band", "bucket")
+        .unionAll(br.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    cand = (
+        bl.join(sizes, ["band", "bucket"])
+        .join(br.join(sizes, ["band", "bucket"]), ["band", "bucket"])
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    sh_l = left.select(
+        F.col(id_col).alias("id_l"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh_l"),
+    )
+    sh_r = right.select(
+        F.col(id_col).alias("id_r"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh_r"),
+    )
+    verified = (
+        cand.join(sh_l, "id_l")
+        .join(sh_r, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            (
+                F.size(F.array_intersect("sh_l", "sh_r"))
+                / F.size(F.array_union("sh_l", "sh_r"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    return verified.select(
+        "id_l", "id_r", (F.round(F.col("j"), 6) + F.lit(0.0)).alias("jaccard")
+    )

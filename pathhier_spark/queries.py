@@ -7342,6 +7342,93 @@ ORDER BY host, slot
 """
 
 
+# ---------------------------------------------------------------------------
+# Q125 — two-sided MinHash LSH join (cross-corpus near-dup)
+# (operators/dedup.minhash_cross_join): the dedup-matrix cell q11's
+# self-join and q54's broadcast decontaminator both miss — fuzzy
+# train-vs-holdout screening where BOTH sides are too large to
+# broadcast. Band buckets are the join key (co-located shuffle, no
+# corpus crosses whole); the bucket cap applies to the COMBINED
+# left+right population. Corpus B is a deterministic mutation of every
+# 10th document (one token appended), so every B doc should rejoin its
+# source.
+# ---------------------------------------------------------------------------
+
+_XJOIN_T = 0.6
+
+
+def q125_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import minhash_cross_join
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" benchmark")).alias("text"),
+    )
+    return minhash_cross_join(
+        docs, bench, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS,
+        num_hashes=_LSH_BANDS * _LSH_ROWS, threshold=_XJOIN_T,
+    ).orderBy("id_l", "id_r")
+
+
+def _q125_sql() -> str:
+    nh = _LSH_BANDS * _LSH_ROWS
+    k = _SHINGLE_K
+    shingle_expr = f"""
+    CASE WHEN len(t) >= {k}
+         THEN list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+                            i -> array_to_string(t[i:i+{k - 1}], ' ')))
+         ELSE [array_to_string(t, ' ')] END"""
+    return f"""
+WITH atoks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+), btoks AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         string_split_regex(lower(text || ' benchmark'), '\\s+') AS t
+  FROM documents WHERE doc_id % 10 = 0
+), ash AS (
+  SELECT doc_id, unnest({shingle_expr}) AS sh FROM atoks
+), bsh AS (
+  SELECT doc_id, unnest({shingle_expr}) AS sh FROM btoks
+), amh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+  FROM ash, range(0, {nh}) s(seed) GROUP BY doc_id, seed
+), bmh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+  FROM bsh, range(0, {nh}) s(seed) GROUP BY doc_id, seed
+), abanded AS (
+  SELECT doc_id, seed // {_LSH_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+  FROM amh GROUP BY doc_id, seed // {_LSH_ROWS}
+), bbanded AS (
+  SELECT doc_id, seed // {_LSH_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+  FROM bmh GROUP BY doc_id, seed // {_LSH_ROWS}
+), sized AS (
+  SELECT band, bucket FROM (
+    SELECT band, bucket FROM abanded
+    UNION ALL SELECT band, bucket FROM bbanded
+  ) GROUP BY band, bucket HAVING count(*) <= 50
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM abanded a JOIN sized USING (band, bucket)
+       JOIN bbanded b USING (band, bucket)
+), ashs AS (
+  SELECT doc_id, list(DISTINCT sh) AS shset FROM ash GROUP BY doc_id
+), bshs AS (
+  SELECT doc_id, list(DISTINCT sh) AS shset FROM bsh GROUP BY doc_id
+)
+SELECT p.id_l, p.id_r,
+       (round(len(list_intersect(x.shset, y.shset))::double
+             / len(list_distinct(list_concat(x.shset, y.shset))), 6) + 0.0)
+         AS jaccard
+FROM pairs p JOIN ashs x ON p.id_l = x.doc_id JOIN bshs y ON p.id_r = y.doc_id
+WHERE len(list_intersect(x.shset, y.shset))::double
+      / len(list_distinct(list_concat(x.shset, y.shset))) >= {_XJOIN_T}
+ORDER BY id_l, id_r
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7468,6 +7555,7 @@ def queries():
         "q122_negative_samples": q122_negative_samples,
         "q123_change_intervals": q123_change_intervals,
         "q124_frontier_schedule": q124_frontier_schedule,
+        "q125_cross_neardup": q125_cross_neardup,
     }
 
 
@@ -7597,4 +7685,5 @@ def oracle_sql():
         "q122_negative_samples": _q122_sql(),
         "q123_change_intervals": Q123_SQL,
         "q124_frontier_schedule": _q124_sql(),
+        "q125_cross_neardup": _q125_sql(),
     }

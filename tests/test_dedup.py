@@ -257,3 +257,42 @@ def test_embedding_neardup_bucketed_low_threshold_recall(spark, sf_dir):
     }
     assert buck <= brute  # precision exactly 1.0
     assert len(buck) / len(brute) >= 0.65  # measured 0.743 at sf0.001
+
+
+# --- two-sided MinHash LSH cross-join (q125, round 5) ---
+
+def test_minhash_cross_join_finds_mutations(spark):
+    from pathhier_spark.operators.dedup import minhash_cross_join
+
+    base = "the quick brown fox jumps over the lazy dog in the park today"
+    left = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated words about other topics here now")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(101, base + " tonight"), (102, "nothing shared with any left text at all whatsoever")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in
+           minhash_cross_join(left, right, threshold=0.3).collect()]
+    assert len(got) == 1 and got[0][:2] == (1, 101)
+    assert 0.5 < got[0][2] < 1.0
+
+
+def test_minhash_cross_join_combined_bucket_cap(spark):
+    from pathhier_spark.operators.dedup import minhash_cross_join
+
+    # 30 identical docs per side: every bucket holds 60 > cap 50 ->
+    # the boilerplate cluster is dropped ENTIRELY (the guard fires on the
+    # combined left+right population, not per side)
+    txt = "same boilerplate text repeated on both sides of the corpus pair"
+    left = spark.createDataFrame(
+        [(i, txt) for i in range(30)], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, txt) for i in range(30)], "doc_id long, text string"
+    )
+    assert minhash_cross_join(left, right).count() == 0
+    # per-side population (30) would have passed a per-side cap — raise
+    # the cap and the pairs flood back
+    assert minhash_cross_join(left, right, max_bucket_size=60).count() == 900
