@@ -492,3 +492,91 @@ def _tokens_expr(text_col: str):
     from pathhier_spark.operators.textstats import _tokens
 
     return _tokens(text_col)
+
+
+def retrieval_eval(
+    ranking: DataFrame,
+    relevant: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality evaluation — MRR@k and nDCG@k per query — as a
+    data operator, so the search stack (BM25 q63, ANN q12/q24/q36, RRF
+    q93) can be scored inside the pipeline instead of a driver script.
+    `ranking`: (qid, rank, doc_id) with rank 1..k; `relevant`:
+    (qid, doc_id) gold pairs.
+
+    Engine-portability is the design: every irrational constant
+    (1/log2(rank+1) discount, 1/rank reciprocal, ideal-DCG prefix sums)
+    is precomputed in Python as an int64 MICRO-UNIT LITERAL (1e12
+    scale), so DCG is an exact integer sum (order-free), IDCG is a
+    lookup, and the only float ops are two final divisions of identical
+    int64 operands — bit-identical on any engine, no libm, no
+    float-sum order (the q51/q36 fixed-point discipline applied to IR
+    metrics). MRR = reciprocal of the first relevant rank; nDCG
+    normalizes by the ideal DCG of min(n_rel, k) relevants; queries
+    with no relevant docs score 0 on both. Output: (qid, n_rel, mrr,
+    ndcg)."""
+    import math
+
+    scale = 10**12
+    w_fp = [int((1.0 / math.log2(i + 1)) * scale) for i in range(1, k + 1)]
+    idcg_fp = [sum(w_fp[: i + 1]) for i in range(k)]
+    mrr_fp = [scale // i for i in range(1, k + 1)]
+    w_lit = F.array(*[F.lit(v).cast("long") for v in w_fp])
+    idcg_lit = F.array(*[F.lit(v).cast("long") for v in idcg_fp])
+    mrr_lit = F.array(*[F.lit(v).cast("long") for v in mrr_fp])
+
+    flagged = ranking.join(
+        relevant.select(
+            F.col("qid"), F.col("doc_id"), F.lit(1).alias("rel")
+        ),
+        ["qid", "doc_id"],
+        "left",
+    ).select(
+        "qid",
+        "rank",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    n_rel = relevant.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    per_q = flagged.groupBy("qid").agg(
+        F.sum(
+            F.col("rel") * F.element_at(w_lit, F.col("rank").cast("int"))
+        ).alias("dcg_fp"),
+        F.min(
+            F.when(F.col("rel") == 1, F.col("rank"))
+        ).alias("first_rel"),
+    )
+    out = (
+        ranking.select("qid").distinct()
+        .join(per_q, "qid", "left")
+        .join(n_rel, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.round(
+                    F.element_at(mrr_lit, F.col("first_rel").cast("int"))
+                    / F.lit(float(scale)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("dcg_fp"), F.lit(0))
+                    / F.element_at(
+                        idcg_lit,
+                        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+                    ),
+                    6,
+                ) + F.lit(0.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+    return out

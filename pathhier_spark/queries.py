@@ -3568,7 +3568,9 @@ def q63_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
-def _q63_sql() -> str:
+def _sql_bm25_chain() -> str:
+    """CTE chain through `ranked` (BM25 scoring + per-query ranking) —
+    shared by the q63 top-k oracle and the q126 retrieval-eval oracle."""
     k1p1 = _BM25_K1 + 1.0
     omb = 1.0 - _BM25_B
     return f"""
@@ -3613,7 +3615,11 @@ WITH tl AS (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
            AS "rank"
   FROM folded
-)
+)"""
+
+
+def _q63_sql() -> str:
+    return _sql_bm25_chain() + f"""
 SELECT qid, "rank", doc_id, round(score, 6) + 0.0 AS score
 FROM ranked WHERE "rank" <= {_BM25_K} ORDER BY qid, "rank"
 """
@@ -7429,6 +7435,111 @@ ORDER BY id_l, id_r
 """
 
 
+# ---------------------------------------------------------------------------
+# Q126 — retrieval evaluation: MRR@10 / nDCG@10 of the q63 BM25 ranking
+# (operators/retrieval.retrieval_eval): relevance = "document contains
+# ALL query terms" (deterministic gold), metrics in the int64 micro-unit
+# discipline — every log2 discount / reciprocal / ideal-DCG prefix is a
+# precomputed literal, DCG an exact integer sum, so the only float ops
+# are two divisions of identical int64 operands on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q126_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import bm25_topk, retrieval_eval
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qsrc = (
+        toks.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.posexplode("ts").alias("pos", "term"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.min("pos").alias("mp"))
+    )
+    qw = Window.partitionBy("qid").orderBy("mp", "term")
+    qterms = (
+        qsrc.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _BM25_QLEN)
+        .select("qid", "term")
+        .localCheckpoint(eager=True)  # feeds ranking AND relevance
+    )
+    ranking = bm25_topk(
+        toks, qterms, F.col("ts"), k1=_BM25_K1, b=_BM25_B, k=_BM25_K
+    ).select("qid", "rank", "doc_id")
+    qlen = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nq"))
+    hits = (
+        toks.select("doc_id", F.explode(F.array_distinct("ts")).alias("term"))
+        .join(qterms, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").alias("c"))
+    )
+    relevant = (
+        hits.join(F.broadcast(qlen), "qid")
+        .filter(F.col("c") == F.col("nq"))
+        .select("qid", "doc_id")
+    )
+    return retrieval_eval(ranking, relevant, k=_BM25_K).orderBy("qid")
+
+
+# DuckDB feature req: core SQL. Metric constants are int64 micro-unit
+# VALUES maps generated from the same Python formulas as the operator.
+def _q126_sql() -> str:
+    import math
+
+    scale = 10**12
+    k = _BM25_K
+    w_fp = [int((1.0 / math.log2(i + 1)) * scale) for i in range(1, k + 1)]
+    idcg_fp = [sum(w_fp[: i + 1]) for i in range(k)]
+    mrr_fp = [scale // i for i in range(1, k + 1)]
+    wmap = ", ".join(f"({i + 1}, {v})" for i, v in enumerate(w_fp))
+    imap = ", ".join(f"({i + 1}, {v})" for i, v in enumerate(idcg_fp))
+    mmap = ", ".join(f"({i + 1}, {v})" for i, v in enumerate(mrr_fp))
+    return _sql_bm25_chain() + f""",
+topk AS (
+  SELECT qid, "rank", doc_id FROM ranked WHERE "rank" <= {k}
+), qlen AS (
+  SELECT qid, count(*)::bigint AS nq FROM qterms GROUP BY qid
+), relv AS (
+  SELECT x.qid, x.doc_id FROM (
+    SELECT t.qid, p.doc_id, count(DISTINCT p.term) AS c
+    FROM qterms t JOIN postings p USING (term)
+    GROUP BY t.qid, p.doc_id
+  ) x JOIN qlen USING (qid) WHERE x.c = qlen.nq
+), nrel AS (
+  SELECT qid, count(*)::bigint AS n_rel FROM relv GROUP BY qid
+), wmap("rank", w_fp) AS (VALUES {wmap}
+), imap(n, idcg_fp) AS (VALUES {imap}
+), mmap("rank", m_fp) AS (VALUES {mmap}
+), flags AS (
+  SELECT t.qid, t."rank",
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM topk t LEFT JOIN relv r ON r.qid = t.qid AND r.doc_id = t.doc_id
+), perq AS (
+  SELECT f.qid, sum(f.rel * w.w_fp)::bigint AS dcg_fp,
+         min(CASE WHEN f.rel = 1 THEN f."rank" END) AS first_rel
+  FROM flags f JOIN wmap w ON w."rank" = f."rank"
+  GROUP BY f.qid
+)
+SELECT p.qid,
+       coalesce(n.n_rel, 0)::bigint AS n_rel,
+       CASE WHEN p.first_rel IS NOT NULL
+            THEN round(m.m_fp / 1000000000000.0, 6)
+            ELSE 0.0 END AS mrr,
+       CASE WHEN coalesce(n.n_rel, 0) > 0
+            THEN (round(p.dcg_fp / i.idcg_fp, 6) + 0.0)
+            ELSE 0.0 END AS ndcg
+FROM perq p
+LEFT JOIN nrel n ON n.qid = p.qid
+LEFT JOIN mmap m ON m."rank" = p.first_rel
+LEFT JOIN imap i ON i.n = least(coalesce(n.n_rel, 0), {k})
+ORDER BY p.qid
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7556,6 +7667,7 @@ def queries():
         "q123_change_intervals": q123_change_intervals,
         "q124_frontier_schedule": q124_frontier_schedule,
         "q125_cross_neardup": q125_cross_neardup,
+        "q126_retrieval_eval": q126_retrieval_eval,
     }
 
 
@@ -7686,4 +7798,5 @@ def oracle_sql():
         "q123_change_intervals": Q123_SQL,
         "q124_frontier_schedule": _q124_sql(),
         "q125_cross_neardup": _q125_sql(),
+        "q126_retrieval_eval": _q126_sql(),
     }

@@ -330,3 +330,40 @@ def test_kwic_uses_first_occurrence(spark):
     r = kwic_snippets(docs, ["table", "scan"], window=1).collect()[0]
     assert r["n_hits"] == 2
     assert r["snippet"] == "x table scan y"
+
+
+# --- retrieval evaluation: MRR / nDCG (q126, round 5) ---
+
+def test_retrieval_eval_hand_computed(spark):
+    import math
+    from pathhier_spark.operators.retrieval import retrieval_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x"), (2, 2, "y")],
+        "qid long, rank long, doc_id string",
+    )
+    # q1: relevant {b, c, zz} -> first hit rank 2, dcg = w2 + w3,
+    # idcg over min(3, k)=3 ideal slots; q2: one relevant, none retrieved
+    rel = spark.createDataFrame(
+        [(1, "b"), (1, "c"), (1, "zz"), (2, "nope")],
+        "qid long, doc_id string",
+    )
+    got = {r["qid"]: (r["n_rel"], r["mrr"], r["ndcg"])
+           for r in retrieval_eval(ranking, rel, k=3).collect()}
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1.0 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[1] == (3, 0.5, round(dcg / idcg, 6))
+    assert got[2] == (1, 0.0, 0.0)
+
+
+def test_retrieval_eval_perfect_ranking_scores_one(spark):
+    from pathhier_spark.operators.retrieval import retrieval_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "qid long, rank long, doc_id string"
+    )
+    rel = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "qid long, doc_id string"
+    )
+    r = retrieval_eval(ranking, rel, k=2).collect()[0]
+    assert (r["mrr"], r["ndcg"]) == (1.0, 1.0)
