@@ -580,3 +580,56 @@ def retrieval_eval(
         )
     )
     return out
+
+
+def inverted_index(
+    docs: DataFrame,
+    tokens_col,
+    *,
+    id_col: str = "doc_id",
+    postings_cap: int = 5,
+) -> DataFrame:
+    """Materialize the inverted index itself — the artifact behind
+    bm25_topk and q07's candidate join, as a writable table: per term,
+    document frequency, collection frequency, and the top
+    `postings_cap` postings by term frequency (formatted 'doc:tf' so the
+    row is a flat array<string>, portable through any sink or oracle).
+
+    Plan: one explode + one (term, doc) combiner groupBy builds the full
+    postings; df/cf reduce from it with a second combiner groupBy. The
+    capped head uses a per-term rank window — per-term partitions are
+    bounded by document count, and the hot-term skew this creates is the
+    SAME skew q07 manages with its postings cap: at true scale you
+    pre-filter stopword-grade terms (an IDF floor) before the window,
+    which is exactly what the caller's df filter does afterward anyway.
+    Output: (term, df, cf, top_postings)."""
+    post = (
+        docs.select(F.col(id_col).alias("d"), F.explode(tokens_col).alias("term"))
+        .groupBy("term", "d")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("d").asc()
+    )
+    head = (
+        post.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "d", "tf"))
+                ),
+                lambda s: F.concat_ws(
+                    ":", s["d"].cast("string"), s["tf"].cast("string")
+                ),
+            ).alias("top_postings")
+        )
+    )
+    return stats.join(head, "term").select(
+        "term", "df", "cf", "top_postings"
+    )

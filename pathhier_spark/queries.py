@@ -7540,6 +7540,56 @@ ORDER BY p.qid
 """
 
 
+# ---------------------------------------------------------------------------
+# Q127 — inverted-index materialization
+# (operators/retrieval.inverted_index): the index behind q63/q07 as a
+# writable table — per term df, cf, and the top-5 'doc:tf' postings.
+# Emitted for the 200 highest-cf terms (cf desc, term asc) so the gate
+# compares a deterministic head, not the whole vocabulary.
+# ---------------------------------------------------------------------------
+
+_IDX_TOP_TERMS = 200
+
+
+def q127_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import inverted_index
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    idx = inverted_index(toks, F.col("ts"))
+    return idx.orderBy(F.col("cf").desc(), F.col("term")).limit(
+        _IDX_TOP_TERMS
+    )
+
+
+Q127_SQL = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ts
+  FROM documents
+), post AS (
+  SELECT term, doc_id AS d, count(*)::bigint AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tl)
+  GROUP BY term, doc_id
+), stats AS (
+  SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf
+  FROM post GROUP BY term
+), ranked AS (
+  SELECT term, d, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, d ASC) AS rn
+  FROM post
+), head AS (
+  SELECT term,
+         list(d::varchar || ':' || tf::varchar ORDER BY rn) AS top_postings
+  FROM ranked WHERE rn <= 5 GROUP BY term
+)
+SELECT s.term, s.df, s.cf, h.top_postings
+FROM stats s JOIN head h USING (term)
+ORDER BY s.cf DESC, s.term LIMIT {_IDX_TOP_TERMS}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7668,6 +7718,7 @@ def queries():
         "q124_frontier_schedule": q124_frontier_schedule,
         "q125_cross_neardup": q125_cross_neardup,
         "q126_retrieval_eval": q126_retrieval_eval,
+        "q127_inverted_index": q127_inverted_index,
     }
 
 
@@ -7799,4 +7850,5 @@ def oracle_sql():
         "q124_frontier_schedule": _q124_sql(),
         "q125_cross_neardup": _q125_sql(),
         "q126_retrieval_eval": _q126_sql(),
+        "q127_inverted_index": Q127_SQL,
     }

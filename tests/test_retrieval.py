@@ -367,3 +367,38 @@ def test_retrieval_eval_perfect_ranking_scores_one(spark):
     )
     r = retrieval_eval(ranking, rel, k=2).collect()[0]
     assert (r["mrr"], r["ndcg"]) == (1.0, 1.0)
+
+
+# --- inverted-index materialization (q127, round 5) ---
+
+def test_inverted_index_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from pathhier_spark.operators.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["a", "b", "b", "b"]), (3, ["c"])],
+        "doc_id long, ts array<string>",
+    )
+    got = {
+        r["term"]: (r["df"], r["cf"], r["top_postings"])
+        for r in inverted_index(docs, F.col("ts"), postings_cap=2).collect()
+    }
+    # 'a': doc1 tf2, doc2 tf1 -> postings tf-desc; 'b': doc2 tf3, doc1 tf1
+    assert got["a"] == (2, 3, ["1:2", "2:1"])
+    assert got["b"] == (2, 4, ["2:3", "1:1"])
+    assert got["c"] == (1, 1, ["3:1"])
+
+
+def test_inverted_index_postings_cap_keeps_full_df(spark):
+    from pyspark.sql import functions as F
+    from pathhier_spark.operators.retrieval import inverted_index
+
+    # 10 docs all contain 't': df/cf count ALL of them even though the
+    # postings head is capped at 3
+    docs = spark.createDataFrame(
+        [(i, ["t"] * (i + 1)) for i in range(10)],
+        "doc_id long, ts array<string>",
+    )
+    r = inverted_index(docs, F.col("ts"), postings_cap=3).collect()[0]
+    assert (r["df"], r["cf"]) == (10, sum(range(1, 11)))
+    assert r["top_postings"] == ["9:10", "8:9", "7:8"]
