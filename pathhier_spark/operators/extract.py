@@ -233,3 +233,51 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
             "n_multi_subj",
         )
     )
+
+
+MENTION_PATTERNS = {
+    # type -> (regex, why it is anchored the way it is)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s<>\"]+",
+    "year": r"\b(?:19|20)\d{2}\b",
+    "number": r"\b\d+(?:\.\d+)?\b",
+}
+
+
+def typed_mentions(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Typed mention extraction — the IE input surface of KG
+    construction: pull every email / URL / year / number mention into a
+    long-format (doc_id, mention_type, mention) table that downstream
+    linking (q07) and canonicalization (q18) consume. Pure
+    regexp_extract_all column expressions — one map-only pass per
+    pattern unioned together, no UDF, no shuffle until the caller
+    aggregates. 'year' deliberately wins over 'number' only by type
+    label (both patterns emit the 1999 token; consumers filter by the
+    type they want — double-reporting is the honest long-format
+    contract, pinned in tests).
+
+    Ordering note: patterns apply independently, so a URL containing
+    digits also yields number mentions — real extractors dedupe by
+    span; this table keeps everything and lets the consumer decide."""
+    pats = patterns or MENTION_PATTERNS
+    parts = []
+    for mtype, rx in sorted(pats.items()):
+        parts.append(
+            docs.select(
+                F.col(id_col),
+                F.lit(mtype).alias("mention_type"),
+                F.explode(
+                    F.regexp_extract_all(F.col(text_col), F.lit(rx), 0)
+                ).alias("mention"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

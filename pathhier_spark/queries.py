@@ -7590,6 +7590,93 @@ ORDER BY s.cf DESC, s.term LIMIT {_IDX_TOP_TERMS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q128 — typed mention extraction (operators/extract.typed_mentions):
+# the IE input surface — emails/URLs/years/numbers pulled into a
+# long-format mention table by pure regexp_extract_all map passes.
+# Mentions are injected deterministically (the corpus text carries
+# none); extraction parity with the same regexes is the point, per the
+# q88 discipline.
+# ---------------------------------------------------------------------------
+
+
+def q128_typed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.extract import typed_mentions
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" u"), F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://m.example.net/d/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" in "),
+            (F.lit(1990) + F.col("doc_id") % 30).cast("string"),
+        ).alias("text"),
+    )
+    m = typed_mentions(injected)
+    return (
+        m.groupBy("mention_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("mention").alias("n_distinct"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("mention_type")
+    )
+
+
+# DuckDB feature req: regexp_extract_all (RE2 \b word boundaries — same
+# semantics as Java's for these ASCII patterns).
+Q128_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' u' || doc_id::varchar || '@mail.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' https://m.example.net/d/' || doc_id::varchar
+                 ELSE '' END
+         || ' in ' || (1990 + doc_id % 30)::varchar AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, 'email' AS mention_type,
+         unnest(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS mention
+  FROM injected
+  UNION ALL
+  SELECT doc_id, 'number',
+         unnest(regexp_extract_all(text, '\b\d+(?:\.\d+)?\b'))
+  FROM injected
+  UNION ALL
+  SELECT doc_id, 'url',
+         unnest(regexp_extract_all(text, 'https?://[^\s<>"]+'))
+  FROM injected
+  UNION ALL
+  SELECT doc_id, 'year',
+         unnest(regexp_extract_all(text, '\b(?:19|20)\d{2}\b'))
+  FROM injected
+)
+SELECT mention_type, count(*)::bigint AS n_mentions,
+       count(DISTINCT mention)::bigint AS n_distinct,
+       count(DISTINCT doc_id)::bigint AS n_docs
+FROM m GROUP BY mention_type ORDER BY mention_type
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7719,6 +7806,7 @@ def queries():
         "q125_cross_neardup": q125_cross_neardup,
         "q126_retrieval_eval": q126_retrieval_eval,
         "q127_inverted_index": q127_inverted_index,
+        "q128_typed_mentions": q128_typed_mentions,
     }
 
 
@@ -7851,4 +7939,5 @@ def oracle_sql():
         "q125_cross_neardup": _q125_sql(),
         "q126_retrieval_eval": _q126_sql(),
         "q127_inverted_index": Q127_SQL,
+        "q128_typed_mentions": Q128_SQL,
     }

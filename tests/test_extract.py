@@ -83,3 +83,36 @@ def test_predicate_profile_known_graph(spark):
     assert (kn["n_triples"], kn["n_subj"], kn["n_obj"]) == (3, 2, 2)
     assert kn["functionality"] == pytest.approx(2 / 3, abs=1e-6)
     assert kn["n_multi_subj"] == 1
+
+
+# --- typed mention extraction (q128, round 5) ---
+
+def test_typed_mentions_hand_computed(spark):
+    from pathhier_spark.operators.extract import typed_mentions
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.co or see https://w.example.com/p?q=1 in 1999 "
+             "with 42 items")],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in typed_mentions(df).collect())
+    # the year 1999 double-reports as number AND year — the documented
+    # long-format contract (consumers filter by type)
+    assert got == [
+        (1, "email", "a.b@x.co"),
+        (1, "number", "1"),
+        (1, "number", "1999"),
+        (1, "number", "42"),
+        (1, "url", "https://w.example.com/p?q=1"),
+        (1, "year", "1999"),
+    ]
+
+
+def test_typed_mentions_no_false_positives(spark):
+    from pathhier_spark.operators.extract import typed_mentions
+
+    df = spark.createDataFrame(
+        [(1, "plain words only at example dot com twenty twenty")],
+        "doc_id long, text string",
+    )
+    assert typed_mentions(df).count() == 0
