@@ -944,8 +944,11 @@ def resolve_chains(
         .localCheckpoint(eager=True)
     )
     # max_rounds doublings (reach = 2^max_rounds steps) + a final
-    # convergence check, so max_rounds=8 genuinely covers 200-link chains
-    for _ in range(max_rounds + 1):
+    # convergence check, so max_rounds=8 genuinely covers 200-link
+    # chains; the i == max_rounds break skips the last doubling whose
+    # result could never be inspected (a whole wasted shuffle+checkpoint
+    # on the cycle path otherwise)
+    for i in range(max_rounds + 1):
         pending = (
             p.join(srcs, p["ptr"] == srcs["srcnode"], "left_semi").count()
         )
@@ -955,6 +958,8 @@ def resolve_chains(
                 F.col("ptr").alias("final"),
                 F.col("hops"),
             )
+        if i == max_rounds:
+            break
         p = (
             p.alias("a")
             .join(p.alias("b"), F.col("a.ptr") == F.col("b.node"), "left")
@@ -1196,7 +1201,11 @@ def hyperball_neighborhood(
             "node", "j", F.coalesce("reg", F.lit(0)).cast("long").alias("reg")
         )
         est = hll_estimate_grouped(dense, "node", m=m)
-        return est.agg(F.sum("est")).collect()[0][0]
+        # coalesce: SUM over zero rows is NULL (empty edge set) — the
+        # exact counterpart returns 0 there, so must the estimate
+        return est.agg(
+            F.coalesce(F.sum("est"), F.lit(0.0))
+        ).collect()[0][0]
 
     regs = base
     rows = [(1, float(_total(regs)))]
@@ -1342,9 +1351,15 @@ def negative_samples(
     u = e_rows.union(t_rows).withColumn(
         "bucket", F.floor(F.col("h") / F.lit(int(width)))
     )
+    # `ent` as the third order key makes the order total on entity rows:
+    # two entities CAN collide in the 32-bit hash (birthday bound), and
+    # without the tiebreak the carried predecessor would be
+    # engine/partitioning-dependent (the epoch_shuffle id-tiebreak rule).
+    # Triple rows have ent NULL, but ties among them don't matter — LOCF
+    # only carries entity values, and NULL ordering never mixes kinds.
     w = (
         Window.partitionBy("bucket")
-        .orderBy("h", "kind")
+        .orderBy("h", "kind", "ent")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pred_ent = u.withColumn(

@@ -527,10 +527,11 @@ def retrieval_eval(
     idcg_lit = F.array(*[F.lit(v).cast("long") for v in idcg_fp])
     mrr_lit = F.array(*[F.lit(v).cast("long") for v in mrr_fp])
 
+    # distinct: duplicated gold pairs would fan out the join and inflate
+    # DCG/n_rel (a perfectly-ranked query could score > 1.0)
+    rel_set = relevant.select("qid", "doc_id").distinct()
     flagged = ranking.join(
-        relevant.select(
-            F.col("qid"), F.col("doc_id"), F.lit(1).alias("rel")
-        ),
+        rel_set.withColumn("rel", F.lit(1)),
         ["qid", "doc_id"],
         "left",
     ).select(
@@ -538,7 +539,7 @@ def retrieval_eval(
         "rank",
         F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
     )
-    n_rel = relevant.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    n_rel = rel_set.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
     per_q = flagged.groupBy("qid").agg(
         F.sum(
             F.col("rel") * F.element_at(w_lit, F.col("rank").cast("int"))

@@ -1409,11 +1409,13 @@ def heaps_curve(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
+                # WS_SPLIT_RE, not r"\s+": Java's \s includes \x0B, RE2's
+                # (the oracle's) does not — the repo-wide parity rule
+                F.split(F.lower(F.col(text_col)), WS_SPLIT_RE),
                 lambda x: x != "",
             )
         ).alias("token"),
-    )
+    ).localCheckpoint(eager=False)  # feeds BOTH groupBys — scan once
     first = tok.groupBy("token").agg(F.min("id").alias("first_id"))
     per_doc = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     bounds = (
@@ -1519,7 +1521,9 @@ def quantile_bins_grouped(
         )
     )
     # integer shifts, not pow(): 2^62 bounds stay exact int64 (the
-    # function API wants a literal shift count, so expr() it)
+    # function API wants a literal shift count, so expr() it). Bin 63
+    # (values >= 2^62) caps hi at Long.MAX — shiftleft(1L, 63) - 1 would
+    # ARITHMETIC_OVERFLOW under Spark 4's ANSI default
     return hit.select(
         F.col("g").alias(group_col),
         "permille",
@@ -1528,6 +1532,7 @@ def quantile_bins_grouped(
         .otherwise(F.expr("shiftleft(1L, cast(bin - 1 AS int))"))
         .alias("lo_bound"),
         F.when(F.col("bin") <= 0, F.lit(0).cast("long"))
+        .when(F.col("bin") >= 63, F.lit((1 << 63) - 1).cast("long"))
         .otherwise(F.expr("shiftleft(1L, cast(bin AS int)) - 1"))
         .alias("hi_bound"),
         "n",

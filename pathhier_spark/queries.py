@@ -7027,7 +7027,9 @@ WITH hist AS (
 SELECT g AS source, permille, bin,
        (CASE WHEN bin <= 0 THEN 0 ELSE (1::bigint << (bin - 1)) END)::bigint
          AS lo_bound,
-       (CASE WHEN bin <= 0 THEN 0 ELSE (1::bigint << bin) - 1 END)::bigint
+       (CASE WHEN bin <= 0 THEN 0
+              WHEN bin >= 63 THEN 9223372036854775807
+              ELSE (1::bigint << bin) - 1 END)::bigint
          AS hi_bound,
        n
 FROM hit
@@ -7237,7 +7239,7 @@ WITH raw AS (
 ), pe AS (
   SELECT *,
          last_value(ent IGNORE NULLS) OVER (
-           PARTITION BY h // {width} ORDER BY h, kind
+           PARTITION BY h // {width} ORDER BY h, kind, ent
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS prev_ent
   FROM u

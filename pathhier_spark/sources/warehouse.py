@@ -867,15 +867,21 @@ def snapshot_diff(
         dele = a.exceptAll(b).select(F.lit("delete").alias("_change"), "*")
         return ins.unionByName(dele)
     cols = b.columns
+    # hash the JSON encoding, not xxhash64(*cols): Spark's xxhash64 SKIPS
+    # NULL inputs entirely, so ('x', NULL) and (NULL, 'x') hash the same
+    # and a value migrating across columns would read as "unchanged";
+    # to_json keeps the column names next to the values, making the
+    # encoding NULL-position-faithful
+    row_hash = lambda: F.xxhash64(F.to_json(F.struct(*cols)))  # noqa: E731
     ah = a.select(
         *key_cols,
         F.struct(*cols).alias("_row_a"),
-        F.xxhash64(*cols).alias("_h_a"),
+        row_hash().alias("_h_a"),
     )
     bh = b.select(
         *key_cols,
         F.struct(*cols).alias("_row_b"),
-        F.xxhash64(*cols).alias("_h_b"),
+        row_hash().alias("_h_b"),
     )
     j = ah.join(bh, key_cols, "full_outer")
     change = (

@@ -730,3 +730,14 @@ def test_negative_samples_spread_on_larger_graph(spark):
     rows = negative_samples(t).collect()
     distinct_negs = {r["neg_obj"] for r in rows}
     assert len(distinct_negs) > 20, len(distinct_negs)
+
+
+def test_hyperball_empty_edges_returns_zero(spark):
+    """Review regression: SUM over zero rows is NULL — the estimate must
+    report 0.0 like the exact counterpart, not crash on float(None)."""
+    from pathhier_spark.operators.graph import hyperball_neighborhood
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    got = {r["hop"]: r["est_pairs"]
+           for r in hyperball_neighborhood(empty, max_hops=2).collect()}
+    assert got == {1: 0.0, 2: 0.0}

@@ -841,3 +841,27 @@ def test_frontier_schedule_priority_order(spark):
     )
     # the priority-1 URL fetches first (earlier slot)
     assert rows[0][1].endswith("/hi") and rows[1][1].endswith("/low")
+
+
+def test_quantile_bins_top_bin_no_overflow(spark):
+    """Review regression: a value >= 2^62 lands in bin 63 whose naive
+    hi_bound (1<<63)-1 overflows under ANSI; it must cap at Long.MAX."""
+    from pathhier_spark.operators.textstats import quantile_bins_grouped
+
+    df = spark.createDataFrame([("g", 1 << 62)], "g string, v long")
+    r = quantile_bins_grouped(df, "g", "v", [500]).collect()[0]
+    assert r["bin"] == 63
+    assert r["lo_bound"] == 1 << 62
+    assert r["hi_bound"] == (1 << 63) - 1
+
+
+def test_heaps_curve_vertical_tab_parity_tokenizer(spark):
+    """Review regression: Java \\s would split on \\x0B, the RE2 oracle
+    does not — WS_SPLIT_RE must treat 'a\\x0bb' as ONE token."""
+    from pathhier_spark.operators.textstats import heaps_curve
+
+    docs = spark.createDataFrame(
+        [(0, "a\x0bb c")], "doc_id long, text string"
+    )
+    r = heaps_curve(docs, 1).collect()[0]
+    assert (r["n_tokens"], r["vocab_size"]) == (2, 2)

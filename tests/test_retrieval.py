@@ -402,3 +402,18 @@ def test_inverted_index_postings_cap_keeps_full_df(spark):
     r = inverted_index(docs, F.col("ts"), postings_cap=3).collect()[0]
     assert (r["df"], r["cf"]) == (10, sum(range(1, 11)))
     assert r["top_postings"] == ["9:10", "8:9", "7:8"]
+
+
+def test_retrieval_eval_duplicate_gold_is_deduped(spark):
+    """Review regression: duplicated gold pairs must not inflate
+    DCG/n_rel — a perfect ranking stays exactly 1.0."""
+    from pathhier_spark.operators.retrieval import retrieval_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 1, "a")], "qid long, rank long, doc_id string"
+    )
+    rel = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a")], "qid long, doc_id string"
+    )
+    r = retrieval_eval(ranking, rel, k=1).collect()[0]
+    assert (r["n_rel"], r["mrr"], r["ndcg"]) == (1, 1.0, 1.0)

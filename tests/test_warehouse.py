@@ -888,3 +888,15 @@ def test_snapshot_diff_multiset_and_keyed(spark, tmp_path):
         for r in wh.diff("t", "c1", "c2").collect()
     )
     assert got == [("insert", 4, "d")]
+
+
+def test_snapshot_diff_detects_null_position_swap(spark):
+    """Review regression: xxhash64 skips NULL inputs, so a value migrating
+    across columns past a NULL used to hash as 'unchanged' — the JSON
+    row encoding must catch it as an update."""
+    from pathhier_spark.sources.warehouse import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x", None)], "id long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, None, "x")], "id long, c1 string, c2 string")
+    got = [tuple(r) for r in snapshot_diff(a, b, key_cols=["id"]).collect()]
+    assert got == [("update", 1, None, "x")]
