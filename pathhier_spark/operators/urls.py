@@ -251,3 +251,48 @@ def frontier_schedule(
             (offset + (F.col("rank") - 1) * delay).alias("slot"),
         )
     )
+
+
+def url_prefix_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """robots.txt-style longest-prefix-wins URL filtering: each rule is
+    (prefix, allow 0/1); a URL's verdict comes from the LONGEST matching
+    prefix (the robots.txt precedence rule), defaulting to allow when
+    nothing matches. The rule set is crawl-config-sized (thousands), so
+    it BROADCASTS; the match is a broadcast theta join on
+    startswith(prefix) followed by ONE max_by per URL — one combiner
+    groupBy, no window, and the corpus side never shuffles on anything
+    but its own key.
+
+    The argmax orders by the prefix STRING alone, which IS
+    longest-prefix-wins: every rule matching a given URL is a prefix of
+    that URL, so any two matching prefixes are prefixes of EACH OTHER —
+    the longer is lexicographically greater, and equal-length distinct
+    matches cannot exist. Output: input columns + (matched_prefix,
+    allowed)."""
+    r = rules.select(
+        F.col("prefix"),
+        F.col("allow").cast("long").alias("allow"),
+    )
+    matched = (
+        urls.join(
+            F.broadcast(r),
+            F.col(url_col).startswith(F.col("prefix")),
+            "left",
+        )
+        .groupBy(url_col)
+        .agg(
+            F.max_by(
+                F.struct("prefix", "allow"), F.col("prefix")
+            ).alias("win"),
+        )
+    )
+    return matched.select(
+        url_col,
+        F.col("win.prefix").alias("matched_prefix"),
+        F.coalesce(F.col("win.allow"), F.lit(1)).alias("allowed"),
+    )

@@ -7679,6 +7679,78 @@ FROM m GROUP BY mention_type ORDER BY mention_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q129 — robots.txt-style longest-prefix URL filtering
+# (operators/urls.url_prefix_filter): per-source disallow rules with a
+# longer allow override — longest matching prefix wins (the robots.txt
+# precedence rule), unmatched URLs default to allow. Broadcast rule set,
+# startswith theta join, one max_by argmax per URL.
+# ---------------------------------------------------------------------------
+
+
+def q129_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.urls import url_prefix_filter
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p/1"))
+    rules = (
+        docs.select("source").distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(base.alias("prefix"), F.lit(0).alias("allow")),
+                    F.struct(
+                        F.concat(base, F.lit("2")).alias("prefix"),
+                        F.lit(1).alias("allow"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.prefix", "r.allow")
+    )
+    out = url_prefix_filter(urls, rules)
+    return (
+        out.groupBy("matched_prefix", "allowed")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy(
+            F.col("matched_prefix").asc_nulls_first(), F.col("allowed")
+        )
+    )
+
+
+# DuckDB feature req: starts_with, arg_max over a row() ordering value.
+Q129_SQL = """
+WITH urls AS (
+  SELECT 'https://' || source || '.example.com/p/' || doc_id::varchar AS url
+  FROM documents
+), rules AS (
+  SELECT prefix, allow FROM (
+    SELECT 'https://' || source || '.example.com/p/1' AS p1
+    FROM (SELECT DISTINCT source FROM documents)
+  ), LATERAL (VALUES (p1, 0), (p1 || '2', 1)) t(prefix, allow)
+), matched AS (
+  -- ordering by the prefix string alone IS longest-prefix-wins: all
+  -- prefixes matching one url are prefixes of each other
+  SELECT u.url,
+         arg_max(r.prefix, r.prefix) AS matched_prefix,
+         arg_max(r.allow, r.prefix) AS win_allow
+  FROM urls u LEFT JOIN rules r ON starts_with(u.url, r.prefix)
+  GROUP BY u.url
+)
+SELECT matched_prefix, coalesce(win_allow, 1)::bigint AS allowed,
+       count(*)::bigint AS n_urls
+FROM matched
+GROUP BY matched_prefix, win_allow
+ORDER BY matched_prefix ASC NULLS FIRST, allowed
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7809,6 +7881,7 @@ def queries():
         "q126_retrieval_eval": q126_retrieval_eval,
         "q127_inverted_index": q127_inverted_index,
         "q128_typed_mentions": q128_typed_mentions,
+        "q129_url_filter": q129_url_filter,
     }
 
 
@@ -7942,4 +8015,5 @@ def oracle_sql():
         "q126_retrieval_eval": _q126_sql(),
         "q127_inverted_index": Q127_SQL,
         "q128_typed_mentions": Q128_SQL,
+        "q129_url_filter": Q129_SQL,
     }

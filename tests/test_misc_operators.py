@@ -865,3 +865,25 @@ def test_heaps_curve_vertical_tab_parity_tokenizer(spark):
     )
     r = heaps_curve(docs, 1).collect()[0]
     assert (r["n_tokens"], r["vocab_size"]) == (2, 2)
+
+
+# --- robots-style longest-prefix URL filter (q129, round 5) ---
+
+def test_url_prefix_filter_longest_wins(spark):
+    from pathhier_spark.operators.urls import url_prefix_filter
+
+    urls = spark.createDataFrame(
+        [("https://h/a/b/c",), ("https://h/a/x",), ("https://other/",)],
+        "url string",
+    )
+    # disallow /a but re-allow the deeper /a/b — the robots precedence
+    rules = spark.createDataFrame(
+        [("https://h/a", 0), ("https://h/a/b", 1)],
+        "prefix string, allow int",
+    )
+    got = {r["url"]: (r["matched_prefix"], r["allowed"])
+           for r in url_prefix_filter(urls, rules).collect()}
+    assert got["https://h/a/b/c"] == ("https://h/a/b", 1)
+    assert got["https://h/a/x"] == ("https://h/a", 0)
+    # unmatched defaults to allow with no matched prefix
+    assert got["https://other/"] == (None, 1)
