@@ -1378,3 +1378,68 @@ def negative_samples(
         )
         .filter(F.col("neg_obj") != F.col(obj))
     )
+
+
+def powerlaw_alpha(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    xmin: int = 2,
+) -> DataFrame:
+    """Power-law exponent of the degree distribution via the Clauset et
+    al. (2009) continuous MLE, alpha = 1 + n / sum(ln(deg / xmin)) over
+    degrees >= xmin — the one-number test of whether the extracted KG has
+    the heavy-tailed wiring real webs/KGs show (alpha typically 2-3) or
+    something degenerate (uniform extraction noise). Fits TOTAL degree
+    on the canonical undirected edge set.
+
+    Determinism shape: degrees are exact integers from one combiner
+    groupBy; the ln terms are ln(deg/xmin) of small RATIONALS — the same
+    value on both engines (the q06-IDF precedent) — but their SUM is
+    order-sensitive in doubles, so the fold runs over the DEGREE
+    HISTOGRAM (n_k * ln(k/xmin), at most max-degree distinct terms)
+    collected into a degree-ordered array and folded left-to-right with
+    F.aggregate — one fixed summation order on any partitioning, the q63
+    score-fold discipline. The histogram is tiny (distinct degree
+    values), so the collect_list is not a data-sized materialization.
+    Output: one row (n_tail, max_deg, alpha round-6); alpha NULL when
+    the tail is empty or all-xmin (zero denominator)."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = (
+        deg.filter(F.col("deg") >= xmin)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("nk"))
+    )
+    folded = hist.agg(
+        F.sum("nk").alias("n_tail"),
+        F.max("deg").alias("max_deg"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("deg", "nk"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["nk"] * F.log(s["deg"] / F.lit(float(xmin))),
+        ).alias("lnsum"),
+    )
+    return folded.select(
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias("n_tail"),
+        "max_deg",
+        F.when(
+            F.col("lnsum") > 0,
+            F.round(
+                F.lit(1.0) + F.col("n_tail") / F.col("lnsum"), 6
+            ) + F.lit(0.0),
+        ).alias("alpha"),
+    )

@@ -7751,6 +7751,61 @@ ORDER BY matched_prefix ASC NULLS FIRST, allowed
 """
 
 
+# ---------------------------------------------------------------------------
+# Q130 — power-law degree exponent (operators/graph.powerlaw_alpha):
+# Clauset MLE alpha = 1 + n / Σ ln(deg/xmin) over the degree tail — the
+# heavy-tail sanity check of the extracted KG, folded over the
+# degree histogram in degree order (the q63 fixed-order fold) so the
+# double sum is engine-identical.
+# ---------------------------------------------------------------------------
+
+_PL_XMIN = 2
+
+
+def q130_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import powerlaw_alpha
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return powerlaw_alpha(edges, xmin=_PL_XMIN)
+
+
+def _q130_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), deg AS (
+  SELECT node, count(*)::bigint AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+), hist AS (
+  SELECT deg, count(*)::bigint AS nk FROM deg
+  WHERE deg >= {_PL_XMIN} GROUP BY deg
+), folded AS (
+  SELECT sum(nk)::bigint AS n_tail, max(deg)::bigint AS max_deg,
+         list_sum(list(nk * ln(deg / {float(_PL_XMIN)!r}) ORDER BY deg))
+           AS lnsum
+  FROM hist
+)
+SELECT coalesce(n_tail, 0)::bigint AS n_tail, max_deg,
+       CASE WHEN lnsum > 0
+            THEN (round(1.0 + n_tail / lnsum, 6) + 0.0)
+       END AS alpha
+FROM folded
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7882,6 +7937,7 @@ def queries():
         "q127_inverted_index": q127_inverted_index,
         "q128_typed_mentions": q128_typed_mentions,
         "q129_url_filter": q129_url_filter,
+        "q130_powerlaw": q130_powerlaw,
     }
 
 
@@ -8016,4 +8072,5 @@ def oracle_sql():
         "q127_inverted_index": Q127_SQL,
         "q128_typed_mentions": Q128_SQL,
         "q129_url_filter": Q129_SQL,
+        "q130_powerlaw": _q130_sql(),
     }

@@ -741,3 +741,34 @@ def test_hyperball_empty_edges_returns_zero(spark):
     got = {r["hop"]: r["est_pairs"]
            for r in hyperball_neighborhood(empty, max_hops=2).collect()}
     assert got == {1: 0.0, 2: 0.0}
+
+
+# --- power-law degree exponent (q130, round 5) ---
+
+def test_powerlaw_alpha_hand_computed(spark):
+    import math
+    from pathhier_spark.operators.graph import powerlaw_alpha
+
+    # star K1,5: only the hub (degree 5) is in the xmin=2 tail ->
+    # alpha = 1 + 1/ln(5/2)
+    e = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "src string, dst string"
+    )
+    r = powerlaw_alpha(e).collect()[0]
+    assert (r["n_tail"], r["max_deg"]) == (1, 5)
+    assert r["alpha"] == round(1 + 1 / math.log(2.5), 6)
+
+
+def test_powerlaw_alpha_degenerate_null(spark):
+    from pathhier_spark.operators.graph import powerlaw_alpha
+
+    # single edge: both degrees 1, empty tail -> alpha NULL (no fit)
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r = powerlaw_alpha(e).collect()[0]
+    assert r["n_tail"] == 0 and r["alpha"] is None
+    # all degrees exactly xmin: ln terms all 0 -> NULL, not a div-by-zero
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r2 = powerlaw_alpha(cyc).collect()[0]
+    assert r2["n_tail"] == 3 and r2["alpha"] is None
