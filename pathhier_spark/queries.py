@@ -7806,6 +7806,82 @@ FROM folded
 """
 
 
+# ---------------------------------------------------------------------------
+# Q131 — quality-argmax canonical selection over near-dup clusters:
+# the production dedup KEEP RULE — inside each q31 cluster keep the
+# HIGHEST-QUALITY member (q14's deterministic composite), not the
+# min-id. Argmax is portable-by-construction: per-cluster max score
+# (combiner), then min doc_id among the members achieving it — no
+# struct-ordered arg_max needed on either engine.
+# ---------------------------------------------------------------------------
+
+
+def q131_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = q31_neardup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    docs = _docs(spark, sf_dir)
+    q = with_quality_features(docs).select("doc_id", "quality_score")
+    m = members.join(q, "doc_id")
+    mx = m.groupBy("cluster").agg(
+        F.max("quality_score").alias("kept_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).filter(F.col("n_members") >= 2)
+    kept = (
+        m.join(mx, "cluster")
+        .filter(F.col("quality_score") == F.col("kept_quality"))
+        .groupBy("cluster", "kept_quality", "n_members")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+    )
+    return kept.select(
+        "cluster", "kept_doc_id",
+        (F.round("kept_quality", 6) + F.lit(0.0)).alias("kept_quality"),
+        "n_members",
+    ).orderBy("cluster")
+
+
+def _q131_sql() -> str:
+    clusters = _q31_sql().strip().rstrip()
+    return f"""
+WITH clusters AS (
+{clusters}
+), t2 AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks)::bigint AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::double / len(toks)
+              ELSE 0 END AS distinct_ratio,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))::double / len(text)
+              ELSE 0 END AS punct_ratio
+  FROM t2
+), quality AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * distinct_ratio
+             + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6)
+           AS quality_score
+  FROM feat
+), m AS (
+  SELECT c.cluster, c.doc_id, q.quality_score
+  FROM clusters c JOIN quality q USING (doc_id)
+), mx AS (
+  SELECT cluster, max(quality_score) AS kept_quality,
+         count(*)::bigint AS n_members
+  FROM m GROUP BY cluster HAVING count(*) >= 2
+)
+SELECT mx.cluster, min(m.doc_id)::bigint AS kept_doc_id,
+       (round(mx.kept_quality, 6) + 0.0) AS kept_quality, mx.n_members
+FROM m JOIN mx ON m.cluster = mx.cluster
+       AND m.quality_score = mx.kept_quality
+GROUP BY mx.cluster, mx.kept_quality, mx.n_members
+ORDER BY mx.cluster
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7938,6 +8014,7 @@ def queries():
         "q128_typed_mentions": q128_typed_mentions,
         "q129_url_filter": q129_url_filter,
         "q130_powerlaw": q130_powerlaw,
+        "q131_keep_best": q131_keep_best,
     }
 
 
@@ -8073,4 +8150,5 @@ def oracle_sql():
         "q128_typed_mentions": Q128_SQL,
         "q129_url_filter": Q129_SQL,
         "q130_powerlaw": _q130_sql(),
+        "q131_keep_best": _q131_sql(),
     }

@@ -296,3 +296,30 @@ def test_minhash_cross_join_combined_bucket_cap(spark):
     # per-side population (30) would have passed a per-side cap — raise
     # the cap and the pairs flood back
     assert minhash_cross_join(left, right, max_bucket_size=60).count() == 900
+
+
+# --- quality-argmax canonical selection (q131, round 5) ---
+
+def test_keep_best_argmax_is_portable_two_phase(spark):
+    """The q131 keep rule: per cluster, max quality then min doc_id among
+    the maxers — verified on a hand case including a quality TIE."""
+    from pyspark.sql import functions as F
+
+    m = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9),   # tie at 0.9 -> 11
+         (2, 20, 0.3), (2, 21, 0.2)],
+        "cluster long, doc_id long, quality_score double",
+    )
+    mx = m.groupBy("cluster").agg(
+        F.max("quality_score").alias("kept_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    kept = (
+        m.join(mx, "cluster")
+        .filter(F.col("quality_score") == F.col("kept_quality"))
+        .groupBy("cluster", "kept_quality", "n_members")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+    )
+    got = {r["cluster"]: (r["kept_doc_id"], r["kept_quality"], r["n_members"])
+           for r in kept.collect()}
+    assert got == {1: (11, 0.9, 3), 2: (20, 0.3, 2)}
