@@ -233,3 +233,81 @@ def epoch_shuffle(
     return out.withColumn(
         "pos", F.row_number().over(w).cast("long")
     ).drop("_ekey")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    *,
+    stratum_col: str = "source",
+    value_col: str = "n_chars",
+    sample_size: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: how many samples to
+    draw from each stratum to minimize the variance of the estimated
+    corpus mean — alloc_h proportional to N_h * S_h, so big AND volatile
+    strata get more budget than big-but-uniform ones (the statistically
+    correct answer to "how much of each source goes into the eval
+    slice"). Rounding is floor; the remainder seats go to the largest
+    fractional parts (largest-remainder method, ties to stratum name) so
+    the allocations sum EXACTLY to sample_size.
+
+    Determinism shape: per-stratum count/sum/sum-of-squares are ONE
+    exact-int64 combiner groupBy (values are integers; sumsq of n_chars
+    <= 1e6^2 * 1e12 rows stays under int64 for any real corpus slice);
+    std = sqrt of a fixed rational of those integers (engine-identical,
+    the q110 Pearson discipline), and the allocation arithmetic runs on
+    the stratum-count-sized table. Output: (stratum, n_rows, mean_value,
+    std_value, alloc), round-6 doubles."""
+    g = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("long")).alias("s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).alias("ss"),
+    )
+    n, s, ss = (F.col(c).cast("double") for c in ("n", "s", "ss"))
+    var = (n * ss - s * s) / (n * n)  # population variance, exact ints in
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = g.select(
+        "stratum", "n", "s", "ss", (n * std).alias("w")
+    )
+    tot = weighted.agg(F.sum("w").alias("wtot"))
+    alloc_raw = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum", "n", "s", "ss",
+            (F.col("w") / F.col("wtot") * sample_size).alias("raw"),
+        )
+    )
+    base = alloc_raw.select(
+        "stratum", "n", "s", "ss", "raw",
+        F.floor("raw").cast("long").alias("base"),
+        (F.col("raw") - F.floor("raw")).alias("frac"),
+    )
+    short = base.agg(
+        (F.lit(int(sample_size)) - F.sum("base")).alias("short")
+    )
+    w_rank = Window.orderBy(F.col("frac").desc(), F.col("stratum"))
+    ranked = base.crossJoin(F.broadcast(short)).withColumn(
+        "rk", F.row_number().over(w_rank)
+    )
+    nn, sss, ssss = (F.col(c).cast("double") for c in ("n", "s", "ss"))
+    return ranked.select(
+        "stratum",
+        F.col("n").alias("n_rows"),
+        (F.round(sss / nn, 6) + F.lit(0.0)).alias("mean_value"),
+        (
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (nn * ssss - sss * sss) / (nn * nn), F.lit(0.0)
+                    )
+                ),
+                6,
+            ) + F.lit(0.0)
+        ).alias("std_value"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        ).cast("long").alias("alloc"),
+    )

@@ -7882,6 +7882,67 @@ ORDER BY mx.cluster
 """
 
 
+# ---------------------------------------------------------------------------
+# Q132 — Neyman-optimal stratified sample allocation
+# (operators/sampling.neyman_allocation): per-source eval-slice budget
+# proportional to N_h * S_h — big AND volatile strata earn more than
+# big-but-uniform ones. Exact-int64 moments (the q110 Pearson
+# discipline), largest-remainder rounding summing EXACTLY to the budget.
+# ---------------------------------------------------------------------------
+
+_NEYMAN_N = 1000
+
+
+def q132_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import neyman_allocation
+
+    docs = _docs(spark, sf_dir)
+    return neyman_allocation(
+        docs, stratum_col="source", value_col="n_chars",
+        sample_size=_NEYMAN_N,
+    ).orderBy("stratum")
+
+
+Q132_SQL = f"""
+WITH g AS (
+  SELECT source AS stratum, count(*)::bigint AS n,
+         sum(n_chars)::bigint AS s,
+         sum(n_chars * n_chars)::bigint AS ss
+  FROM documents GROUP BY source
+), w AS (
+  SELECT stratum, n, s, ss,
+         n::double * sqrt(greatest(
+           (n::double * ss::double - s::double * s::double)
+           / (n::double * n::double), 0.0)) AS wgt
+  FROM g
+), tot AS (
+  SELECT sum(wgt) AS wtot FROM w
+), raw AS (
+  SELECT w.stratum, w.n, w.s, w.ss,
+         w.wgt / t.wtot * {_NEYMAN_N} AS raw
+  FROM w, tot t
+), base AS (
+  SELECT stratum, n, s, ss, raw,
+         floor(raw)::bigint AS base, raw - floor(raw) AS frac
+  FROM raw
+), short AS (
+  SELECT ({_NEYMAN_N} - sum(base))::bigint AS short FROM base
+), ranked AS (
+  SELECT b.*, sh.short,
+         row_number() OVER (ORDER BY b.frac DESC, b.stratum) AS rk
+  FROM base b, short sh
+)
+SELECT stratum, n AS n_rows,
+       (round(s::double / n, 6) + 0.0) AS mean_value,
+       (round(sqrt(greatest(
+          (n::double * ss::double - s::double * s::double)
+          / (n::double * n::double), 0.0)), 6) + 0.0) AS std_value,
+       (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::bigint AS alloc
+FROM ranked
+ORDER BY stratum
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8015,6 +8076,7 @@ def queries():
         "q129_url_filter": q129_url_filter,
         "q130_powerlaw": q130_powerlaw,
         "q131_keep_best": q131_keep_best,
+        "q132_neyman_alloc": q132_neyman_alloc,
     }
 
 
@@ -8151,4 +8213,5 @@ def oracle_sql():
         "q129_url_filter": Q129_SQL,
         "q130_powerlaw": _q130_sql(),
         "q131_keep_best": _q131_sql(),
+        "q132_neyman_alloc": Q132_SQL,
     }

@@ -363,3 +363,28 @@ def test_epoch_shuffle_contract(spark):
     for sh, n in cnt.items():
         assert sorted(p for _, s, p in a if s == sh) == list(range(1, n + 1))
     assert sum(cnt.values()) == 40
+
+
+# --- Neyman allocation (q132, round 5) ---
+
+def test_neyman_allocation_favors_volatile_strata(spark):
+    from pathhier_spark.operators.sampling import neyman_allocation
+
+    rows = [("a", v) for v in [10, 10, 10, 10]] + \
+           [("b", v) for v in [0, 100, 0, 100]]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r["stratum"]: (r["std_value"], r["alloc"])
+           for r in neyman_allocation(df, sample_size=10).collect()}
+    # zero-variance stratum earns NOTHING; the volatile one takes all
+    assert got["a"] == (0.0, 0)
+    assert got["b"] == (50.0, 10)
+
+
+def test_neyman_allocation_sums_exactly_to_budget(spark):
+    from pathhier_spark.operators.sampling import neyman_allocation
+
+    rows = [(f"s{i % 7}", (i * 31) % 97) for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = neyman_allocation(df, sample_size=333).collect()
+    # largest-remainder rounding: allocations hit the budget EXACTLY
+    assert sum(r["alloc"] for r in out) == 333
