@@ -1443,3 +1443,81 @@ def powerlaw_alpha(
             ) + F.lit(0.0),
         ).alias("alpha"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the undirected
+    edge set — the number that says whether q72's label propagation
+    found real structure (Q >> 0) or noise (Q ~ 0): Q = E_in/m −
+    Σ_c d_c² / (4m²), with E_in = within-community edges, d_c = total
+    degree of community c, m = |edges|.
+
+    The usual formulation sums per-community float terms — summation-
+    order-sensitive. This one never does: E_in, Σd_c², and m are three
+    EXACT int64 aggregates (within-edge count after a two-sided label
+    join; degree sums squared then summed — d_c ≤ 2m, so Σd_c² needs
+    m < ~2^31 per community, the documented bound; combiner-friendly
+    throughout), and Q is one fixed shape of double products of those
+    integers (the q110 Pearson discipline) — bit-identical on any
+    engine or partitioning, round-6. Output: one row (n_communities,
+    m_edges, e_in, d_sq_sum, modularity); NULL modularity on an empty
+    edge set."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("lab")
+    )
+    tagged = (
+        und.join(lab.withColumnRenamed("n", "u"), "u")
+        .withColumnRenamed("lab", "lab_u")
+        .join(lab.withColumnRenamed("n", "v"), "v")
+        .withColumnRenamed("lab", "lab_v")
+    )
+    counts = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.when(F.col("lab_u") == F.col("lab_v"), 1).otherwise(0)
+        ).alias("e_in"),
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    comm = (
+        deg.join(lab, "n")
+        .groupBy("lab")
+        .agg(F.sum("d").alias("dc"))
+    )
+    dsq = comm.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).alias("d_sq_sum"),
+    )
+    m, e_in = F.col("m").cast("double"), F.col("e_in").cast("double")
+    d2 = F.col("d_sq_sum").cast("double")
+    return counts.crossJoin(F.broadcast(dsq)).select(
+        "n_communities",
+        F.col("m").alias("m_edges"),
+        "e_in",
+        "d_sq_sum",
+        F.when(
+            F.col("m") > 0,
+            F.round(e_in / m - d2 / (4.0 * m * m), 6) + F.lit(0.0),
+        ).alias("modularity"),
+    )

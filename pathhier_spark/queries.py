@@ -4128,6 +4128,40 @@ def _q72_sql() -> str:
     )
 
 
+def _sql_lpa_ctes() -> list[str]:
+    """The q72 CTE chain (edge derivation + unrolled LPA rounds) as a
+    reusable list — shared with the q133 modularity oracle."""
+    ctes = [
+        """lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= %d
+), adj AS (
+  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+), l0 AS (
+  SELECT DISTINCT node, node AS label FROM adj
+)"""
+        % _LPA_MINSUP
+    ]
+    for r in range(_LPA_ROUNDS):
+        ctes.append(
+            f"""c{r} AS (
+  SELECT a.node, l.label, count(*) AS cnt
+  FROM adj a JOIN l{r} l ON l.node = a.nbr GROUP BY a.node, l.label
+), l{r + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label)
+             AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return ctes
+
+
 # ---------------------------------------------------------------------------
 # Q73 — BPE encoding (operators/bpe.py bpe_encode): apply q62's learned
 # merge table to the corpus vocabulary and report the resulting token
@@ -7943,6 +7977,78 @@ ORDER BY stratum
 """
 
 
+# ---------------------------------------------------------------------------
+# Q133 — modularity of the q72 communities
+# (operators/graph.modularity): the number that says whether label
+# propagation found real structure (Q >> 0) or noise (Q ~ 0). Exact
+# integers only until one fixed-shape division: E_in, Σd_c², m — the
+# per-community float-sum of the textbook formula never happens.
+# ---------------------------------------------------------------------------
+
+
+def q133_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import label_propagation, modularity
+
+    li = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _LPA_MINSUP)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # labels + modularity both read it
+    )
+    labels = label_propagation(edges, iterations=_LPA_ROUNDS)
+    return modularity(edges, labels)
+
+
+def _q133_sql() -> str:
+    ctes = _sql_lpa_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+und AS (
+  SELECT least(u, v) AS u, greatest(u, v) AS v FROM e
+), lab AS (
+  SELECT node AS n, label AS lab FROM l{_LPA_ROUNDS}
+), tagged AS (
+  SELECT lu.lab AS lab_u, lv.lab AS lab_v
+  FROM und JOIN lab lu ON lu.n = und.u JOIN lab lv ON lv.n = und.v
+), counts AS (
+  SELECT count(*)::bigint AS m,
+         sum(CASE WHEN lab_u = lab_v THEN 1 ELSE 0 END)::bigint AS e_in
+  FROM tagged
+), deg AS (
+  SELECT n, count(*)::bigint AS d FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY n
+), comm AS (
+  SELECT lab, sum(d)::bigint AS dc FROM deg JOIN lab USING (n) GROUP BY lab
+), dsq AS (
+  SELECT count(*)::bigint AS n_communities,
+         sum(dc * dc)::bigint AS d_sq_sum
+  FROM comm
+)
+SELECT d.n_communities, c.m AS m_edges, c.e_in, d.d_sq_sum,
+       CASE WHEN c.m > 0
+            THEN (round(c.e_in::double / c.m
+                        - d.d_sq_sum::double / (4.0 * c.m * c.m), 6) + 0.0)
+       END AS modularity
+FROM counts c, dsq d
+"""
+    )
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8077,6 +8183,7 @@ def queries():
         "q130_powerlaw": q130_powerlaw,
         "q131_keep_best": q131_keep_best,
         "q132_neyman_alloc": q132_neyman_alloc,
+        "q133_modularity": q133_modularity,
     }
 
 
@@ -8214,4 +8321,5 @@ def oracle_sql():
         "q130_powerlaw": _q130_sql(),
         "q131_keep_best": _q131_sql(),
         "q132_neyman_alloc": Q132_SQL,
+        "q133_modularity": _q133_sql(),
     }

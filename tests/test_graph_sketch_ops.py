@@ -772,3 +772,36 @@ def test_powerlaw_alpha_degenerate_null(spark):
     )
     r2 = powerlaw_alpha(cyc).collect()[0]
     assert r2["n_tail"] == 3 and r2["alpha"] is None
+
+
+# --- modularity (q133, round 5) ---
+
+def test_modularity_hand_computed(spark):
+    from pathhier_spark.operators.graph import modularity
+
+    # two triangles + one bridge, perfect 2-community split:
+    # m=7, e_in=6, d_L = d_R = 7 -> Q = 6/7 - 98/196 = 0.357143
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")],
+        "src string, dst string",
+    )
+    lab = spark.createDataFrame(
+        [(n, "L" if n in "abc" else "R") for n in "abcxyz"],
+        "node string, label string",
+    )
+    r = modularity(e, lab).collect()[0]
+    assert tuple(r) == (2, 7, 6, 98, 0.357143)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from pathhier_spark.operators.graph import modularity
+
+    # everything in one community: e_in = m and D2 = (2m)^2 -> Q = 0
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    lab = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1")], "node string, label string"
+    )
+    assert modularity(e, lab).collect()[0]["modularity"] == 0.0
