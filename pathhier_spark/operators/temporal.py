@@ -399,3 +399,54 @@ def change_intervals(
         F.lead("valid_from").over(w3).alias("valid_to"),
         "n_events",
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    *,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-rate anomaly detection per series — the ops-monitoring
+    readout over an event stream: flag days whose event count sits more
+    than z_threshold population standard deviations from the series'
+    own mean (crawler stalls, bot floods, pipeline gaps all show up
+    here first).
+
+    Determinism shape: daily counts are exact int64 (one combiner
+    groupBy); per-series n/Σx/Σx² reduce from the day-count-sized table
+    (a second combiner groupBy — NO window, the series stats broadcast
+    back); z = (x − μ)/σ_pop is algebraically rearranged so every input
+    is one of those integers and the only doubles are a fixed shape of
+    their products (the q110 Pearson discipline):
+    z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²). Zero-variance
+    series flag nothing (z NULL). Output: (series, day, n_events, z
+    round-6, is_anomaly), one row per observed (series, day)."""
+    d = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    daily = (
+        events.select(F.col(series_col).alias("series"), d)
+        .groupBy("series", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    ).localCheckpoint(eager=False)
+    stats = daily.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = daily.join(F.broadcast(stats), "series")
+    n, sx, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sxx"))
+    x = F.col("x").cast("double")
+    # z = (x - mean)/popstd rearranged to one fixed shape of the exact
+    # integers: (n·x − Σx) / sqrt(n·Σx² − (Σx)²)
+    denom = F.sqrt(n * sxx - sx * sx)
+    z = F.when(denom > 0, F.round((n * x - sx) / denom, 6))
+    return j.select(
+        "series",
+        "day",
+        F.col("x").alias("n_events"),
+        (z + F.lit(0.0)).alias("z"),
+        F.when(
+            z.isNotNull() & (F.abs(z) > z_threshold), 1
+        ).otherwise(0).cast("long").alias("is_anomaly"),
+    )

@@ -8049,6 +8049,54 @@ FROM counts c, dsq d
     )
 
 
+# ---------------------------------------------------------------------------
+# Q134 — daily-rate anomaly detection per event series
+# (operators/temporal.rate_anomalies): flag days whose event count sits
+# more than 2σ_pop from the series' own mean — the ops readout that
+# catches crawler stalls, bot floods, and pipeline gaps first. Two
+# combiner groupBys (row→day, day→series moments), a broadcast join
+# back, and z as one fixed shape of exact-int64 products
+# (n·x − Σx)/sqrt(n·Σx² − (Σx)²), round-6 — no shuffled float sums,
+# no windows. Zero-variance series emit NULL z and never flag.
+# ---------------------------------------------------------------------------
+
+
+def q134_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import rate_anomalies
+
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return rate_anomalies(events).orderBy("series", "day")
+
+
+# DuckDB feature req: core SQL only. Same exact-integer moment shape as
+# the Spark side; sums cast ::bigint so no HUGEINT leaves the CTE.
+Q134_SQL = """
+WITH daily AS (
+  SELECT event_type AS series,
+         date_trunc('day', ts)::date AS day,
+         count(*)::bigint AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT series, count(*)::bigint AS n, sum(x)::bigint AS sx,
+         sum(x * x)::bigint AS sxx
+  FROM daily GROUP BY series
+), scored AS (
+  SELECT d.series, d.day, d.x,
+         CASE WHEN (n::double * sxx::double - sx::double * sx::double) > 0
+              THEN round((n::double * d.x::double - sx::double)
+                         / sqrt(n::double * sxx::double - sx::double * sx::double),
+                         6)
+         END AS z
+  FROM daily d JOIN stats USING (series)
+)
+SELECT series, day, x AS n_events, (z + 0.0) AS z,
+       (CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END)::bigint
+         AS is_anomaly
+FROM scored
+ORDER BY series, day
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8184,6 +8232,7 @@ def queries():
         "q131_keep_best": q131_keep_best,
         "q132_neyman_alloc": q132_neyman_alloc,
         "q133_modularity": q133_modularity,
+        "q134_rate_anomalies": q134_rate_anomalies,
     }
 
 
@@ -8322,4 +8371,5 @@ def oracle_sql():
         "q131_keep_best": _q131_sql(),
         "q132_neyman_alloc": Q132_SQL,
         "q133_modularity": _q133_sql(),
+        "q134_rate_anomalies": Q134_SQL,
     }

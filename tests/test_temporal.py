@@ -277,3 +277,30 @@ def test_change_intervals_ts_tie_total_order(spark):
         for r in change_intervals(df, tiebreak_col="eid").collect()
     )
     assert got == [("A", 1), ("B", 1)]
+
+
+# --- daily-rate anomaly detection (q134, round 5) ---
+
+def test_rate_anomalies_hand_computed(spark):
+    import datetime as dt
+    from pathhier_spark.operators.temporal import rate_anomalies
+
+    # series "a": day counts [1,1,1,1,1,11] -> n=6, Σx=16, Σx²=126;
+    # z = (n·x − Σx)/sqrt(n·Σx² − (Σx)²) = (6x−16)/sqrt(500);
+    # z(11) = 50/22.36068 = 2.236068 -> anomaly; z(1) = −10/22.36068 =
+    # −0.447214 -> not.  series "b": constant counts -> zero variance
+    # -> z NULL, never flagged.
+    rows = []
+    T = lambda day, i: dt.datetime(2024, 1, day, 0, i)  # noqa: E731
+    for day, n in [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 11)]:
+        rows += [("a", T(day, i)) for i in range(n)]
+    rows += [("b", T(1, 0)), ("b", T(2, 0))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["series"], r["day"].day): (r["n_events"], r["z"], r["is_anomaly"])
+        for r in rate_anomalies(df).collect()
+    }
+    assert got[("a", 6)] == (11, 2.236068, 1)
+    assert got[("a", 1)] == (1, -0.447214, 0)
+    assert got[("b", 1)] == (1, None, 0)
+    assert len(got) == 8
