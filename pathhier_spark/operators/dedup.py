@@ -605,3 +605,74 @@ def minhash_cross_join(
     return verified.select(
         "id_l", "id_r", (F.round(F.col("j"), 6) + F.lit(0.0)).alias("jaccard")
     )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    gold_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_bucket: int = 8,
+    max_block_size: int = 100,
+) -> DataFrame:
+    """Entity-resolution blocking evaluation (Christen 2012's two numbers):
+    pair completeness (PC = gold pairs the blocking scheme still covers) and
+    reduction ratio (RR = fraction of the n·(n−1)/2 all-pairs space the
+    scheme prunes away) for a cheap prefix+length blocking key, judged
+    against a gold match-pair set (id_a < id_b).
+
+    The scheme under evaluation is the classic standard-blocking key
+    (floor(token_count / len_bucket), first token): one key per doc, so
+    candidate pairs need no distinct; blocks larger than max_block_size are
+    dropped, the same boilerplate guard as lsh_candidate_pairs.
+
+    Scale shape: one map-side key derivation, one block-size combiner
+    groupBy, one within-block self-join bounded by max_block_size², and four
+    scalar aggregates crossJoined at the end (all 1-row). PC/RR are each ONE
+    fixed shape of double products of exact int64 counts, round-6; PC is
+    NULL when the gold set is empty. Output: single row (n_docs, n_gold,
+    n_cand, n_hit, pair_completeness, reduction_ratio)."""
+    toks = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(
+            "|",
+            F.floor(F.size(toks) / F.lit(len_bucket)).cast("long").cast("string"),
+            F.element_at(toks, 1),
+        ).alias("bkey"),
+    )
+    sizes = keyed.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsz"))
+    small = keyed.join(
+        sizes.filter(F.col("bsz") <= max_block_size).select("bkey"), "bkey"
+    )
+    cand = (
+        small.select("bkey", F.col("id").alias("id_a"))
+        .join(small.select("bkey", F.col("id").alias("id_b")), "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    gold = gold_pairs.select("id_a", "id_b").distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_gold = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = cand.join(gold, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    m = n_docs.crossJoin(n_gold).crossJoin(n_cand).crossJoin(n_hit)
+    total = F.expr("n_docs * (n_docs - 1) DIV 2")  # exact: n(n-1) is even
+    pc = F.when(
+        F.col("n_gold") > 0,
+        F.round(F.col("n_hit").cast("double") / F.col("n_gold").cast("double"), 6),
+    )
+    rr = F.round(
+        F.lit(1.0) - F.col("n_cand").cast("double") / total.cast("double"), 6
+    )
+    return m.select(
+        "n_docs",
+        "n_gold",
+        "n_cand",
+        "n_hit",
+        (pc + F.lit(0.0)).alias("pair_completeness"),
+        (rr + F.lit(0.0)).alias("reduction_ratio"),
+    )

@@ -281,3 +281,57 @@ def typed_mentions(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def resolve_functional_conflicts(
+    triples: DataFrame,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Truth-discovery majority vote over a functional predicate: when the
+    corpus asserts several distinct objects for one (subj, pred) — the
+    knowledge-fusion conflict case (Dong et al., KDD 2014's voting
+    baseline) — keep the object with the most supporting assertions,
+    tie-broken by lexicographically-smallest object so both engines pick
+    the identical winner with no RNG.
+
+    Only CONFLICTED keys are emitted (n_obj > 1): the clean majority of a
+    KG's keys never leave the combiner. Scale shape: one (subj, pred, obj)
+    combiner groupBy to collapse assertions into votes, then windows
+    partitioned by (subj, pred) — one shuffle total, partition width
+    bounded by the distinct-object fan-out of a single key, never by
+    corpus size. confidence = support/total is the q110 fixed-shape double
+    over exact int64 counts, round-6. Output: (subj, pred, winner_obj,
+    support, n_obj, total, confidence)."""
+    from pyspark.sql import Window
+
+    votes = triples.groupBy(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).agg(F.count(F.lit(1)).alias("support"))
+    key = Window.partitionBy("subj", "pred")
+    rk = key.orderBy(F.desc("support"), F.asc("obj"))
+    ranked = votes.select(
+        "subj",
+        "pred",
+        "obj",
+        "support",
+        F.row_number().over(rk).alias("rk"),
+        F.count(F.lit(1)).over(key).alias("n_obj"),
+        F.sum("support").over(key).alias("total"),
+    ).filter((F.col("rk") == 1) & (F.col("n_obj") > 1))
+    conf = F.round(
+        F.col("support").cast("double") / F.col("total").cast("double"), 6
+    )
+    return ranked.select(
+        "subj",
+        "pred",
+        F.col("obj").alias("winner_obj"),
+        "support",
+        "n_obj",
+        "total",
+        (conf + F.lit(0.0)).alias("confidence"),
+    )

@@ -520,7 +520,10 @@ def q11_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q11_sql() -> str:
+def _sql_neardup_ctes() -> str:
+    """Shared LSH near-dup CTE chain ending in `verified(id_a, id_b,
+    jacc_raw)` — the q11 result before rounding; q135 reuses it as the
+    gold match-pair set (the q51/q57/q112 shared-chain discipline)."""
     nh = _LSH_BANDS * _LSH_ROWS
     return _sql_shingles().rstrip() + f""",
 mh AS (
@@ -541,13 +544,19 @@ mh AS (
   WHERE a.doc_id < b.doc_id
 ), shs AS (
   SELECT doc_id, list(DISTINCT sh) AS shset FROM sh GROUP BY doc_id
-)
-SELECT p.id_a, p.id_b,
-       round(len(list_intersect(x.shset, y.shset))::double
-             / len(list_distinct(list_concat(x.shset, y.shset))), 6) AS jacc
-FROM pairs p JOIN shs x ON p.id_a = x.doc_id JOIN shs y ON p.id_b = y.doc_id
-WHERE len(list_intersect(x.shset, y.shset))::double
-      / len(list_distinct(list_concat(x.shset, y.shset))) >= {_NEARDUP_T}
+), verified AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(x.shset, y.shset))::double
+           / len(list_distinct(list_concat(x.shset, y.shset))) AS jacc_raw
+  FROM pairs p JOIN shs x ON p.id_a = x.doc_id JOIN shs y ON p.id_b = y.doc_id
+  WHERE len(list_intersect(x.shset, y.shset))::double
+        / len(list_distinct(list_concat(x.shset, y.shset))) >= {_NEARDUP_T}
+)"""
+
+
+def _q11_sql() -> str:
+    return _sql_neardup_ctes() + """
+SELECT id_a, id_b, round(jacc_raw, 6) AS jacc FROM verified
 """
 
 
@@ -8097,6 +8106,120 @@ ORDER BY series, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q135 — blocking-quality evaluation: pair completeness + reduction ratio
+# (operators/dedup.blocking_quality): the two Christen-style numbers every
+# entity-resolution blocking scheme is judged by, computed for the classic
+# (length-bucket, first-token) standard-blocking key against q11's
+# LSH-verified near-dup pairs as gold. One row out; PC/RR are fixed-shape
+# doubles over exact int64 counts. The oracle reuses the shared q11 CTE
+# chain (_sql_neardup_ctes) for the gold set.
+# ---------------------------------------------------------------------------
+
+
+def q135_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import blocking_quality
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(
+        docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=50
+    )
+    gold = ngram_jaccard_pairs(
+        docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
+    ).select("id_a", "id_b")
+    return blocking_quality(docs, gold)
+
+
+# DuckDB feature req: core SQL + list fns (same as q11; shared chain).
+def _q135_sql() -> str:
+    return _sql_neardup_ctes() + """,
+keyed AS (
+  SELECT doc_id AS id, (len(t) // 8)::varchar || '|' || t[1] AS bkey
+  FROM toks
+), bsized AS (
+  SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= 100
+), bsmall AS (
+  SELECT k.* FROM keyed k JOIN bsized USING (bkey)
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bsmall a JOIN bsmall b USING (bkey)
+  WHERE a.id < b.id
+), gold AS (
+  SELECT id_a, id_b FROM verified
+), m AS (
+  SELECT (SELECT count(*) FROM documents)::bigint AS n_docs,
+         (SELECT count(*) FROM gold)::bigint AS n_gold,
+         (SELECT count(*) FROM cand)::bigint AS n_cand,
+         (SELECT count(*) FROM cand JOIN gold USING (id_a, id_b))::bigint
+           AS n_hit
+)
+SELECT n_docs, n_gold, n_cand, n_hit,
+       CASE WHEN n_gold > 0
+            THEN (round(n_hit::double / n_gold::double, 6) + 0.0)
+       END AS pair_completeness,
+       (round(1.0 - n_cand::double
+              / ((n_docs * (n_docs - 1)) // 2)::double, 6) + 0.0)
+         AS reduction_ratio
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q136 — functional-predicate conflict resolution (truth-discovery vote)
+# (operators/extract.resolve_functional_conflicts): for every (subj, pred)
+# the corpus asserts more than one object for, keep the majority object
+# (ties -> lexicographically smallest) with its support/total confidence —
+# the knowledge-fusion step between raw triple extraction and KG
+# materialization. Only conflicted keys are emitted.
+# ---------------------------------------------------------------------------
+
+
+def q136_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.extract import resolve_functional_conflicts
+
+    docs = _docs(spark, sf_dir)
+    triples = extract_token_triples(docs, TRIGGERS)
+    return resolve_functional_conflicts(triples).orderBy("subj", "pred")
+
+
+# DuckDB feature req: core SQL + window fns. Window sums cast ::bigint so
+# no HUGEINT leaves the CTE (the q46 lesson).
+def _q136_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(TRIGGERS.items())
+    )
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS subj, CASE t[i] {cases} END AS pred, t[i+1] AS obj
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), votes AS (
+  SELECT subj, pred, obj, count(*)::bigint AS support
+  FROM raw GROUP BY subj, pred, obj
+), ranked AS (
+  SELECT subj, pred, obj, support,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY support DESC, obj) AS rk,
+         count(*) OVER (PARTITION BY subj, pred)::bigint AS n_obj,
+         sum(support) OVER (PARTITION BY subj, pred)::bigint AS total
+  FROM votes
+)
+SELECT subj, pred, obj AS winner_obj, support, n_obj, total,
+       (round(support::double / total::double, 6) + 0.0) AS confidence
+FROM ranked
+WHERE rk = 1 AND n_obj > 1
+ORDER BY subj, pred
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8233,6 +8356,8 @@ def queries():
         "q132_neyman_alloc": q132_neyman_alloc,
         "q133_modularity": q133_modularity,
         "q134_rate_anomalies": q134_rate_anomalies,
+        "q135_blocking_quality": q135_blocking_quality,
+        "q136_conflict_resolution": q136_conflict_resolution,
     }
 
 
@@ -8372,4 +8497,6 @@ def oracle_sql():
         "q132_neyman_alloc": Q132_SQL,
         "q133_modularity": _q133_sql(),
         "q134_rate_anomalies": Q134_SQL,
+        "q135_blocking_quality": _q135_sql(),
+        "q136_conflict_resolution": _q136_sql(),
     }

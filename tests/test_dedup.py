@@ -323,3 +323,38 @@ def test_keep_best_argmax_is_portable_two_phase(spark):
     got = {r["cluster"]: (r["kept_doc_id"], r["kept_quality"], r["n_members"])
            for r in kept.collect()}
     assert got == {1: (11, 0.9, 3), 2: (20, 0.3, 2)}
+
+
+# --- blocking-quality evaluation (q135, round 5) ---
+
+def test_blocking_quality_hand_computed(spark):
+    from pathhier_spark.operators.dedup import blocking_quality
+
+    # 4 docs; blocking key = (len(toks)//8, first token) puts d1/d2
+    # together ("a ..." 2 tokens -> "0|a") and d3/d4 together ("b ...")
+    # -> cand = {(1,2),(3,4)}. gold = {(1,2),(1,3)} -> hit = {(1,2)}.
+    # PC = 1/2; RR = 1 - 2/6 = 0.666667.
+    docs = spark.createDataFrame(
+        [(1, "a x"), (2, "a y"), (3, "b x"), (4, "b z")],
+        "doc_id long, text string",
+    )
+    gold = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    r = blocking_quality(docs, gold).collect()[0]
+    assert (r["n_docs"], r["n_gold"], r["n_cand"], r["n_hit"]) == (4, 2, 2, 1)
+    assert r["pair_completeness"] == 0.5
+    assert r["reduction_ratio"] == 0.666667
+
+
+def test_blocking_quality_block_cap_and_empty_gold(spark):
+    from pathhier_spark.operators.dedup import blocking_quality
+
+    # 5 docs share one block; max_block_size=3 drops the whole block ->
+    # 0 candidates, RR = 1. Empty gold -> PC NULL (no divide-by-zero).
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(5)], "doc_id long, text string"
+    )
+    gold = spark.createDataFrame([], "id_a long, id_b long")
+    r = blocking_quality(docs, gold, max_block_size=3).collect()[0]
+    assert r["n_cand"] == 0 and r["n_hit"] == 0
+    assert r["pair_completeness"] is None
+    assert r["reduction_ratio"] == 1.0

@@ -116,3 +116,24 @@ def test_typed_mentions_no_false_positives(spark):
         "doc_id long, text string",
     )
     assert typed_mentions(df).count() == 0
+
+
+# --- functional-conflict resolution (q136, round 5) ---
+
+def test_resolve_functional_conflicts_majority_and_ties(spark):
+    from pathhier_spark.operators.extract import resolve_functional_conflicts
+
+    rows = (
+        [("s1", "p", "x")] * 3 + [("s1", "p", "y")] * 2   # majority x 3/5
+        + [("s2", "p", "a"), ("s2", "p", "b")]            # tie -> smallest a
+        + [("s3", "p", "only")] * 4                       # unconflicted: dropped
+    )
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        r["subj"]: (r["winner_obj"], r["support"], r["n_obj"], r["total"],
+                    r["confidence"])
+        for r in resolve_functional_conflicts(df).collect()
+    }
+    assert got["s1"] == ("x", 3, 2, 5, 0.6)
+    assert got["s2"] == ("a", 1, 2, 2, 0.5)
+    assert "s3" not in got and len(got) == 2
