@@ -1521,3 +1521,62 @@ def modularity(
             F.round(e_in / m - d2 / (4.0 * m * m), 6) + F.lit(0.0),
         ).alias("modularity"),
     )
+
+
+def kg_integrity(
+    triples: DataFrame,
+    dictionary: DataFrame,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    term_col: str = "term",
+) -> DataFrame:
+    """Referential-integrity profile of an extracted KG against an entity
+    dictionary — the materialization-gate readout: per predicate, how many
+    edge endpoints resolve to a known entity and how many dangle. A
+    predicate whose endpoints rarely resolve is extraction noise; one that
+    suddenly drops is an upstream-dictionary regression.
+
+    Scale shape: the dictionary is broadcast (ontology-sized, never
+    corpus-sized) and each endpoint resolves via a broadcast left join +
+    null flag — map-side, no shuffle; the only shuffle is the final
+    combiner groupBy on the small predicate domain. Rates are fixed-shape
+    doubles over exact int64 counts, round-6. Output: (pred, n_edges,
+    n_subj_linked, n_obj_linked, n_both_linked, subj_rate, obj_rate,
+    both_rate)."""
+    d = F.broadcast(dictionary.select(F.col(term_col).alias("_term")).distinct())
+    t = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    )
+    flagged = (
+        t.join(d.select(F.col("_term").alias("s"), F.lit(1).alias("sf")), "s", "left")
+        .join(d.select(F.col("_term").alias("o"), F.lit(1).alias("of")), "o", "left")
+        .select(
+            "p",
+            F.coalesce("sf", F.lit(0)).alias("sf"),
+            F.coalesce("of", F.lit(0)).alias("of"),
+        )
+    )
+    agg = flagged.groupBy(F.col("p").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("sf").alias("n_subj_linked"),
+        F.sum("of").alias("n_obj_linked"),
+        F.sum(F.col("sf") * F.col("of")).alias("n_both_linked"),
+    )
+    rate = lambda c: (  # noqa: E731
+        F.round(F.col(c).cast("double") / F.col("n_edges").cast("double"), 6)
+        + F.lit(0.0)
+    )
+    return agg.select(
+        "pred",
+        "n_edges",
+        "n_subj_linked",
+        "n_obj_linked",
+        "n_both_linked",
+        rate("n_subj_linked").alias("subj_rate"),
+        rate("n_obj_linked").alias("obj_rate"),
+        rate("n_both_linked").alias("both_rate"),
+    )

@@ -311,3 +311,45 @@ def neyman_allocation(
             + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
         ).cast("long").alias("alloc"),
     )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-dup leakage audit — the eval-integrity check every
+    LLM data pipeline needs before training: a near-duplicate pair that
+    straddles train and val/test silently inflates held-out metrics. Joins
+    a match-pair set (id_a, id_b) against per-doc split assignments and
+    counts pairs per unordered split combination.
+
+    Scale shape: two equi-joins on the doc id (the pair table is the small
+    post-LSH-verify set, the split table is map-only hash_split output —
+    both shuffles are on the id key) and one combiner groupBy over the
+    ≤ |splits|² combination space. Output: (split_lo, split_hi, n_pairs,
+    is_cross) — is_cross=1 rows are the leaks; a clean corpus has all
+    mass on the diagonal."""
+    s = splits.select(F.col(id_col).alias("_id"), F.col(split_col).alias("_s"))
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(s.select(F.col("_id").alias("id_a"), F.col("_s").alias("sa")), "id_a")
+        .join(s.select(F.col("_id").alias("id_b"), F.col("_s").alias("sb")), "id_b")
+    )
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        j.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            F.when(F.col("split_lo") != F.col("split_hi"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_cross"),
+        )
+    )

@@ -8220,6 +8220,120 @@ ORDER BY subj, pred
 """
 
 
+# ---------------------------------------------------------------------------
+# Q137 — cross-split near-dup leakage audit
+# (operators/sampling.split_leakage): near-dup pairs (q11's verified set)
+# joined against q55's hash-split assignments, counted per unordered split
+# combination — the eval-integrity check that catches held-out
+# contamination by near-duplicates before training. is_cross=1 rows are
+# the leaks.
+# ---------------------------------------------------------------------------
+
+
+def q137_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from pathhier_spark.operators.sampling import hash_split, split_leakage
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(
+        docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=50
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
+    ).select("id_a", "id_b")
+    splits = hash_split(docs).select("doc_id", "split")
+    return split_leakage(pairs, splits).orderBy("split_lo", "split_hi")
+
+
+# DuckDB feature req: same as q11 (shared chain) + md5-hex bucket helper.
+def _q137_sql() -> str:
+    bucket = f"{_sql_hex32(chr(39) + 'split:' + chr(39) + ' || doc_id::varchar')} % 1000000"
+    return _sql_neardup_ctes() + f""",
+spl AS (
+  SELECT doc_id,
+         CASE WHEN b < 900000 THEN 'train'
+              WHEN b < 950000 THEN 'val'
+              ELSE 'test' END AS s
+  FROM (SELECT doc_id, ({bucket})::bigint AS b FROM documents)
+)
+SELECT least(sa.s, sb.s) AS split_lo, greatest(sa.s, sb.s) AS split_hi,
+       count(*)::bigint AS n_pairs,
+       (CASE WHEN least(sa.s, sb.s) <> greatest(sa.s, sb.s)
+             THEN 1 ELSE 0 END)::bigint AS is_cross
+FROM verified v
+JOIN spl sa ON sa.doc_id = v.id_a
+JOIN spl sb ON sb.doc_id = v.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q138 — KG referential-integrity profile (operators/graph.kg_integrity):
+# per predicate, how many edge endpoints of the extracted KG resolve to
+# the broadcast ontology dictionary (part-name tokens) and how many
+# dangle — the materialization-gate readout between extraction and the
+# warehouse write.
+# ---------------------------------------------------------------------------
+
+
+def q138_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import kg_integrity
+
+    docs = _docs(spark, sf_dir)
+    triples = extract_token_triples(docs, TRIGGERS)
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    dictionary = part.select(
+        F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("term")
+    )
+    return kg_integrity(triples, dictionary).orderBy("pred")
+
+
+# DuckDB feature req: core SQL. sums cast ::bigint (the q46 lesson).
+def _q138_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(TRIGGERS.items())
+    )
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS subj, CASE t[i] {cases} END AS pred, t[i+1] AS obj
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), dict AS (
+  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS term FROM part
+), flagged AS (
+  SELECT pred,
+         CASE WHEN ds.term IS NOT NULL THEN 1 ELSE 0 END AS sf,
+         CASE WHEN dd.term IS NOT NULL THEN 1 ELSE 0 END AS of
+  FROM raw
+  LEFT JOIN dict ds ON ds.term = raw.subj
+  LEFT JOIN dict dd ON dd.term = raw.obj
+), agg AS (
+  SELECT pred, count(*)::bigint AS n_edges, sum(sf)::bigint AS n_subj_linked,
+         sum(of)::bigint AS n_obj_linked, sum(sf * of)::bigint AS n_both_linked
+  FROM flagged GROUP BY pred
+)
+SELECT pred, n_edges, n_subj_linked, n_obj_linked, n_both_linked,
+       (round(n_subj_linked::double / n_edges::double, 6) + 0.0) AS subj_rate,
+       (round(n_obj_linked::double / n_edges::double, 6) + 0.0) AS obj_rate,
+       (round(n_both_linked::double / n_edges::double, 6) + 0.0) AS both_rate
+FROM agg
+ORDER BY pred
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8358,6 +8472,8 @@ def queries():
         "q134_rate_anomalies": q134_rate_anomalies,
         "q135_blocking_quality": q135_blocking_quality,
         "q136_conflict_resolution": q136_conflict_resolution,
+        "q137_split_leakage": q137_split_leakage,
+        "q138_kg_integrity": q138_kg_integrity,
     }
 
 
@@ -8499,4 +8615,6 @@ def oracle_sql():
         "q134_rate_anomalies": Q134_SQL,
         "q135_blocking_quality": _q135_sql(),
         "q136_conflict_resolution": _q136_sql(),
+        "q137_split_leakage": _q137_sql(),
+        "q138_kg_integrity": _q138_sql(),
     }

@@ -111,3 +111,27 @@ def test_label_propagation_deterministic_ties(spark):
     a = sorted(label_propagation(df, iterations=3).collect())
     b = sorted(label_propagation(df.repartition(5), iterations=3).collect())
     assert a == b
+
+
+# --- cross-split leakage audit (q137, round 5) ---
+
+def test_split_leakage_hand_computed(spark):
+    from pathhier_spark.operators.sampling import split_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "val"), (5, "test")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["n_pairs"], r["is_cross"])
+        for r in split_leakage(pairs, splits).collect()
+    }
+    # (1,2) train-train diag; (1,3) train-test leak; (4,5) test-val leak
+    # (least/greatest canonicalizes val/test -> (test, val))
+    assert got[("train", "train")] == (1, 0)
+    assert got[("test", "train")] == (1, 1)
+    assert got[("test", "val")] == (1, 1)
+    assert len(got) == 3

@@ -805,3 +805,26 @@ def test_modularity_single_community_is_zero(spark):
         [("a", "c1"), ("b", "c1"), ("c", "c1")], "node string, label string"
     )
     assert modularity(e, lab).collect()[0]["modularity"] == 0.0
+
+
+# --- KG referential-integrity profile (q138, round 5) ---
+
+def test_kg_integrity_hand_computed(spark):
+    from pathhier_spark.operators.graph import kg_integrity
+
+    triples = spark.createDataFrame(
+        [("a", "p1", "b"), ("a", "p1", "zz"), ("zz", "p1", "zz"),
+         ("b", "p2", "a")],
+        "subj string, pred string, obj string",
+    )
+    dictionary = spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "term string"  # dup 'a': distinct inside
+    )
+    got = {
+        r["pred"]: (r["n_edges"], r["n_subj_linked"], r["n_obj_linked"],
+                    r["n_both_linked"], r["subj_rate"], r["both_rate"])
+        for r in kg_integrity(triples, dictionary).collect()
+    }
+    # p1: 3 edges; subj linked a,a (2); obj linked b (1); both = (a,b) 1
+    assert got["p1"] == (3, 2, 1, 1, 0.666667, 0.333333)
+    assert got["p2"] == (1, 1, 1, 1, 1.0, 1.0)
