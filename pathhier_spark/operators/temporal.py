@@ -429,6 +429,19 @@ def rate_anomalies(
         .groupBy("series", "day")
         .agg(F.count(F.lit(1)).alias("x"))
     ).localCheckpoint(eager=False)
+    return rate_anomalies_from_daily(daily, z_threshold=z_threshold)
+
+
+def rate_anomalies_from_daily(
+    daily: DataFrame,
+    *,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """rate_anomalies over pre-aggregated (series, day, x) daily counts —
+    the entry point for counts that arrive already windowed (e.g. the
+    streaming_daily_counts -> warehouse path, whose batch parity is
+    asserted in tests/test_streaming.py). Same exact-int64 moment shape
+    and fixed-form z as rate_anomalies."""
     stats = daily.groupBy("series").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -448,3 +448,30 @@ def countmin_rollup_read(warehouse, table: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def streaming_daily_counts(
+    events_stream: DataFrame,
+    *,
+    watermark: str = "1 day",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-day counts per event series — the streaming
+    producer for the rate-anomaly path: stream -> daily counts ->
+    (exactly-once warehouse commit) -> batch rate_anomalies_from_daily.
+    A day's count finalizes (append-mode emit) once the watermark passes
+    the window end, so state is bounded by |series| x watermark-days.
+    Output: (series, day DATE, x) — the exact input shape of
+    operators/temporal.rate_anomalies_from_daily; parity with the batch
+    rate_anomalies over the same events is asserted in
+    tests/test_streaming.py."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("w"),
+            F.col(series_col).alias("series"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("series", F.col("w.start").cast("date").alias("day"), "x")
+    )

@@ -664,3 +664,72 @@ def test_stream_countmin_parity_and_heavy_hitters(spark, tmp_path):
     assert est["hot"] >= 10 and est["common"] >= 7
     assert est["rare"] >= 1 and est["never"] >= 0
     assert est["hot"] > est["common"] > est["rare"]
+
+
+def test_streaming_batch_rate_anomaly_parity_via_warehouse(spark, tmp_path):
+    """Stream -> watermarked daily counts -> exactly-once warehouse commits
+    -> batch rate_anomalies_from_daily agrees EXACTLY with the batch
+    rate_anomalies over the same raw events: same (series, day, n_events,
+    z, is_anomaly) rows. The far-future nudge row advances the watermark so
+    every real day finalizes; the nudge's own day stays in state and is
+    excluded from the batch side too."""
+    from datetime import datetime, timedelta
+
+    from pathhier_spark.operators.temporal import (
+        rate_anomalies,
+        rate_anomalies_from_daily,
+    )
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import (
+        stream_to_warehouse,
+        streaming_daily_counts,
+    )
+
+    input_dir = tmp_path / "ev_stream"
+    input_dir.mkdir()
+    schema = "event_type string, ts timestamp"
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(input_dir))
+
+    # series "a": 1,1,1,1,1,11 events across six days (one >2-sigma day);
+    # series "b": constant 2/day (zero variance -> NULL z)
+    rows = []
+    for day, n in enumerate([1, 1, 1, 1, 1, 11]):
+        rows += [("a", t0 + timedelta(days=day, minutes=i)) for i in range(n)]
+        rows += [("b", t0 + timedelta(days=day, minutes=30)),
+                 ("b", t0 + timedelta(days=day, minutes=31))]
+    wb(rows[: len(rows) // 2])
+    wb(rows[len(rows) // 2:])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    out = streaming_daily_counts(stream, watermark="1 day")
+    q = stream_to_warehouse(
+        out, wh, "daily", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        # nudge: far-future row advances the watermark past every real day
+        wb([("zz", t0 + timedelta(days=30))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = rate_anomalies_from_daily(wh.read("daily").select("series", "day", "x"))
+    batch = rate_anomalies(spark.createDataFrame(rows, schema))
+
+    key = lambda r: (r["series"], r["day"])  # noqa: E731
+    s_rows = sorted((tuple(r) for r in streamed.collect()), key=lambda t: (t[0], t[1]))
+    b_rows = sorted((tuple(r) for r in batch.collect()), key=lambda t: (t[0], t[1]))
+    assert s_rows == b_rows
+    assert len(s_rows) == 12  # 6 days x 2 series, nudge day absent
+    flagged = [t for t in s_rows if t[4] == 1]
+    assert len(flagged) == 1 and flagged[0][0] == "a" and flagged[0][2] == 11
