@@ -310,3 +310,56 @@ def join_key_skew(
             ).alias("skew_factor"),
         )
     )
+
+
+def source_diversity(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Per-source label-diversity profile — the curation dashboard row
+    answering "how language-diverse is each corpus source?": Shannon
+    entropy of the label distribution (nats), its exp (effective number
+    of labels, the ecology 'Hill number' D1), and the majority label with
+    its share.
+
+    Determinism shape: per-(source,label) counts are exact int64 (one
+    combiner groupBy); H = ln(n) − (Σ c·ln c)/n needs ONE float sum, and
+    that sum is a label-ordered F.aggregate fold over the sorted
+    per-source array (the q63/q130 fixed-order discipline) — the array is
+    |labels|-sized per source, never corpus-sized. The majority label is
+    the portable two-phase argmax (max count, then first label achieving
+    it in the label-sorted array — min label, the q131 tie rule).
+    Output: (source, n_docs, n_labels, top_label, top_share, entropy,
+    effective_labels), doubles round-6."""
+    counts = docs.groupBy(
+        F.col(group_col).alias("grp"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("grp").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max("c").alias("max_c"),
+        F.sort_array(F.collect_list(F.struct("lab", "c"))).alias("arr"),
+    )
+    slnl = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"].cast("double") * F.log(x["c"].cast("double")),
+    )
+    n = F.col("n_docs").cast("double")
+    h = F.log(n) - slnl / n
+    top = F.element_at(
+        F.filter("arr", lambda x: x["c"] == F.col("max_c")), 1
+    )["lab"]
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_labels",
+        top.alias("top_label"),
+        (F.round(F.col("max_c").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "top_share"
+        ),
+        (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
+        (F.round(F.exp(h), 6) + F.lit(0.0)).alias("effective_labels"),
+    )

@@ -8334,6 +8334,48 @@ ORDER BY pred
 """
 
 
+# ---------------------------------------------------------------------------
+# Q139 — per-source label-diversity profile
+# (operators/profile.source_diversity): Shannon entropy of each source's
+# language distribution in nats + effective number of languages (Hill D1)
+# + majority label/share — the curation-dashboard diversity row. The one
+# float sum folds in label order (q63/q130 fixed-order discipline).
+# ---------------------------------------------------------------------------
+
+
+def q139_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import source_diversity
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return source_diversity(docs).orderBy("source")
+
+
+# DuckDB feature req: list(expr ORDER BY ...) + list_sum (same as q130).
+Q139_SQL = """
+WITH counts AS (
+  SELECT source AS grp, lang AS lab, count(*)::bigint AS c
+  FROM documents GROUP BY 1, 2
+), per AS (
+  SELECT grp, sum(c)::bigint AS n_docs, count(*)::bigint AS n_labels,
+         max(c)::bigint AS max_c,
+         list_sum(list(c::double * ln(c::double) ORDER BY lab)) AS slnl
+  FROM counts GROUP BY grp
+), top AS (
+  SELECT c.grp, min(c.lab) AS top_label
+  FROM counts c JOIN per p ON p.grp = c.grp AND c.c = p.max_c
+  GROUP BY c.grp
+)
+SELECT p.grp AS source, p.n_docs, p.n_labels, t.top_label,
+       (round(p.max_c::double / p.n_docs::double, 6) + 0.0) AS top_share,
+       (round(ln(p.n_docs::double) - p.slnl / p.n_docs::double, 6) + 0.0)
+         AS entropy,
+       (round(exp(ln(p.n_docs::double) - p.slnl / p.n_docs::double), 6)
+        + 0.0) AS effective_labels
+FROM per p JOIN top t ON t.grp = p.grp
+ORDER BY source
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8474,6 +8516,7 @@ def queries():
         "q136_conflict_resolution": q136_conflict_resolution,
         "q137_split_leakage": q137_split_leakage,
         "q138_kg_integrity": q138_kg_integrity,
+        "q139_source_diversity": q139_source_diversity,
     }
 
 
@@ -8617,4 +8660,5 @@ def oracle_sql():
         "q136_conflict_resolution": _q136_sql(),
         "q137_split_leakage": _q137_sql(),
         "q138_kg_integrity": _q138_sql(),
+        "q139_source_diversity": Q139_SQL,
     }

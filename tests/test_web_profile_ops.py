@@ -246,3 +246,26 @@ def test_join_key_skew_uniform_and_nulls(spark):
     )
     r2 = join_key_skew(nulls, "k").collect()[0]
     assert (r2["n_rows"], r2["n_keys"], r2["max_freq"]) == (4, 2, 3)
+
+
+# --- per-source label diversity (q139, round 5) ---
+
+def test_source_diversity_hand_computed(spark):
+    import math
+
+    from pathhier_spark.operators.profile import source_diversity
+
+    # s1: langs a,a,b,b -> H = ln2, effective 2, tie a vs b -> top 'a'
+    # s2: single lang -> H exactly 0.0, effective exactly 1.0
+    rows = [("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "b"),
+            ("s2", "x"), ("s2", "x"), ("s2", "x")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r["source"]: r for r in source_diversity(df).collect()}
+    r1 = got["s1"]
+    assert (r1["n_docs"], r1["n_labels"], r1["top_label"]) == (4, 2, "a")
+    assert r1["top_share"] == 0.5
+    assert r1["entropy"] == round(math.log(2), 6)
+    assert r1["effective_labels"] == 2.0
+    r2 = got["s2"]
+    assert (r2["n_labels"], r2["entropy"], r2["effective_labels"]) == (1, 0.0, 1.0)
+    assert r2["top_share"] == 1.0
