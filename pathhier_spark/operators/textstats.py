@@ -1537,3 +1537,60 @@ def quantile_bins_grouped(
         .alias("hi_bound"),
         "n",
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    iterations: int = 5,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    2004): PageRank over the undirected adjacent-token co-occurrence graph;
+    the highest-ranked tokens are the corpus keywords. Runs on the shared
+    integer fixed-point PageRank kernel (operators/graph.pagerank_fixedpoint
+    — micro-unit ranks, floor-div contributions), so the iterative float
+    algorithm stays deterministic and the oracle replays the identical
+    rounds as unrolled CTEs.
+
+    Scale shape: the adjacency derivation is map-only (transform over the
+    token-index range, no shuffle before the edge distinct); the graph is
+    vocabulary-sized, never corpus-sized — each PageRank round joins the
+    distinct-edge table against the node-sized rank table. Top-k is a
+    global TakeOrdered over the vocabulary with the deterministic
+    (rank_fp DESC, token ASC) tie-break. Output: (token, rank_fp, rank,
+    kw_rank 1..k)."""
+    from pyspark.sql import Window
+
+    from pathhier_spark.operators.graph import pagerank_fixedpoint
+
+    toks = F.split(F.lower(F.col(text_col)), WS_SPLIT_RE)
+    adj = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("s"),
+                        F.element_at(toks, i + 1).alias("d"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.s", "p.d")
+        .filter(F.col("s") != F.col("d"))  # also drops NULL-d 1-token docs
+    )
+    edges = adj.union(adj.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    pr = pagerank_fixedpoint(edges, src="s", dst="d", iterations=iterations)
+    # TakeOrdered top-k FIRST (distributed partial sort, no vocab-sized
+    # single-partition exchange); the rank-number window then runs over
+    # k rows only.
+    top = pr.orderBy(F.desc("rank_fp"), F.asc("node")).limit(k)
+    w = Window.orderBy(F.desc("rank_fp"), F.asc("node"))
+    return top.select(
+        F.col("node").alias("token"),
+        "rank_fp",
+        (F.round("rank", 6) + F.lit(0.0)).alias("rank"),
+        F.row_number().over(w).alias("kw_rank"),
+    )

@@ -8376,6 +8376,48 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q140 — TextRank keyword extraction (operators/textstats.textrank_keywords):
+# PageRank over the undirected adjacent-token co-occurrence graph, top-50
+# tokens = the corpus keywords (Mihalcea & Tarau 2004). Rides the shared
+# fixed-point kernel + _sql_pagerank_chain oracle (q51/q57/q112 family);
+# the only new SQL is the adjacency edge CTE and the top-k wrapper.
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_K = 50
+
+
+def q140_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import textrank_keywords
+
+    docs = _docs(spark, sf_dir)
+    return textrank_keywords(docs, k=_TEXTRANK_K).orderBy("kw_rank")
+
+
+# DuckDB feature req: core SQL (nested WITH in a subquery). Tie-break
+# (rank_fp DESC, token) is total, so LIMIT is deterministic.
+def _q140_sql() -> str:
+    edge_cte = """  SELECT DISTINCT s, d FROM (
+    SELECT t[i] AS s, t[i+1] AS d
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+                FROM documents))
+    UNION ALL
+    SELECT t[i+1] AS s, t[i] AS d
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+                FROM documents))
+  ) WHERE s <> d"""
+    chain = _sql_pagerank_chain(edge_cte)
+    return f"""
+SELECT node AS token, rank_fp, rank,
+       row_number() OVER (ORDER BY rank_fp DESC, node) AS kw_rank
+FROM ({chain})
+ORDER BY rank_fp DESC, node
+LIMIT {_TEXTRANK_K}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8517,6 +8559,7 @@ def queries():
         "q137_split_leakage": q137_split_leakage,
         "q138_kg_integrity": q138_kg_integrity,
         "q139_source_diversity": q139_source_diversity,
+        "q140_textrank": q140_textrank,
     }
 
 
@@ -8661,4 +8704,5 @@ def oracle_sql():
         "q137_split_leakage": _q137_sql(),
         "q138_kg_integrity": _q138_sql(),
         "q139_source_diversity": Q139_SQL,
+        "q140_textrank": _q140_sql(),
     }

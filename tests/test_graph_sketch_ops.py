@@ -828,3 +828,23 @@ def test_kg_integrity_hand_computed(spark):
     # p1: 3 edges; subj linked a,a (2); obj linked b (1); both = (a,b) 1
     assert got["p1"] == (3, 2, 1, 1, 0.666667, 0.333333)
     assert got["p2"] == (1, 1, 1, 1, 1.0, 1.0)
+
+
+# --- TextRank keywords (q140, round 5) ---
+
+def test_textrank_hub_token_wins(spark):
+    from pathhier_spark.operators.textstats import textrank_keywords
+
+    # "hub" co-occurs with every other token; leaf tokens only with hub.
+    # The star center must out-rank every leaf; k caps the output and
+    # kw_rank is 1..k with the (rank desc, token asc) tie-break.
+    docs = spark.createDataFrame(
+        [(1, "hub aa"), (2, "hub bb"), (3, "hub cc"), (4, "hub dd")],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, k=3).collect()
+    assert [r["kw_rank"] for r in out] == [1, 2, 3]
+    assert out[0]["token"] == "hub"
+    assert out[0]["rank_fp"] > out[1]["rank_fp"]
+    # leaves tie -> lexicographic order among equals
+    assert [r["token"] for r in out[1:]] == ["aa", "bb"]
