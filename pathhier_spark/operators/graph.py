@@ -1580,3 +1580,68 @@ def kg_integrity(
         rate("n_obj_linked").alias("obj_rate"),
         rate("n_both_linked").alias("both_rate"),
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bounded-depth harmonic centrality for a source subset: per source
+    node, Σ over nodes reached within max_depth of 1/d(hops) — the
+    disconnected-safe closeness variant (Boldi & Vigna 2014). Exact labeled
+    multi-source BFS (the HyperBall sketch in hyperball_neighborhood is the
+    all-nodes approximation; this is the exact readout for a chosen
+    subset).
+
+    Determinism shape: 1/d contributions are integer micro-units
+    (scale DIV depth) summed as exact int64 — no float sums, same
+    fixed-point discipline as pagerank_fixedpoint. Scale shape: the same
+    per-round frontier-join + left_anti-visited loop as bfs_closure with
+    the root label carried through (state is Σ per-root ball sizes, the
+    honest cost of exact centrality — bound it by choosing the source
+    subset and max_depth); every round localCheckpoints eagerly, exactly
+    the CC discipline. Output: (node, n_reached, h_fp, harmonic round-6),
+    one row per source that reaches at least one node."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+    root_col = sources.columns[0]
+    visited = sources.select(
+        F.col(root_col).alias("root"),
+        F.col(root_col).alias("node"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("root", F.col("v").alias("node"), F.lit(d).alias("depth"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    reach = visited.filter(F.col("depth") > 0)
+    return (
+        reach.groupBy(F.col("root").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr(f"{int(scale)} DIV depth")).alias("h_fp"),
+        )
+        .select(
+            "node",
+            "n_reached",
+            F.col("h_fp").cast("long").alias("h_fp"),
+            (
+                F.round(F.col("h_fp").cast("double") / F.lit(float(scale)), 6)
+                + F.lit(0.0)
+            ).alias("harmonic"),
+        )
+    )

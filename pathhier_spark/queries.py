@@ -8418,6 +8418,86 @@ LIMIT {_TEXTRANK_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q141 — bounded-depth harmonic centrality over the extracted KG
+# (operators/graph.harmonic_centrality): exact labeled multi-source BFS
+# for an md5-selected source subset (~1/16 of nodes, the q112 seed trick);
+# Σ 1/d in integer micro-units. Complements q115's HyperBall (all-nodes
+# approximate) with the exact per-subset readout; oracle re-walks the
+# identical rounds with NOT EXISTS dedup per (root, node).
+# ---------------------------------------------------------------------------
+
+_HC_DEPTH = 3
+_HC_SEED_WHERE = "substr(md5(node), 1, 1) = '0'"
+
+
+def q141_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import harmonic_centrality
+
+    docs = _docs(spark, sf_dir)
+    tr = extract_token_triples(docs, TRIGGERS).select(
+        F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+    ).filter(F.col("u") < F.col("v")).distinct()
+    sym = tr.union(tr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sources = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.substring(F.md5("node"), 1, 1) == "0")
+    )
+    return harmonic_centrality(
+        sym, sources, src="u", dst="v", max_depth=_HC_DEPTH
+    ).orderBy("node")
+
+
+# DuckDB feature req: core SQL (correlated NOT EXISTS). Same unrolled-round
+# discipline as the q78 BFS oracle, with the root label carried through.
+def _q141_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    parts = []
+    prev_v, prev_f = "v0", "v0"
+    for d in range(1, _HC_DEPTH + 1):
+        parts.append(f"""n{d} AS (
+  SELECT DISTINCT f.root, e.v AS node FROM {prev_f} f JOIN e ON e.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} p
+                    WHERE p.root = f.root AND p.node = e.v)
+), v{d} AS (
+  SELECT root, node, depth FROM {prev_v}
+  UNION ALL SELECT root, node, {d} AS depth FROM n{d}
+)""")
+        prev_v, prev_f = f"v{d}", f"n{d}"
+    rounds = ",\n".join(parts)
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), roots AS (
+  SELECT node FROM (SELECT DISTINCT u AS node FROM e)
+  WHERE {_HC_SEED_WHERE}
+), v0 AS (
+  SELECT node AS root, node, 0 AS depth FROM roots
+),
+{rounds}
+SELECT root AS node, count(*)::bigint AS n_reached,
+       sum(1000000 // depth)::bigint AS h_fp,
+       (round((sum(1000000 // depth)::bigint)::double / 1000000.0, 6) + 0.0)
+         AS harmonic
+FROM {prev_v}
+WHERE depth > 0
+GROUP BY root
+ORDER BY node
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8560,6 +8640,7 @@ def queries():
         "q138_kg_integrity": q138_kg_integrity,
         "q139_source_diversity": q139_source_diversity,
         "q140_textrank": q140_textrank,
+        "q141_harmonic_centrality": q141_harmonic_centrality,
     }
 
 
@@ -8705,4 +8786,5 @@ def oracle_sql():
         "q138_kg_integrity": _q138_sql(),
         "q139_source_diversity": Q139_SQL,
         "q140_textrank": _q140_sql(),
+        "q141_harmonic_centrality": _q141_sql(),
     }

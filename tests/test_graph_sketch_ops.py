@@ -848,3 +848,35 @@ def test_textrank_hub_token_wins(spark):
     assert out[0]["rank_fp"] > out[1]["rank_fp"]
     # leaves tie -> lexicographic order among equals
     assert [r["token"] for r in out[1:]] == ["aa", "bb"]
+
+
+# --- bounded-depth harmonic centrality (q141, round 5) ---
+
+def test_harmonic_centrality_path_graph(spark):
+    from pathhier_spark.operators.graph import harmonic_centrality
+
+    # undirected path a-b-c-d (both directions passed explicitly);
+    # from a within depth 3: b@1, c@2, d@3 ->
+    # h_fp = 1000000 + 500000 + 333333 = 1833333 (floor micro-units)
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r["node"]: (r["n_reached"], r["h_fp"], r["harmonic"])
+           for r in harmonic_centrality(edges, sources, max_depth=3).collect()}
+    assert got["a"] == (3, 1833333, 1.833333)
+    assert got["d"] == (3, 1833333, 1.833333)
+
+
+def test_harmonic_centrality_depth_cap(spark):
+    from pathhier_spark.operators.graph import harmonic_centrality
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    got = harmonic_centrality(edges, sources, max_depth=1).collect()
+    # depth 1: only b reachable
+    assert [(r["n_reached"], r["h_fp"]) for r in got] == [(1, 1000000)]
