@@ -1645,3 +1645,86 @@ def harmonic_centrality(
             ).alias("harmonic"),
         )
     )
+
+
+def ontology_lca(
+    closure: DataFrame,
+    pairs: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    dist: str = "dist",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lowest-common-ancestor + path similarity over a subsumption
+    closure — the pairwise semantic-similarity readout of the ancestor
+    sets bfs_closure / transitive_closure_mindist materialize
+    (reference: biocyc_ontology.py:45-79 walks the same ancestor
+    relation; pathhier scores ontology classes by shared-ancestor
+    overlap during alignment). For each query pair (a, b): the common
+    ancestor c minimizing d(a,c) + d(b,c), tie-broken by min d(a,c)
+    then lexicographic min c, plus the Leacock-style path similarity
+    1 / (1 + dsum) in integer micro-units (scale DIV (1 + dsum)) so
+    both engines agree bit-for-bit.
+
+    Inputs: `closure` is (src, dst, dist) min hop-distances
+    child -> ancestor (self-distances NOT required — dist-0 self rows
+    are added here for exactly the pair members, so "a is b's
+    ancestor" resolves to lca = a); `pairs` is (a, b) query pairs.
+    Pairs with no common ancestor emit no row (disjoint components).
+
+    Scale shape: ancestor sets are dictionary-sized (ontology classes,
+    not corpus rows); the candidate join is two equi-joins on the pair
+    members then one on the ancestor id; the argmin is the portable
+    two-phase discipline (min-combiner groupBy + join-back, no struct
+    arg_max) — three combiner groupBys over pair-count-sized frames,
+    nothing corpus-sized shuffles. Output: (a, b, lca, dist_a, dist_b,
+    dist_sum, sim_fp, sim round-6), ordered upstream by the caller."""
+    members = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    anc = closure.select(
+        F.col(src).alias("node"), F.col(dst).alias("anc"), F.col(dist).alias("d")
+    ).union(
+        members.select(
+            "node", F.col("node").alias("anc"), F.lit(0).cast("int").alias("d")
+        )
+    )
+    cand = (
+        pairs.join(
+            anc.select(
+                F.col("node").alias("a"), F.col("anc").alias("c"),
+                F.col("d").alias("da"),
+            ),
+            "a",
+        )
+        .join(
+            anc.select(
+                F.col("node").alias("b"), F.col("anc").alias("c"),
+                F.col("d").alias("db"),
+            ),
+            ["b", "c"],
+        )
+        .withColumn("dsum", (F.col("da") + F.col("db")).cast("int"))
+    )
+    # portable two-phase argmin: fix dsum, then da, then lexicographic c
+    m1 = cand.groupBy("a", "b").agg(F.min("dsum").alias("dsum"))
+    c1 = cand.join(m1, ["a", "b", "dsum"])
+    m2 = c1.groupBy("a", "b").agg(F.min("da").alias("da"))
+    c2 = c1.join(m2, ["a", "b", "da"])
+    best = c2.groupBy("a", "b", "dsum", "da").agg(F.min("c").alias("lca"))
+    sim_fp = F.expr(f"{int(scale)} DIV (1 + dsum)").cast("long")
+    return best.select(
+        "a",
+        "b",
+        "lca",
+        F.col("da").cast("int").alias("dist_a"),
+        (F.col("dsum") - F.col("da")).cast("int").alias("dist_b"),
+        F.col("dsum").cast("int").alias("dist_sum"),
+        sim_fp.alias("sim_fp"),
+        (F.round(sim_fp.cast("double") / F.lit(float(scale)), 6) + F.lit(0.0)).alias(
+            "sim"
+        ),
+    )

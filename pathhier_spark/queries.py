@@ -8498,6 +8498,106 @@ ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Q142 — ontology LCA + path similarity (operators/graph.ontology_lca):
+# for an md5-seeded subset of hierarchy nodes (~1/2, the q112 seed trick
+# with a wider net — the ontology is dictionary-sized), every a < b pair's
+# lowest common ancestor over the q100 subsumption closure, with the
+# portable two-phase argmin (dsum, then da, then lexicographic c) and
+# 1/(1+dsum) path similarity in integer micro-units. The pairwise
+# semantic-similarity readout pathhier's alignment scoring implies over
+# its ontology class hierarchy.
+# ---------------------------------------------------------------------------
+
+_LCA_SEED_WHERE = (
+    "substr(md5(node), 1, 1) IN ('0','1','2','3','4','5','6','7')"
+)
+
+
+def q142_ontology_lca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import (
+        ontology_lca,
+        transitive_closure_mindist,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hier = (
+        extract_token_triples(docs, TRIGGERS)
+        .filter(F.col("pred") == "component")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    closure = transitive_closure_mindist(hier, doublings=_TC_DOUBLINGS)
+    nodes = (
+        hier.select(F.col("src").alias("node"))
+        .union(hier.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.substring(F.md5("node"), 1, 1).isin(list("01234567"))
+    )
+    pairs = (
+        seeds.select(F.col("node").alias("a"))
+        .crossJoin(F.broadcast(seeds.select(F.col("node").alias("b"))))
+        .filter(F.col("a") < F.col("b"))
+    )
+    return ontology_lca(closure, pairs).orderBy("a", "b")
+
+
+# DuckDB feature req: WITH RECURSIVE (core) + window row_number. The oracle
+# replays the argmin as one ordered window (dsum, da, c) — a different
+# mechanism from the Spark side's two-phase min-combiner chain, agreeing
+# exactly.
+def _q142_sql() -> str:
+    max_dist = 2 ** _TC_DOUBLINGS
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] = 'merge'
+), r AS (
+  SELECT s, d, 1 AS dist FROM e
+  UNION
+  SELECT r.s, e.d, r.dist + 1 FROM r JOIN e ON e.s = r.d
+  WHERE r.dist < {max_dist}
+), closure AS (
+  SELECT s, d, min(dist) AS dist FROM r WHERE s <> d GROUP BY s, d
+), nodes AS (
+  SELECT DISTINCT s AS node FROM e
+  UNION SELECT DISTINCT d AS node FROM e
+), seeds AS (
+  SELECT node FROM nodes WHERE {_LCA_SEED_WHERE}
+), pairs AS (
+  SELECT x.node AS a, y.node AS b FROM seeds x JOIN seeds y ON x.node < y.node
+), anc AS (
+  SELECT s AS node, d AS anc, dist AS dd FROM closure
+  UNION ALL
+  SELECT node, node AS anc, 0 AS dd
+  FROM (SELECT a AS node FROM pairs UNION SELECT b AS node FROM pairs)
+), cand AS (
+  SELECT p.a, p.b, aa.anc AS c, aa.dd AS da, ab.dd AS db,
+         aa.dd + ab.dd AS dsum
+  FROM pairs p
+  JOIN anc aa ON aa.node = p.a
+  JOIN anc ab ON ab.node = p.b AND ab.anc = aa.anc
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY a, b ORDER BY dsum, da, c
+  ) AS rn FROM cand
+)
+SELECT a, b, c AS lca, da::int AS dist_a, db::int AS dist_b,
+       dsum::int AS dist_sum,
+       (1000000 // (1 + dsum))::bigint AS sim_fp,
+       (round(((1000000 // (1 + dsum))::bigint)::double / 1000000.0, 6)
+         + 0.0) AS sim
+FROM ranked WHERE rn = 1
+ORDER BY a, b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8641,6 +8741,7 @@ def queries():
         "q139_source_diversity": q139_source_diversity,
         "q140_textrank": q140_textrank,
         "q141_harmonic_centrality": q141_harmonic_centrality,
+        "q142_ontology_lca": q142_ontology_lca,
     }
 
 
@@ -8787,4 +8888,5 @@ def oracle_sql():
         "q139_source_diversity": Q139_SQL,
         "q140_textrank": _q140_sql(),
         "q141_harmonic_centrality": _q141_sql(),
+        "q142_ontology_lca": _q142_sql(),
     }

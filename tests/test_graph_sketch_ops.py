@@ -880,3 +880,53 @@ def test_harmonic_centrality_depth_cap(spark):
     got = harmonic_centrality(edges, sources, max_depth=1).collect()
     # depth 1: only b reachable
     assert [(r["n_reached"], r["h_fp"]) for r in got] == [(1, 1000000)]
+
+
+# --- ontology LCA + path similarity (q142, round 5) ---
+
+def test_ontology_lca_hand_case(spark):
+    from pathhier_spark.operators.graph import (
+        ontology_lca,
+        transitive_closure_mindist,
+    )
+
+    # hierarchy: x -> p, y -> p, p -> r, z -> r (child -> parent)
+    edges = spark.createDataFrame(
+        [("x", "p"), ("y", "p"), ("p", "r"), ("z", "r")],
+        "src string, dst string",
+    )
+    closure = transitive_closure_mindist(edges, doublings=3)
+    pairs = spark.createDataFrame(
+        [("x", "y"), ("p", "x"), ("x", "z"), ("x", "q")],
+        "a string, b string",
+    )
+    got = {
+        (r["a"], r["b"]): (
+            r["lca"], r["dist_a"], r["dist_b"], r["dist_sum"], r["sim_fp"]
+        )
+        for r in ontology_lca(closure, pairs).collect()
+    }
+    # siblings: LCA p at 1+1
+    assert got[("x", "y")] == ("p", 1, 1, 2, 333333)
+    # ancestor pair: LCA is the ancestor itself (dist 0 on that side)
+    assert got[("p", "x")] == ("p", 0, 1, 1, 500000)
+    # cousins via the root: LCA r at 2+1
+    assert got[("x", "z")] == ("r", 2, 1, 3, 250000)
+    # q is not in the hierarchy: only the self-ancestor, no common -> no row
+    assert ("x", "q") not in got
+    assert len(got) == 3
+
+
+def test_ontology_lca_tiebreak_lexicographic(spark):
+    from pathhier_spark.operators.graph import ontology_lca
+
+    # two common ancestors at the identical (dsum, da): pick min-name 'm'
+    closure = spark.createDataFrame(
+        [("x", "m", 1), ("x", "t", 1), ("y", "m", 1), ("y", "t", 1)],
+        "src string, dst string, dist int",
+    )
+    pairs = spark.createDataFrame([("x", "y")], "a string, b string")
+    rows = ontology_lca(closure, pairs).collect()
+    assert len(rows) == 1
+    assert rows[0]["lca"] == "m"
+    assert rows[0]["dist_sum"] == 2
