@@ -676,3 +676,56 @@ def blocking_quality(
         (pc + F.lit(0.0)).alias("pair_completeness"),
         (rr + F.lit(0.0)).alias("reduction_ratio"),
     )
+
+
+def template_concentration(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source templated-page concentration: cluster each source's
+    documents by SimHash shape and report how concentrated the source is
+    on its single most common shape — the boilerplate-site / mirror-farm
+    detector that decides whether a host needs per-page dedup at all
+    (a source with template_share ~1.0 is one template with rotated
+    fillers; reference analog: pathhier prunes whole databases before
+    per-entity alignment, pathway.py's per-source loaders).
+
+    Scale shape: simhash is map-only + one (id, tok) combiner groupBy;
+    the shape clustering is one (source, simhash) combiner count, then a
+    source-cardinality combiner agg — nothing corpus-sized shuffles
+    beyond the simhash join-back on the id key, and the output is
+    source-sized (broadcastable back as a keep/drop verdict, like
+    urls.domain_stats). The concentration is integer micro-units
+    ((1e6 * top) DIV n) so both engines agree bit-for-bit. Output:
+    (source, n_docs, n_shapes, top_shape_docs, template_fp,
+    template_share round-6)."""
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    j = sh.join(df.select(id_col, group_col), id_col)
+    shapes = j.groupBy(group_col, "simhash").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = shapes.groupBy(group_col).agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_shapes"),
+        F.max("cnt").alias("top_shape_docs"),
+    )
+    return per.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_shapes").cast("long").alias("n_shapes"),
+        F.col("top_shape_docs").cast("long").alias("top_shape_docs"),
+        F.expr("(1000000 * top_shape_docs) DIV n_docs")
+        .cast("long")
+        .alias("template_fp"),
+        (
+            F.round(
+                F.expr("(1000000 * top_shape_docs) DIV n_docs").cast("double")
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("template_share"),
+    )

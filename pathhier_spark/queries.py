@@ -8598,6 +8598,58 @@ ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q143 — per-source template concentration (operators/dedup.
+# template_concentration): cluster each source's docs by SimHash shape
+# (q22's fingerprint) and report the single-most-common-shape share in
+# integer micro-units — the boilerplate-site / mirror-farm detector that
+# gates whether a host needs per-page dedup at all. Oracle reuses the
+# q22 vote chain with the source carried through the join-back.
+# ---------------------------------------------------------------------------
+
+
+def q143_template_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pathhier_spark.operators.dedup import template_concentration
+
+    return template_concentration(_docs(spark, sf_dir)).orderBy("source")
+
+
+def _q143_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counted AS (
+  SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok
+), hashed AS (
+  SELECT doc_id, w, {_sql_hex32('tok')} AS th FROM counted
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit::int) & 1 = 1 THEN w ELSE -w END) AS v
+  FROM hashed, range(0, 32) b(bit) GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::bigint << bit::int) ELSE 0 END)::bigint
+           AS simhash
+  FROM votes GROUP BY doc_id
+), shapes AS (
+  SELECT d.source, s.simhash, count(*) AS cnt
+  FROM sh s JOIN documents d USING (doc_id)
+  GROUP BY d.source, s.simhash
+)
+SELECT source, sum(cnt)::bigint AS n_docs, count(*)::bigint AS n_shapes,
+       max(cnt)::bigint AS top_shape_docs,
+       ((1000000 * max(cnt)) // sum(cnt))::bigint AS template_fp,
+       (round((((1000000 * max(cnt)) // sum(cnt))::bigint)::double
+              / 1000000.0, 6) + 0.0) AS template_share
+FROM shapes GROUP BY source ORDER BY source
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8742,6 +8794,7 @@ def queries():
         "q140_textrank": q140_textrank,
         "q141_harmonic_centrality": q141_harmonic_centrality,
         "q142_ontology_lca": q142_ontology_lca,
+        "q143_template_concentration": q143_template_concentration,
     }
 
 
@@ -8889,4 +8942,5 @@ def oracle_sql():
         "q140_textrank": _q140_sql(),
         "q141_harmonic_centrality": _q141_sql(),
         "q142_ontology_lca": _q142_sql(),
+        "q143_template_concentration": _q143_sql(),
     }

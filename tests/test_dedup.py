@@ -358,3 +358,45 @@ def test_blocking_quality_block_cap_and_empty_gold(spark):
     assert r["n_cand"] == 0 and r["n_hit"] == 0
     assert r["pair_completeness"] is None
     assert r["reduction_ratio"] == 1.0
+
+
+# --- per-source template concentration (q143, round 5) ---
+
+def test_template_concentration_hand_case(spark):
+    from pathhier_spark.operators.dedup import template_concentration
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "sitea"),
+            (2, "alpha beta gamma", "sitea"),
+            (3, "totally different words here", "sitea"),
+            (4, "lone page", "siteb"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_shapes"], r["top_shape_docs"], r["template_fp"]
+        )
+        for r in template_concentration(docs).collect()
+    }
+    # sitea: docs 1+2 share a simhash shape, doc 3 is its own
+    assert got["sitea"] == (3, 2, 2, 666666)
+    # a single-doc source is trivially one shape at share 1.0
+    assert got["siteb"] == (1, 1, 1, 1000000)
+
+
+def test_template_concentration_all_identical(spark):
+    from pathhier_spark.operators.dedup import template_concentration
+
+    docs = spark.createDataFrame(
+        [(i, "same text every page", "mirror") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    rows = template_concentration(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_shapes"], r["top_shape_docs"], r["template_fp"]) == (
+        1, 5, 1000000,
+    )
+    assert r["template_share"] == 1.0
