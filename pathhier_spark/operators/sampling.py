@@ -353,3 +353,79 @@ def split_leakage(
             .alias("is_cross"),
         )
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget: int = 1_000_000,
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) mixture allocation: split a token
+    budget across languages proportionally to sqrt of each language's
+    token mass — the standard multilingual up/down-sampling rule
+    (p_l proportional to T_l^alpha; alpha < 1 lifts low-resource
+    languages, alpha = 1 is proportional, alpha = 0 uniform). The
+    square root is the one alpha whose fixed-point form is engine-exact:
+    both engines convert the int64 count to the SAME nearest double and
+    IEEE-754 sqrt is correctly rounded, so floor(sqrt(T) * scale) agrees
+    bit-for-bit with the DuckDB oracle at any magnitude.
+
+    Rounding is the q132 largest-remainder discipline in pure integers:
+    base_l = (budget * w_l) DIV W and the leftover seats go to the
+    largest (budget * w_l) MOD W, ties to the language name, so the
+    allocations sum EXACTLY to budget. Bound: budget * w_fp must stay
+    under 2^63 — at budget 1e6 and scale 1e3 that allows ~1e19 tokens
+    per language, past any real corpus.
+
+    Scale shape: token counting is map-only (size of the split array,
+    no explode); the per-language mass is ONE combiner groupBy; all the
+    allocation arithmetic (including the rank window) runs on the
+    language-cardinality table, never corpus rows. Output: (lang,
+    n_tokens, w_fp, alloc_tokens, share round-6), Σ alloc == budget."""
+    from pathhier_spark.functions.text import WS_SPLIT_RE
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WS_SPLIT_RE),
+                lambda x: x != "",
+            )
+        ).alias("nt"),
+    )
+    g = toks.groupBy("grp").agg(F.sum(F.col("nt").cast("long")).alias("n_tokens"))
+    w = g.select(
+        "grp",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(int(scale)))
+        .cast("long")
+        .alias("w_fp"),
+    )
+    tot = w.agg(F.sum("w_fp").alias("wtot"))
+    b = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("num", F.lit(int(budget)).cast("long") * F.col("w_fp"))
+        .withColumn("base", F.expr("num DIV wtot").cast("long"))
+        .withColumn("rem", F.expr("num % wtot").cast("long"))
+    )
+    short = b.agg((F.lit(int(budget)) - F.sum("base")).alias("short"))
+    rk_w = Window.orderBy(F.col("rem").desc(), F.col("grp"))
+    ranked = b.crossJoin(F.broadcast(short)).withColumn(
+        "rk", F.row_number().over(rk_w)
+    )
+    alloc = (
+        F.col("base")
+        + F.when(F.col("rk") <= F.col("short"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return ranked.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "w_fp",
+        alloc.alias("alloc_tokens"),
+        (
+            F.round(alloc.cast("double") / F.lit(float(budget)), 6) + F.lit(0.0)
+        ).alias("share"),
+    )

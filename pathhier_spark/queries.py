@@ -8650,6 +8650,64 @@ FROM shapes GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q144 — temperature-scaled mixture allocation (operators/sampling.
+# temperature_allocation): alpha = 0.5 multilingual budget split —
+# per-language token mass, engine-exact floor(sqrt(T)·1e3) weights, and
+# the q132 largest-remainder integer rounding so allocations sum EXACTLY
+# to the budget. The missing half of the sampling story next to q59's
+# mixture sampling (q59 draws rows given weights; q144 derives the
+# weights from the corpus).
+# ---------------------------------------------------------------------------
+
+_TA_BUDGET = 1_000_000
+
+
+def q144_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import temperature_allocation
+
+    return temperature_allocation(
+        _docs(spark, sf_dir), budget=_TA_BUDGET
+    ).orderBy("lang")
+
+
+# DuckDB feature req: core SQL + window row_number. sqrt parity: both
+# engines convert int64 -> nearest double identically and IEEE sqrt is
+# correctly rounded, so floor(sqrt(T)*1000) matches bit-for-bit.
+def _q144_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+), g AS (
+  SELECT lang, sum(nt)::bigint AS n_tokens FROM t GROUP BY lang
+), w AS (
+  SELECT lang, n_tokens,
+         floor(sqrt(n_tokens::double) * 1000)::bigint AS w_fp
+  FROM g
+), tot AS (
+  SELECT sum(w_fp)::bigint AS wtot FROM w
+), b AS (
+  SELECT lang, n_tokens, w_fp,
+         ({_TA_BUDGET}::bigint * w_fp) // wtot AS base,
+         ({_TA_BUDGET}::bigint * w_fp) % wtot AS rem
+  FROM w, tot
+), sh AS (
+  SELECT ({_TA_BUDGET} - sum(base))::bigint AS short FROM b
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b
+)
+SELECT lang, n_tokens, w_fp,
+       (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::bigint
+         AS alloc_tokens,
+       (round((base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::double
+              / {_TA_BUDGET}.0, 6) + 0.0) AS share
+FROM r, sh ORDER BY lang
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8795,6 +8853,7 @@ def queries():
         "q141_harmonic_centrality": q141_harmonic_centrality,
         "q142_ontology_lca": q142_ontology_lca,
         "q143_template_concentration": q143_template_concentration,
+        "q144_temperature_alloc": q144_temperature_alloc,
     }
 
 
@@ -8943,4 +9002,5 @@ def oracle_sql():
         "q141_harmonic_centrality": _q141_sql(),
         "q142_ontology_lca": _q142_sql(),
         "q143_template_concentration": _q143_sql(),
+        "q144_temperature_alloc": _q144_sql(),
     }

@@ -135,3 +135,48 @@ def test_split_leakage_hand_computed(spark):
     assert got[("test", "train")] == (1, 1)
     assert got[("test", "val")] == (1, 1)
     assert len(got) == 3
+
+
+# --- temperature-scaled mixture allocation (q144, round 5) ---
+
+def test_temperature_allocation_hand_case(spark):
+    from pathhier_spark.operators.sampling import temperature_allocation
+
+    # en: 16 tokens, de: 4 tokens, fr: 1 token -> sqrt masses 4:2:1
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 16), "en"),
+            (2, " ".join(["w"] * 4), "de"),
+            (3, "w", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["lang"]: (r["n_tokens"], r["w_fp"], r["alloc_tokens"])
+        for r in temperature_allocation(docs, budget=700).collect()
+    }
+    # weights 4000:2000:1000 -> exact 400/200/100
+    assert got["en"] == (16, 4000, 400)
+    assert got["de"] == (4, 2000, 200)
+    assert got["fr"] == (1, 1000, 100)
+
+
+def test_temperature_allocation_sums_to_budget(spark):
+    from pathhier_spark.operators.sampling import temperature_allocation
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 7), "en"),
+            (2, " ".join(["b"] * 3), "de"),
+            (3, " ".join(["c"] * 2), "fr"),
+            (4, " ".join(["d"] * 5), "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = temperature_allocation(docs, budget=1001).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 1001
+    # alpha = 0.5 compresses: the smallest lang's share exceeds its
+    # proportional share, the largest lang's is below it
+    shares = {r["lang"]: r["alloc_tokens"] / 1001 for r in rows}
+    assert shares["fr"] > 2 / 17
+    assert shares["en"] < 7 / 17
