@@ -219,6 +219,19 @@ def triangle_count(
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+    tris = _oriented_triangles(und)
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle of the canonical simple graph `und` (u < v, distinct)
+    exactly once as (x, y, z): the degree-ordered orientation wedge join
+    (see triangle_count's docstring for why orientation survives power-law
+    skew). x is the triangle's lowest-(degree, id) corner."""
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
@@ -245,13 +258,8 @@ def triangle_count(
     closing = oriented.select(
         F.col("a").alias("w1"), F.col("b").alias("w2")
     )
-    tris = wedges.join(closing, ["w1", "w2"]).select(
+    return wedges.join(closing, ["w1", "w2"]).select(
         F.col("a").alias("x"), F.col("w1").alias("y"), F.col("w2").alias("z")
-    )
-    return (
-        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
 
 
@@ -1727,4 +1735,80 @@ def ontology_lca(
         (F.round(sim_fp.cast("double") / F.lit(float(scale)), 6) + F.lit(0.0)).alias(
             "sim"
         ),
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-truss peeling: each round computes per-edge triangle
+    support (triangles the edge participates in within the CURRENT
+    subgraph) and drops every edge with support < k - 2 — the edge-level
+    sibling of kcore's node peeling, and the standard dense-community
+    core extractor (Cohen 2008). Run to convergence this is exactly the
+    k-truss; with a FIXED round count it is a deterministic
+    over-approximation both engines replay identically (the q74
+    discipline — the oracle unrolls the same rounds as CTEs and the
+    gate asserts one more round is a no-op on its graph).
+
+    Scale shape: support comes from the degree-ordered orientation wedge
+    join (_oriented_triangles — fan-out O(sqrt(m)) per edge, power-law
+    safe), then one canonical-edge combiner count; the surviving edge
+    set shrinks monotonically and is eagerly localCheckpoint-ed per
+    round so round r never re-executes rounds 0..r-1. Requires k >= 3
+    (k - 2 >= 1 makes triangle-free edges drop; at k = 2 peeling is a
+    no-op and the loop is skipped).
+
+    Returns (u, v, support): surviving canonical edges with triangle
+    support inside the FINAL surviving subgraph (0 when the last peel
+    removed all of an edge's triangles — the fixed-round honesty)."""
+    if k < 3:
+        raise ValueError(f"ktruss requires k >= 3, got {k}")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _support(e: DataFrame) -> DataFrame:
+        pairs = _oriented_triangles(e).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("u"),
+                        F.greatest("x", "y").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("u"),
+                        F.greatest("x", "z").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("u"),
+                        F.greatest("y", "z").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        return pairs.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+
+    for _ in range(rounds):
+        keep = _support(cur).filter(F.col("support") >= k - 2).select("u", "v")
+        cur = cur.join(keep, ["u", "v"], "left_semi").localCheckpoint(
+            eager=True
+        )
+    return (
+        cur.join(_support(cur), ["u", "v"], "left")
+        .na.fill({"support": 0})
+        .select("u", "v", F.col("support").cast("long").alias("support"))
     )

@@ -8708,6 +8708,71 @@ FROM r, sh ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q145 — fixed-round k-truss peeling (operators/graph.ktruss): the edge-
+# level sibling of q74's k-core — drop edges with triangle support
+# < k - 2 each round over the co-purchase graph. Spark enumerates
+# triangles with the degree-ordered orientation (power-law safe); the
+# oracle re-enumerates them id-ordered in unrolled round CTEs — two
+# different enumeration orders, the same triangle set, the same peel.
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 3
+
+
+def q145_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import ktruss
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return ktruss(
+        edges, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    ).orderBy("u", "v")
+
+
+# DuckDB feature req: AS MATERIALIZED (>= 0.9). Without it DuckDB INLINES
+# every CTE reference — the triangle join references e{r} three times per
+# round, so the expansion (and the parquet scans it opens) grows 3^rounds
+# and the un-materialized form dies with EMFILE before it is slow.
+def _q145_sql() -> str:
+    thresh = _KTRUSS_K - 2
+
+    def _round(r: int) -> str:
+        return f"""tr{r} AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{r} a JOIN e{r} b ON b.u = a.v
+  JOIN e{r} c ON c.u = a.u AND c.v = b.v
+), sup{r} AS MATERIALIZED (
+  SELECT u, v, count(*)::bigint AS support FROM (
+    SELECT x AS u, y AS v FROM tr{r}
+    UNION ALL SELECT x AS u, z AS v FROM tr{r}
+    UNION ALL SELECT y AS u, z AS v FROM tr{r}
+  ) GROUP BY u, v
+)"""
+
+    ctes = [_SQL_COPURCHASE.replace("e0 AS (", "e0 AS MATERIALIZED (")]
+    for r in range(_KTRUSS_ROUNDS):
+        ctes.append(_round(r))
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN sup{r} s ON s.u = e.u AND s.v = e.v
+  WHERE s.support >= {thresh}
+)"""
+        )
+    ctes.append(_round(_KTRUSS_ROUNDS))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.u, e.v, coalesce(s.support, 0)::bigint AS support
+FROM e{_KTRUSS_ROUNDS} e
+LEFT JOIN sup{_KTRUSS_ROUNDS} s ON s.u = e.u AND s.v = e.v
+ORDER BY e.u, e.v
+"""
+    )
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8854,6 +8919,7 @@ def queries():
         "q142_ontology_lca": q142_ontology_lca,
         "q143_template_concentration": q143_template_concentration,
         "q144_temperature_alloc": q144_temperature_alloc,
+        "q145_ktruss": q145_ktruss,
     }
 
 
@@ -9003,4 +9069,5 @@ def oracle_sql():
         "q142_ontology_lca": _q142_sql(),
         "q143_template_concentration": _q143_sql(),
         "q144_temperature_alloc": _q144_sql(),
+        "q145_ktruss": _q145_sql(),
     }

@@ -930,3 +930,50 @@ def test_ontology_lca_tiebreak_lexicographic(spark):
     assert len(rows) == 1
     assert rows[0]["lca"] == "m"
     assert rows[0]["dist_sum"] == 2
+
+
+# --- fixed-round k-truss (q145, round 5) ---
+
+def test_ktruss_hand_case(spark):
+    from pathhier_spark.operators.graph import ktruss
+
+    # K4 on {a,b,c,d} (every edge in 2 triangles) + pendant triangle
+    # {d,e,f} (each edge in exactly 1) + dangling edge (f,g)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    tri = [("d", "e"), ("d", "f"), ("e", "f")]
+    edges = spark.createDataFrame(
+        k4 + tri + [("f", "g")], "src string, dst string"
+    )
+    # k=4: need support >= 2 -> only the K4 survives, support 2 each
+    got4 = {(r["u"], r["v"]): r["support"]
+            for r in ktruss(edges, k=4, rounds=3).collect()}
+    assert got4 == {e: 2 for e in k4}
+    # k=3: need support >= 1 -> K4 + triangle survive, dangling edge drops
+    got3 = {(r["u"], r["v"]): r["support"]
+            for r in ktruss(edges, k=3, rounds=2).collect()}
+    assert set(got3) == set(k4 + tri)
+    assert all(got3[e] == 1 for e in tri)
+
+
+def test_ktruss_cascade_and_convergence(spark):
+    from pathhier_spark.operators.graph import ktruss
+
+    # two triangles sharing edge (b,c): edge (b,c) has support 2, all
+    # others 1. k=4 kills the outer edges round 1, then (b,c) loses its
+    # triangles and dies round 2 -> empty truss (cascade needs >1 round)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    assert ktruss(edges, k=4, rounds=1).count() == 1  # (b,c) still alive
+    assert ktruss(edges, k=4, rounds=2).count() == 0
+    assert ktruss(edges, k=4, rounds=3).count() == 0  # converged
+
+
+def test_ktruss_rejects_k2(spark):
+    from pathhier_spark.operators.graph import ktruss
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        ktruss(edges, k=2)
