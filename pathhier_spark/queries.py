@@ -8773,6 +8773,86 @@ ORDER BY e.u, e.v
     )
 
 
+# ---------------------------------------------------------------------------
+# Q146 — tokenizer fertility per language (operators/bpe + one join):
+# BPE tokens emitted per whitespace word, the standard "how well does
+# this tokenizer fit this language" signal (fertility ~1 = native fit,
+# >>1 = the language pays a token tax — the number that motivates q144's
+# temperature re-weighting). Encoding runs ONCE per distinct word
+# (vocab-sized), never per occurrence; occurrence mass joins back on the
+# word key. Same trained merges as q62/q73 (shared oracle CTE chain).
+# ---------------------------------------------------------------------------
+
+
+def q146_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.bpe import bpe_encode, bpe_train
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    # (lang, word) occurrence counts — checkpointed once; the global
+    # vocabulary for training and the per-language mass both derive from
+    # it without re-exploding the corpus
+    lw = (
+        docs.select("lang", F.explode(_tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    words = lw.groupBy("w").agg(F.sum("n").alias("n"))
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_train(words, n_merges=_BPE_MERGES)
+        .orderBy("round")
+        .collect()
+    ]
+    enc_len = words.select(
+        "w", F.size(bpe_encode("w", merges)).cast("long").alias("k")
+    )
+    per = (
+        lw.join(enc_len, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("k")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    fert_fp = F.expr("(1000000 * n_bpe_tokens) DIV n_words").cast("long")
+    return per.select(
+        "lang",
+        "n_words",
+        "n_bpe_tokens",
+        fert_fp.alias("fertility_fp"),
+        (
+            F.round(fert_fp.cast("double") / F.lit(1000000.0), 6) + F.lit(0.0)
+        ).alias("fertility"),
+    ).orderBy("lang")
+
+
+def _q146_sql() -> str:
+    ctes = _sql_bpe_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lwc AS (
+  SELECT lang, w, count(*)::bigint AS n
+  FROM (SELECT lang, unnest({_SQL_WS_TOKS}) AS w FROM documents)
+  GROUP BY lang, w
+), enc AS (
+  SELECT w, len(s)::bigint AS k FROM w{_BPE_MERGES}
+), per AS (
+  SELECT lang, sum(n)::bigint AS n_words, sum(n * k)::bigint AS n_bpe_tokens
+  FROM lwc JOIN enc USING (w) GROUP BY lang
+)
+SELECT lang, n_words, n_bpe_tokens,
+       ((1000000 * n_bpe_tokens) // n_words)::bigint AS fertility_fp,
+       (round((((1000000 * n_bpe_tokens) // n_words)::bigint)::double
+              / 1000000.0, 6) + 0.0) AS fertility
+FROM per ORDER BY lang
+"""
+    )
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -8920,6 +9000,7 @@ def queries():
         "q143_template_concentration": q143_template_concentration,
         "q144_temperature_alloc": q144_temperature_alloc,
         "q145_ktruss": q145_ktruss,
+        "q146_fertility": q146_fertility,
     }
 
 
@@ -9070,4 +9151,5 @@ def oracle_sql():
         "q143_template_concentration": _q143_sql(),
         "q144_temperature_alloc": _q144_sql(),
         "q145_ktruss": _q145_sql(),
+        "q146_fertility": _q146_sql(),
     }

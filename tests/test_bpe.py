@@ -70,3 +70,42 @@ def test_bpe_train_ignores_empty_word(spark):
     # the empty word must not fabricate ('','') pairs; the only real
     # adjacent pair is (a, b)
     assert [(m["a"], m["b"]) for m in merges] == [("a", "b")]
+
+
+# --- tokenizer fertility (q146, round 5) ---
+
+def test_fertility_known_merges(spark):
+    """Fertility over a corpus where the trained merges perfectly cover
+    one language's vocabulary and fragment the other's."""
+    from pathhier_spark.queries import q146_fertility  # noqa: F401  (shape)
+    from pathhier_spark.operators.bpe import bpe_encode
+    from pyspark.sql import functions as F
+
+    # direct contract on the composition shape: encode once per distinct
+    # word, weight by occurrence count
+    merges = [("a", "b"), ("ab", "c")]
+    docs = spark.createDataFrame(
+        [("en", "abc abc abc"), ("de", "xy")],
+        "lang string, text string",
+    )
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc_len = lw.select("w").distinct().select(
+        "w", F.size(bpe_encode("w", merges)).cast("long").alias("k")
+    )
+    per = (
+        lw.join(enc_len, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("k")).alias("n_bpe"),
+        )
+    )
+    got = {r["lang"]: (r["n_words"], r["n_bpe"]) for r in per.collect()}
+    # 'abc' encodes to ['abc'] (1 token x 3 occurrences); 'xy' stays
+    # 2 chars -> 2 tokens
+    assert got["en"] == (3, 3)
+    assert got["de"] == (1, 2)
