@@ -1812,3 +1812,52 @@ def ktruss(
         .na.fill({"support": 0})
         .select("u", "v", F.col("support").cast("long").alias("support"))
     )
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS from
+    a deterministic start (the lexicographic min node), hop to the
+    farthest node found, BFS again — the second eccentricity is a lower
+    bound on the graph diameter that is exact on trees and empirically
+    tight on web-ish graphs, at the cost of TWO bfs runs instead of the
+    all-pairs closure. Depth-capped honesty: with a finite max_depth the
+    reported bound is min(true bound, max_depth) — still a valid lower
+    bound whenever any node sits that far out.
+
+    Determinism: the start is min(node); each sweep's farthest node is
+    (max depth, then min node name) — both engines pick identical nodes
+    with no RNG. The only driver hops are two 1-row collects (the
+    farthest-node handoff between sweeps — bounded, the LR-coefficient
+    pattern). Per sweep: the bfs_closure frontier loop (per-round
+    equi-join + left_anti + eager localCheckpoint). Output: ONE row
+    (start_node, far_node, ecc_start, far2_node, diameter_lb)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def _sweep(root_value: str):
+        roots = e.sparkSession.createDataFrame(
+            [(root_value,)], "node string"
+        )
+        vis = bfs_closure(e, roots, src="u", dst="v", max_depth=max_depth)
+        far = vis.orderBy(F.desc("depth"), "node").limit(1).collect()[0]
+        return far["node"], far["depth"]
+
+    start = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .agg(F.min("node"))
+        .collect()[0][0]
+    )
+    far1, ecc1 = _sweep(start)
+    far2, ecc2 = _sweep(far1)
+    return e.sparkSession.createDataFrame(
+        [(start, far1, int(ecc1), far2, int(ecc2))],
+        "start_node string, far_node string, ecc_start int, "
+        "far2_node string, diameter_lb int",
+    )

@@ -8853,6 +8853,82 @@ FROM per ORDER BY lang
     )
 
 
+# ---------------------------------------------------------------------------
+# Q147 — double-sweep diameter lower bound (operators/graph.
+# double_sweep_diameter) over the q141 symmetric KG graph: BFS from the
+# lexicographic-min node, hop to the farthest (max depth, min name) node,
+# BFS again — two sweeps instead of the all-pairs closure (Magnien-
+# Latapy-Habib). Deterministic start/handoff on both engines; the oracle
+# unrolls both sweeps as MATERIALIZED BFS round CTEs.
+# ---------------------------------------------------------------------------
+
+_DS_DEPTH = 4
+
+
+def q147_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import double_sweep_diameter
+
+    docs = _docs(spark, sf_dir)
+    tr = extract_token_triples(docs, TRIGGERS).select(
+        F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+    ).filter(F.col("u") < F.col("v")).distinct()
+    sym = tr.union(tr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return double_sweep_diameter(sym, src="u", dst="v", max_depth=_DS_DEPTH)
+
+
+# DuckDB feature req: AS MATERIALIZED (>= 0.9) — the per-round visited
+# set is referenced by both the next frontier's join and its NOT EXISTS,
+# and sweep 2's chain hangs off sweep 1's result, so inlined expansion
+# would be ~2^(2·depth).
+def _q147_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+
+    def sweep(tag: str, root_cte: str) -> str:
+        parts = [
+            f"""{tag}v0 AS MATERIALIZED (
+  SELECT node, 0 AS depth FROM {root_cte}
+)"""
+        ]
+        prev_v, prev_f = f"{tag}v0", f"{tag}v0"
+        for d in range(1, _DS_DEPTH + 1):
+            parts.append(f"""{tag}n{d} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS node FROM {prev_f} f JOIN e ON e.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} p WHERE p.node = e.v)
+), {tag}v{d} AS MATERIALIZED (
+  SELECT node, depth FROM {prev_v}
+  UNION ALL SELECT node, {d} AS depth FROM {tag}n{d}
+)""")
+            prev_v, prev_f = f"{tag}v{d}", f"{tag}n{d}"
+        parts.append(f"""{tag}far AS MATERIALIZED (
+  SELECT node, depth FROM {prev_v} ORDER BY depth DESC, node LIMIT 1
+)""")
+        return ",\n".join(parts)
+
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), e AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), start AS (
+  SELECT min(node) AS node FROM (SELECT u AS node FROM e)
+),
+{sweep('a', 'start')},
+{sweep('b', '(SELECT node FROM afar)')}
+SELECT s.node AS start_node, f1.node AS far_node, f1.depth::int AS ecc_start,
+       f2.node AS far2_node, f2.depth::int AS diameter_lb
+FROM start s, afar f1, bfar f2
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9001,6 +9077,7 @@ def queries():
         "q144_temperature_alloc": q144_temperature_alloc,
         "q145_ktruss": q145_ktruss,
         "q146_fertility": q146_fertility,
+        "q147_diameter": q147_diameter,
     }
 
 
@@ -9152,4 +9229,5 @@ def oracle_sql():
         "q144_temperature_alloc": _q144_sql(),
         "q145_ktruss": _q145_sql(),
         "q146_fertility": _q146_sql(),
+        "q147_diameter": _q147_sql(),
     }

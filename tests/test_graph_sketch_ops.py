@@ -977,3 +977,52 @@ def test_ktruss_rejects_k2(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         ktruss(edges, k=2)
+
+
+# --- double-sweep diameter lower bound (q147, round 5) ---
+
+def test_double_sweep_path_graph(spark):
+    from pathhier_spark.operators.graph import double_sweep_diameter
+
+    # path a-b-c-d-e (symmetric edges): start = 'a', sweep 1 reaches e@4,
+    # sweep 2 from e comes all the way back -> diameter_lb = 4 (exact on
+    # trees)
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    r = double_sweep_diameter(edges, max_depth=6).collect()[0]
+    assert (r["start_node"], r["far_node"], r["ecc_start"]) == ("a", "e", 4)
+    assert (r["far2_node"], r["diameter_lb"]) == ("a", 4)
+
+
+def test_double_sweep_improves_on_first_ecc(spark):
+    from pathhier_spark.operators.graph import double_sweep_diameter
+
+    # star + tail: start 'a' (min name) sits one hop from the hub, but
+    # the true diameter is leaf->hub->tail1->tail2 = 3. Sweep 1 from 'a'
+    # finds t2@3? a-hub=1, hub-leaves=1, tail: hub-t1-t2.
+    # from a: hub@1, b@2,c@2,t1@2, t2@3 -> far=t2 ecc1=3; sweep 2 from t2
+    # -> a/b/c @3 -> lb=3 (tie -> min name 'a')
+    und = [("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "t1"),
+           ("t1", "t2")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    r = double_sweep_diameter(edges, max_depth=6).collect()[0]
+    assert r["start_node"] == "a"
+    assert (r["far_node"], r["ecc_start"]) == ("t2", 3)
+    assert (r["far2_node"], r["diameter_lb"]) == ("a", 3)
+
+
+def test_double_sweep_depth_cap(spark):
+    from pathhier_spark.operators.graph import double_sweep_diameter
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    r = double_sweep_diameter(edges, max_depth=2).collect()[0]
+    # capped: sweep 1 from a reaches c@2; sweep 2 from c reaches a/e@2
+    assert r["ecc_start"] == 2
+    assert r["diameter_lb"] == 2
