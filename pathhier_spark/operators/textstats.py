@@ -1594,3 +1594,67 @@ def textrank_keywords(
         (F.round("rank", 6) + F.lit(0.0)).alias("rank"),
         F.row_number().over(w).alias("kw_rank"),
     )
+
+
+def good_turing_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_r: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies profile: for each observed
+    token count r <= max_r, how many vocabulary types occur exactly r
+    times (N_r), that frequency band's share of all tokens, and the
+    Good-Turing adjusted count r* = (r+1)·N_{r+1}/N_r — the classic
+    estimator whose r = 1 row IS the unseen-mass estimate (P_unseen =
+    N_1/N, how much probability the corpus has never seen; the number
+    that says whether the crawl is big enough for the vocabulary it
+    claims). Complements q114 (Heaps growth) and q50 (KMV cardinality):
+    those count the vocabulary, this prices its tail.
+
+    Scale shape: two combiner groupBys — (token) counts over the corpus,
+    then (count) counts over the vocabulary — and the output domain is
+    max_r rows; the r+1 lookup is a self-join on the tiny r domain, not
+    a window. All ratios are integer micro-units (DIV), exact int64
+    end to end. Output: (r, n_types, mass_fp, rstar_fp, rstar round-6),
+    rstar NULL on the last band with no N_{r+1} evidence."""
+    from pathhier_spark.operators.textstats import _tokens
+
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = (
+        counts.groupBy(F.col("c").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .localCheckpoint(eager=True)
+    )
+    total = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("long").alias("n_tokens")
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next")
+    )
+    rstar_fp = F.expr(
+        f"CASE WHEN n_next IS NULL THEN NULL "
+        f"ELSE ({int(scale)} * (r + 1) * n_next) DIV n_types END"
+    ).cast("long")
+    return (
+        fof.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_types",
+            F.expr(f"({int(scale)} * r * n_types) DIV n_tokens")
+            .cast("long")
+            .alias("mass_fp"),
+            rstar_fp.alias("rstar_fp"),
+            (
+                F.round(rstar_fp.cast("double") / F.lit(float(scale)), 6)
+                + F.lit(0.0)
+            ).alias("rstar"),
+        )
+    )

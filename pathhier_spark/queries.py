@@ -8929,6 +8929,52 @@ FROM start s, afar f1, bfar f2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q148 — Good-Turing frequency-of-frequencies (operators/textstats.
+# good_turing_profile): N_r per count band r <= 10, each band's token-
+# mass share, and the adjusted count r* = (r+1)·N_{r+1}/N_r — the r = 1
+# row is the unseen-mass estimate. Prices the vocabulary tail that q114
+# (Heaps) and q50 (KMV) only count.
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 10
+
+
+def q148_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import good_turing_profile
+
+    return good_turing_profile(
+        _docs(spark, sf_dir), max_r=_GT_MAX_R
+    ).orderBy("r")
+
+
+def _q148_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT tok, count(*)::bigint AS c
+  FROM (SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+), fof AS (
+  SELECT c AS r, count(*)::bigint AS n_types FROM counts GROUP BY c
+), total AS (
+  SELECT sum(r * n_types)::bigint AS n_tokens FROM fof
+)
+SELECT f.r::bigint AS r, f.n_types,
+       ((1000000 * f.r * f.n_types) // t.n_tokens)::bigint AS mass_fp,
+       CASE WHEN nx.n_types IS NULL THEN NULL
+            ELSE ((1000000 * (f.r + 1) * nx.n_types) // f.n_types)::bigint
+       END AS rstar_fp,
+       (round((CASE WHEN nx.n_types IS NULL THEN NULL
+               ELSE ((1000000 * (f.r + 1) * nx.n_types) // f.n_types)::bigint
+               END)::double / 1000000.0, 6) + 0.0) AS rstar
+FROM fof f
+LEFT JOIN fof nx ON nx.r = f.r + 1
+CROSS JOIN total t
+WHERE f.r <= {_GT_MAX_R}
+ORDER BY r
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9078,6 +9124,7 @@ def queries():
         "q145_ktruss": q145_ktruss,
         "q146_fertility": q146_fertility,
         "q147_diameter": q147_diameter,
+        "q148_good_turing": q148_good_turing,
     }
 
 
@@ -9230,4 +9277,5 @@ def oracle_sql():
         "q145_ktruss": _q145_sql(),
         "q146_fertility": _q146_sql(),
         "q147_diameter": _q147_sql(),
+        "q148_good_turing": _q148_sql(),
     }

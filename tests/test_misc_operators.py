@@ -887,3 +887,36 @@ def test_url_prefix_filter_longest_wins(spark):
     assert got["https://h/a/x"] == ("https://h/a", 0)
     # unmatched defaults to allow with no matched prefix
     assert got["https://other/"] == (None, 1)
+
+
+# --- Good-Turing frequency-of-frequencies (q148, round 5) ---
+
+def test_good_turing_hand_case(spark):
+    from pathhier_spark.operators.textstats import good_turing_profile
+
+    # corpus: a a a b b c d e -> counts {a:3, b:2, c:1, d:1, e:1}
+    # N_1=3, N_2=1, N_3=1, total tokens = 8
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d e")], "doc_id long, text string"
+    )
+    got = {r["r"]: (r["n_types"], r["mass_fp"], r["rstar_fp"])
+           for r in good_turing_profile(docs).collect()}
+    # r=1: mass 3/8 = 375000; r* = 2*N_2/N_1 = 2/3 -> 666666
+    assert got[1] == (3, 375000, 666666)
+    # r=2: mass 2/8 = 250000; r* = 3*N_3/N_2 = 3.0 -> 3000000
+    assert got[2] == (1, 250000, 3000000)
+    # r=3: no N_4 evidence -> rstar NULL
+    assert got[3] == (1, 375000, None)
+
+
+def test_good_turing_unseen_mass_is_r1_row(spark):
+    from pathhier_spark.operators.textstats import good_turing_profile
+
+    # every type a hapax -> unseen-mass estimate N_1/N = 1.0
+    docs = spark.createDataFrame(
+        [(1, "x y z w")], "doc_id long, text string"
+    )
+    rows = good_turing_profile(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["r"] == 1
+    assert rows[0]["mass_fp"] == 1000000
