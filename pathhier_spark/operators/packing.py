@@ -161,3 +161,57 @@ def starts_over(toks_col: str, stride: int):
     return F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
+
+
+def snake_shard_assignment(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Balanced output sharding by snake (boustrophedon) assignment:
+    order documents by size descending, deal them across n_shards
+    left-to-right then right-to-left alternately — the classic LPT-lite
+    that keeps per-shard byte totals within one max-document of each
+    other on skewed size distributions, where hash/modulo sharding can
+    land several giants on one shard (the straggler file that stalls a
+    training-data loader).
+
+    The global size rank is computed WITHOUT a corpus-sized window (the
+    q45 inverted-CDF discipline): a per-size-value combiner histogram,
+    a cumulative walk over the tiny size-value domain, then a
+    row_number window PARTITIONED BY the size value (each partition is
+    one value group — no SinglePartition exchange). The oracle replays
+    the rank as one global row_number — different mechanism, identical
+    total order (size DESC, id ASC is tie-free).
+
+    Returns one row per document: (id, size, rank0, shard), 0-based
+    rank in the dealt order; aggregate per shard downstream."""
+    sizes = df.select(F.col(id_col), F.col(size_col).cast("long").alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("cnt"))
+    w_dom = Window.orderBy(F.col("sz").desc())
+    base = hist.select(
+        "sz",
+        (F.coalesce(F.sum("cnt").over(w_dom), F.lit(0)) - F.col("cnt"))
+        .cast("long")
+        .alias("base"),
+    )
+    w_val = Window.partitionBy("sz").orderBy(F.col(id_col))
+    ranked = (
+        sizes.join(base, "sz")
+        .withColumn("intra", F.row_number().over(w_val) - 1)
+        .withColumn("rank0", (F.col("base") + F.col("intra")).cast("long"))
+    )
+    k = int(n_shards)
+    # integer block index (never float-divide a rank: double rounding can
+    # misplace the floor at exact block boundaries for huge corpora)
+    shard = F.when(
+        F.expr(f"rank0 DIV {k}") % 2 == 0, F.col("rank0") % k
+    ).otherwise(k - 1 - F.col("rank0") % k)
+    return ranked.select(
+        F.col(id_col),
+        F.col("sz").alias(size_col),
+        "rank0",
+        shard.cast("int").alias("shard"),
+    )

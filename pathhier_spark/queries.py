@@ -8975,6 +8975,54 @@ ORDER BY r
 """
 
 
+# ---------------------------------------------------------------------------
+# Q149 — snake-balanced shard packing (operators/packing.
+# snake_shard_assignment): deal size-DESC-ordered docs across shards
+# boustrophedon so per-shard byte totals stay within ~one max-document —
+# the anti-straggler output sharding a training-data loader wants, vs
+# hash sharding's several-giants-on-one-file failure. Spark ranks via
+# the q45 histogram + per-value window (no corpus-sized SinglePartition
+# window); the oracle ranks with one global row_number — identical
+# tie-free total order.
+# ---------------------------------------------------------------------------
+
+_SNAKE_SHARDS = 8
+
+
+def q149_snake_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.packing import snake_shard_assignment
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    a = snake_shard_assignment(docs, n_shards=_SNAKE_SHARDS)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _q149_sql() -> str:
+    k = _SNAKE_SHARDS
+    return f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank0
+  FROM documents
+), s AS (
+  SELECT CASE WHEN (rank0 // {k}) % 2 = 0 THEN rank0 % {k}
+              ELSE {k - 1} - (rank0 % {k}) END AS shard,
+         n_chars
+  FROM r
+)
+SELECT shard::int AS shard, count(*)::bigint AS n_docs,
+       sum(n_chars)::bigint AS total_chars
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9125,6 +9173,7 @@ def queries():
         "q146_fertility": q146_fertility,
         "q147_diameter": q147_diameter,
         "q148_good_turing": q148_good_turing,
+        "q149_snake_shards": q149_snake_shards,
     }
 
 
@@ -9278,4 +9327,5 @@ def oracle_sql():
         "q146_fertility": _q146_sql(),
         "q147_diameter": _q147_sql(),
         "q148_good_turing": _q148_sql(),
+        "q149_snake_shards": _q149_sql(),
     }

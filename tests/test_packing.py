@@ -98,3 +98,51 @@ def test_rejects_bad_params(spark, corpus):
         pack_sequences(corpus, capacity=0)
     with pytest.raises(ValueError):
         pack_sequences(corpus, block_size=0)
+
+
+# --- snake-balanced shard packing (q149, round 5) ---
+
+def test_snake_assignment_order(spark):
+    from pathhier_spark.operators.packing import snake_shard_assignment
+
+    # sizes 9..2, 2 shards: ranks 0..7, snake pattern 0,1,1,0,0,1,1,0
+    docs = spark.createDataFrame(
+        [(i, 10 - i) for i in range(1, 9)], "doc_id long, n_chars long"
+    )
+    got = {r["doc_id"]: (r["rank0"], r["shard"])
+           for r in snake_shard_assignment(docs, n_shards=2).collect()}
+    assert [got[i][0] for i in range(1, 9)] == list(range(8))
+    assert [got[i][1] for i in range(1, 9)] == [0, 1, 1, 0, 0, 1, 1, 0]
+
+
+def test_snake_balances_skewed_sizes(spark):
+    from pyspark.sql import functions as F
+    from pathhier_spark.operators.packing import snake_shard_assignment
+
+    # one giant + many small docs: snake keeps shard totals within the
+    # giant's size; modulo-by-id sharding would not be asserted here,
+    # the balance bound is the contract
+    rows = [(0, 1000)] + [(i, 10) for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = snake_shard_assignment(docs, n_shards=4)
+    totals = [
+        r["t"] for r in
+        a.groupBy("shard").agg(F.sum("n_chars").alias("t")).collect()
+    ]
+    assert len(totals) == 4
+    assert max(totals) - min(totals) <= 1000
+    # the small docs alone are dealt evenly: drop the giant's shard and
+    # the rest are within one small doc of each other
+    small = sorted(totals)[:3]
+    assert max(small) - min(small) <= 10
+
+
+def test_snake_ties_break_by_id(spark):
+    from pathhier_spark.operators.packing import snake_shard_assignment
+
+    docs = spark.createDataFrame(
+        [(3, 5), (1, 5), (2, 5)], "doc_id long, n_chars long"
+    )
+    got = {r["doc_id"]: r["rank0"]
+           for r in snake_shard_assignment(docs, n_shards=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
