@@ -1861,3 +1861,71 @@ def double_sweep_diameter(
         "start_node string, far_node string, ecc_start int, "
         "far2_node string, diameter_lb int",
     )
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction — common_neighbor_links' rarity-aware
+    refinement: score non-adjacent wedge-closing pairs by
+    Σ_w 1/ln(deg(w)) over shared neighbors w, so a pair sharing three
+    OBSCURE neighbors outranks one sharing three celebrity hubs (the
+    signal Jaccard flattens). Same candidate machinery and the same
+    hub hazard/`max_degree` mitigation as common_neighbor_links.
+
+    Float discipline: the per-pair sum is an ORDERED fold (the q63/q130
+    rule — never sum doubles in shuffle order): shared-neighbor degrees
+    are collected, sorted, and folded left-to-right, so both engines add
+    identical values in an identical order. The collected list is one
+    pair's common-neighbor set — bounded by min(deg a, deg b) and by
+    `max_degree` when capped. ln(deg) >= ln 2 (a shared neighbor has
+    degree >= 2 by construction), so no zero division. Output:
+    (a, b, common, adamic_adar round-6)."""
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") < F.col("v")).distinct().localCheckpoint(eager=True)
+    adj = und.select(
+        F.col("u").alias("w"), F.col("v").alias("n")
+    ).union(und.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(
+        deg.filter(F.col("deg") <= max_degree) if max_degree is not None else deg,
+        "w",
+    )
+    wedges = (
+        centers.alias("x")
+        .join(centers.alias("y"), "w")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("a"),
+            F.col("y.n").alias("b"),
+            F.col("x.deg").alias("dw"),
+        )
+    )
+    pairs = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sort_array(F.collect_list(F.col("dw").cast("long"))).alias("ds"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    cand = pairs.join(
+        und,
+        (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
+        "left_anti",
+    )
+    aa = F.aggregate(
+        F.transform(F.col("ds"), lambda d: F.lit(1.0) / F.log(d.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return cand.select(
+        "a", "b", "common", (F.round(aa, 6) + F.lit(0.0)).alias("adamic_adar")
+    )

@@ -9023,6 +9023,67 @@ FROM s GROUP BY shard ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Q150 — Adamic-Adar link prediction (operators/graph.adamic_adar_links):
+# q99's rarity-aware refinement — Σ 1/ln(deg(w)) over shared neighbors,
+# obscure shared neighbors outscore celebrity hubs. Per-pair sums are
+# ORDERED folds over the sorted degree list (the q63/q130 float rule),
+# so both engines add identical values in identical order.
+# ---------------------------------------------------------------------------
+
+
+def q150_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import adamic_adar_links
+
+    docs = _docs(spark, sf_dir)
+    edges = extract_token_triples(docs, TRIGGERS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return adamic_adar_links(edges, min_common=_LP_MIN_COMMON).orderBy(
+        "a", "b"
+    )
+
+
+# DuckDB feature req: list_reduce + list_prepend (>= 0.9; the q37/q42
+# precedent) + list(x ORDER BY x) ordered aggregation.
+def _q150_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), adj AS (
+  SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e
+), deg AS (
+  SELECT w, count(*)::bigint AS deg FROM adj GROUP BY w
+), adjd AS (
+  SELECT a.w, a.n, d.deg AS dw FROM adj a JOIN deg d ON d.w = a.w
+), p AS (
+  SELECT x.n AS a, y.n AS b, count(*)::bigint AS common,
+         list(x.dw ORDER BY x.dw) AS ds
+  FROM adjd x JOIN adjd y ON x.w = y.w AND x.n < y.n
+  GROUP BY x.n, y.n
+  HAVING count(*) >= {_LP_MIN_COMMON}
+), cand AS (
+  SELECT * FROM p c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+)
+SELECT a, b, common,
+       (round(list_reduce(
+          list_prepend(0.0, list_transform(ds, d -> 1.0 / ln(d::double))),
+          (acc, x) -> acc + x), 6) + 0.0) AS adamic_adar
+FROM cand ORDER BY a, b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9174,6 +9235,7 @@ def queries():
         "q147_diameter": q147_diameter,
         "q148_good_turing": q148_good_turing,
         "q149_snake_shards": q149_snake_shards,
+        "q150_adamic_adar": q150_adamic_adar,
     }
 
 
@@ -9328,4 +9390,5 @@ def oracle_sql():
         "q147_diameter": _q147_sql(),
         "q148_good_turing": _q148_sql(),
         "q149_snake_shards": _q149_sql(),
+        "q150_adamic_adar": _q150_sql(),
     }

@@ -1026,3 +1026,48 @@ def test_double_sweep_depth_cap(spark):
     # capped: sweep 1 from a reaches c@2; sweep 2 from c reaches a/e@2
     assert r["ecc_start"] == 2
     assert r["diameter_lb"] == 2
+
+
+# --- Adamic-Adar link prediction (q150, round 5) ---
+
+def test_adamic_adar_hand_case(spark):
+    import math
+    from pathhier_spark.operators.graph import adamic_adar_links
+
+    # a and b share neighbors w1 (deg 2: only a, b) and hub (deg 4:
+    # a, b, c, d); a-b not adjacent
+    edges = spark.createDataFrame(
+        [("a", "w1"), ("b", "w1"), ("a", "hub"), ("b", "hub"),
+         ("c", "hub"), ("d", "hub")],
+        "src string, dst string",
+    )
+    rows = adamic_adar_links(edges, min_common=2).collect()
+    got = {(r["a"], r["b"]): (r["common"], r["adamic_adar"]) for r in rows}
+    exp = round(1 / math.log(2) + 1 / math.log(4), 6)
+    assert got[("a", "b")] == (2, exp)
+
+
+def test_adamic_adar_prefers_rare_neighbors(spark):
+    from pathhier_spark.operators.graph import adamic_adar_links
+
+    # (a,b) share one rare neighbor (deg 2); (c,d) share one hub (deg 6):
+    # same common count, AA ranks the rare-shared pair higher
+    edges = spark.createDataFrame(
+        [("a", "r"), ("b", "r"),
+         ("c", "h"), ("d", "h"), ("e1", "h"), ("e2", "h"), ("e3", "h"),
+         ("e4", "h")],
+        "src string, dst string",
+    )
+    rows = adamic_adar_links(edges, min_common=1).collect()
+    got = {(r["a"], r["b"]): r["adamic_adar"] for r in rows}
+    assert got[("a", "b")] > got[("c", "d")]
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    from pathhier_spark.operators.graph import adamic_adar_links
+
+    # triangle a-b-c: every pair is already an edge -> no candidates
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    assert adamic_adar_links(edges, min_common=1).count() == 0
