@@ -1658,3 +1658,63 @@ def good_turing_profile(
             ).alias("rstar"),
         )
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cf: int = 50,
+    top: int = 30,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Church-Gale token burstiness: the variance-to-mean ratio of a
+    token's per-document counts over ALL documents. VMR ~1 is the
+    Poisson background (function words); VMR >> 1 is bursty — topical
+    terms, and at the extreme the spam/template tokens that repeat
+    hundreds of times in a handful of pages (the per-token refinement
+    of template_concentration's per-source score, and a cheap spam
+    lexicon miner).
+
+    Zeros included without materializing them: over N docs with
+    per-doc counts c_d, mean = cf/N and E[x²] = Σc²/N, so
+    VMR = (N·Σc² − cf²)/(N·cf) — a closed form needing only the
+    NONZERO (token, doc) rows. Exact int64 end to end, micro-unit DIV;
+    bound: N·Σc² < 2^63 (at 1e9 docs this allows Σc² ~9e9 per token —
+    cap pathological tokens upstream or raise to a two-word key).
+    Scale shape: one (token, doc) combiner count, one token-level
+    combiner agg, broadcast N, and the top-k is a distributed
+    TakeOrdered over the (vmr_fp DESC, token) total order — never a
+    vocabulary-sized single partition. Output: (tok, df, cf, vmr_fp,
+    vmr round-6), top `top` rows with cf >= min_cf."""
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dc = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok", id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = dc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    vmr_fp = F.expr(
+        f"({int(scale)} * (n_docs * sumsq - cf * cf)) DIV (n_docs * cf)"
+    ).cast("long")
+    return (
+        per.filter(F.col("cf") >= min_cf)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            "cf",
+            vmr_fp.alias("vmr_fp"),
+            (
+                F.round(vmr_fp.cast("double") / F.lit(float(scale)), 6)
+                + F.lit(0.0)
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr_fp"), "tok")
+        .limit(top)
+    )

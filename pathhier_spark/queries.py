@@ -9084,6 +9084,53 @@ FROM cand ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q151 — token burstiness (Church-Gale dispersion): variance-to-mean
+# ratio of a token's per-document counts over ALL documents (zeros
+# included — the closed form (N·Σc² − cf²)/(N·cf) needs only the
+# nonzero rows). VMR ~1 = Poisson background prose; VMR >> 1 = bursty
+# (topical or spam/template tokens — the per-token refinement of q143's
+# per-source template score). Exact int64 end to end, micro-unit DIV.
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_CF = 50
+_BURST_TOP = 30
+
+
+def q151_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import token_burstiness
+
+    return token_burstiness(
+        _docs(spark, sf_dir), min_cf=_BURST_MIN_CF, top=_BURST_TOP
+    )
+
+
+def _q151_sql() -> str:
+    return f"""
+WITH dc AS (
+  SELECT tok, doc_id, count(*)::bigint AS c
+  FROM (SELECT doc_id, unnest({_SQL_WS_TOKS}) AS tok FROM documents)
+  GROUP BY tok, doc_id
+), per AS (
+  SELECT tok, count(*)::bigint AS df, sum(c)::bigint AS cf,
+         sum(c * c)::bigint AS sumsq
+  FROM dc GROUP BY tok
+), n AS (
+  SELECT count(*)::bigint AS n_docs FROM documents
+)
+SELECT tok, df, cf,
+       ((1000000 * (n_docs * sumsq - cf * cf)) // (n_docs * cf))::bigint
+         AS vmr_fp,
+       (round((((1000000 * (n_docs * sumsq - cf * cf))
+               // (n_docs * cf))::bigint)::double / 1000000.0, 6) + 0.0)
+         AS vmr
+FROM per, n
+WHERE cf >= {_BURST_MIN_CF}
+ORDER BY vmr_fp DESC, tok
+LIMIT {_BURST_TOP}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9236,6 +9283,7 @@ def queries():
         "q148_good_turing": q148_good_turing,
         "q149_snake_shards": q149_snake_shards,
         "q150_adamic_adar": q150_adamic_adar,
+        "q151_burstiness": q151_burstiness,
     }
 
 
@@ -9391,4 +9439,5 @@ def oracle_sql():
         "q148_good_turing": _q148_sql(),
         "q149_snake_shards": _q149_sql(),
         "q150_adamic_adar": _q150_sql(),
+        "q151_burstiness": _q151_sql(),
     }

@@ -920,3 +920,43 @@ def test_good_turing_unseen_mass_is_r1_row(spark):
     assert len(rows) == 1
     assert rows[0]["r"] == 1
     assert rows[0]["mass_fp"] == 1000000
+
+
+# --- token burstiness (q151, round 5) ---
+
+def test_burstiness_hand_case(spark):
+    from pathhier_spark.operators.textstats import token_burstiness
+
+    # 4 docs; 'spam' 8x in one doc -> VMR = (4*64-64)/(4*8) = 6.0;
+    # 'the' once per doc -> VMR = (4*4-16)/(4*4) = 0.0 (pure Poisson-ish)
+    docs = spark.createDataFrame(
+        [
+            (1, "the " + "spam " * 8),
+            (2, "the x"),
+            (3, "the y"),
+            (4, "the z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["tok"]: (r["df"], r["cf"], r["vmr_fp"])
+           for r in token_burstiness(docs, min_cf=4, top=10).collect()}
+    assert got["spam"] == (1, 8, 6000000)
+    assert got["the"] == (4, 4, 0)
+
+
+def test_burstiness_ranks_bursty_first(spark):
+    from pathhier_spark.operators.textstats import token_burstiness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "burst " * 6 + "flat"),
+            (2, "flat"),
+            (3, "flat"),
+            (4, "flat"),
+            (5, "flat"),
+            (6, "flat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = token_burstiness(docs, min_cf=2, top=1).collect()
+    assert rows[0]["tok"] == "burst"
