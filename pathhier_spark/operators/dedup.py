@@ -729,3 +729,96 @@ def template_concentration(
             + F.lit(0.0)
         ).alias("template_share"),
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """MinHash sketch calibration: for every LSH candidate pair, compare
+    the signature-agreement Jaccard ESTIMATE (matching positions / K)
+    against the EXACT shingle Jaccard, bucketed by estimate decile — the
+    measured answer to "how far off is a K-permutation sketch on THIS
+    corpus", which prices the q11 pipeline's verify stage (a
+    well-calibrated sketch lets you raise the LSH threshold and verify
+    fewer pairs). Complements q135 (which scores the blocking recall;
+    this scores the sketch's value accuracy).
+
+    All-integer discipline: estimate = (1e6·agree) DIV K, exact =
+    (1e6·|∩|) DIV |∪| (shingle sets are never empty — short docs shingle
+    to one token-join), per-bucket means are integer-sum DIV count. No
+    float ever aggregates. Scale shape: the pair set is the
+    bucket-capped LSH candidate set (never all pairs); signatures and
+    shingle sets join back on the two id keys; the bucket rollup is one
+    combiner groupBy over an 11-row domain. Output: (bucket, n_pairs,
+    mean_est_fp, mean_jacc_fp, mean_abs_err_fp)."""
+    sigs = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("shset"))
+    j = (
+        cands.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")),
+            "id_b",
+        )
+    )
+    per = j.select(
+        F.expr(
+            f"({int(scale)} * size(filter(zip_with(sig_a, sig_b,"
+            f" (x, y) -> x = y), b -> b))) DIV {int(num_hashes)}"
+        )
+        .cast("long")
+        .alias("est_fp"),
+        F.expr(
+            f"({int(scale)} * size(array_intersect(sh_a, sh_b)))"
+            f" DIV size(array_union(sh_a, sh_b))"
+        )
+        .cast("long")
+        .alias("j_fp"),
+    )
+    bucket_w = int(scale) // 10
+    return (
+        per.groupBy(
+            F.expr(f"est_fp DIV {bucket_w}").cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(est_fp) DIV count(1)").cast("long").alias("mean_est_fp"),
+            F.expr("sum(j_fp) DIV count(1)").cast("long").alias("mean_jacc_fp"),
+            F.expr("sum(abs(est_fp - j_fp)) DIV count(1)")
+            .cast("long")
+            .alias("mean_abs_err_fp"),
+        )
+        .orderBy("bucket")
+    )

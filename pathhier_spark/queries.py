@@ -9131,6 +9131,74 @@ LIMIT {_BURST_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q152 — MinHash sketch calibration (operators/dedup.minhash_calibration):
+# per LSH candidate pair, the signature-agreement estimate vs the exact
+# shingle Jaccard, bucketed by estimate decile — measures how far the
+# 16-permutation sketch is off on THIS corpus (prices q11's verify
+# stage). All-integer: micro-unit estimates/exacts, integer-sum DIV
+# count means; the q46 lesson applied (every oracle sum cast ::bigint).
+# ---------------------------------------------------------------------------
+
+
+def q152_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(
+        _docs(spark, sf_dir),
+        num_hashes=_LSH_BANDS * _LSH_ROWS,
+        shingle_k=_SHINGLE_K,
+        bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+        max_bucket_size=50,
+    )
+
+
+def _q152_sql() -> str:
+    nh = _LSH_BANDS * _LSH_ROWS
+    return _sql_shingles().rstrip() + f""",
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+  FROM sh, range(0, {nh}) s(seed) GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // {_LSH_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+  FROM mh GROUP BY doc_id, seed // {_LSH_ROWS}
+), sized AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= 50
+), small AS (
+  SELECT b.* FROM banded b JOIN sized USING (band, bucket)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM small a JOIN small b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), agree AS (
+  SELECT p.id_a, p.id_b,
+         (count(*) FILTER (WHERE a.mh = b.mh))::bigint AS agree
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.id_a
+  JOIN mh b ON b.doc_id = p.id_b AND b.seed = a.seed
+  GROUP BY p.id_a, p.id_b
+), shs AS (
+  SELECT doc_id, list(DISTINCT sh) AS shset FROM sh GROUP BY doc_id
+), per AS (
+  SELECT ((1000000 * g.agree) // {nh})::bigint AS est_fp,
+         ((1000000 * len(list_intersect(x.shset, y.shset)))
+          // len(list_distinct(list_concat(x.shset, y.shset))))::bigint
+           AS j_fp
+  FROM agree g
+  JOIN shs x ON g.id_a = x.doc_id
+  JOIN shs y ON g.id_b = y.doc_id
+)
+SELECT (est_fp // 100000)::int AS bucket, count(*)::bigint AS n_pairs,
+       (sum(est_fp) // count(*))::bigint AS mean_est_fp,
+       (sum(j_fp) // count(*))::bigint AS mean_jacc_fp,
+       (sum(abs(est_fp - j_fp)) // count(*))::bigint AS mean_abs_err_fp
+FROM per GROUP BY bucket ORDER BY bucket
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9284,6 +9352,7 @@ def queries():
         "q149_snake_shards": q149_snake_shards,
         "q150_adamic_adar": q150_adamic_adar,
         "q151_burstiness": q151_burstiness,
+        "q152_minhash_calibration": q152_minhash_calibration,
     }
 
 
@@ -9440,4 +9509,5 @@ def oracle_sql():
         "q149_snake_shards": _q149_sql(),
         "q150_adamic_adar": _q150_sql(),
         "q151_burstiness": _q151_sql(),
+        "q152_minhash_calibration": _q152_sql(),
     }

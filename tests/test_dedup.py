@@ -400,3 +400,48 @@ def test_template_concentration_all_identical(spark):
         1, 5, 1000000,
     )
     assert r["template_share"] == 1.0
+
+
+# --- MinHash sketch calibration (q152, round 5) ---
+
+def test_minhash_calibration_identical_docs(spark):
+    from pathhier_spark.operators.dedup import minhash_calibration
+
+    # two identical docs: estimate = exact = 1.0 -> bucket 10, zero error
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = minhash_calibration(docs, num_hashes=16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bucket"], r["n_pairs"]) == (10, 1)
+    assert r["mean_est_fp"] == 1000000
+    assert r["mean_jacc_fp"] == 1000000
+    assert r["mean_abs_err_fp"] == 0
+
+
+def test_minhash_calibration_partial_overlap_bounds(spark):
+    from pathhier_spark.operators.dedup import minhash_calibration
+
+    # overlapping docs: whatever decile the estimate lands in, the exact
+    # micro-jaccard must be the true value and the error consistent
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_calibration(
+        docs, num_hashes=16, shingle_k=3
+    ).collect()
+    if rows:  # pair surfaces only if some band collides
+        r = rows[0]
+        # shingles: 6 each, intersection 4 ('a b c','b c d','c d e','d e f')
+        # union 8 -> exact 500000
+        assert r["mean_jacc_fp"] == 500000
+        assert (
+            r["mean_abs_err_fp"]
+            == abs(r["mean_est_fp"] - r["mean_jacc_fp"])
+        )
