@@ -1929,3 +1929,98 @@ def adamic_adar_links(
     return cand.select(
         "a", "b", "common", (F.round(aa, 6) + F.lit(0.0)).alias("adamic_adar")
     )
+
+
+def simrank_pairs(
+    edges: DataFrame,
+    pairs: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    c_num: int = 4,
+    c_den: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-iteration SimRank (Jeh-Widom) for a chosen pair set, in exact
+    integer arithmetic: "two nodes are similar if their neighbors are
+    similar". With s0 = identity the recursion closes in rationals —
+      s1(i,j) = C·|N(i)∩N(j)| / (d_i·d_j)
+      s2(a,b) = C/(d_a·d_b) · Σ_{i∈N(a), j∈N(b)} s1(i,j)
+    so with C = c_num/c_den both levels are integer multiplies + one
+    floor DIV (micro-units), and the Σ is an int64 sum — order-free,
+    no float ever aggregates (the q51 fixed-point discipline applied to
+    a pairwise measure). s_k(x,x) = scale by definition (identity).
+
+    Scale shape: the honest cost is the neighbor-pair expansion —
+    Σ over query pairs of d_a·d_b rows — so the PAIR SET is the lever
+    (seeded subset, the q142 pattern), not the corpus; common-neighbor
+    counts come from the q99 wedge machinery (one combiner groupBy),
+    s1 lookups are two equi-joins, and the final Σ is one combiner sum
+    per query pair. Undirected semantics (neighbors of the canonical
+    simple graph). Output: (a, b, s2_fp, s2 round-6) for pairs whose
+    both endpoints have neighbors; s2 of an adjacent-or-not pair alike
+    (SimRank does not exclude existing edges)."""
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") < F.col("v")).distinct().localCheckpoint(eager=True)
+    adj = und.select(
+        F.col("u").alias("w"), F.col("v").alias("n")
+    ).union(und.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # common-neighbor counts for UNORDERED node pairs (x < y)
+    common = (
+        adj.alias("p")
+        .join(adj.alias("q"), "w")
+        .filter(F.col("p.n") < F.col("q.n"))
+        .select(F.col("p.n").alias("x"), F.col("q.n").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cm"))
+        .localCheckpoint(eager=True)
+    )
+    # expand query pairs to neighbor pairs (i from N(a), j from N(b))
+    exp = (
+        pairs.join(adj.select(F.col("w").alias("a"), F.col("n").alias("i")), "a")
+        .join(adj.select(F.col("w").alias("b"), F.col("n").alias("j")), "b")
+    )
+    keyed = exp.select(
+        "a", "b",
+        F.least("i", "j").alias("x"), F.greatest("i", "j").alias("y"),
+        (F.col("i") == F.col("j")).alias("same"),
+    )
+    with_s1 = (
+        keyed.join(common, ["x", "y"], "left")
+        .join(deg.select(F.col("w").alias("x"), F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("w").alias("y"), F.col("deg").alias("dy")), "y")
+        .select(
+            "a", "b",
+            F.when(F.col("same"), F.lit(int(scale)).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"({c_num} * {int(scale)} * coalesce(cm, 0))"
+                    f" DIV ({c_den} * dx * dy)"
+                ).cast("long")
+            )
+            .alias("s1_fp"),
+        )
+    )
+    sums = with_s1.groupBy("a", "b").agg(
+        F.sum("s1_fp").cast("long").alias("s1_sum")
+    )
+    out = (
+        sums.join(deg.select(F.col("w").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("w").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.expr(f"({c_num} * s1_sum) DIV ({c_den} * da * db)")
+            .cast("long")
+            .alias("s2_fp"),
+        )
+    )
+    return out.select(
+        "a", "b", "s2_fp",
+        (
+            F.round(F.col("s2_fp").cast("double") / F.lit(float(scale)), 6)
+            + F.lit(0.0)
+        ).alias("s2"),
+    )

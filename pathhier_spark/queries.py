@@ -9199,6 +9199,96 @@ FROM per GROUP BY bucket ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Q153 — two-iteration SimRank for seeded pairs (operators/graph.
+# simrank_pairs): "similar if your neighbors are similar", closed in
+# exact integer rationals (C = 4/5; s1 from wedge counts, s2 one int64
+# Σ + floor DIV) — the q51 fixed-point discipline applied to a pairwise
+# structural measure. Pair set = the q142 md5-seeded subset (the cost
+# lever: neighbor-pair expansion is Σ d_a·d_b over QUERY pairs only).
+# ---------------------------------------------------------------------------
+
+
+def q153_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import simrank_pairs
+
+    docs = _docs(spark, sf_dir)
+    tr = extract_token_triples(docs, TRIGGERS).select(
+        F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+    ).filter(F.col("u") < F.col("v")).distinct()
+    nodes = (
+        tr.select(F.col("u").alias("node"))
+        .union(tr.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.substring(F.md5("node"), 1, 1).isin(list("01234567"))
+    )
+    qpairs = (
+        seeds.select(F.col("node").alias("a"))
+        .crossJoin(F.broadcast(seeds.select(F.col("node").alias("b"))))
+        .filter(F.col("a") < F.col("b"))
+    )
+    return simrank_pairs(tr, qpairs, src="u", dst="v").orderBy("a", "b")
+
+
+def _q153_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), adj AS MATERIALIZED (
+  SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e
+), deg AS MATERIALIZED (
+  SELECT w, count(*)::bigint AS deg FROM adj GROUP BY w
+), nodes AS (
+  SELECT DISTINCT w AS node FROM adj
+), seeds AS (
+  SELECT node FROM nodes
+  WHERE substr(md5(node), 1, 1) IN ('0','1','2','3','4','5','6','7')
+), qp AS (
+  SELECT x.node AS a, y.node AS b
+  FROM seeds x JOIN seeds y ON x.node < y.node
+), common AS MATERIALIZED (
+  SELECT p.n AS x, q.n AS y, count(*)::bigint AS cm
+  FROM adj p JOIN adj q ON p.w = q.w AND p.n < q.n
+  GROUP BY p.n, q.n
+), s1 AS (
+  SELECT qp.a, qp.b,
+         CASE WHEN ai.n = bj.n THEN 1000000::bigint
+              ELSE ((4 * 1000000 * coalesce(c.cm, 0))
+                    // (5 * dx.deg * dy.deg))::bigint
+         END AS s1_fp
+  FROM qp
+  JOIN adj ai ON ai.w = qp.a
+  JOIN adj bj ON bj.w = qp.b
+  LEFT JOIN common c
+    ON c.x = least(ai.n, bj.n) AND c.y = greatest(ai.n, bj.n)
+  JOIN deg dx ON dx.w = least(ai.n, bj.n)
+  JOIN deg dy ON dy.w = greatest(ai.n, bj.n)
+), sums AS (
+  SELECT a, b, sum(s1_fp)::bigint AS s1_sum FROM s1 GROUP BY a, b
+)
+SELECT s.a, s.b,
+       ((4 * s.s1_sum) // (5 * da.deg * db.deg))::bigint AS s2_fp,
+       (round((((4 * s.s1_sum) // (5 * da.deg * db.deg))::bigint)::double
+              / 1000000.0, 6) + 0.0) AS s2
+FROM sums s
+JOIN deg da ON da.w = s.a
+JOIN deg db ON db.w = s.b
+ORDER BY s.a, s.b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9353,6 +9443,7 @@ def queries():
         "q150_adamic_adar": q150_adamic_adar,
         "q151_burstiness": q151_burstiness,
         "q152_minhash_calibration": q152_minhash_calibration,
+        "q153_simrank": q153_simrank,
     }
 
 
@@ -9510,4 +9601,5 @@ def oracle_sql():
         "q150_adamic_adar": _q150_sql(),
         "q151_burstiness": _q151_sql(),
         "q152_minhash_calibration": _q152_sql(),
+        "q153_simrank": _q153_sql(),
     }

@@ -1071,3 +1071,47 @@ def test_adamic_adar_excludes_existing_edges(spark):
         [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
     )
     assert adamic_adar_links(edges, min_common=1).count() == 0
+
+
+# --- two-iteration SimRank (q153, round 5) ---
+
+def test_simrank_square_hand_case(spark):
+    from pathhier_spark.operators.graph import simrank_pairs
+
+    # 4-cycle a-b-c-d-a: classic SimRank with C=0.8 gives
+    # s2(a,c) = 0.2*(1 + 0.4 + 0.4 + 1) = 0.56
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    qpairs = spark.createDataFrame(
+        [("a", "c"), ("b", "d"), ("a", "b")], "a string, b string"
+    )
+    got = {(r["a"], r["b"]): r["s2_fp"]
+           for r in simrank_pairs(edges, qpairs).collect()}
+    assert got[("a", "c")] == 560000
+    assert got[("b", "d")] == 560000
+    # adjacent pair a-b: N(a)={b,d}, N(b)={a,c};
+    # s1(a,b)=s1(a,c)... all four neighbor pairs are distinct nodes with
+    # common counts: (b,a):cm? |N(b)∩N(a)| = 0 (N(b)={a,c}, N(a)={b,d})
+    # -> s1 terms: (b,a)=0, (b,c): |{a,c}∩{b,d}|=0 -> 0, (d,a): 0,
+    # (d,c): 0 -> s2(a,b) = 0
+    assert got[("a", "b")] == 0
+
+
+def test_simrank_shared_neighbor_beats_distant(spark):
+    from pathhier_spark.operators.graph import simrank_pairs
+
+    # star: x and y both hang off hub h; z hangs off a different hub g
+    edges = spark.createDataFrame(
+        [("x", "h"), ("y", "h"), ("z", "g"), ("g", "h")],
+        "src string, dst string",
+    )
+    qpairs = spark.createDataFrame(
+        [("x", "y"), ("x", "z")], "a string, b string"
+    )
+    got = {(r["a"], r["b"]): r["s2_fp"]
+           for r in simrank_pairs(edges, qpairs).collect()}
+    # x,y share the hub: s2 = C/(1*1) * s1(h,h) = 0.8
+    assert got[("x", "y")] == 800000
+    assert got[("x", "z")] < got[("x", "y")]
