@@ -9289,6 +9289,68 @@ ORDER BY s.a, s.b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q154 — embedding dimension health profile: per-dimension moments of the
+# 1e6-quantized components (the q24/q36 _quantized discipline) — exact
+# int64 sum/sumsq per dim, then the q110/q132 finish: ONE fixed-shape
+# double expression for mean/variance. Flags collapsed dimensions
+# (var ~0) and offset dimensions (|mean| >> 0) — the anisotropy that
+# breaks cosine ANN before any index does. Bound: Σq² per dim < 2^63
+# (|x| <= 1 at 1e6 quantization allows ~9e6 vectors per dim partition;
+# shrink the quantization scale for larger corpora).
+# ---------------------------------------------------------------------------
+
+
+def q154_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * 1000000)
+            )
+        ).alias("dim", "q")
+    )
+    per = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+    )
+    n, s, ss = (F.col(c).cast("double") for c in ("n", "s", "ss"))
+    return per.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        (F.round(s / n / F.lit(1000000.0), 6) + F.lit(0.0)).alias("mean_v"),
+        (
+            F.round(
+                (n * ss - s * s) / (n * n) / F.lit(1e12), 6
+            )
+            + F.lit(0.0)
+        ).alias("var_v"),
+        "min_q",
+        "max_q",
+    ).orderBy("dim")
+
+
+_Q154_SQL = """
+SELECT (i - 1)::int AS dim, count(*)::bigint AS n,
+       (round(sum(q)::double / count(*)::double / 1000000.0, 6) + 0.0)
+         AS mean_v,
+       (round((count(*)::double * sum(q * q)::double
+               - sum(q)::double * sum(q)::double)
+              / (count(*)::double * count(*)::double) / 1e12, 6) + 0.0)
+         AS var_v,
+       min(q)::bigint AS min_q, max(q)::bigint AS max_q
+FROM (
+  SELECT floor(unnest(embedding)::double * 1000000)::bigint AS q,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+GROUP BY i ORDER BY dim
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9444,6 +9506,7 @@ def queries():
         "q151_burstiness": q151_burstiness,
         "q152_minhash_calibration": q152_minhash_calibration,
         "q153_simrank": q153_simrank,
+        "q154_embedding_profile": q154_embedding_profile,
     }
 
 
@@ -9602,4 +9665,5 @@ def oracle_sql():
         "q151_burstiness": _q151_sql(),
         "q152_minhash_calibration": _q152_sql(),
         "q153_simrank": _q153_sql(),
+        "q154_embedding_profile": _Q154_SQL,
     }

@@ -227,3 +227,29 @@ def test_semantic_dedup_empty_corpus(spark):
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "cell", "cdist_fp", "is_dropped",
     ]
+
+
+# --- embedding dimension health profile (q154, round 5) ---
+
+def test_embedding_profile_hand_case(spark, tmp_path):
+    from pathhier_spark.queries import q154_embedding_profile
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, 0.0]),
+            (2, [1.0, -0.5, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "embeddings.parquet")
+    emb.write.parquet(p)
+    # q154 reads <sf_dir>/embeddings.parquet
+    rows = q154_embedding_profile(spark, str(tmp_path)).collect()
+    got = {r["dim"]: (r["mean_v"], r["var_v"], r["min_q"], r["max_q"])
+           for r in rows}
+    # dim 0: constant 1.0 -> collapsed (var 0)
+    assert got[0] == (1.0, 0.0, 1000000, 1000000)
+    # dim 1: +-0.5 -> mean 0, var 0.25
+    assert got[1] == (0.0, 0.25, -500000, 500000)
+    # dim 2: all zero
+    assert got[2] == (0.0, 0.0, 0, 0)
