@@ -1718,3 +1718,69 @@ def token_burstiness(
         .orderBy(F.desc("vmr_fp"), "tok")
         .limit(top)
     )
+
+
+def char_entropy_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy — the gibberish / binary-noise
+    / low-diversity detector of the Gopher-family quality stack (encoding
+    mojibake, base64 blobs, and key-mash pages sit far from natural-language
+    entropy in BOTH directions: repeated-char spam near 0, uniform noise
+    near ln(alphabet)). Complements with_quality_features (token-level) and
+    ngram_repetition (phrase-level) with the character-level signal.
+
+    Map-only: chars, distinct set, and per-char counts are higher-order
+    column expressions over each row (no explode, no shuffle — O(L·D) work
+    per row stays inside whole-stage codegen), so it runs at scan speed
+    over a 100 TB corpus like every other per-doc operator here.
+
+    Determinism: entropy = ln(L) − (Σ c·ln c)/L where c are integer
+    per-char counts; the Σ folds the c·ln(c) terms in SORTED-character
+    order from an identical 0.0 seed on both engines (the q44/q92
+    ordered-fold discipline — no shuffled float sums), finished with the
+    fixed round-6 + 0.0 shape. Empty text → NULL entropy (honest-NULL
+    discipline). Output: (id, n_chars, n_distinct, char_entropy), one row
+    per input row.
+    """
+    length = F.length(F.col(text_col))
+    chars = F.when(
+        length > 0,
+        F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.col(text_col).substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    step = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_chars", chars)
+        .withColumn("_ds", F.array_sort(F.array_distinct("_chars")))
+        .withColumn(
+            "_cnts",
+            F.transform(
+                "_ds",
+                lambda d: F.size(
+                    F.filter("_chars", lambda x: x == d)
+                ).cast("double"),
+            ),
+        )
+    )
+    s = F.aggregate(
+        F.transform("_cnts", lambda c: c * F.log(c)),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    ent = F.when(
+        length > 0,
+        F.round(F.log(length.cast("double")) - s / length.cast("double"), 6)
+        + F.lit(0.0),
+    ).otherwise(F.lit(None).cast("double"))
+    return step.select(
+        F.col(id_col),
+        length.cast("long").alias("n_chars"),
+        F.size("_ds").alias("n_distinct"),
+        ent.alias("char_entropy"),
+    )

@@ -32,6 +32,7 @@ from pathhier_spark.operators.extract import extract_token_triples
 from pathhier_spark.operators.linking import candidate_pairs
 from pathhier_spark.operators.similarity import brute_force_topk
 from pathhier_spark.operators.textstats import (
+    char_entropy_profile,
     with_lang_id,
     with_quality_features,
     with_token_counts,
@@ -9351,6 +9352,55 @@ GROUP BY i ORDER BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# Q155 — per-document character entropy: the Gopher-family gibberish /
+# binary-noise / repeated-char-spam signal at the CHARACTER level
+# (complements q14's token-level quality features and q38's phrase-level
+# repetition). Map-only higher-order column expressions — no explode, no
+# shuffle; the Σ c·ln(c) term folds in sorted-character order from a 0.0
+# seed on both engines (q44/q92 ordered-fold discipline), round-6 finish,
+# NULL on empty text. Oracle needs list_transform/list_filter/list_reduce
+# (DuckDB >= 0.8; list_prepend seeds the fold identically to Spark's
+# aggregate(…, 0.0)).
+# ---------------------------------------------------------------------------
+
+
+def q155_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return char_entropy_profile(docs).orderBy("doc_id")
+
+
+_Q155_SQL = """
+WITH c AS (
+  SELECT doc_id, length(text)::bigint AS n_chars,
+         CASE WHEN length(text) > 0 THEN
+           list_transform(generate_series(1, length(text)),
+                          i -> substr(text, i, 1))
+         ELSE []::varchar[] END AS chars
+  FROM documents
+), d AS (
+  SELECT doc_id, n_chars, chars,
+         list_sort(list_distinct(chars)) AS ds
+  FROM c
+), e AS (
+  SELECT doc_id, n_chars, len(ds)::int AS n_distinct,
+         list_transform(ds, d2 ->
+           len(list_filter(chars, x -> x = d2))::double) AS cnts
+  FROM d
+)
+SELECT doc_id, n_chars, n_distinct,
+       CASE WHEN n_chars > 0 THEN
+         (round(ln(n_chars::double)
+                - list_reduce(
+                    list_prepend(0.0::double,
+                                 list_transform(cnts, cc -> cc * ln(cc))),
+                    (a, b) -> a + b) / n_chars::double, 6) + 0.0)
+       ELSE NULL END AS char_entropy
+FROM e
+ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9507,6 +9557,7 @@ def queries():
         "q152_minhash_calibration": q152_minhash_calibration,
         "q153_simrank": q153_simrank,
         "q154_embedding_profile": q154_embedding_profile,
+        "q155_char_entropy": q155_char_entropy,
     }
 
 
@@ -9666,4 +9717,5 @@ def oracle_sql():
         "q152_minhash_calibration": _q152_sql(),
         "q153_simrank": _q153_sql(),
         "q154_embedding_profile": _Q154_SQL,
+        "q155_char_entropy": _Q155_SQL,
     }
