@@ -144,6 +144,26 @@ def domain_stats(
 
 HREF_RE = r'href="([^"]*)"'
 
+# full <a ...>text</a> elements; group 1 = href, group 2 = inner text
+# (nested-markup anchors fall outside [^<]* and are skipped — the same
+# minimal-resolution stance as anchor_host_edges's href rules)
+ANCHOR_RE = r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def _resolve_dst_host(href, src_host):
+    """Shared href→host resolution (anchor_host_edges semantics, pinned in
+    tests/test_web_profile_ops.py): absolute → its host; protocol-relative
+    → that host lowercased, port stripped; path-relative → the source
+    host."""
+    return (
+        F.when(F.regexp_extract(href, _SCHEME_RE, 1) != "", url_host(href))
+        .when(
+            href.startswith("//"),
+            F.lower(F.regexp_extract(href, r"^//([^:/?#]*)", 1)),
+        )
+        .otherwise(src_host)
+    )
+
 
 def anchor_host_edges(
     df: DataFrame,
@@ -183,20 +203,9 @@ def anchor_host_edges(
     exploded = df.select(
         src.alias("src_host"), F.explode(hrefs).alias("href")
     ).where(F.col("href") != "")
-    dst = (
-        F.when(
-            F.regexp_extract(F.col("href"), _SCHEME_RE, 1) != "",
-            url_host(F.col("href")),
-        )
-        .when(
-            F.col("href").startswith("//"),
-            F.lower(F.regexp_extract(F.col("href"), r"^//([^:/?#]*)", 1)),
-        )
-        .otherwise(F.col("src_host"))
-    )
     edges = exploded.select(
         "src_host",
-        dst.alias("dst_host"),
+        _resolve_dst_host(F.col("href"), F.col("src_host")).alias("dst_host"),
     ).where(F.col("dst_host") != "")
     return (
         edges.groupBy("src_host", "dst_host")
@@ -295,4 +304,76 @@ def url_prefix_filter(
         url_col,
         F.col("win.prefix").alias("matched_prefix"),
         F.coalesce(F.col("win.allow"), F.lit(1)).alias("allowed"),
+    )
+
+
+def anchor_text_dictionary(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    top: int = 5,
+    min_refs: int = 1,
+) -> DataFrame:
+    """Anchor-text dictionary: the top external anchor phrases pointing at
+    each host — "what the rest of the web calls this entity", the classic
+    web-KG naming signal (anchor text has powered entity-name dictionaries
+    since early search engines; it is exactly the kind of name/synonym
+    evidence the reference's ontology dictionary supplies from curated
+    databases, here mined from the crawl itself). Feeds the linking stage
+    as extra alias rows per target host.
+
+    Per ``ANCHOR_RE`` anchor: href resolves through the SAME rules as
+    anchor_host_edges (shared ``_resolve_dst_host``); the inner text is
+    normalized (lowercase, whitespace collapsed, trimmed). Only EXTERNAL
+    anchors count (dst_host != src_host) — self-descriptions are navigation
+    boilerplate, third-party descriptions are names; empty phrases and
+    empty hrefs are dropped.
+
+    Scale shape: extraction is regexp_extract_all + explode (map-only);
+    the (dst_host, phrase) count is one combiner-friendly groupBy; the
+    per-host top-k is a row_number window over the COUNT table (one
+    shuffle on dst_host, never corpus rows). Hub hosts with millions of
+    distinct singleton phrases are the skew case: ``min_refs`` prunes
+    phrases below the threshold BEFORE the window (map-side, after the
+    combiner), which is the lever at crawl scale — a phrase seen once is
+    not a name. Output: (dst_host, phrase, n_refs, rnk), rnk 1..top by
+    (n_refs DESC, phrase ASC) — a deterministic total order per host.
+    """
+    src = url_host(F.col(url_col))
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0))
+    exploded = df.select(
+        src.alias("src_host"), F.explode(anchors).alias("m")
+    ).select(
+        "src_host",
+        F.regexp_extract(F.col("m"), ANCHOR_RE, 1).alias("href"),
+        F.trim(
+            F.lower(
+                F.regexp_replace(
+                    F.regexp_extract(F.col("m"), ANCHOR_RE, 2),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("phrase"),
+    ).where((F.col("href") != "") & (F.col("phrase") != ""))
+    ext = exploded.select(
+        _resolve_dst_host(F.col("href"), F.col("src_host")).alias("dst_host"),
+        "src_host",
+        "phrase",
+    ).where(
+        (F.col("dst_host") != "") & (F.col("dst_host") != F.col("src_host"))
+    )
+    counts = (
+        ext.groupBy("dst_host", "phrase")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .filter(F.col("n_refs") >= F.lit(int(min_refs)))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_refs"), F.asc("phrase")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.lit(int(top)))
+        .select("dst_host", "phrase", "n_refs", "rnk")
     )

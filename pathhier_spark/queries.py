@@ -9401,6 +9401,119 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q156 — anchor-text dictionary (operators/urls.anchor_text_dictionary):
+# top external anchor phrases per target host, the web-KG naming signal
+# ("what the rest of the web calls this entity") that feeds the linking
+# dictionary as crawl-mined alias rows. Deterministic pages extend q88's
+# generator with VARYING anchor texts: a per-doc "Widget  N" phrase
+# (doubled space exercises whitespace collapse; mixed case exercises
+# lowering), every 3rd doc adds a "Click HERE" repeat phrase, every
+# 4k+1 doc an internal anchor (excluded), every 5k+2 doc an empty-text
+# anchor (dropped). The oracle re-parses the html with the same anchor
+# regex — extraction, normalization, external-only filter, and the
+# per-host (n_refs DESC, phrase ASC) row_number top-k are all replayed.
+# DuckDB feature req: regexp_extract_all with group 0 + regexp_replace
+# 'g' flag (core; Spark's regexp_replace is global by default).
+# ---------------------------------------------------------------------------
+
+
+def q156_anchor_text_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.urls import anchor_text_dictionary
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    a1 = F.concat(
+        F.lit('<a href="https://h'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/item" class="x">Widget  '),
+        (F.col("doc_id") % 5).cast("string"), F.lit("</a>"),
+    )
+    extra = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="https://h'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('.example.org/item">Click HERE</a>'),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit('<a href="/self">Self Nav</a>'))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit('<a href="https://h'),
+                ((F.col("doc_id") * 2) % 7).cast("string"),
+                F.lit('.example.org/x"></a>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"), a1, extra,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return anchor_text_dictionary(pages, top=5).orderBy("dst_host", "rnk")
+
+
+def _q156_sql() -> str:
+    anchor_re = r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    return r"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/p/' || (doc_id % 10)::varchar
+           AS url,
+         '<html><body><p>' || text || '</p>'
+         || '<a href="https://h' || (doc_id % 7)::varchar
+         || '.example.org/item" class="x">Widget  '
+         || (doc_id % 5)::varchar || '</a>'
+         || CASE WHEN doc_id % 3 = 0 THEN '<a href="https://h'
+                      || (doc_id % 7)::varchar
+                      || '.example.org/item">Click HERE</a>'
+                 WHEN doc_id % 4 = 1 THEN '<a href="/self">Self Nav</a>'
+                 WHEN doc_id % 5 = 2 THEN '<a href="https://h'
+                      || ((doc_id * 2) % 7)::varchar
+                      || '.example.org/x"></a>'
+                 ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+), anchors AS (
+  SELECT lower(regexp_extract(regexp_replace(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^:/?#]*)', 1)) AS src_host,
+         unnest(regexp_extract_all(html, '{A_RE}', 0)) AS m
+  FROM pages
+), parsed AS (
+  SELECT src_host,
+         regexp_extract(m, '{A_RE}', 1) AS href,
+         trim(lower(regexp_replace(regexp_extract(m, '{A_RE}', 2),
+                                   '\s+', ' ', 'g'))) AS phrase
+  FROM anchors
+), resolved AS (
+  SELECT CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+              THEN lower(regexp_extract(regexp_replace(href,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^:/?#]*)', 1))
+              WHEN href LIKE '//%'
+              THEN lower(regexp_extract(href, '^//([^:/?#]*)', 1))
+              ELSE src_host END AS dst_host,
+         src_host, phrase
+  FROM parsed WHERE href <> '' AND phrase <> ''
+), counts AS (
+  SELECT dst_host, phrase, count(*) AS n_refs
+  FROM resolved WHERE dst_host <> '' AND dst_host <> src_host
+  GROUP BY dst_host, phrase
+), ranked AS (
+  SELECT dst_host, phrase, n_refs,
+         row_number() OVER (PARTITION BY dst_host
+                            ORDER BY n_refs DESC, phrase ASC)::int AS rnk
+  FROM counts
+)
+SELECT dst_host, phrase, n_refs, rnk FROM ranked WHERE rnk <= 5
+ORDER BY dst_host, rnk
+""".replace("{A_RE}", anchor_re)
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9558,6 +9671,7 @@ def queries():
         "q153_simrank": q153_simrank,
         "q154_embedding_profile": q154_embedding_profile,
         "q155_char_entropy": q155_char_entropy,
+        "q156_anchor_text_dict": q156_anchor_text_dict,
     }
 
 
@@ -9718,4 +9832,5 @@ def oracle_sql():
         "q153_simrank": _q153_sql(),
         "q154_embedding_profile": _Q154_SQL,
         "q155_char_entropy": _Q155_SQL,
+        "q156_anchor_text_dict": _q156_sql(),
     }

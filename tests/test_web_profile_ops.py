@@ -269,3 +269,49 @@ def test_source_diversity_hand_computed(spark):
     r2 = got["s2"]
     assert (r2["n_labels"], r2["entropy"], r2["effective_labels"]) == (1, 0.0, 1.0)
     assert r2["top_share"] == 1.0
+
+
+# ------------------------- anchor_text_dictionary -------------------------
+
+
+def test_anchor_text_dictionary_normalize_and_filters(spark):
+    from pathhier_spark.operators.urls import anchor_text_dictionary
+
+    pages = _pages(spark, [
+        (
+            "https://src.example.com/p",
+            '<a href="https://T.example.org/a">  Widget\t ONE </a>'   # case+ws
+            '<a href="https://t.example.org/b">widget one</a>'        # same phrase
+            '<a href="/nav">Self Nav</a>'                              # internal
+            '<a href="https://t.example.org/c"></a>'                   # empty text
+            '<a href="//t.example.org:443/d">proto rel</a>',           # proto-rel
+        ),
+    ])
+    got = {
+        (r["dst_host"], r["phrase"]): (r["n_refs"], r["rnk"])
+        for r in anchor_text_dictionary(pages).collect()
+    }
+    # normalization folds both widget anchors into one phrase with count 2
+    assert got == {
+        ("t.example.org", "widget one"): (2, 1),
+        ("t.example.org", "proto rel"): (1, 2),
+    }
+
+
+def test_anchor_text_dictionary_topk_tiebreak_and_min_refs(spark):
+    from pathhier_spark.operators.urls import anchor_text_dictionary
+
+    html = (
+        '<a href="https://d.example.org/1">bb</a>'
+        '<a href="https://d.example.org/2">aa</a>'
+        '<a href="https://d.example.org/3">cc</a>'
+        '<a href="https://d.example.org/4">cc</a>'
+    )
+    pages = _pages(spark, [("https://s.example.com/p", html)])
+    rows = anchor_text_dictionary(pages, top=2).orderBy("rnk").collect()
+    # cc (2 refs) first; aa beats bb lexicographically at equal counts
+    assert [(r["phrase"], r["n_refs"], r["rnk"]) for r in rows] == [
+        ("cc", 2, 1), ("aa", 1, 2),
+    ]
+    pruned = anchor_text_dictionary(pages, min_refs=2).collect()
+    assert [(r["phrase"], r["n_refs"]) for r in pruned] == [("cc", 2)]
