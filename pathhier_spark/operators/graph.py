@@ -2024,3 +2024,234 @@ def simrank_pairs(
             + F.lit(0.0)
         ).alias("s2"),
     )
+
+
+def scc_colored(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    fb_rounds: int = 8,
+    trim_rounds: int = 6,
+    peels: int = 3,
+    strict: bool = True,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the web-graph
+    bow-tie primitive (Broder et al. 2000) the undirected CC kernel
+    (canonicalize.py) cannot express: a crawl's link graph decomposes
+    into the giant SCC core plus IN/OUT/tendrils, and redirect loops,
+    template rings, and mutually-citing host cliques are all SCCs.
+
+    Algorithm: the FW-BW-Trim family (Slota et al. 2014; the multi-pivot
+    "coloring" variant of Orzan's SCC) expressed as fixed-round DataFrame
+    propagations — no per-row Python anywhere:
+
+      per peel over the unassigned subgraph:
+        1. TRIM: nodes with in-degree 0 or out-degree 0 in the live
+           subgraph cannot sit on a cycle there, and every un-assigned
+           SCC is wholly inside the live subgraph, so such nodes are
+           singleton SCCs — assign scc_id = self, drop, repeat. This
+           peels the DAG portion (chains/tendrils) in depth rounds of
+           one degree-aggregate + one semi-join each, which min-label
+           peeling alone would need one FULL peel per chain hop to clear.
+        2. FW/BW min-label: F(v) = min node id that reaches v, B(v) =
+           min node id v reaches, each by `fb_rounds` rounds of
+           min-combiner propagation over the edge set. Reach-in and
+           reach-out sets are constant across an SCC, so F and B are
+           SCC-constant, and F(v) = B(v) = m certifies v ∈ SCC(m)
+           (m reaches v AND v reaches m). All SCCs whose reach-in /
+           reach-out contain no smaller external node resolve in this
+           peel — the globally smallest live node's SCC always does,
+           so every peel retires at least one SCC.
+
+    Scale shape: every step is an equi-join + min/count combiner
+    aggregate on (node) — the q18/q51 bucketed-join shape; labels are
+    int64 node ids (16-byte shuffle rows); each round eagerly
+    localCheckpoints to keep lineage flat (canonicalize.py:120
+    discipline). fb_rounds bounds label propagation DISTANCE, so it
+    needs only the live subgraph's diameter, not its size; peels is the
+    FW-BW recursion depth, log-ish in practice on web graphs.
+
+    strict=True raises if nodes remain unassigned after `peels` peels
+    (the q74/q147 convergence-assert discipline); strict=False labels
+    the stragglers scc_id = NULL so callers can route them to another
+    peel.
+
+    Output: (node, scc_id, scc_size), one row per distinct endpoint.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("s").alias("node"))
+        .union(e0.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # typed like the caller's node ids (long for the gate graph, but any
+    # orderable key works — min-label only needs a total order)
+    assigned = nodes.select(
+        "node", F.col("node").alias("scc_id")
+    ).limit(0).localCheckpoint(eager=True)
+    live_n, live_e = nodes, e0
+
+    for _ in range(peels):
+        # -- 1. trim: iteratively retire source/sink nodes as singletons
+        for _ in range(trim_rounds):
+            indeg = live_e.groupBy(F.col("d").alias("node")).agg(
+                F.count(F.lit(1)).alias("ind")
+            )
+            outdeg = live_e.groupBy(F.col("s").alias("node")).agg(
+                F.count(F.lit(1)).alias("outd")
+            )
+            degs = (
+                live_n.join(indeg, "node", "left")
+                .join(outdeg, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.col("ind").isNull() | F.col("outd").isNull()
+                    ).alias("trivial"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            triv = degs.filter("trivial").select("node")
+            if triv.limit(1).count() == 0:
+                break
+            assigned = assigned.union(
+                triv.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint(eager=True)
+            live_n = degs.filter(~F.col("trivial")).select(
+                "node"
+            ).localCheckpoint(eager=True)
+            live_e = (
+                live_e.join(
+                    live_n.select(F.col("node").alias("s")), "s", "left_semi"
+                )
+                .join(
+                    live_n.select(F.col("node").alias("d")), "d", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+        if live_n.limit(1).count() == 0:
+            break
+
+        # -- 2a. forward min-label coloring of the live subgraph.
+        # Correctness of the peel REQUIRES the coloring to be a fixpoint
+        # (an unconverged coloring can split one SCC across two colors
+        # and emit it as two components), so the loop runs to
+        # convergence with fb_rounds as a safety cap and the fixpoint
+        # is asserted — the q74/q147 convergence-assert discipline
+        # applied to the invariant itself, not just the round budget.
+        fwd = live_n.select(
+            "node", F.col("node").alias("lbl")
+        ).localCheckpoint(eager=True)
+        converged = False
+        for _ in range(fb_rounds):
+            nxt = (
+                fwd.union(
+                    fwd.join(live_e, fwd.node == live_e.s).select(
+                        F.col("d").alias("node"), "lbl"
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.alias("n")
+                .join(fwd.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            fwd = nxt
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # an unconverged coloring can split an SCC across colors, so
+            # assigning from it would be WRONG, not merely incomplete —
+            # never emit from a non-fixpoint (strict=False stops here and
+            # labels the remaining nodes NULL)
+            if strict:
+                raise ValueError(
+                    "scc_colored: forward coloring did not reach a "
+                    f"fixpoint within fb_rounds={fb_rounds}; raise "
+                    "fb_rounds"
+                )
+            break
+
+        # -- 2b. backward reach-to-pivot WITHIN each color class: a node
+        # is in SCC(pivot) iff its color is pivot's id (pivot reaches it
+        # through min-propagation) and it reaches the pivot through
+        # same-colored nodes (Orzan's coloring rule). Under-propagation
+        # here is safe — unreached members just wait for the next peel.
+        ce = (
+            live_e.join(
+                fwd.select(F.col("node").alias("s"), F.col("lbl").alias("sl")),
+                "s",
+            )
+            .join(
+                fwd.select(F.col("node").alias("d"), F.col("lbl").alias("dl")),
+                "d",
+            )
+            .filter(F.col("sl") == F.col("dl"))
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        reach = fwd.filter(F.col("node") == F.col("lbl")).select(
+            "node"
+        ).localCheckpoint(eager=True)
+        for _ in range(fb_rounds):
+            nxt = (
+                reach.union(
+                    reach.join(ce, reach.node == ce.d).select(
+                        F.col("s").alias("node")
+                    )
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == reach.count():
+                reach = nxt
+                break
+            reach = nxt
+        done = reach.join(fwd, "node").select(
+            "node", F.col("lbl").alias("scc_id")
+        )
+        assigned = assigned.union(done).localCheckpoint(eager=True)
+        live_n = live_n.join(
+            reach, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if live_n.limit(1).count() == 0:
+            break
+        live_e = (
+            live_e.join(
+                live_n.select(F.col("node").alias("s")), "s", "left_semi"
+            )
+            .join(live_n.select(F.col("node").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    n_left = live_n.limit(1).count()
+    if n_left and strict:
+        raise ValueError(
+            "scc_colored: unassigned nodes remain after "
+            f"{peels} peels; raise peels/fb_rounds/trim_rounds"
+        )
+    out = nodes.join(assigned, "node", "left")
+    sizes = out.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    return out.join(sizes, "scc_id", "left").select(
+        "node",
+        "scc_id",
+        F.when(F.col("scc_id").isNotNull(), F.col("scc_size")).alias(
+            "scc_size"
+        ),
+    )

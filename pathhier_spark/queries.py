@@ -9514,6 +9514,71 @@ ORDER BY dst_host, rnk
 """.replace("{A_RE}", anchor_re)
 
 
+# ---------------------------------------------------------------------------
+# Q157 — strongly connected components (operators/graph.scc_colored):
+# the web-graph bow-tie primitive (Broder et al. 2000) — redirect loops,
+# template rings, and mutually-linking host cliques are SCCs, and the
+# IN/SCC/OUT decomposition is the standard crawl-graph health readout
+# that the undirected CC kernel (q18) cannot express. The Spark side is
+# fixed-round FW-BW-Trim coloring (trim source/sink singletons, forward
+# min-label coloring run to an ASSERTED fixpoint, backward reach-to-
+# pivot within each color class); the oracle computes mutual
+# reachability with a recursive CTE — two entirely different SCC
+# algorithms agreeing row-for-row, the q47 two-algorithm discipline.
+# The directed graph is deterministic from documents: nodes doc_id%120,
+# a functional edge n -> (7n+3)%120 for every doc plus a chord
+# n -> (5n+11)%120 for every 3rd doc — cyclic by construction (36 SCCs,
+# sizes 1-4, plus tendrils), identical at every SF since doc_id 0..499
+# saturates the (mod 120, mod 3) residue grid.
+# DuckDB feature req: WITH RECURSIVE (core); UNION (not ALL) dedupes
+# reach pairs per level so the cyclic graph terminates.
+# ---------------------------------------------------------------------------
+
+
+def q157_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import scc_colored
+
+    docs = _docs(spark, sf_dir)
+    n = F.col("doc_id") % 120
+    e1 = docs.select(n.alias("src"), ((n * 7 + 3) % 120).alias("dst"))
+    e2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        n.alias("src"), ((n * 5 + 11) % 120).alias("dst")
+    )
+    return scc_colored(e1.union(e2)).orderBy("node")
+
+
+_Q157_SQL = """
+WITH RECURSIVE base AS (
+  SELECT (doc_id % 120)::bigint AS n, doc_id % 3 AS m3 FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, ((n * 7 + 3) % 120)::bigint AS d FROM base
+    UNION
+    SELECT n, ((n * 5 + 11) % 120)::bigint FROM base WHERE m3 = 0
+  ) WHERE s <> d
+), reach AS (
+  SELECT s AS a, d AS b FROM e
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
+), nodes AS (
+  SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+), mutual AS (
+  SELECT r1.a AS node, r1.b AS m
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+), scc AS (
+  SELECT n.node,
+         least(n.node, coalesce(min(mu.m), n.node))::bigint AS scc_id
+  FROM nodes n LEFT JOIN mutual mu ON mu.node = n.node
+  GROUP BY n.node
+), sized AS (
+  SELECT scc_id, count(*)::bigint AS scc_size FROM scc GROUP BY scc_id
+)
+SELECT s.node, s.scc_id, z.scc_size
+FROM scc s JOIN sized z USING (scc_id)
+ORDER BY s.node
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9672,6 +9737,7 @@ def queries():
         "q154_embedding_profile": q154_embedding_profile,
         "q155_char_entropy": q155_char_entropy,
         "q156_anchor_text_dict": q156_anchor_text_dict,
+        "q157_scc": q157_scc,
     }
 
 
@@ -9833,4 +9899,5 @@ def oracle_sql():
         "q154_embedding_profile": _Q154_SQL,
         "q155_char_entropy": _Q155_SQL,
         "q156_anchor_text_dict": _q156_sql(),
+        "q157_scc": _Q157_SQL,
     }

@@ -1115,3 +1115,79 @@ def test_simrank_shared_neighbor_beats_distant(spark):
     # x,y share the hub: s2 = C/(1*1) * s1(h,h) = 0.8
     assert got[("x", "y")] == 800000
     assert got[("x", "z")] < got[("x", "y")]
+
+
+def test_scc_hand_graph(spark):
+    from pathhier_spark.operators.graph import scc_colored
+
+    # cycle {1,2,3}, cycle {10,11}, chain 20->21->1, branch 3->30
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (20, 21), (21, 1),
+         (3, 30)],
+        "src long, dst long",
+    )
+    got = {r["node"]: (r["scc_id"], r["scc_size"])
+           for r in scc_colored(edges).collect()}
+    # each SCC labeled by its minimum member
+    assert got[1] == got[2] == got[3] == (1, 3)
+    assert got[10] == got[11] == (10, 2)
+    # tendrils are singleton SCCs labeled self
+    assert got[20] == (20, 1)
+    assert got[21] == (21, 1)
+    assert got[30] == (30, 1)
+
+
+def test_scc_two_cycles_bridged_stay_separate(spark):
+    from pathhier_spark.operators.graph import scc_colored
+
+    # a one-way bridge between two cycles must NOT merge them
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 5), (5, 6), (6, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["scc_id"] for r in scc_colored(edges).collect()}
+    assert got[1] == got[2] == 1
+    assert got[5] == got[6] == 5
+
+
+def test_scc_back_bridge_merges_into_one(spark):
+    from pathhier_spark.operators.graph import scc_colored
+
+    # bridges BOTH ways -> one SCC of all four nodes
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 5), (5, 6), (6, 5), (6, 1)],
+        "src long, dst long",
+    )
+    rows = scc_colored(edges).collect()
+    assert {r["scc_id"] for r in rows} == {1}
+    assert all(r["scc_size"] == 4 for r in rows)
+
+
+def test_scc_self_loops_and_nulls_ignored(spark):
+    from pathhier_spark.operators.graph import scc_colored
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (None, 3), (3, None), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: (r["scc_id"], r["scc_size"])
+           for r in scc_colored(edges).collect()}
+    assert got[1] == got[2] == (1, 2)
+    # NULL-endpoint edges dropped; 3 only present via the 3->4 edge
+    assert got[3] == (3, 1)
+    assert got[4] == (4, 1)
+
+
+def test_scc_strict_raises_on_starved_rounds(spark):
+    from pathhier_spark.operators.graph import scc_colored
+
+    # a long chain with trim starved to 1 round and a single peel cannot
+    # finish; strict must raise, strict=False labels stragglers NULL
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(8, 7)], "src long, dst long"
+    )
+    with pytest.raises(ValueError):
+        scc_colored(edges, trim_rounds=1, peels=1, fb_rounds=1).collect()
+    rows = scc_colored(
+        edges, trim_rounds=1, peels=1, fb_rounds=1, strict=False
+    ).collect()
+    assert any(r["scc_id"] is None for r in rows)
