@@ -443,3 +443,126 @@ def fuzzy_vocab_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "dist")
     )
+
+
+def dictionary_augment(
+    phrases: DataFrame,
+    dictionary: DataFrame,
+    *,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    cls_id_col: str = "cls_id",
+    cls_name_col: str = "cls_name",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dictionary augmentation: link crawl-mined candidate phrases (e.g.
+    the anchor-text dictionary of q156) against the ontology name
+    dictionary by token-set Jaccard and emit, per phrase, its best class
+    — the loop that grows the linking dictionary from the web the way
+    the reference grows synonym lists from curated xrefs
+    (pathhier/candidate_selector.py:49-103's token-set channel, pointed
+    back at the dictionary itself).
+
+    Candidate generation is BIPARTITE prefix filtering (the AllPairs
+    bound of setsim_join_exact extended to an R-S join): both sides rank
+    their distinct tokens by ONE shared global order (dictionary corpus
+    frequency asc, term asc; tokens unseen in the dictionary rank
+    rarest) and emit only the L - ceil(t*L) + 1 rarest as join keys.
+    Any pair with Jaccard >= t shares at least one prefix token under a
+    common total order, so generation is lossless — pinned against
+    brute force in pytest. Hot tokens are structurally excluded from
+    join keys (rarest-first prefix), so no salting is needed.
+
+    Scoring is exact-integer micro-unit Jaccard ((1e6*|I|) DIV |U|) and
+    the per-phrase winner is the portable two-phase argmax (max jacc_fp,
+    then min cls_id) — no float ties, no row_number over floats.
+
+    Output: one row per input phrase — (phrase_id, phrase, cls_id,
+    cls_name, jacc_fp, is_new); phrases with no class above threshold
+    carry NULLs, matched phrases flag is_new = jacc_fp < 1e6 (a mined
+    alias the dictionary does not already contain verbatim)."""
+    thr_fp = int(round(threshold * 1_000_000))
+    p = phrases.select(
+        F.col(phrase_id_col).alias("pid"),
+        F.col(phrase_col).alias("phrase"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(phrase_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pts"),
+    )
+    d = dictionary.select(
+        F.col(cls_id_col).alias("cls"),
+        F.col(cls_name_col).alias("cls_name"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(cls_name_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("cts"),
+    )
+    freq = (
+        d.select(F.explode("cts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def _prefix(side: DataFrame, id_name: str, set_col: str) -> DataFrame:
+        ranked = side.select(
+            F.col(id_name),
+            F.size(set_col).cast("long").alias("setlen"),
+            F.explode(set_col).alias("term"),
+        ).join(F.broadcast(freq), "term", "left")
+        pref_len = (
+            F.col("setlen")
+            - F.ceil(F.lit(threshold) * F.col("setlen")).cast("long")
+            + F.lit(1)
+        )
+        w = Window.partitionBy(id_name).orderBy(
+            F.asc_nulls_first("cnt"), F.asc("term")
+        )
+        return (
+            ranked.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= pref_len)
+            .select(id_name, "term")
+        )
+
+    cands = (
+        _prefix(p, "pid", "pts")
+        .join(_prefix(d, "cls", "cts"), "term")
+        .select("pid", "cls")
+        .distinct()
+    )
+    verified = (
+        cands.join(p.select("pid", "pts"), "pid")
+        .join(d, "cls")
+        .withColumn(
+            "inter", F.size(F.array_intersect("pts", "cts")).cast("long")
+        )
+        .withColumn(
+            "uni",
+            F.size("pts").cast("long") + F.size("cts") - F.col("inter"),
+        )
+        .withColumn("jacc_fp", F.expr("(1000000 * inter) DIV uni"))
+        .filter(F.col("jacc_fp") >= F.lit(thr_fp))
+    )
+    best = (
+        verified.groupBy("pid")
+        .agg(F.max("jacc_fp").alias("best_fp"))
+        .join(verified, "pid")
+        .filter(F.col("jacc_fp") == F.col("best_fp"))
+        .groupBy("pid", "jacc_fp")
+        .agg(F.min("cls").alias("cls"))
+        .join(d.select("cls", "cls_name"), "cls")
+    )
+    return p.select("pid", "phrase").join(best, "pid", "left").select(
+        F.col("pid").alias("phrase_id"),
+        "phrase",
+        F.col("cls").alias("cls_id"),
+        "cls_name",
+        "jacc_fp",
+        F.when(
+            F.col("jacc_fp").isNotNull(), F.col("jacc_fp") < 1_000_000
+        ).alias("is_new"),
+    )

@@ -1784,3 +1784,292 @@ def char_entropy_profile(
         F.size("_ds").alias("n_distinct"),
         ent.alias("char_entropy"),
     )
+
+
+def rouge_pairs(
+    pairs: DataFrame,
+    *,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    ns: tuple = (1, 2),
+) -> DataFrame:
+    """ROUGE-N (Lin 2004) over (candidate, reference) text pairs — the
+    summarization/paraphrase eval counterpart of q126's retrieval metrics,
+    and the pairwise n-gram-overlap scorer distillation pipelines use to
+    grade generated text against references at corpus scale.
+
+    match_n is the CLIPPED overlap sum_g min(count_cand(g), count_ref(g));
+    precision = match/cand_total, recall = match/ref_total, and F1
+    collapses algebraically to 2*match/(cand_total+ref_total) — one exact
+    integer-ratio IEEE division each (the q89 fixed-shape discipline), so
+    no p*r/(p+r) float composition can drift between engines.
+
+    Scale shape: per n, each side explodes to (pair, gram) COUNT rows via
+    one combiner groupBy (partial aggregation collapses repeated grams
+    map-side), the clip is an inner equi-join on (pair, gram) — grams
+    absent from either side clip to 0 and never join — and the final
+    per-pair rollup is a second combiner groupBy. Nothing quadratic,
+    nothing driver-side; gram rows are (id, gram string, int64 count).
+
+    Gram identity uses a 0x1f joiner so multi-token grams cannot collide
+    across token boundaries ("ab"+"c" vs "a"+"bc").
+
+    Output: (pair_id, n, match_n, cand_total, ref_total, rouge_p,
+    rouge_r, rouge_f1) — one row per pair per n; zero-match pairs score
+    0.0, sides with no n-grams emit NULL for their ratio honestly
+    rather than 0/0."""
+    toks_c = _tokens(cand_col)
+    toks_r = _tokens(ref_col)
+    base = pairs.select(
+        F.col(id_col).alias("pair_id"),
+        toks_c.alias("tc"),
+        toks_r.alias("tr"),
+    )
+    sep = "\x1f"
+    out = None
+    for n in ns:
+
+        def grams(col):
+            return F.when(
+                F.size(col) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(col) - n),
+                    lambda i: F.concat_ws(
+                        sep,
+                        *[F.element_at(col, i + j + 1) for j in range(n)],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        sides = base.select(
+            "pair_id",
+            grams(F.col("tc")).alias("gc"),
+            grams(F.col("tr")).alias("gr"),
+        )
+        cc = (
+            sides.select("pair_id", F.explode("gc").alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        rc = (
+            sides.select("pair_id", F.explode("gr").alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).alias("nr"))
+        )
+        matched = (
+            cc.join(rc, ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("nc", "nr")).cast("long").alias("match_n"))
+        )
+        totals = sides.select(
+            "pair_id",
+            F.size("gc").cast("long").alias("cand_total"),
+            F.size("gr").cast("long").alias("ref_total"),
+        )
+        per_n = (
+            totals.join(matched, "pair_id", "left")
+            .select(
+                "pair_id",
+                F.lit(n).cast("int").alias("n"),
+                F.coalesce("match_n", F.lit(0)).cast("long").alias(
+                    "match_n"
+                ),
+                "cand_total",
+                "ref_total",
+            )
+            .select(
+                "*",
+                (
+                    F.round(
+                        F.when(
+                            F.col("cand_total") > 0,
+                            F.col("match_n") / F.col("cand_total"),
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("rouge_p"),
+                (
+                    F.round(
+                        F.when(
+                            F.col("ref_total") > 0,
+                            F.col("match_n") / F.col("ref_total"),
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("rouge_r"),
+                (
+                    F.round(
+                        F.when(
+                            F.col("cand_total") + F.col("ref_total") > 0,
+                            (2 * F.col("match_n"))
+                            / (F.col("cand_total") + F.col("ref_total")),
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("rouge_f1"),
+            )
+        )
+        out = per_n if out is None else out.unionByName(per_n)
+    return out
+
+
+def trigram_backoff_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    train_filter=None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Mean trigram STUPID-BACKOFF surprisal per document (Brants et al.
+    2007) — the order-3 upgrade of bigram_surprisal and the closest cheap
+    stand-in for the CCNet/KenLM perplexity filter: score each position's
+    token under p(w3|w1,w2), backing off to alpha*p(w3|w2) when the
+    trigram is unseen and alpha^2*p_uni(w3) when the bigram is too.
+
+    The LM trains on the TRAIN half only (default: even ids — any
+    deterministic predicate via train_filter) and scores ALL documents,
+    because a same-corpus trigram LM scored against itself never backs
+    off (every probe trigram has count >= 1) — held-out scoring is what
+    makes the backoff tiers real, and it is the honest eval setup anyway.
+    The unigram floor is Laplace-smoothed over the train vocabulary
+    (p = alpha^2 * (c_uni+1)/(N+U+1), one OOV class) so unseen words
+    score finite, large, and engine-portable.
+
+    Scale shape: the three count tables are combiner-friendly groupBys
+    over the train half; prefix counts derive from the n-gram tables
+    (tiny re-aggregations, never a corpus re-scan); the probe is one
+    window (two leads, single partition-by-doc sort) joined against the
+    broadcast count tables (broadcast_vocab=False shuffles instead, AQE
+    skew-split for Zipf-hot grams). Per-document sums fold ln-terms in
+    POSITION order (array_sort + sequential F.aggregate) so they are
+    bit-stable across engines — the q44/q92 discipline.
+
+    Output: (doc_id, n_scored, n_tri, n_bi, n_uni, avg_surprisal) —
+    hit counts per backoff tier are exact int64; avg rounds 6 with the
+    -0.0 normalization; docs with < 3 tokens emit n_scored = 0 and a
+    NULL avg."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri_rows = (
+        toks.withColumn("w2", F.lead("w1", 1).over(w))
+        .withColumn("w3", F.lead("w1", 2).over(w))
+        .where(F.col("w3").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    if train_filter is None:
+        train_filter = F.col(id_col) % 2 == 0
+    train = tri_rows.where(train_filter)
+
+    tri = train.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    tri_pre = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("c3p"))
+    # bigram counts come from the token stream directly (NOT from the
+    # trigram rows, which drop each doc's final adjacent pair) so the
+    # backoff distribution is the true bigram LM
+    pair_rows = (
+        toks.where(train_filter)
+        .withColumn("wb", F.lead("w1", 1).over(w))
+        .where(F.col("wb").isNotNull())
+    )
+    bi = pair_rows.groupBy(
+        F.col("w1").alias("bw1"), F.col("wb").alias("bw2")
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    bi_pre = bi.groupBy(F.col("bw1").alias("pw")).agg(
+        F.sum("c2").alias("c2p")
+    )
+    uni = (
+        toks.where(train_filter)
+        .groupBy(F.col("w1").alias("uw"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scal = uni.agg(
+        F.sum("c1").alias("n_tok"), F.count(F.lit(1)).alias("n_vocab")
+    )
+
+    b = F.broadcast if broadcast_vocab else (lambda x: x)
+    probe = (
+        tri_rows.join(b(tri), ["w1", "w2", "w3"], "left")
+        .join(b(tri_pre), ["w1", "w2"], "left")
+        .join(
+            b(bi),
+            (F.col("w2") == F.col("bw1")) & (F.col("w3") == F.col("bw2")),
+            "left",
+        )
+        .join(b(bi_pre), F.col("w2") == F.col("pw"), "left")
+        .join(b(uni), F.col("w3") == F.col("uw"), "left")
+        .crossJoin(b(scal))
+    )
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    # backoff weights as PYTHON-computed double literals, injected
+    # identically into the oracle SQL — never ln(0.4) evaluated by two
+    # different libms at query time (the one place a last-ulp divergence
+    # could enter; counts are integers, safe under ln on both engines)
+    import math as _math
+
+    nla = F.lit(-_math.log(float(alpha)))
+    nla2 = F.lit(-2.0 * _math.log(float(alpha)))
+    lnp = (
+        F.when(F.col("c3").isNotNull(), ln(F.col("c3p")) - ln(F.col("c3")))
+        .when(
+            F.col("c2").isNotNull(),
+            nla + ln(F.col("c2p")) - ln(F.col("c2")),
+        )
+        .otherwise(
+            nla2
+            + ln(F.col("n_tok") + F.col("n_vocab") + 1)
+            - ln(F.coalesce(F.col("c1"), F.lit(0)) + 1)
+        )
+    )
+    scored = probe.select(
+        id_col,
+        "pos",
+        lnp.alias("lnp"),
+        F.when(F.col("c3").isNotNull(), 1).otherwise(0).alias("t_tri"),
+        F.when(F.col("c3").isNull() & F.col("c2").isNotNull(), 1)
+        .otherwise(0)
+        .alias("t_bi"),
+        F.when(F.col("c3").isNull() & F.col("c2").isNull(), 1)
+        .otherwise(0)
+        .alias("t_uni"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("t_tri").cast("long").alias("n_tri"),
+        F.sum("t_bi").cast("long").alias("n_bi"),
+        F.sum("t_uni").cast("long").alias("n_uni"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+                lambda s: s["lnp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_lnp"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        F.coalesce("n_bi", F.lit(0)).cast("long").alias("n_bi"),
+        F.coalesce("n_uni", F.lit(0)).cast("long").alias("n_uni"),
+        (
+            F.round(
+                F.when(
+                    F.col("n_scored") > 0,
+                    F.col("sum_lnp") / F.col("n_scored"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_surprisal"),
+    )

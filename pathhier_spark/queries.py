@@ -9579,6 +9579,287 @@ ORDER BY s.node
 """
 
 
+# ---------------------------------------------------------------------------
+# Q158 — ROUGE-N pair evaluation (operators/textstats.rouge_pairs): the
+# summarization/paraphrase eval scorer (Lin 2004) as a data operator —
+# clipped n-gram overlap precision/recall/F1 per (candidate, reference)
+# pair, the metric a distillation pipeline runs over millions of
+# (generated, gold) pairs. Pairs are deterministic: doc i as candidate
+# vs doc i+1 as reference. F1 computes as 2*match/(cand+ref) — a single
+# exact integer-ratio division, never the p*r/(p+r) float composition.
+# Grams join on a 0x1f-joined token key so multi-token grams cannot
+# collide across token boundaries.
+# DuckDB feature req: core only (list slicing, array_to_string, chr).
+# ---------------------------------------------------------------------------
+
+
+def q158_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import rouge_pairs
+
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("pair_id"), F.col("text").alias("cand"))
+    b = docs.select((F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("ref"))
+    pairs = a.join(b, "pair_id")
+    return rouge_pairs(pairs).orderBy("pair_id", "n")
+
+
+def _q158_sql() -> str:
+    def gram_list(side: str, n: int) -> str:
+        if n == 1:
+            return side
+        return (
+            f"CASE WHEN len({side}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({side}) - {n - 1}), "
+            f"i -> array_to_string({side}[i : i + {n - 1}], chr(31))) "
+            f"ELSE []::varchar[] END"
+        )
+
+    per_n = []
+    for n in (1, 2):
+        per_n.append(f"""
+  SELECT pair_id, {n} AS n, {gram_list('tc', n)} AS gc,
+         {gram_list('tr', n)} AS gr
+  FROM p""")
+    union = " UNION ALL ".join(per_n)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents
+), p AS (
+  SELECT a.doc_id AS pair_id, a.toks AS tc, b.toks AS tr
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+), g AS ({union}
+), cc AS (
+  SELECT pair_id, n, g2 AS g, count(*) AS nc
+  FROM (SELECT pair_id, n, unnest(gc) AS g2 FROM g)
+  GROUP BY pair_id, n, g2
+), rc AS (
+  SELECT pair_id, n, g2 AS g, count(*) AS nr
+  FROM (SELECT pair_id, n, unnest(gr) AS g2 FROM g)
+  GROUP BY pair_id, n, g2
+), m AS (
+  SELECT pair_id, n, sum(least(nc, nr))::bigint AS match_n
+  FROM cc JOIN rc USING (pair_id, n, g)
+  GROUP BY pair_id, n
+), t AS (
+  SELECT pair_id, n, len(gc)::bigint AS cand_total,
+         len(gr)::bigint AS ref_total
+  FROM g
+)
+SELECT t.pair_id, t.n::int AS n,
+       coalesce(m.match_n, 0)::bigint AS match_n,
+       t.cand_total, t.ref_total,
+       CASE WHEN t.cand_total > 0 THEN
+         round(coalesce(m.match_n, 0)::double / t.cand_total::double, 6)
+           + 0.0 END AS rouge_p,
+       CASE WHEN t.ref_total > 0 THEN
+         round(coalesce(m.match_n, 0)::double / t.ref_total::double, 6)
+           + 0.0 END AS rouge_r,
+       CASE WHEN t.cand_total + t.ref_total > 0 THEN
+         round((2 * coalesce(m.match_n, 0))::double
+               / (t.cand_total + t.ref_total)::double, 6) + 0.0
+       END AS rouge_f1
+FROM t LEFT JOIN m USING (pair_id, n)
+ORDER BY t.pair_id, t.n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q159 — trigram stupid-backoff surprisal (operators/textstats.
+# trigram_backoff_surprisal): the order-3 LM quality signal (Brants et
+# al. 2007) completing the q44 (unigram) / q92 (bigram) ladder. The LM
+# trains on the even-id half and scores ALL docs — a same-corpus
+# trigram LM never backs off (every probe trigram has count >= 1), so
+# held-out scoring is what makes the backoff tiers real. Tier hit
+# counts are exact int64 gate columns; ln-terms fold in position order;
+# the -ln(alpha) weights are PYTHON-computed double literals injected
+# identically into both engines (never ln(0.4) under two libms).
+# DuckDB feature req: core only (lead windows, list(... ORDER BY) fold).
+# ---------------------------------------------------------------------------
+
+
+def q159_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import trigram_backoff_surprisal
+
+    docs = _docs(spark, sf_dir)
+    return trigram_backoff_surprisal(docs).orderBy("doc_id")
+
+
+def _q159_sql() -> str:
+    import math
+
+    nla = repr(-math.log(0.4))
+    nla2 = repr(-2.0 * math.log(0.4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1)::int AS pos, ts[i] AS w1
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  )
+), tri_rows AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, w1,
+           lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM toks
+  ) WHERE w3 IS NOT NULL
+), tri AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM tri_rows
+  WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+), trip AS (
+  SELECT w1, w2, sum(c3)::bigint AS c3p FROM tri GROUP BY w1, w2
+), pair_rows AS (
+  SELECT * FROM (
+    SELECT doc_id, w1,
+           lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS wb
+    FROM toks WHERE doc_id % 2 = 0
+  ) WHERE wb IS NOT NULL
+), bi AS (
+  SELECT w1 AS bw1, wb AS bw2, count(*) AS c2 FROM pair_rows
+  GROUP BY w1, wb
+), bip AS (
+  SELECT bw1 AS pw, sum(c2)::bigint AS c2p FROM bi GROUP BY bw1
+), uni AS (
+  SELECT w1 AS uw, count(*) AS c1 FROM toks WHERE doc_id % 2 = 0
+  GROUP BY w1
+), scal AS (
+  SELECT sum(c1)::bigint AS n_tok, count(*)::bigint AS n_vocab FROM uni
+), probe AS (
+  SELECT tr.doc_id, tr.pos,
+         CASE WHEN t.c3 IS NOT NULL
+              THEN ln(tp.c3p::double) - ln(t.c3::double)
+              WHEN b.c2 IS NOT NULL
+              THEN {nla} + ln(bp.c2p::double) - ln(b.c2::double)
+              ELSE {nla2} + ln((s.n_tok + s.n_vocab + 1)::double)
+                   - ln((coalesce(u.c1, 0) + 1)::double)
+         END AS lnp,
+         CASE WHEN t.c3 IS NOT NULL THEN 1 ELSE 0 END AS t_tri,
+         CASE WHEN t.c3 IS NULL AND b.c2 IS NOT NULL THEN 1 ELSE 0 END
+           AS t_bi,
+         CASE WHEN t.c3 IS NULL AND b.c2 IS NULL THEN 1 ELSE 0 END
+           AS t_uni
+  FROM tri_rows tr
+  LEFT JOIN tri t USING (w1, w2, w3)
+  LEFT JOIN trip tp USING (w1, w2)
+  LEFT JOIN bi b ON b.bw1 = tr.w2 AND b.bw2 = tr.w3
+  LEFT JOIN bip bp ON bp.pw = tr.w2
+  LEFT JOIN uni u ON u.uw = tr.w3
+  CROSS JOIN scal s
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_scored,
+         sum(t_tri)::bigint AS n_tri, sum(t_bi)::bigint AS n_bi,
+         sum(t_uni)::bigint AS n_uni,
+         list_sum(list(lnp ORDER BY pos)) AS sum_lnp
+  FROM probe GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_scored, 0)::bigint AS n_scored,
+       coalesce(p.n_tri, 0)::bigint AS n_tri,
+       coalesce(p.n_bi, 0)::bigint AS n_bi,
+       coalesce(p.n_uni, 0)::bigint AS n_uni,
+       CASE WHEN p.n_scored > 0
+            THEN round(p.sum_lnp / p.n_scored, 6) + 0.0 END
+         AS avg_surprisal
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q160 — dictionary augmentation (operators/linking.dictionary_augment):
+# the q156 anchor-dictionary loop closed — link mined candidate phrases
+# against the ontology name dictionary by token-set Jaccard (bipartite
+# AllPairs prefix filtering, shared global token order, lossless
+# candidate generation) and emit each phrase's best class via the
+# portable two-phase argmax, flagging non-verbatim winners as new alias
+# rows. Probe phrases are deterministic mutations of every 31st part
+# name (drop the head token for key%3==0, append an OOV token for
+# key%5==0) so exact hits, partial hits, below-threshold, and
+# empty-phrase rows all occur. The oracle scores the FULL cross product
+# — prefix-filter losslessness itself is what the hash verifies (the
+# q85 discipline).
+# DuckDB feature req: list_intersect/list_distinct (core list fns).
+# ---------------------------------------------------------------------------
+
+_DICTAUG_MOD = 31
+_DICTAUG_T = 0.5
+
+
+def q160_dict_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.linking import dictionary_augment
+
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    lower = F.lower(F.col("p_name"))
+    mutated = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.regexp_replace(lower, r"^\S+\s*", ""),
+    ).otherwise(lower)
+    phrase = F.trim(
+        F.concat(
+            mutated,
+            F.when(F.col("p_partkey") % 5 == 0, F.lit(" zzglorp")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    probe = part.filter(F.col("p_partkey") % _DICTAUG_MOD == 0).select(
+        F.col("p_partkey").alias("phrase_id"), phrase.alias("phrase")
+    )
+    dic = part.select(
+        F.col("p_partkey").alias("cls_id"), lower.alias("cls_name")
+    )
+    return dictionary_augment(
+        probe, dic, threshold=_DICTAUG_T
+    ).orderBy("phrase_id")
+
+
+_Q160_SQL = f"""
+WITH probe AS (
+  SELECT p_partkey AS phrase_id,
+         trim(
+           CASE WHEN p_partkey % 3 = 0
+                THEN regexp_replace(lower(p_name), '^\\S+\\s*', '')
+                ELSE lower(p_name) END
+           || CASE WHEN p_partkey % 5 = 0 THEN ' zzglorp' ELSE '' END
+         ) AS phrase
+  FROM part WHERE p_partkey % {_DICTAUG_MOD} = 0
+), pp AS (
+  SELECT phrase_id, phrase,
+         list_distinct(list_filter(
+           string_split_regex(phrase, '\\s+'), x -> x <> '')) AS pts
+  FROM probe
+), d AS (
+  SELECT p_partkey AS cls_id, lower(p_name) AS cls_name,
+         list_distinct(list_filter(
+           string_split_regex(lower(p_name), '\\s+'), x -> x <> '')) AS cts
+  FROM part
+), scored AS (
+  SELECT pp.phrase_id, d.cls_id,
+         (1000000 * len(list_intersect(pts, cts)))
+           // (len(pts) + len(cts) - len(list_intersect(pts, cts)))
+           AS jacc_fp
+  FROM pp CROSS JOIN d
+), qual AS (
+  SELECT * FROM scored WHERE jacc_fp >= {int(_DICTAUG_T * 1000000)}
+), best AS (
+  SELECT phrase_id, max(jacc_fp) AS best_fp FROM qual GROUP BY phrase_id
+), win AS (
+  SELECT q.phrase_id, q.jacc_fp, min(q.cls_id) AS cls_id
+  FROM qual q JOIN best b
+    ON q.phrase_id = b.phrase_id AND q.jacc_fp = b.best_fp
+  GROUP BY q.phrase_id, q.jacc_fp
+)
+SELECT pp.phrase_id, pp.phrase, w.cls_id, d2.cls_name, w.jacc_fp,
+       CASE WHEN w.jacc_fp IS NOT NULL THEN w.jacc_fp < 1000000 END
+         AS is_new
+FROM pp
+LEFT JOIN win w USING (phrase_id)
+LEFT JOIN d d2 ON d2.cls_id = w.cls_id
+ORDER BY pp.phrase_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -9738,6 +10019,9 @@ def queries():
         "q155_char_entropy": q155_char_entropy,
         "q156_anchor_text_dict": q156_anchor_text_dict,
         "q157_scc": q157_scc,
+        "q158_rouge_eval": q158_rouge_eval,
+        "q159_trigram_backoff": q159_trigram_backoff,
+        "q160_dict_augment": q160_dict_augment,
     }
 
 
@@ -9900,4 +10184,7 @@ def oracle_sql():
         "q155_char_entropy": _Q155_SQL,
         "q156_anchor_text_dict": _q156_sql(),
         "q157_scc": _Q157_SQL,
+        "q158_rouge_eval": _q158_sql(),
+        "q159_trigram_backoff": _q159_sql(),
+        "q160_dict_augment": _Q160_SQL,
     }

@@ -187,3 +187,85 @@ def test_salted_candidates_equal_unsalted(spark):
     a = {(r["s_id"], r["t_id"]): (round(r["cand_score"], 9), r["rank"]) for r in plain.collect()}
     b = {(r["s_id"], r["t_id"]): (round(r["cand_score"], 9), r["rank"]) for r in salted.collect()}
     assert a == b
+
+
+# --------------------------- dictionary_augment ---------------------------
+
+
+def test_dictionary_augment_hand_case(spark):
+    from pathhier_spark.operators.linking import dictionary_augment
+
+    phrases = spark.createDataFrame(
+        [(1, "spring yellow saddle"), (2, "click here"),
+         (3, "goldenrod lavender spring yellow saddle")],
+        "phrase_id long, phrase string",
+    )
+    dic = spark.createDataFrame(
+        [(10, "goldenrod lavender spring yellow saddle"),
+         (11, "spring yellow"), (12, "azure rose")],
+        "cls_id long, cls_name string",
+    )
+    got = {r["phrase_id"]: r
+           for r in dictionary_augment(phrases, dic).collect()}
+    # 2/3 (cls 11) beats 3/5 (cls 10)
+    assert got[1]["cls_id"] == 11 and got[1]["jacc_fp"] == 666666
+    assert got[1]["is_new"] is True
+    # exact alias: not new
+    assert got[3]["cls_id"] == 10 and got[3]["jacc_fp"] == 1000000
+    assert got[3]["is_new"] is False
+    # no class above threshold: NULL row kept
+    assert got[2]["cls_id"] is None and got[2]["is_new"] is None
+
+
+def test_dictionary_augment_tie_breaks_min_cls(spark):
+    from pathhier_spark.operators.linking import dictionary_augment
+
+    phrases = spark.createDataFrame(
+        [(1, "red widget")], "phrase_id long, phrase string"
+    )
+    dic = spark.createDataFrame(
+        [(20, "red widget"), (7, "red widget")],
+        "cls_id long, cls_name string",
+    )
+    got = dictionary_augment(phrases, dic).collect()[0]
+    assert got["cls_id"] == 7
+
+
+def test_dictionary_augment_prefix_filter_lossless(spark):
+    """Prefix-filtered candidates must equal the brute-force cross
+    product above threshold (the AllPairs bound, bipartite form)."""
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.linking import dictionary_augment
+
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    # deterministic token soup: phrase i / class j get hash-derived sets
+    phrases = spark.createDataFrame(
+        [(i, " ".join(v for k, v in enumerate(vocab)
+                      if (i * 7 + k * 3) % 5 < 2))
+         for i in range(30)],
+        "phrase_id long, phrase string",
+    ).filter(F.length("phrase") > 0)
+    dic = spark.createDataFrame(
+        [(j, " ".join(v for k, v in enumerate(vocab)
+                      if (j * 11 + k * 5) % 7 < 3))
+         for j in range(40)],
+        "cls_id long, cls_name string",
+    ).filter(F.length("cls_name") > 0)
+    got = {
+        r["phrase_id"]: (r["cls_id"], r["jacc_fp"])
+        for r in dictionary_augment(phrases, dic, threshold=0.5).collect()
+    }
+    # brute force in python
+    pts = {r["phrase_id"]: set(r["phrase"].split())
+           for r in phrases.collect()}
+    cts = {r["cls_id"]: set(r["cls_name"].split()) for r in dic.collect()}
+    for pid, ps in pts.items():
+        best = None
+        for cid in sorted(cts):
+            cs = cts[cid]
+            inter = len(ps & cs)
+            jfp = (1000000 * inter) // (len(ps) + len(cs) - inter)
+            if jfp >= 500000 and (best is None or jfp > best[1]):
+                best = (cid, jfp)
+        assert got[pid] == (best if best else (None, None)), pid

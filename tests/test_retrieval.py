@@ -417,3 +417,58 @@ def test_retrieval_eval_duplicate_gold_is_deduped(spark):
     )
     r = retrieval_eval(ranking, rel, k=1).collect()[0]
     assert (r["n_rel"], r["mrr"], r["ndcg"]) == (1, 1.0, 1.0)
+
+
+def test_rouge_hand_case(spark):
+    from pathhier_spark.operators.textstats import rouge_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat is on the mat")],
+        "pair_id long, cand string, ref string",
+    )
+    got = {r["n"]: r for r in rouge_pairs(pairs).collect()}
+    # unigrams: the(2),cat,on,mat clip -> 5 of 6
+    assert got[1]["match_n"] == 5
+    assert got[1]["rouge_p"] == got[1]["rouge_r"] == 0.833333
+    # bigrams: "the cat","on the","the mat" -> 3 of 5
+    assert got[2]["match_n"] == 3
+    assert got[2]["rouge_f1"] == 0.6
+
+
+def test_rouge_clipping_bounds_repeats(spark):
+    from pathhier_spark.operators.textstats import rouge_pairs
+
+    # candidate spams "the" — clipped match must stay at ref's count
+    pairs = spark.createDataFrame(
+        [(1, "the the the the", "the cat")],
+        "pair_id long, cand string, ref string",
+    )
+    got = {r["n"]: r for r in rouge_pairs(pairs).collect()}
+    assert got[1]["match_n"] == 1
+    assert got[1]["rouge_p"] == 0.25
+    assert got[1]["rouge_r"] == 0.5
+
+
+def test_rouge_gram_boundary_no_collision(spark):
+    from pathhier_spark.operators.textstats import rouge_pairs
+
+    # "ab c" vs "a bc": joined without a separator both bigrams would
+    # collide as "abc"; the 0x1f joiner must keep them distinct
+    pairs = spark.createDataFrame(
+        [(1, "ab c", "a bc")], "pair_id long, cand string, ref string"
+    )
+    got = {r["n"]: r for r in rouge_pairs(pairs).collect()}
+    assert got[2]["match_n"] == 0
+
+
+def test_rouge_empty_sides_null_not_zero_div(spark):
+    from pathhier_spark.operators.textstats import rouge_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "", "x y"), (2, "", "")],
+        "pair_id long, cand string, ref string",
+    )
+    rows = {(r["pair_id"], r["n"]): r for r in rouge_pairs(pairs).collect()}
+    assert rows[(1, 1)]["rouge_p"] is None
+    assert rows[(1, 1)]["rouge_r"] == 0.0
+    assert rows[(2, 1)]["rouge_f1"] is None

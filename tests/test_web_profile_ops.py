@@ -315,3 +315,67 @@ def test_anchor_text_dictionary_topk_tiebreak_and_min_refs(spark):
     ]
     pruned = anchor_text_dictionary(pages, min_refs=2).collect()
     assert [(r["phrase"], r["n_refs"]) for r in pruned] == [("cc", 2)]
+
+
+# ----------------------- trigram_backoff_surprisal -----------------------
+
+
+def test_trigram_backoff_tiers_hand_computed(spark):
+    import math
+
+    from pathhier_spark.operators.textstats import trigram_backoff_surprisal
+
+    # train half (even ids): "a b c a b c" + "a b c d"
+    # -> c3: abc=3, bca=1, cab=1, bcd=1; prefixes (a,b)=3, (b,c)=2, (c,a)=1
+    # -> bi: ab=3, bc=3, ca=1, cd=1; uni: a=3,b=3,c=3,d=1 (N=10, U=4)
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (2, "a b c d"),
+         (1, "a b c"), (3, "a b x"), (5, "zz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trigram_backoff_surprisal(docs).collect()}
+    # doc 0: 4 trigram hits; only bca is non-zero: ln(2/1)
+    assert (got[0]["n_tri"], got[0]["n_bi"], got[0]["n_uni"]) == (4, 0, 0)
+    assert got[0]["avg_surprisal"] == round(math.log(2) / 4, 6)
+    # doc 1 held out but its trigram is in-LM: ln(3/3) = 0
+    assert got[1]["avg_surprisal"] == 0.0
+    # doc 3: trigram (a,b,x) unseen, bigram (b,x) unseen, x OOV ->
+    # 2*(-ln .4) + ln(N+U+1) - ln(0+1)
+    assert (got[3]["n_tri"], got[3]["n_bi"], got[3]["n_uni"]) == (0, 0, 1)
+    assert got[3]["avg_surprisal"] == round(
+        -2 * math.log(0.4) + math.log(15), 6
+    )
+    # doc 5: < 3 tokens -> nothing scored
+    assert got[5]["n_scored"] == 0 and got[5]["avg_surprisal"] is None
+
+
+def test_trigram_backoff_bigram_tier(spark):
+    import math
+
+    from pathhier_spark.operators.textstats import trigram_backoff_surprisal
+
+    # train: "p q r" and "x q r" -> trigrams pqr, xqr; bigrams pq,qr,xq,qr
+    # probe doc 1 "z q r": trigram (z,q,r) unseen; bigram (q,r) seen c2=2,
+    # prefix c2p(q)=2 -> -ln(.4) + ln(2/2)
+    docs = spark.createDataFrame(
+        [(0, "p q r"), (2, "x q r"), (1, "z q r")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trigram_backoff_surprisal(docs).collect()}
+    assert (got[1]["n_tri"], got[1]["n_bi"], got[1]["n_uni"]) == (0, 1, 0)
+    assert got[1]["avg_surprisal"] == round(-math.log(0.4), 6)
+
+
+def test_trigram_backoff_train_filter_param(spark):
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.textstats import trigram_backoff_surprisal
+
+    # train on ALL docs -> self-scoring never backs off
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a")], "doc_id long, text string"
+    )
+    got = trigram_backoff_surprisal(
+        docs, train_filter=F.lit(True)
+    ).collect()
+    assert all(r["n_bi"] == 0 and r["n_uni"] == 0 for r in got)
