@@ -2255,3 +2255,88 @@ def scc_colored(
             "scc_size"
         ),
     )
+
+
+def dag_longest_paths(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    doublings: int = 7,
+) -> DataFrame:
+    """Longest-path layering of a DAG — ontology leveling: depth(v) =
+    length of the longest path ending at v, the level index used to
+    stratify an is-a hierarchy for per-level processing (the max-path
+    dual of transitive_closure_mindist's shortest-hop closure; reference
+    analog: the depth walks over biocyc_ontology.py:45-79's parent
+    closure). Also emits n_ancestors per node (reach-in set size), the
+    subsumption fan-in used to spot over-general classes.
+
+    Max-plus doubling: after round r every pair holds a TRUE path length
+    (in a DAG, concatenating a->k and k->b paths cannot revisit a node —
+    a shared w != k would imply w->k and k->w, a cycle), and every pair
+    whose longest path is <= 2**r holds it exactly (midpoint split).
+    log2(depth) self-joins instead of depth frontier rounds — the same
+    reason min-plus doubling wins for the closure.
+
+    Two honest guards, both O(1) aggregates on the closure:
+      * cycles: any (v, v) pair in the closure => input is not a DAG =>
+        ValueError (max-plus on a cyclic graph silently computes longest
+        WALK under the round cap — never emit from that);
+      * saturation: max closure dist == 2**doublings means a path of
+        exactly the cap length exists and longer ones may be unfound =>
+        ValueError (strictly-below-cap proves convergence: a longer path
+        would register its 2**doublings-length prefix exactly).
+
+    Scope: the closure is O(reachable pairs) — right for ontology /
+    hierarchy graphs (the reference's 10^4-10^6-node regime), NOT the
+    full web graph (bounded-depth bfs_closure is the tool there).
+    Output: (node, depth, n_ancestors); sources have depth 0."""
+    d = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(doublings):
+        composed = (
+            d.alias("p")
+            .join(d.alias("q"), F.col("p.b") == F.col("q.a"))
+            .select(
+                F.col("p.a").alias("a"),
+                F.col("q.b").alias("b"),
+                (F.col("p.dist") + F.col("q.dist")).alias("dist"),
+            )
+        )
+        d = (
+            d.union(composed)
+            .groupBy("a", "b")
+            .agg(F.max("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    if d.filter(F.col("a") == F.col("b")).limit(1).count() > 0:
+        raise ValueError("dag_longest_paths: input graph has a cycle")
+    cap = 2 ** doublings
+    row = d.agg(F.max("dist").alias("m")).collect()[0]
+    if row["m"] is not None and row["m"] >= cap:
+        raise ValueError(
+            f"dag_longest_paths: closure saturated the 2**{doublings} "
+            "round cap; raise doublings"
+        )
+    nodes = (
+        d.select(F.col("a").alias("node"))
+        .union(d.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    per_dst = d.groupBy(F.col("b").alias("node")).agg(
+        F.max("dist").cast("long").alias("depth"),
+        F.count(F.lit(1)).cast("long").alias("n_ancestors"),
+    )
+    return nodes.join(per_dst, "node", "left").select(
+        "node",
+        F.coalesce("depth", F.lit(0)).cast("long").alias("depth"),
+        F.coalesce("n_ancestors", F.lit(0)).cast("long").alias(
+            "n_ancestors"
+        ),
+    )

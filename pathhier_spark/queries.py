@@ -9561,7 +9561,12 @@ WITH RECURSIVE base AS (
   UNION
   SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
 ), nodes AS (
-  SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+  -- subquery-DISTINCT, not `a UNION b`: under WITH RECURSIVE DuckDB
+  -- gives union-shaped CTEs recursive union-table semantics (here the
+  -- downstream GROUP BY node would mask it, but don't rely on that)
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d FROM e
+  )
 ), mutual AS (
   SELECT r1.a AS node, r1.b AS m
   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
@@ -9860,6 +9865,137 @@ ORDER BY pp.phrase_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q161 — DAG longest-path layering (operators/graph.dag_longest_paths):
+# ontology leveling — depth(v) = longest path ending at v (the level
+# index that stratifies an is-a hierarchy for per-level processing)
+# plus n_ancestors (reach-in size, the over-generality probe). Max-plus
+# doubling closes the DAG in log2(depth) self-joins with two honest
+# guards: a (v,v) closure pair raises (cycle — max-plus would silently
+# compute longest WALK), and a closure dist that saturates 2^doublings
+# raises (strictly-below-cap proves convergence, since a longer path
+# would register its cap-length prefix exactly). The DAG is
+# deterministic from documents: nodes doc_id%240 with strictly
+# increasing edges n -> n+1+(n%7) and n -> n+13 for doc%4==0 (acyclic
+# by construction; max depth 103 < 128; doc%4 = (doc%240)%4 so the edge
+# set is identical at every SF). Oracle: recursive-CTE longest path —
+# frontier recursion vs doubling, two different algorithms agreeing.
+# DuckDB feature req: WITH RECURSIVE (core); UNION dedup terminates
+# because path lengths in a DAG are bounded.
+# ---------------------------------------------------------------------------
+
+
+def q161_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import dag_longest_paths
+
+    docs = _docs(spark, sf_dir)
+    n = F.col("doc_id") % 240
+    e1 = docs.select(
+        n.alias("src"), (n + 1 + (n % 7)).alias("dst")
+    ).filter(F.col("dst") < 240)
+    e2 = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(n.alias("src"), (n + 13).alias("dst"))
+        .filter(F.col("dst") < 240)
+    )
+    return dag_longest_paths(e1.union(e2)).orderBy("node")
+
+
+_Q161_SQL = """
+WITH RECURSIVE base AS (
+  SELECT (doc_id % 240)::bigint AS n, doc_id % 4 AS m4 FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1 + (n % 7))::bigint AS d FROM base
+    UNION
+    SELECT n, (n + 13)::bigint FROM base WHERE m4 = 0
+  ) WHERE d < 240
+), r AS (
+  SELECT s, d, 1 AS dist FROM e
+  UNION
+  SELECT r.s, e.d, r.dist + 1 FROM r JOIN e ON e.s = r.d
+), nodes AS (
+  -- NOT `a UNION b` at top level: under WITH RECURSIVE DuckDB gives any
+  -- union-shaped CTE recursive union-table semantics (arms accumulate
+  -- without cross-arm dedup)
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d FROM e
+  )
+), per_dst AS (
+  SELECT d AS node, max(dist)::bigint AS depth,
+         count(DISTINCT s)::bigint AS n_ancestors
+  FROM r GROUP BY d
+)
+SELECT n.node, coalesce(p.depth, 0)::bigint AS depth,
+       coalesce(p.n_ancestors, 0)::bigint AS n_ancestors
+FROM nodes n LEFT JOIN per_dst p USING (node)
+ORDER BY n.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q162 — cluster-safe splits: the FIX for what q137 audits. Assigning
+# train/val/test by hashing the DOCUMENT id lets near-duplicate pairs
+# straddle splits (test contamination); hashing the near-dup CLUSTER id
+# instead (q31's connected components, labeled by min member) gives the
+# GroupShuffleSplit guarantee by construction — every member of a
+# cluster inherits one split, so no verified near-dup pair can ever be
+# a cross-split leak (asserted via split_leakage in pytest). Same
+# bucket arithmetic as q55/q137 (md5 'split:' salt, integer bucket
+# boundaries), so the only change vs q55 is WHICH id is hashed —
+# exactly the right minimal diff for a production split migration.
+# DuckDB feature req: same as q31 (shared recursive-CTE chain) +
+# md5-hex bucket helper.
+# ---------------------------------------------------------------------------
+
+
+def q162_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.canonicalize import connected_components
+    from pathhier_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from pathhier_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(
+        docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=50
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
+    )
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    edges = verified.select(
+        pad(F.col("id_a")).alias("xref_a"), pad(F.col("id_b")).alias("xref_b")
+    )
+    nodes = docs.select(pad(F.col("doc_id")).alias("xref_a")).select(
+        "xref_a", F.col("xref_a").alias("xref_b")
+    )
+    comp = connected_components(edges.union(nodes)).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster"),
+    )
+    return hash_split(comp, id_col="cluster").orderBy("doc_id")
+
+
+def _q162_sql() -> str:
+    bucket = _sql_hex32(chr(39) + "split:" + chr(39) + " || cluster::varchar")
+    return _q31_sql().rsplit("SELECT n::bigint", 1)[0] + f""", comp AS (
+  SELECT n::bigint AS doc_id, min(m)::bigint AS cluster
+  FROM reach GROUP BY n
+)
+SELECT doc_id, cluster, ({bucket} % 1000000)::bigint AS split_bucket,
+       CASE WHEN ({bucket} % 1000000) < 900000 THEN 'train'
+            WHEN ({bucket} % 1000000) < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM comp ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10022,6 +10158,8 @@ def queries():
         "q158_rouge_eval": q158_rouge_eval,
         "q159_trigram_backoff": q159_trigram_backoff,
         "q160_dict_augment": q160_dict_augment,
+        "q161_dag_layers": q161_dag_layers,
+        "q162_cluster_safe_splits": q162_cluster_safe_splits,
     }
 
 
@@ -10187,4 +10325,6 @@ def oracle_sql():
         "q158_rouge_eval": _q158_sql(),
         "q159_trigram_backoff": _q159_sql(),
         "q160_dict_augment": _Q160_SQL,
+        "q161_dag_layers": _Q161_SQL,
+        "q162_cluster_safe_splits": _q162_sql(),
     }

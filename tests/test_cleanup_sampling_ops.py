@@ -180,3 +180,36 @@ def test_temperature_allocation_sums_to_budget(spark):
     shares = {r["lang"]: r["alloc_tokens"] / 1001 for r in rows}
     assert shares["fr"] > 2 / 17
     assert shares["en"] < 7 / 17
+
+
+def test_cluster_safe_split_has_zero_leakage(spark, sf_dir):
+    """The q162 property: splitting by near-dup CLUSTER id makes
+    cross-split near-dup pairs impossible, where doc-id splitting
+    (q55/q137) leaks."""
+    from pathhier_spark.operators.sampling import split_leakage
+    from pathhier_spark.queries import (
+        q11_neardup_pairs,
+        q162_cluster_safe_splits,
+    )
+
+    pairs = q11_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    splits = q162_cluster_safe_splits(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    leaks = split_leakage(pairs, splits).filter("is_cross = 1").collect()
+    assert leaks == []
+
+
+def test_cluster_safe_split_members_share_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.queries import q162_cluster_safe_splits
+
+    out = q162_cluster_safe_splits(spark, sf_dir)
+    n_bad = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert n_bad == 0

@@ -1191,3 +1191,40 @@ def test_scc_strict_raises_on_starved_rounds(spark):
         edges, trim_rounds=1, peels=1, fb_rounds=1, strict=False
     ).collect()
     assert any(r["scc_id"] is None for r in rows)
+
+
+def test_dag_longest_paths_diamond(spark):
+    from pathhier_spark.operators.graph import dag_longest_paths
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: (r["depth"], r["n_ancestors"])
+           for r in dag_longest_paths(e).collect()}
+    assert got[0] == (0, 0)
+    assert got[1] == (1, 1) and got[2] == (1, 1)
+    # longest path wins over the shortest route
+    assert got[3] == (2, 3)
+    assert got[4] == (3, 4)
+
+
+def test_dag_longest_paths_cycle_raises(spark):
+    from pathhier_spark.operators.graph import dag_longest_paths
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_paths(e).collect()
+
+
+def test_dag_longest_paths_saturation_raises(spark):
+    from pathhier_spark.operators.graph import dag_longest_paths
+
+    # a 4-hop chain saturates 2**2 = 4 exactly -> must refuse
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="saturated"):
+        dag_longest_paths(e, doublings=2)
+    got = {r["node"]: r["depth"]
+           for r in dag_longest_paths(e, doublings=3).collect()}
+    assert got[4] == 4
