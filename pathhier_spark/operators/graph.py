@@ -2189,8 +2189,12 @@ def scc_colored(
         # -- 2b. backward reach-to-pivot WITHIN each color class: a node
         # is in SCC(pivot) iff its color is pivot's id (pivot reaches it
         # through min-propagation) and it reaches the pivot through
-        # same-colored nodes (Orzan's coloring rule). Under-propagation
-        # here is safe — unreached members just wait for the next peel.
+        # same-colored nodes (Orzan's coloring rule). This loop must ALSO
+        # reach a fixpoint before assigning: removing a partially-reached
+        # SCC would orphan the unreached members into the next peel's
+        # subgraph, where trim/coloring would mislabel them as separate
+        # components — so under-propagation is NOT safe, and the same
+        # assert-the-invariant rule applies as in 2a.
         ce = (
             live_e.join(
                 fwd.select(F.col("node").alias("s"), F.col("lbl").alias("sl")),
@@ -2207,6 +2211,7 @@ def scc_colored(
         reach = fwd.filter(F.col("node") == F.col("lbl")).select(
             "node"
         ).localCheckpoint(eager=True)
+        r_converged = False
         for _ in range(fb_rounds):
             nxt = (
                 reach.union(
@@ -2219,8 +2224,31 @@ def scc_colored(
             )
             if nxt.count() == reach.count():
                 reach = nxt
+                r_converged = True
                 break
             reach = nxt
+        if not r_converged:
+            # one more probe round: the cap landing exactly on the
+            # fixpoint is fine; only a still-growing reach is unsafe
+            nxt = (
+                reach.union(
+                    reach.join(ce, reach.node == ce.d).select(
+                        F.col("s").alias("node")
+                    )
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == reach.count():
+                r_converged = True
+                reach = nxt
+        if not r_converged:
+            if strict:
+                raise ValueError(
+                    "scc_colored: backward reach did not converge "
+                    f"within fb_rounds={fb_rounds}; raise fb_rounds"
+                )
+            break
         done = reach.join(fwd, "node").select(
             "node", F.col("lbl").alias("scc_id")
         )

@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pathhier_spark import config
-from pathhier_spark.functions.text import char_ngrams, idf_table, jaccard, tokenize
+from pathhier_spark.functions.text import (
+    WS_SPLIT_RE,
+    char_ngrams,
+    idf_table,
+    jaccard,
+    tokenize,
+)
 
 
 def entity_token_table(
@@ -480,14 +486,16 @@ def dictionary_augment(
     Output: one row per input phrase — (phrase_id, phrase, cls_id,
     cls_name, jacc_fp, is_new); phrases with no class above threshold
     carry NULLs, matched phrases flag is_new = jacc_fp < 1e6 (a mined
-    alias the dictionary does not already contain verbatim)."""
+    alias whose token SET is not already a dictionary entry's —
+    reordered/duplicated surface forms of an existing entry are NOT
+    flagged, by design of token-set linking)."""
     thr_fp = int(round(threshold * 1_000_000))
     p = phrases.select(
         F.col(phrase_id_col).alias("pid"),
         F.col(phrase_col).alias("phrase"),
         F.array_distinct(
             F.filter(
-                F.split(F.lower(F.col(phrase_col)), r"\s+"),
+                F.split(F.lower(F.col(phrase_col)), WS_SPLIT_RE),
                 lambda t: t != "",
             )
         ).alias("pts"),
@@ -497,7 +505,7 @@ def dictionary_augment(
         F.col(cls_name_col).alias("cls_name"),
         F.array_distinct(
             F.filter(
-                F.split(F.lower(F.col(cls_name_col)), r"\s+"),
+                F.split(F.lower(F.col(cls_name_col)), WS_SPLIT_RE),
                 lambda t: t != "",
             )
         ).alias("cts"),
@@ -514,9 +522,16 @@ def dictionary_augment(
             F.size(set_col).cast("long").alias("setlen"),
             F.explode(set_col).alias("term"),
         ).join(F.broadcast(freq), "term", "left")
+        # exact RATIONAL ceiling in integer arithmetic: float
+        # ceil(t*L) overestimates when t*L rounds up in IEEE (e.g.
+        # 0.07*100 = 7.000000000000001 -> ceil 8), which would shorten
+        # the prefix and break losslessness at exactly-at-threshold
+        # pairs
         pref_len = (
             F.col("setlen")
-            - F.ceil(F.lit(threshold) * F.col("setlen")).cast("long")
+            - F.expr(
+                f"({thr_fp} * setlen + 999999) DIV 1000000"
+            ).cast("long")
             + F.lit(1)
         )
         w = Window.partitionBy(id_name).orderBy(

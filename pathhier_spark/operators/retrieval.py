@@ -177,10 +177,15 @@ def setsim_join_exact(
                     F.explode("ts").alias("term"))
         .join(F.broadcast(freq), "term")
     )
-    # prefix length: L - ceil(t*L) + 1
+    # prefix length: L - ceil(t*L) + 1, with the ceiling taken in exact
+    # integer arithmetic over the micro-unit threshold — float ceil(t*L)
+    # overestimates whenever t*L rounds UP in IEEE (0.07*100 ->
+    # 7.000000000000001 -> ceil 8), silently shortening the prefix and
+    # breaking the losslessness proof at exactly-at-threshold pairs
+    thr_fp = int(round(threshold * 1_000_000))
     pref_len = (
         F.col("setlen")
-        - F.ceil(F.lit(threshold) * F.col("setlen")).cast("long")
+        - F.expr(f"({thr_fp} * setlen + 999999) DIV 1000000").cast("long")
         + F.lit(1)
     )
     order_w = Window.partitionBy("doc_id").orderBy(

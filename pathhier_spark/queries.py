@@ -9950,35 +9950,11 @@ ORDER BY n.node
 
 
 def q162_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pathhier_spark.operators.canonicalize import connected_components
-    from pathhier_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        ngram_jaccard_pairs,
-    )
     from pathhier_spark.operators.sampling import hash_split
 
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(
-        docs, num_hashes=_LSH_BANDS * _LSH_ROWS, shingle_k=_SHINGLE_K
-    )
-    cands = lsh_candidate_pairs(
-        sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=50
-    )
-    verified = ngram_jaccard_pairs(
-        docs, cands, shingle_k=_SHINGLE_K, threshold=_NEARDUP_T
-    )
-    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
-    edges = verified.select(
-        pad(F.col("id_a")).alias("xref_a"), pad(F.col("id_b")).alias("xref_b")
-    )
-    nodes = docs.select(pad(F.col("doc_id")).alias("xref_a")).select(
-        "xref_a", F.col("xref_a").alias("xref_b")
-    )
-    comp = connected_components(edges.union(nodes)).select(
-        F.col("node").cast("bigint").alias("doc_id"),
-        F.col("component").cast("bigint").alias("cluster"),
-    )
+    # the q131 reuse pattern: SAME clusters as q31 by construction, so
+    # any LSH/threshold/pad change stays in one place
+    comp = q31_neardup_clusters(spark, sf_dir).select("doc_id", "cluster")
     return hash_split(comp, id_col="cluster").orderBy("doc_id")
 
 

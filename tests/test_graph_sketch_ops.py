@@ -1228,3 +1228,18 @@ def test_dag_longest_paths_saturation_raises(spark):
     got = {r["node"]: r["depth"]
            for r in dag_longest_paths(e, doublings=3).collect()}
     assert got[4] == 4
+
+
+def test_scc_deep_backward_distance_raises_not_mislabels(spark):
+    """Regression (r5 review): a hub SCC whose backward distance to the
+    pivot exceeds fb_rounds must RAISE, never emit a partial SCC plus
+    orphaned singletons."""
+    from pathhier_spark.operators.graph import scc_colored
+
+    edges = [(1, i) for i in range(2, 13)] \
+        + [(i, i + 1) for i in range(2, 12)] + [(12, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(ValueError, match="backward reach"):
+        scc_colored(e).collect()
+    rows = scc_colored(e, fb_rounds=16).collect()
+    assert all(r["scc_id"] == 1 and r["scc_size"] == 12 for r in rows)
