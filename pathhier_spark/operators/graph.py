@@ -2368,3 +2368,190 @@ def dag_longest_paths(
             "n_ancestors"
         ),
     )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 8,
+    strict: bool = True,
+) -> DataFrame:
+    """Minimum spanning forest via Borůvka — the single-linkage
+    clustering backbone: the MSF of a similarity graph IS the
+    single-linkage dendrogram (cutting it at weight t yields exactly the
+    t-threshold clusters), so this is the hierarchy-of-near-dup-clusters
+    operator that q31's flat CC cannot express. Borůvka is THE
+    distributed MST algorithm: every component picks its lightest
+    incident edge simultaneously (one argmin combiner aggregate), so
+    component count at least halves per round — log2(n) rounds, all
+    data-parallel, vs Kruskal's inherently sequential sorted scan.
+
+    REQUIRES globally distinct weights (checked — raises ValueError on
+    ties): under distinct weights the MSF is unique, per-component
+    argmin selection can never close a cycle, and the result is
+    algorithm-independent — callers with tied weights should perturb
+    with a deterministic per-edge hash tiebreak first. Uniqueness is
+    also what the oracle's cycle-property test relies on.
+
+    Per round: (1) re-label edge endpoints by current component labels
+    (two hash joins against the node-sized label table); (2) one
+    min-struct combiner aggregate picks each component's lightest
+    incident edge; (3) hooking: each component points to its chosen
+    partner, mutual pairs root at the smaller label, then pointer
+    jumping contracts the hook forest to roots (label-table-sized
+    self-joins, the q111 path-compression shape). Nothing touches
+    corpus-scale data after step 1's combiner.
+
+    strict=True raises if cross-component edges remain after `rounds`
+    (the q74/q147 convergence-assert discipline); since components at
+    least halve per round, rounds=8 covers any forest up to 256
+    effective components per tree.
+
+    Output: the MSF edge list (a, b, w) with a < b, one row per kept
+    edge — n_nodes - n_components rows."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    chk = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("w").alias("nw"),
+    ).collect()[0]
+    if chk["n"] != chk["nw"]:
+        raise ValueError(
+            "boruvka_msf: edge weights must be globally distinct "
+            f"({chk['n']} edges, {chk['nw']} distinct weights) — apply a "
+            "deterministic hash tiebreak before calling"
+        )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    msf = e.limit(0).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(rounds):
+        lab = (
+            e.join(
+                labels.select(F.col("node").alias("a"),
+                              F.col("lbl").alias("la")), "a"
+            )
+            .join(
+                labels.select(F.col("node").alias("b"),
+                              F.col("lbl").alias("lb")), "b"
+            )
+            .filter(F.col("la") != F.col("lb"))
+            .localCheckpoint(eager=True)
+        )
+        if lab.limit(1).count() == 0:
+            converged = True
+            break
+        # each component's lightest incident edge (struct min is total:
+        # weights are distinct, so (w, a, b) never ties)
+        incident = lab.select(
+            F.col("la").alias("comp"),
+            F.struct("w", "a", "b", F.col("lb").alias("other")).alias("c"),
+        ).union(
+            lab.select(
+                F.col("lb").alias("comp"),
+                F.struct("w", "a", "b", F.col("la").alias("other")).alias(
+                    "c"
+                ),
+            )
+        )
+        sel = (
+            incident.groupBy("comp")
+            .agg(F.min("c").alias("c"))
+            .select("comp", "c.w", "c.a", "c.b", "c.other")
+            .localCheckpoint(eager=True)
+        )
+        msf = (
+            msf.union(sel.select("a", "b", "w"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # hooking: comp -> chosen partner; mutual pairs root at the min
+        ptr = sel.select("comp", F.col("other").alias("p"))
+        mutual = ptr.alias("x").join(
+            ptr.alias("y"),
+            (F.col("x.p") == F.col("y.comp"))
+            & (F.col("y.p") == F.col("x.comp")),
+        ).select(
+            F.col("x.comp").alias("comp"),
+            F.least("x.comp", "x.p").alias("p2"),
+        )
+        hooked = (
+            ptr.join(mutual, "comp", "left")
+            .select("comp", F.coalesce("p2", "p").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping to roots (hook forest depth <= components)
+        for _ in range(rounds):
+            jumped = (
+                hooked.alias("x")
+                .join(
+                    hooked.alias("y"),
+                    F.col("x.p") == F.col("y.comp"),
+                    "left",
+                )
+                .select(
+                    F.col("x.comp").alias("comp"),
+                    F.coalesce("y.p", "x.p").alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                jumped.alias("n")
+                .join(hooked.alias("o"), "comp")
+                .filter(F.col("n.p") != F.col("o.p"))
+                .limit(1)
+                .count()
+            )
+            hooked = jumped
+            if changed == 0:
+                break
+        labels = (
+            labels.join(
+                hooked.select(
+                    F.col("comp").alias("lbl"), F.col("p").alias("nl")
+                ),
+                "lbl",
+                "left",
+            )
+            .select("node", F.coalesce("nl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        lab = (
+            e.join(
+                labels.select(F.col("node").alias("a"),
+                              F.col("lbl").alias("la")), "a"
+            )
+            .join(
+                labels.select(F.col("node").alias("b"),
+                              F.col("lbl").alias("lb")), "b"
+            )
+            .filter(F.col("la") != F.col("lb"))
+        )
+        if lab.limit(1).count() == 0:
+            converged = True
+        elif strict:
+            raise ValueError(
+                f"boruvka_msf: not converged after rounds={rounds}; "
+                "raise rounds"
+            )
+    return msf.select("a", "b", "w")

@@ -9972,6 +9972,103 @@ FROM comp ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q163 — minimum spanning forest (operators/graph.boruvka_msf): the
+# single-linkage clustering backbone — the MSF of a similarity graph IS
+# the single-linkage dendrogram (cut at weight t = the t-threshold flat
+# clusters), the hierarchy q31's flat CC cannot express. Spark side is
+# Borůvka (per-component argmin edge, hooking + pointer jumping —
+# log-round, fully data-parallel, the distributed-MST algorithm);
+# the oracle uses the CYCLE PROPERTY instead: under globally distinct
+# weights (md5-derived, verified distinct; the operator raises on
+# ties), an edge is in the unique MSF iff its weight EQUALS the
+# minimax bottleneck distance between its endpoints, computed by
+# min-max-semiring doubling in unrolled MATERIALIZED CTEs — two
+# entirely different MST characterizations agreeing edge-for-edge.
+# Graph: nodes doc_id%150 with chords n->(13n+7)%150 and, for even
+# docs, n->(29n+3)%150 (two components — the forest case is real);
+# doc%2 = (doc%150)%2 so the edge set is SF-invariant.
+# DuckDB feature req: MATERIALIZED CTEs (inlining is 3^rounds
+# otherwise, the q145 lesson); md5-hex helper.
+# ---------------------------------------------------------------------------
+
+_MSF_ROUNDS = 8
+
+
+def q163_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import boruvka_msf
+
+    docs = _docs(spark, sf_dir)
+    n = F.col("doc_id") % 150
+    e1 = docs.select(n.alias("u"), ((n * 13 + 7) % 150).alias("v"))
+    e2 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        n.alias("u"), ((n * 29 + 3) % 150).alias("v")
+    )
+    raw = e1.union(e2).select(
+        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    w = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mst:"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    weighted = raw.select("src", "dst", w.alias("w"))
+    return boruvka_msf(weighted).orderBy("a", "b")
+
+
+def _q163_sql() -> str:
+    wexpr = _sql_hex32(
+        chr(39) + "mst:" + chr(39) + " || a::varchar || ':' || b::varchar"
+    )
+    rounds = []
+    prev = "b0"
+    for r in range(1, _MSF_ROUNDS + 1):
+        cur = f"b{r}"
+        rounds.append(f""", {cur} AS MATERIALIZED (
+  SELECT u, v, min(bt) AS bt FROM (
+    SELECT u, v, bt FROM {prev}
+    UNION ALL
+    SELECT p.u, q.v, greatest(p.bt, q.bt) AS bt
+    FROM {prev} p JOIN {prev} q ON p.v = q.u
+  ) GROUP BY u, v
+)""")
+        prev = cur
+    return f"""
+WITH base AS (
+  SELECT (doc_id % 150)::bigint AS n, doc_id % 2 AS m2 FROM documents
+), raw AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT n AS u, ((n * 13 + 7) % 150)::bigint AS v FROM base
+    UNION ALL
+    SELECT n, ((n * 29 + 3) % 150)::bigint FROM base WHERE m2 = 0
+  ) WHERE u <> v
+), e AS MATERIALIZED (
+  SELECT a, b, ({wexpr})::bigint AS w FROM raw
+), b0 AS MATERIALIZED (
+  SELECT u, v, min(w) AS bt FROM (
+    SELECT a AS u, b AS v, w FROM e
+    UNION ALL
+    SELECT b, a, w FROM e
+  ) GROUP BY u, v
+){''.join(rounds)}
+SELECT e.a, e.b, e.w
+FROM e JOIN {prev} f ON f.u = e.a AND f.v = e.b
+WHERE f.bt = e.w
+ORDER BY e.a, e.b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10136,6 +10233,7 @@ def queries():
         "q160_dict_augment": q160_dict_augment,
         "q161_dag_layers": q161_dag_layers,
         "q162_cluster_safe_splits": q162_cluster_safe_splits,
+        "q163_msf": q163_msf,
     }
 
 
@@ -10303,4 +10401,5 @@ def oracle_sql():
         "q160_dict_augment": _Q160_SQL,
         "q161_dag_layers": _Q161_SQL,
         "q162_cluster_safe_splits": _q162_sql(),
+        "q163_msf": _q163_sql(),
     }

@@ -1243,3 +1243,69 @@ def test_scc_deep_backward_distance_raises_not_mislabels(spark):
         scc_colored(e).collect()
     rows = scc_colored(e, fb_rounds=16).collect()
     assert all(r["scc_id"] == 1 and r["scc_size"] == 12 for r in rows)
+
+
+def test_boruvka_known_mst(spark):
+    from pathhier_spark.operators.graph import boruvka_msf
+
+    # classic 4-node graph; MST = {(0,1,1),(1,2,2),(1,3,4)}
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (0, 2, 3), (1, 3, 4), (2, 3, 5)],
+        "src long, dst long, w long",
+    )
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_msf(e).collect()}
+    assert got == {(0, 1, 1), (1, 2, 2), (1, 3, 4)}
+
+
+def test_boruvka_forest_spans_each_component(spark):
+    from pathhier_spark.operators.graph import boruvka_msf
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (0, 2, 3), (10, 11, 4)],
+        "src long, dst long, w long",
+    )
+    got = {(r["a"], r["b"]) for r in boruvka_msf(e).collect()}
+    assert got == {(0, 1), (1, 2), (10, 11)}
+
+
+def test_boruvka_rejects_tied_weights(spark):
+    from pathhier_spark.operators.graph import boruvka_msf
+
+    e = spark.createDataFrame(
+        [(0, 1, 7), (1, 2, 7)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        boruvka_msf(e)
+
+
+def test_boruvka_single_linkage_cut_equals_threshold_cc(spark):
+    """Cutting the MSF at weight t must reproduce the flat t-threshold
+    connected components — the single-linkage dendrogram property."""
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.canonicalize import connected_components
+    from pathhier_spark.operators.graph import boruvka_msf
+
+    edges = [(0, 1, 1), (1, 2, 2), (0, 2, 9), (2, 3, 6), (3, 4, 3),
+             (4, 5, 8), (0, 5, 11), (1, 4, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    msf = boruvka_msf(e)
+    for t in (2, 6, 8):
+        pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+        nodes = e.select(pad(F.col("src")).alias("xref_a")).union(
+            e.select(pad(F.col("dst")).alias("xref_a"))
+        ).distinct().select("xref_a", F.col("xref_a").alias("xref_b"))
+
+        def clusters(edge_df):
+            cut = edge_df.filter(F.col("w") <= t) if "w" in edge_df.columns \
+                else edge_df
+            ce = cut.selectExpr("a as u", "b as v") \
+                if "a" in cut.columns else cut.selectExpr(
+                    "src as u", "dst as v")
+            comp = connected_components(
+                ce.select(pad(F.col("u")).alias("xref_a"),
+                          pad(F.col("v")).alias("xref_b")).union(nodes)
+            )
+            return {(r["node"], r["component"]) for r in comp.collect()}
+
+        assert clusters(msf) == clusters(e), f"threshold {t}"
