@@ -265,11 +265,15 @@ def embedding_neardup_bucketed(
     bucketing is reproducible anywhere): two vectors become a candidate
     pair iff they share a bucket in ANY band; exact double cosine then
     filters candidates, so precision is exactly 1.0 vs the brute form and
-    only recall depends on the banding. At the default (4 planes x 8
-    bands) and threshold 0.95 the per-pair candidate probability is
-    1-(1-p^4)^8 with p = 1 - theta/pi >= 0.899, i.e. >= 0.9998 at the
-    threshold boundary and higher above it — measured recall 1.0 on the
-    test corpora (tests/test_dedup.py asserts set-equality vs brute).
+    only recall depends on the banding. At the gate setting (8 planes x
+    16 bands, queries._BND_*) and threshold 0.95 the per-pair candidate
+    probability is 1-(1-p^8)^16 with p = 1 - theta/pi >= 0.899, i.e.
+    >= 0.99986 at the threshold boundary and higher above it — measured
+    recall 1.0 on the test corpora (tests/test_dedup.py asserts
+    set-equality vs brute). Plane count is the bucket-density lever:
+    2^n_planes buckets per band must outgrow per-band corpus density or
+    buckets go all-pairs (4 planes measured 815k candidate pairs from
+    2000 vectors at sf0.1; 8 planes: ~115k).
 
     Shuffle shape: one banded-bucket table (n_rows x n_bands narrow rows)
     self-joined on (band, bucket) — uniform keys by construction of the
@@ -293,7 +297,13 @@ def embedding_neardup_bucketed(
         dim = len(row[0])
     planes_per_band = [md5_hyperplanes(dim, n_planes, b) for b in range(n_bands)]
     e = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    bb = _banded_buckets(e, "_id", "_v", planes_per_band)
+    # lazy checkpoint: the bucket table feeds BOTH sides of the candidate
+    # self-join, and without it the quantize+project+bucket-fold subtree
+    # executes twice (measured 8.4s -> 3.0s at sf0.1; the q92/hits shared-
+    # subtree discipline)
+    bb = _banded_buckets(e, "_id", "_v", planes_per_band).localCheckpoint(
+        eager=False
+    )
     cands = (
         bb.withColumnRenamed("_id", "id_a")
         .join(

@@ -2935,8 +2935,13 @@ def _q51_sql() -> str:
 # raise n_bands.
 # ---------------------------------------------------------------------------
 
-_BND_PLANES = 4
-_BND_BANDS = 8
+# 8 planes x 16 bands: 256 buckets/band keeps per-bucket pair counts
+# ~n/256-sized (4x8's 16 buckets/band went nearly all-pairs once the
+# corpus outgrew the bucket space — measured 815k candidate pairs from
+# 2000 vectors at sf0.1), and the threshold-boundary recall bound is
+# BETTER: 1-(1-p^8)^16 = 0.99986 at cos 0.95 vs 0.99979 for 4x8.
+_BND_PLANES = 8
+_BND_BANDS = 16
 
 
 def q52_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
