@@ -363,3 +363,88 @@ def source_diversity(
         (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
         (F.round(F.exp(h), 6) + F.lit(0.0)).alias("effective_labels"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cents_col: str,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier profile: low-median + MAD (median
+    absolute deviation) + the count of |x - med| > k_mad * MAD rows —
+    the outlier detector that, unlike the z-score (q134), a single
+    wild value cannot poison (median and MAD both have 50% breakdown).
+
+    All arithmetic is EXACT INT64 on pre-quantized integer cents (the
+    q49 rule: quantize per row BEFORE aggregating, never round a float
+    sum). Median uses the low-median convention — the smallest value v
+    whose cumulative count reaches ceil(n/2) — computed by the q45/q71
+    value-histogram + inverted-CDF walk: one combiner groupBy to the
+    (group, value) domain, one window over the DOMAIN (distinct values
+    per group, never rows). The MAD pass repeats the same machinery on
+    |x - med|, and the outlier count is one more combiner aggregate.
+    Three passes over the (group, value) histogram; zero passes over
+    raw rows beyond the first quantize+count.
+
+    Output: (group, n, med_cents, mad_cents, n_outliers), one row per
+    group, NULL-group rows excluded."""
+
+    def _low_median(values: DataFrame, vcol: str) -> DataFrame:
+        hist = values.groupBy("g", vcol).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = Window.partitionBy("g")
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "n", F.sum("cnt").over(tot)
+        )
+        # low median: smallest v with cum >= ceil(n/2) == (n+1) DIV 2
+        hit = cum.filter(
+            F.col("cum") >= F.expr("(n + 1) DIV 2")
+        )
+        return hit.groupBy("g").agg(
+            F.min(vcol).alias("med"), F.min("n").alias("n")
+        )
+
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(cents_col).alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    med = _low_median(base, "v")
+    dev = base.join(med.select("g", "med"), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = _low_median(dev, "d").select(
+        "g", F.col("med").alias("mad")
+    )
+    flagged = (
+        base.join(med.select("g", "med", "n"), "g")
+        .join(mad, "g")
+        .select(
+            "g",
+            "n",
+            "med",
+            "mad",
+            F.when(
+                F.abs(F.col("v") - F.col("med"))
+                > F.lit(int(k_mad)) * F.col("mad"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_out"),
+        )
+    )
+    return flagged.groupBy("g", "n", "med", "mad").agg(
+        F.sum("is_out").cast("long").alias("n_outliers")
+    ).select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("med").cast("long").alias("med_cents"),
+        F.col("mad").cast("long").alias("mad_cents"),
+        "n_outliers",
+    )

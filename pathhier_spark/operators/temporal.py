@@ -463,3 +463,102 @@ def rate_anomalies_from_daily(
             z.isNotNull() & (F.abs(z) > z_threshold), 1
         ).otherwise(0).cast("long").alias("is_anomaly"),
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    *,
+    steps: tuple = ("signup", "view", "purchase"),
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered multi-step conversion funnel with a deadline window — the
+    product-analytics primitive sessionize (q16) and the transition
+    matrix (q89) do not express: a user converts step k only with an
+    event of type steps[k] STRICTLY AFTER their step k-1 time and no
+    later than step-1 time + window_days. First-event semantics
+    throughout (min ts per user per stage), so the result is a pure
+    function of the event set — replays, re-partitioning, and late data
+    cannot flip it.
+
+    Scale shape: stage k is one filtered combiner groupBy(user) +
+    an equi-join against the (user-sized) stage k-1 table — the event
+    table is scanned once per step WITH the type filter pushed to the
+    scan, never collected, never windowed per user. The final 3-row
+    rollup uses a lag window over the step-sized output (domain-sized,
+    like q45's value-histogram window — never user- or event-sized).
+
+    Conversions are exact micro-unit integer ratios: conv_prev_fp vs
+    the previous step, conv_start_fp vs step 1 (1e6 for step 1 itself).
+
+    Output: (step, step_name, n_users, conv_prev_fp, conv_start_fp),
+    one row per step, ordered by step."""
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    )
+    stage = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("tk"))
+        .withColumn(
+            "deadline",
+            F.col("tk") + F.expr(f"INTERVAL {int(window_days)} DAYS"),
+        )
+    )
+    rows = [
+        stage.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(1).cast("int").alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            "n_users",
+        )
+    ]
+    for k, name in enumerate(steps[1:], start=2):
+        nxt_ev = ev.filter(F.col("et") == name)
+        stage = (
+            nxt_ev.join(
+                stage.select("u", F.col("tk").alias("tp"), "deadline"), "u"
+            )
+            .filter((F.col("t") > F.col("tp")) & (F.col("t") <= F.col("deadline")))
+            .groupBy("u")
+            .agg(F.min("t").alias("tk"), F.min("deadline").alias("deadline"))
+        )
+        rows.append(
+            stage.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users")
+            ).select(
+                F.lit(k).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                "n_users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy("step")
+    # default frame (unbounded preceding .. current row): first_value is
+    # step 1's count on every row
+    return (
+        out.withColumn("n_prev", F.lag("n_users").over(w))
+        .withColumn("n_start", F.first("n_users").over(w))
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.when(F.col("n_prev").isNull(), F.lit(1_000_000).cast("long"))
+            .when(F.col("n_prev") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(1000000 * n_users) DIV n_prev").cast("long")
+            )
+            .alias("conv_prev_fp"),
+            F.when(F.col("n_start") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(1000000 * n_users) DIV n_start").cast("long")
+            )
+            .alias("conv_start_fp"),
+        )
+        .orderBy("step")
+    )

@@ -10074,6 +10074,255 @@ ORDER BY e.a, e.b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q164 — ordered conversion funnel (operators/temporal.ordered_funnel):
+# signup -> view -> purchase with a 7-day deadline from the first
+# signup; first-event semantics per stage make the result a pure
+# function of the event set (replays/late data cannot flip it). Each
+# stage is one filtered combiner groupBy + a user-sized equi-join; the
+# final rollup windows over the 3-row step domain only. Conversions
+# are exact micro-unit integer ratios.
+# DuckDB feature req: core only (INTERVAL arithmetic, lag window).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+_FUNNEL_DAYS = 7
+
+
+def q164_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import ordered_funnel
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ordered_funnel(
+        ev, steps=_FUNNEL_STEPS, window_days=_FUNNEL_DAYS
+    )
+
+
+def _q164_sql() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et, ts AS t FROM events
+), g1 AS (
+  SELECT u, min(t) AS tk FROM ev WHERE et = '{s1}' GROUP BY u
+), st1 AS (
+  SELECT u, tk, tk + INTERVAL {_FUNNEL_DAYS} DAY AS deadline FROM g1
+), st2 AS (
+  SELECT e.u, min(e.t) AS tk, min(s.deadline) AS deadline
+  FROM ev e JOIN st1 s ON e.u = s.u
+  WHERE e.et = '{s2}' AND e.t > s.tk AND e.t <= s.deadline
+  GROUP BY e.u
+), st3 AS (
+  SELECT e.u, min(e.t) AS tk
+  FROM ev e JOIN st2 s ON e.u = s.u
+  WHERE e.et = '{s3}' AND e.t > s.tk AND e.t <= s.deadline
+  GROUP BY e.u
+), counts AS (
+  SELECT 1 AS step, '{s1}' AS step_name, count(*)::bigint AS n_users
+  FROM st1
+  UNION ALL
+  SELECT 2, '{s2}', count(*)::bigint FROM st2
+  UNION ALL
+  SELECT 3, '{s3}', count(*)::bigint FROM st3
+), rolled AS (
+  SELECT step, step_name, n_users,
+         lag(n_users) OVER (ORDER BY step) AS n_prev,
+         first_value(n_users) OVER (ORDER BY step) AS n_start
+  FROM counts
+)
+SELECT step::int AS step, step_name, n_users,
+       CASE WHEN n_prev IS NULL THEN 1000000
+            WHEN n_prev = 0 THEN NULL
+            ELSE (1000000 * n_users) // n_prev END::bigint AS conv_prev_fp,
+       CASE WHEN n_start = 0 THEN NULL
+            ELSE (1000000 * n_users) // n_start END::bigint
+         AS conv_start_fp
+FROM rolled ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q165 — HLL set-intersection estimate: how much of crawl snapshot B is
+# already in snapshot A, WITHOUT a join — the sketch-mergeability payoff
+# (q68's registers, elementwise-max union, inclusion-exclusion
+# inter = (A + B) - U). The sketched element is the CONTENT HASH
+# md5(text) — cross-snapshot exact-content overlap, the dedup-planning
+# scalar (token sets would be degenerate here: a shared vocabulary
+# makes A = B = U and the inclusion-exclusion untestable). Snapshots:
+# even docs vs every-3rd docs, so the true overlap (%6 docs + cross-
+# half exact dups) is a strict subset of either side. Estimates are
+# bit-reproducible (dyadic 2^-reg terms, md5 registers), so the oracle
+# value-checks the ESTIMATES; the exact intersection rides along for
+# the honesty comparison.
+# DuckDB feature req: core only (shared q68 register arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def q165_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ta = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("tok")
+    ).localCheckpoint(eager=False)
+    tb = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("text")).alias("tok")
+    ).localCheckpoint(eager=False)
+    ra = hll_registers(ta, "tok", m=_HLL_M)
+    rb = hll_registers(tb, "tok", m=_HLL_M)
+    ru = (
+        ra.select("j", F.col("reg").alias("rega"))
+        .join(rb.select("j", F.col("reg").alias("regb")), "j")
+        .select("j", F.greatest("rega", "regb").alias("reg"))
+    )
+    ea = hll_estimate(ra, m=_HLL_M).select(F.col("est").alias("est_a"))
+    eb = hll_estimate(rb, m=_HLL_M).select(F.col("est").alias("est_b"))
+    eu = hll_estimate(ru, m=_HLL_M).select(F.col("est").alias("est_u"))
+    exact = (
+        ta.distinct()
+        .join(tb.distinct(), "tok", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_inter"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            (F.round("est_a", 6) + F.lit(0.0)).alias("est_a"),
+            (F.round("est_b", 6) + F.lit(0.0)).alias("est_b"),
+            (F.round("est_u", 6) + F.lit(0.0)).alias("est_union"),
+            (
+                F.round(
+                    (F.col("est_a") + F.col("est_b")) - F.col("est_u"), 6
+                )
+                + F.lit(0.0)
+            ).alias("est_inter"),
+            "n_exact_inter",
+        )
+    )
+
+
+def _q165_sql() -> str:
+    m = _HLL_M
+    tail = 32 - (m.bit_length() - 1)
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+    def chain(name: str, src: str) -> str:
+        return f"""
+{name}_rho AS (
+  SELECT h % {m} AS j,
+         CASE WHEN (h // {m}) = 0 THEN {tail + 1}
+              ELSE {tail + 1} - length(bin(h // {m})) END AS rho
+  FROM (SELECT {_sql_hex32("'hll:' || tok")} AS h FROM {src})
+), {name}_regs AS (
+  SELECT g.j, coalesce(max(rho), 0)::bigint AS reg
+  FROM range(0, {m}) g(j) LEFT JOIN {name}_rho r ON r.j = g.j GROUP BY g.j
+), {name}_est AS (
+  SELECT CASE WHEN ({alpha_m2!r} / s) <= {2.5 * m!r} AND n_zero > 0
+              THEN {float(m)!r} * ln({float(m)!r} / n_zero)
+              ELSE {alpha_m2!r} / s END AS est
+  FROM (
+    SELECT sum(1.0 / (1::bigint << reg)) AS s,
+           sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::bigint AS n_zero
+    FROM {name}_regs
+  )
+)"""
+
+    return f"""
+WITH ta AS (
+  SELECT md5(text) AS tok FROM documents WHERE doc_id % 2 = 0
+), tb AS (
+  SELECT md5(text) AS tok FROM documents WHERE doc_id % 3 = 0
+),{chain('a', 'ta')},{chain('b', 'tb')},
+u_regs AS (
+  SELECT a_regs.j, greatest(a_regs.reg, b_regs.reg) AS reg
+  FROM a_regs JOIN b_regs USING (j)
+), u_est AS (
+  SELECT CASE WHEN ({alpha_m2!r} / s) <= {2.5 * m!r} AND n_zero > 0
+              THEN {float(m)!r} * ln({float(m)!r} / n_zero)
+              ELSE {alpha_m2!r} / s END AS est
+  FROM (
+    SELECT sum(1.0 / (1::bigint << reg)) AS s,
+           sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::bigint AS n_zero
+    FROM u_regs
+  )
+), ex AS (
+  SELECT count(*)::bigint AS n_exact_inter FROM (
+    SELECT DISTINCT tok FROM ta INTERSECT SELECT DISTINCT tok FROM tb
+  )
+)
+SELECT round(a_est.est, 6) + 0.0 AS est_a,
+       round(b_est.est, 6) + 0.0 AS est_b,
+       round(u_est.est, 6) + 0.0 AS est_union,
+       round((a_est.est + b_est.est) - u_est.est, 6) + 0.0 AS est_inter,
+       ex.n_exact_inter
+FROM a_est, b_est, u_est, ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q166 — robust per-group outliers (operators/profile.mad_outliers):
+# low-median + MAD + |x-med| > 3*MAD counts over integer event-value
+# cents — the outlier detector a single wild value cannot poison,
+# complementing q134's z-scores. All-int64; median/MAD by the q45/q71
+# value-histogram + inverted-CDF walk (windows over the value DOMAIN,
+# never rows).
+# DuckDB feature req: core only (windowed cumulative sums) — native
+# median() is deliberately NOT used (interpolation conventions differ;
+# the low-median rank walk is replayed instead).
+# ---------------------------------------------------------------------------
+
+
+def q166_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import mad_outliers
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(
+        ev, group_col="event_type", cents_col="cents"
+    ).orderBy("event_type")
+
+
+_Q166_SQL = """
+WITH base AS (
+  SELECT event_type AS g, floor(value * 100)::bigint AS v FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+), h1 AS (
+  SELECT g, v, count(*)::bigint AS cnt FROM base GROUP BY g, v
+), c1 AS (
+  SELECT g, v, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY g) AS n
+  FROM h1
+), med AS (
+  SELECT g, min(v) AS med, min(n)::bigint AS n
+  FROM c1 WHERE cum >= (n + 1) // 2 GROUP BY g
+), dev AS (
+  SELECT b.g, abs(b.v - m.med) AS d FROM base b JOIN med m USING (g)
+), h2 AS (
+  SELECT g, d, count(*)::bigint AS cnt FROM dev GROUP BY g, d
+), c2 AS (
+  SELECT g, d, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY d) AS cum,
+         sum(cnt) OVER (PARTITION BY g) AS n
+  FROM h2
+), mad AS (
+  SELECT g, min(d) AS mad FROM c2 WHERE cum >= (n + 1) // 2 GROUP BY g
+)
+SELECT b.g AS event_type, m.n, m.med AS med_cents, a.mad AS mad_cents,
+       sum(CASE WHEN abs(b.v - m.med) > 3 * a.mad THEN 1 ELSE 0 END)::bigint
+         AS n_outliers
+FROM base b JOIN med m USING (g) JOIN mad a USING (g)
+GROUP BY b.g, m.n, m.med, a.mad
+ORDER BY event_type
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10239,6 +10488,9 @@ def queries():
         "q161_dag_layers": q161_dag_layers,
         "q162_cluster_safe_splits": q162_cluster_safe_splits,
         "q163_msf": q163_msf,
+        "q164_funnel": q164_funnel,
+        "q165_hll_intersection": q165_hll_intersection,
+        "q166_mad_outliers": q166_mad_outliers,
     }
 
 
@@ -10407,4 +10659,7 @@ def oracle_sql():
         "q161_dag_layers": _Q161_SQL,
         "q162_cluster_safe_splits": _q162_sql(),
         "q163_msf": _q163_sql(),
+        "q164_funnel": _q164_sql(),
+        "q165_hll_intersection": _q165_sql(),
+        "q166_mad_outliers": _Q166_SQL,
     }

@@ -960,3 +960,45 @@ def test_burstiness_ranks_bursty_first(spark):
     )
     rows = token_burstiness(docs, min_cf=2, top=1).collect()
     assert rows[0]["tok"] == "burst"
+
+
+# ------------------------------ mad_outliers ------------------------------
+
+
+def test_mad_hand_case(spark):
+    from pathhier_spark.operators.profile import mad_outliers
+
+    # values 1..7 plus wild 1000: low-median of 8 values = 4th = 4
+    # deviations |x-4|: 3,2,1,0,1,2,3,996 -> sorted 0,1,1,2,2,3,3,996
+    # low median (4th) = 2 -> MAD 2; outliers: |x-4| > 6 -> only 1000
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 1000]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = mad_outliers(df, group_col="g", cents_col="v").collect()[0]
+    assert (got["n"], got["med_cents"], got["mad_cents"],
+            got["n_outliers"]) == (8, 4, 2, 1)
+
+
+def test_mad_single_wild_value_does_not_poison(spark):
+    from pathhier_spark.operators.profile import mad_outliers
+
+    # z-score with one wild value inflates sigma and hides the outlier;
+    # MAD must still flag it
+    rows = [("a", 100)] * 50 + [("a", 10_000_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = mad_outliers(df, group_col="g", cents_col="v").collect()[0]
+    assert got["med_cents"] == 100 and got["mad_cents"] == 0
+    assert got["n_outliers"] == 1
+
+
+def test_mad_constant_group_zero_outliers(spark):
+    from pathhier_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 5)] * 10 + [("b", 1), ("b", 2), ("b", 3)],
+        "g string, v long",
+    )
+    got = {r["g"]: r
+           for r in mad_outliers(df, group_col="g", cents_col="v")
+           .collect()}
+    assert got["a"]["n_outliers"] == 0
+    assert got["b"]["med_cents"] == 2 and got["b"]["mad_cents"] == 1

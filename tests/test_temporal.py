@@ -304,3 +304,57 @@ def test_rate_anomalies_hand_computed(spark):
     assert got[("a", 1)] == (1, -0.447214, 0)
     assert got[("b", 1)] == (1, None, 0)
     assert len(got) == 8
+
+
+# ----------------------------- ordered_funnel -----------------------------
+
+
+def test_funnel_hand_case(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import ordered_funnel
+
+    rows = [
+        # u1 completes in order within window
+        (1, "signup", dt(2024, 1, 1)), (1, "view", dt(2024, 1, 2)),
+        (1, "purchase", dt(2024, 1, 3)),
+        # u2 views BEFORE signup -> stops at signup
+        (2, "view", dt(2024, 1, 1)), (2, "signup", dt(2024, 1, 2)),
+        (2, "purchase", dt(2024, 1, 2, 0, 0, 1)),
+        # wait: u2 purchase after signup but no view after signup
+        # u3 converts view but purchase past the 7-day deadline
+        (3, "signup", dt(2024, 1, 1)), (3, "view", dt(2024, 1, 2)),
+        (3, "purchase", dt(2024, 1, 20)),
+        # u4 never signs up
+        (4, "view", dt(2024, 1, 1)), (4, "purchase", dt(2024, 1, 2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {r["step"]: r for r in ordered_funnel(ev).collect()}
+    assert got[1]["n_users"] == 3            # u1, u2, u3
+    assert got[2]["n_users"] == 2            # u1, u3
+    assert got[3]["n_users"] == 1            # u1 only
+    assert got[1]["conv_prev_fp"] == 1_000_000
+    assert got[2]["conv_prev_fp"] == 666_666
+    assert got[3]["conv_prev_fp"] == 500_000
+    assert got[3]["conv_start_fp"] == 333_333
+
+
+def test_funnel_strictly_after_and_deadline_inclusive(spark):
+    from datetime import datetime as dt, timedelta
+
+    from pathhier_spark.operators.temporal import ordered_funnel
+
+    t0 = dt(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            # simultaneous view does NOT count (strictly after)
+            (1, "signup", t0), (1, "view", t0),
+            # view exactly at the deadline DOES count (inclusive)
+            (2, "signup", t0), (2, "view", t0 + timedelta(days=7)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {r["step"]: r["n_users"] for r in ordered_funnel(ev).collect()}
+    assert got[1] == 2 and got[2] == 1
