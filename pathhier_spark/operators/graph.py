@@ -2555,3 +2555,93 @@ def boruvka_msf(
                 "raise rounds"
             )
     return msf.select("a", "b", "w")
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    reach_rounds: int = 16,
+    **scc_kwargs,
+) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph (Broder et al.
+    2000) — the standard macro-structure readout of a crawl's link
+    graph: the giant CORE (largest SCC), IN (reaches the core), OUT
+    (reached from the core), and OTHER (tendrils, tubes, disconnected
+    pieces). Composes scc_colored: the core is the largest SCC (ties
+    broken by smallest scc_id — total order), then one forward and one
+    backward frontier BFS from the core node set classify the rest.
+
+    IN and OUT are provably disjoint: a node both reaching and reached
+    by the core would be IN the core SCC. BFS frontiers run until an
+    EMPTY frontier (asserted within reach_rounds — the fixed-round
+    convergence discipline; each round is one equi-join + one left-anti
+    against the visited set, all node-sized after the first hop).
+
+    Output: (node, scc_id, cls) with cls in
+    {'core', 'in', 'out', 'other'}."""
+    scc = scc_colored(edges, src=src, dst=dst, **scc_kwargs)
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = scc.select("scc_id", "scc_size").distinct()
+    top = (
+        sizes.agg(F.max("scc_size").alias("mx"))
+        .join(sizes, F.col("mx") == F.col("scc_size"))
+        .agg(F.min("scc_id").alias("core_id"))
+    )
+    core = scc.join(
+        F.broadcast(top), scc.scc_id == F.col("core_id")
+    ).select("node").localCheckpoint(eager=True)
+
+    def _closure(start: DataFrame, forward: bool) -> DataFrame:
+        visited = start.localCheckpoint(eager=True)
+        frontier = visited
+        for _ in range(reach_rounds):
+            if forward:
+                step = frontier.join(e, frontier.node == e.s).select(
+                    F.col("d").alias("node")
+                )
+            else:
+                step = frontier.join(e, frontier.node == e.d).select(
+                    F.col("s").alias("node")
+                )
+            frontier = (
+                step.distinct()
+                .join(visited, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.limit(1).count() == 0:
+                return visited
+            visited = visited.union(frontier).localCheckpoint(eager=True)
+        raise ValueError(
+            "bowtie_decomposition: BFS frontier still growing after "
+            f"reach_rounds={reach_rounds}; raise reach_rounds"
+        )
+
+    reached = _closure(core, forward=True)    # core ∪ OUT
+    reaching = _closure(core, forward=False)  # core ∪ IN
+    return scc.join(
+        core.select("node", F.lit(1).alias("_c")), "node", "left"
+    ).join(
+        reached.select("node", F.lit(1).alias("_o")).distinct(),
+        "node",
+        "left",
+    ).join(
+        reaching.select("node", F.lit(1).alias("_i")).distinct(),
+        "node",
+        "left",
+    ).select(
+        "node",
+        "scc_id",
+        F.when(F.col("_c").isNotNull(), F.lit("core"))
+        .when(F.col("_i").isNotNull(), F.lit("in"))
+        .when(F.col("_o").isNotNull(), F.lit("out"))
+        .otherwise(F.lit("other"))
+        .alias("cls"),
+    )

@@ -10323,6 +10323,92 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q167 — bow-tie decomposition (operators/graph.bowtie_decomposition):
+# the Broder et al. 2000 macro-structure of a crawl graph — CORE
+# (largest SCC, ties to the smallest scc_id), IN (reaches the core),
+# OUT (reached from it), OTHER (tendrils/tubes/disconnected) — the
+# composition payoff of q157's SCC kernel plus two frontier BFS
+# closures from the core set. IN and OUT are provably disjoint (a node
+# in both would be in the core SCC). The oracle extends q157's
+# recursive reach CTE chain: core from the mutual-reach SCCs, IN/OUT
+# as one semi-join each against the reach pairs — again a different
+# algorithm on both sides.
+# DuckDB feature req: same as q157 (WITH RECURSIVE chain).
+# ---------------------------------------------------------------------------
+
+
+def q167_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import bowtie_decomposition
+
+    docs = _docs(spark, sf_dir)
+    # NOT q157's graph: x -> 7x+3 is a BIJECTION mod 120 (gcd(7,120)=1),
+    # a permutation has no in-trees and its bow-tie has an empty IN
+    # class. 2x+5 is 2-to-1 (gcd(2,120)=2), so basins/tendrils exist:
+    # this graph measures core=4 / in=28 / out=10 / other=78 — all four
+    # classes real. doc%3 = (doc%120)%3, so the edge set is SF-invariant.
+    n = F.col("doc_id") % 120
+    e1 = docs.select(n.alias("src"), ((n * 2 + 5) % 120).alias("dst"))
+    e2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        n.alias("src"), ((n * 9 + 1) % 120).alias("dst")
+    )
+    return bowtie_decomposition(e1.union(e2)).orderBy("node")
+
+
+_Q167_CHAIN = """
+WITH RECURSIVE base AS (
+  SELECT (doc_id % 120)::bigint AS n, doc_id % 3 AS m3 FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, ((n * 2 + 5) % 120)::bigint AS d FROM base
+    UNION
+    SELECT n, ((n * 9 + 1) % 120)::bigint FROM base WHERE m3 = 0
+  ) WHERE s <> d
+), reach AS (
+  SELECT s AS a, d AS b FROM e
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d FROM e
+  )
+), mutual AS (
+  SELECT r1.a AS node, r1.b AS m
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+), scc AS (
+  SELECT n.node,
+         least(n.node, coalesce(min(mu.m), n.node))::bigint AS scc_id
+  FROM nodes n LEFT JOIN mutual mu ON mu.node = n.node
+  GROUP BY n.node
+), sized AS (
+  SELECT scc_id, count(*)::bigint AS scc_size FROM scc GROUP BY scc_id
+)"""
+
+
+def _q167_sql() -> str:
+    return _Q167_CHAIN + """, core AS (
+  SELECT min(scc_id) AS core_id FROM sized
+  WHERE scc_size = (SELECT max(scc_size) FROM sized)
+), cset AS (
+  SELECT s.node FROM scc s, core WHERE s.scc_id = core.core_id
+), outs AS (
+  SELECT DISTINCT r.b AS node FROM reach r JOIN cset c ON r.a = c.node
+), ins AS (
+  SELECT DISTINCT r.a AS node FROM reach r JOIN cset c ON r.b = c.node
+)
+SELECT s.node, s.scc_id,
+       CASE WHEN cs.node IS NOT NULL THEN 'core'
+            WHEN i.node IS NOT NULL THEN 'in'
+            WHEN o.node IS NOT NULL THEN 'out'
+            ELSE 'other' END AS cls
+FROM scc s
+LEFT JOIN cset cs ON cs.node = s.node
+LEFT JOIN ins i ON i.node = s.node
+LEFT JOIN outs o ON o.node = s.node
+ORDER BY s.node
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10491,6 +10577,7 @@ def queries():
         "q164_funnel": q164_funnel,
         "q165_hll_intersection": q165_hll_intersection,
         "q166_mad_outliers": q166_mad_outliers,
+        "q167_bowtie": q167_bowtie,
     }
 
 
@@ -10662,4 +10749,5 @@ def oracle_sql():
         "q164_funnel": _q164_sql(),
         "q165_hll_intersection": _q165_sql(),
         "q166_mad_outliers": _Q166_SQL,
+        "q167_bowtie": _q167_sql(),
     }

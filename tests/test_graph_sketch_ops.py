@@ -1309,3 +1309,41 @@ def test_boruvka_single_linkage_cut_equals_threshold_cc(spark):
             return {(r["node"], r["component"]) for r in comp.collect()}
 
         assert clusters(msf) == clusters(e), f"threshold {t}"
+
+
+def test_bowtie_hand_graph(spark):
+    from pathhier_spark.operators.graph import bowtie_decomposition
+
+    # core {5,6}; in: 1->5; out: 6->20->21; other: 30->31; a second
+    # smaller SCC {40,41} must NOT become core
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 5), (1, 5), (6, 20), (20, 21), (30, 31),
+         (40, 41), (41, 40), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["cls"]
+           for r in bowtie_decomposition(edges).collect()}
+    assert got[5] == got[6] == "core"
+    assert got[1] == "in"
+    assert got[20] == got[21] == "out"
+    assert got[30] == got[31] == "other"
+    # the size-2 tie broke to the smaller scc_id: {5,6} (id 5) beats
+    # {40,41} (id 40)
+    assert got[40] == got[41] == "other"
+
+
+def test_bowtie_in_out_disjoint_and_total(spark):
+    from pathhier_spark.operators.graph import bowtie_decomposition
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 360).select(F.col("id").alias("doc_id"))
+    n = F.col("doc_id") % 120
+    e1 = docs.select(n.alias("src"), ((n * 2 + 5) % 120).alias("dst"))
+    e2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        n.alias("src"), ((n * 9 + 1) % 120).alias("dst")
+    )
+    out = bowtie_decomposition(e1.union(e2))
+    counts = {r["cls"]: r["n"] for r in
+              out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts == {"core": 4, "in": 28, "out": 10, "other": 78}
