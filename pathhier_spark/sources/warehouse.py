@@ -53,6 +53,53 @@ class Warehouse:
     def _snapshot_dirs(man: dict) -> list[str]:
         return list(man.get("snapshots") or [man["snapshot"]])
 
+    @staticmethod
+    def _schema_of(df: DataFrame) -> list[list[str]]:
+        return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+    def _evolve_schema(
+        self,
+        current: list[list[str]] | None,
+        incoming: list[list[str]],
+        *,
+        allow_new_columns: bool,
+        allow_missing_columns: bool,
+    ) -> list[list[str]]:
+        """Iceberg-style schema evolution policy for appends. Exact match
+        passes; ADDED columns need allow_new_columns=True (they extend the
+        table schema; old rows read as NULL); ABSENT columns need
+        allow_missing_columns=True (the append's rows read as NULL there);
+        a TYPE CHANGE is always refused — silent cross-file type coercion
+        is the classic parquet-lake corruption, and widening belongs in an
+        explicit rewrite, not an append. Without a policy, one typo'd
+        column name in one append would silently fork the table schema."""
+        if current is None:
+            return incoming
+        cur = {n: t for n, t in current}
+        inc = {n: t for n, t in incoming}
+        for n, t in incoming:
+            if n in cur and cur[n] != t:
+                raise ValueError(
+                    f"schema evolution refused: column {n!r} is "
+                    f"{cur[n]} in the table but {t} in the append; "
+                    "type changes require an explicit overwrite/rewrite"
+                )
+        new_cols = [n for n, _ in incoming if n not in cur]
+        if new_cols and not allow_new_columns:
+            raise ValueError(
+                f"schema evolution refused: append adds columns "
+                f"{new_cols}; pass allow_new_columns=True to evolve the "
+                "table schema (old rows will read as NULL there)"
+            )
+        missing = [n for n, _ in current if n not in inc]
+        if missing and not allow_missing_columns:
+            raise ValueError(
+                f"schema evolution refused: append lacks columns "
+                f"{missing}; pass allow_missing_columns=True to accept "
+                "NULLs there"
+            )
+        return current + [[n, inc[n]] for n in new_cols]
+
     def write(
         self,
         df: DataFrame,
@@ -61,6 +108,8 @@ class Warehouse:
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
         fingerprint: str = "static",
+        allow_new_columns: bool = False,
+        allow_missing_columns: bool = False,
     ) -> None:
         """Commit = data write into the write's OWN sub-directory + atomic
         manifest swap adding that directory to the snapshot list. Uncommitted
@@ -106,6 +155,7 @@ class Warehouse:
 
         man = self.manifest(table)
         applied = set(man.get("applied_fingerprints", [man["fingerprint"]])) if man else set()
+        incoming_schema = self._schema_of(df)
         if mode == "append":
             if fingerprint == "static":
                 raise ValueError(
@@ -115,8 +165,25 @@ class Warehouse:
                 )
             if man and fingerprint in applied:
                 return
-        elif man and man.get("fingerprint") == fingerprint:
-            return
+            # schema policy BEFORE any data write: a refused append must
+            # leave nothing on disk. Pre-schema-tracking manifests (no
+            # 'schema' key) skip validation for compatibility and stay
+            # untracked until the next overwrite.
+            if man and man.get("schema") is not None:
+                schema = self._evolve_schema(
+                    man["schema"],
+                    incoming_schema,
+                    allow_new_columns=allow_new_columns,
+                    allow_missing_columns=allow_missing_columns,
+                )
+            elif man:
+                schema = None
+            else:
+                schema = incoming_schema
+        else:
+            if man and man.get("fingerprint") == fingerprint:
+                return
+            schema = incoming_schema
         if self.fmt == "iceberg":
             writer = df.writeTo(f"local.{table}")
             if partition_by:
@@ -193,17 +260,17 @@ class Warehouse:
                     )
                 self._swap_manifest(
                     table, snapshot, snapshots, fingerprint, applied,
-                    partition_by, commits,
+                    partition_by, commits, schema=schema,
                 )
         else:
             self._swap_manifest(
                 table, snapshot, snapshots, fingerprint, applied,
-                partition_by, commits,
+                partition_by, commits, schema=schema,
             )
 
     def _swap_manifest(
         self, table, snapshot, snapshots, fingerprint, applied, partition_by,
-        commits,
+        commits, schema=None,
     ) -> None:
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
@@ -216,6 +283,7 @@ class Warehouse:
                     "fingerprint": fingerprint,
                     "applied_fingerprints": sorted(applied),
                     "partition_by": partition_by or [],
+                    "schema": schema,
                     "commits": commits,
                     "committed_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
@@ -293,7 +361,24 @@ class Warehouse:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         if man["format"] == "iceberg":
             return self.spark.read.table(man["snapshot"].split(":", 1)[1])
-        return self._read_dirs(self._snapshot_dirs(man))
+        out = self._read_dirs(self._snapshot_dirs(man))
+        schema = man.get("schema")
+        if schema:
+            # canonical projection from the TRACKED schema: column order no
+            # longer depends on which snapshot dir happens to be read
+            # first, and columns an old snapshot predates surface as typed
+            # NULLs instead of union-order accidents
+            from pyspark.sql import functions as F
+
+            have = set(out.columns)
+            out = out.select(
+                *[
+                    F.col(n) if n in have
+                    else F.lit(None).cast(t).alias(n)
+                    for n, t in schema
+                ]
+            )
+        return out
 
     def read_incremental(
         self, table: str, since_fingerprint: str | None = None
@@ -589,6 +674,7 @@ class Warehouse:
                 partition_by,
                 [{"fingerprint": fingerprint, "mode": "merge",
                   "dirs": [new_dir]}],
+                schema=self._schema_of(merged),
             )
 
     def compact(

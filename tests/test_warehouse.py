@@ -900,3 +900,105 @@ def test_snapshot_diff_detects_null_position_swap(spark):
     b = spark.createDataFrame([(1, None, "x")], "id long, c1 string, c2 string")
     got = [tuple(r) for r in snapshot_diff(a, b, key_cols=["id"]).collect()]
     assert got == [("update", 1, None, "x")]
+
+
+# ---------------------------- schema evolution ----------------------------
+
+
+def test_schema_append_exact_match_ok(spark, tmp_path):
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    wh.write(df, "t", fingerprint="v1")
+    wh.write(
+        spark.createDataFrame([(2, "b")], "id long, name string"),
+        "t", mode="append", fingerprint="b1",
+    )
+    assert wh.read("t").count() == 2
+    assert wh.manifest("t")["schema"] == [["id", "bigint"],
+                                         ["name", "string"]]
+
+
+def test_schema_append_new_column_refused_then_evolves(spark, tmp_path):
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    wide = spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    )
+    with _pytest.raises(ValueError, match="adds columns"):
+        wh.write(wide, "t", mode="append", fingerprint="b1")
+    # refused append left nothing visible
+    assert wh.read("t").count() == 1
+    wh.write(wide, "t", mode="append", fingerprint="b1",
+             allow_new_columns=True)
+    out = wh.read("t")
+    # canonical projection: evolved column appended at the END, old rows
+    # read as typed NULLs
+    assert out.columns == ["id", "name", "lang"]
+    rows = {r["id"]: r["lang"] for r in out.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_schema_append_missing_column_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    narrow = spark.createDataFrame([(2,)], "id long")
+    with _pytest.raises(ValueError, match="lacks columns"):
+        wh.write(narrow, "t", mode="append", fingerprint="b1")
+    wh.write(narrow, "t", mode="append", fingerprint="b1",
+             allow_missing_columns=True)
+    rows = {r["id"]: r["name"] for r in wh.read("t").collect()}
+    assert rows == {1: "a", 2: None}
+
+
+def test_schema_type_change_always_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    retyped = spark.createDataFrame([("x", "b")], "id string, name string")
+    with _pytest.raises(ValueError, match="type changes"):
+        wh.write(retyped, "t", mode="append", fingerprint="b1",
+                 allow_new_columns=True, allow_missing_columns=True)
+
+
+def test_schema_overwrite_resets(spark, tmp_path):
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    wh.write(spark.createDataFrame([(9,)], "other long"), "t",
+             fingerprint="v2")
+    assert wh.manifest("t")["schema"] == [["other", "bigint"]]
+    assert wh.read("t").columns == ["other"]
+
+
+def test_schema_survives_compaction(spark, tmp_path):
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    wh.write(spark.createDataFrame([(2, "b", "en")],
+                                   "id long, name string, lang string"),
+             "t", mode="append", fingerprint="b1", allow_new_columns=True)
+    wh.compact("t")
+    assert wh.manifest("t")["schema"] == [
+        ["id", "bigint"], ["name", "string"], ["lang", "string"]
+    ]
+    assert wh.read("t").columns == ["id", "name", "lang"]
