@@ -10409,6 +10409,99 @@ ORDER BY s.node
 """
 
 
+# ---------------------------------------------------------------------------
+# Q168 — entity-resolution funnel (operators/er.er_resolve): the
+# record-linkage chain END TO END — multi-pass blocking (two
+# complementary keys; a true pair needs only one), Levenshtein<=1
+# verify on candidates only, CC clustering so transitive matches
+# resolve, min-id canonicalization — composing what q135 (blocking
+# quality), q66 (fuzzy join), and q31 (clusters) measure piecewise.
+# Records: every part name suffixed with p_partkey%97 (diversifies the
+# tiny name vocabulary) plus a dirty copy of every 4th part with the
+# first token's last char dropped — so the funnel must recover each
+# mutant's original through the typo. The oracle replays blocking +
+# levenshtein + a recursive reach CC.
+# DuckDB feature req: levenshtein() (core), WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+
+def q168_er_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.er import er_resolve
+
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    name = F.concat(
+        F.lower(F.col("p_name")),
+        F.lit(" "),
+        (F.col("p_partkey") % 97).cast("string"),
+    )
+    originals = part.select(F.col("p_partkey").alias("rec_id"), name.alias("name"))
+    mutants = part.filter(F.col("p_partkey") % 4 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("rec_id"),
+        F.concat(
+            F.regexp_replace(F.lower(F.col("p_name")), r"^(\S*)\S ", "$1 "),
+            F.lit(" "),
+            (F.col("p_partkey") % 97).cast("string"),
+        ).alias("name"),
+    )
+    out = er_resolve(originals.union(mutants))
+    return out.select(
+        "rec_id",
+        "entity_id",
+        "cluster_size",
+        "is_canonical",
+        (F.col("rec_id") >= 1000000).alias("is_mutant"),
+    ).orderBy("rec_id")
+
+
+_Q168_SQL = r"""
+WITH RECURSIVE recs AS (
+  SELECT p_partkey AS rec_id,
+         lower(p_name) || ' ' || (p_partkey % 97)::varchar AS name
+  FROM part
+  UNION ALL
+  SELECT 1000000 + p_partkey,
+         regexp_replace(lower(p_name), '^(\S*)\S ', '\1 ')
+           || ' ' || (p_partkey % 97)::varchar
+  FROM part WHERE p_partkey % 4 = 0
+), keyed AS (
+  SELECT rec_id, name,
+         list_filter(string_split_regex(name, '[ \t\n\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM recs
+), kall AS (
+  SELECT rec_id, name, toks[-1] || ':' || substr(toks[1], 1, 1) AS k
+  FROM keyed WHERE len(toks) > 0
+  UNION ALL
+  SELECT rec_id, name, toks[1] || ':' || toks[-1] AS k
+  FROM keyed WHERE len(toks) > 0
+), cands AS (
+  SELECT DISTINCT a.rec_id AS ra, b.rec_id AS rb, a.name AS na,
+                  b.name AS nb
+  FROM kall a JOIN kall b USING (k) WHERE a.rec_id < b.rec_id
+), matched AS (
+  SELECT ra, rb FROM cands WHERE levenshtein(na, nb) <= 1
+), sym AS (
+  SELECT ra AS u, rb AS v FROM matched
+  UNION SELECT rb, ra FROM matched
+), reach(n, m) AS (
+  SELECT rec_id, rec_id FROM recs
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+), ent AS (
+  SELECT n::bigint AS rec_id, min(m)::bigint AS entity_id
+  FROM reach GROUP BY n
+), sized AS (
+  SELECT entity_id, count(*)::bigint AS cluster_size
+  FROM ent GROUP BY entity_id
+)
+SELECT e.rec_id, e.entity_id, z.cluster_size,
+       (e.rec_id = e.entity_id) AS is_canonical,
+       (e.rec_id >= 1000000) AS is_mutant
+FROM ent e JOIN sized z USING (entity_id)
+ORDER BY e.rec_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10578,6 +10671,7 @@ def queries():
         "q165_hll_intersection": q165_hll_intersection,
         "q166_mad_outliers": q166_mad_outliers,
         "q167_bowtie": q167_bowtie,
+        "q168_er_funnel": q168_er_funnel,
     }
 
 
@@ -10750,4 +10844,5 @@ def oracle_sql():
         "q165_hll_intersection": _q165_sql(),
         "q166_mad_outliers": _Q166_SQL,
         "q167_bowtie": _q167_sql(),
+        "q168_er_funnel": _Q168_SQL,
     }
