@@ -562,3 +562,69 @@ def ordered_funnel(
         )
         .orderBy("step")
     )
+
+
+def frequent_sequences(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    ks: tuple = (2, 3),
+    min_support_fp: int = 200_000,
+) -> DataFrame:
+    """Frequent contiguous event sequences — sequential pattern mining
+    (the contiguous-k-gram core of PrefixSpan/GSP, which is what
+    clickstream funnels actually consume): which orderings of actions
+    recur across many users, with support counted as DISTINCT USERS
+    (a user looping one path a thousand times contributes once).
+
+    Scale shape: one window per user (two leads over (ts, tiebreak)
+    total order — deterministic even with equal timestamps), k-gram
+    pattern strings, then a (k, pattern, user)-distinct combiner
+    groupBy to user-support counts; the n_users scalar broadcasts.
+    Support threshold is an exact micro-unit integer comparison
+    ((1e6*support) DIV n_users >= min_support_fp) — no float fraction
+    on any boundary. Patterns join with '>' which cannot occur in
+    event-type names.
+
+    Output: (k, pattern, support, support_fp) for patterns at or above
+    min_support_fp, ordered (k, support DESC, pattern)."""
+    kmax = max(ks)
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    seq = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("w1"),
+        *[
+            F.lead(type_col, i).over(w).alias(f"w{i + 1}")
+            for i in range(1, kmax)
+        ],
+    ).localCheckpoint(eager=False)
+    n_users = events.agg(
+        F.countDistinct(user_col).cast("long").alias("n_users")
+    )
+    grams = None
+    for k in ks:
+        cols = [f"w{i + 1}" for i in range(k)]
+        part = seq.filter(F.col(cols[-1]).isNotNull()).select(
+            F.lit(int(k)).cast("int").alias("k"),
+            "u",
+            F.concat_ws(">", *cols).alias("pattern"),
+        )
+        grams = part if grams is None else grams.unionByName(part)
+    sup = (
+        grams.distinct()
+        .groupBy("k", "pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return (
+        sup.crossJoin(F.broadcast(n_users))
+        .withColumn(
+            "support_fp",
+            F.expr("(1000000 * support) DIV n_users").cast("long"),
+        )
+        .filter(F.col("support_fp") >= F.lit(int(min_support_fp)))
+        .select("k", "pattern", "support", "support_fp")
+        .orderBy("k", F.desc("support"), "pattern")
+    )

@@ -2073,3 +2073,59 @@ def trigram_backoff_surprisal(
             + F.lit(0.0)
         ).alias("avg_surprisal"),
     )
+
+
+def text_tiling(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 10,
+    boundary_fp: int = 100_000,
+) -> DataFrame:
+    """TextTiling-lite topic segmentation (Hearst 1997's block-comparison
+    core): split each document into fixed blocks of `block_tokens`
+    whitespace tokens and score every adjacent-block GAP by the Jaccard
+    of the blocks' distinct token sets — a low-cohesion gap is a topic
+    boundary. The segmentation signal RAG chunking (q90) lacks: q90
+    cuts on a fixed grid, this finds where the vocabulary actually
+    shifts, and the two compose (tile first, chunk within tiles).
+
+    Entirely map-only: tokens -> per-gap block slices (one explode over
+    the gap index, arrays sliced by position) -> set Jaccard in exact
+    micro-units ((1e6*|I|) DIV |U|) -> threshold flag. No shuffle, no
+    window, scan-speed at any corpus size; the ragged final block
+    participates (a short coda is still a block).
+
+    Output: (doc_id, gap_idx, jacc_fp, is_boundary), one row per
+    adjacent-block gap; docs with fewer than two blocks emit nothing."""
+    b = int(block_tokens)
+    base = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
+    s = base.withColumn(
+        "nblocks", F.ceil(F.size("toks") / F.lit(b)).cast("int")
+    ).filter(F.col("nblocks") >= 2)
+    g = s.select(
+        id_col,
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("nblocks") - 2)).alias("gap"),
+    )
+    ba = F.array_distinct(F.slice("toks", F.col("gap") * b + 1, b))
+    bb = F.array_distinct(
+        F.slice("toks", (F.col("gap") + 1) * b + 1, b)
+    )
+    jacc = F.expr(
+        "(1000000 * size(array_intersect(_ba, _bb))) "
+        "DIV size(array_distinct(concat(_ba, _bb)))"
+    ).cast("long")
+    return (
+        g.withColumn("_ba", ba)
+        .withColumn("_bb", bb)
+        .select(
+            id_col,
+            F.col("gap").cast("int").alias("gap_idx"),
+            jacc.alias("jacc_fp"),
+        )
+        .withColumn(
+            "is_boundary", F.col("jacc_fp") < F.lit(int(boundary_fp))
+        )
+    )

@@ -10502,6 +10502,111 @@ ORDER BY e.rec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q169 — frequent event sequences (operators/temporal.
+# frequent_sequences): sequential-pattern mining — the contiguous
+# k-gram core of PrefixSpan/GSP, which is what clickstream funnels
+# actually consume: which ORDERINGS of actions recur, with support as
+# DISTINCT USERS (a user looping one path contributes once). One
+# window per user (leads over the (ts, event_id) total order), k-gram
+# patterns, a (k, pattern, user)-distinct combiner groupBy; the
+# support threshold is an exact micro-unit integer comparison.
+# DuckDB feature req: core only (lead windows).
+# ---------------------------------------------------------------------------
+
+_SEQ_MIN_SUP_FP = 200_000
+
+
+def q169_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import frequent_sequences
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return frequent_sequences(ev, min_support_fp=_SEQ_MIN_SUP_FP)
+
+
+_Q169_SQL = f"""
+WITH seq AS (
+  SELECT user_id AS u, event_type AS w1,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS w2,
+         lead(event_type, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS w3
+  FROM events
+), nu AS (
+  SELECT count(DISTINCT user_id)::bigint AS n_users FROM events
+), g AS (
+  SELECT 2 AS k, u, w1 || '>' || w2 AS pattern FROM seq
+  WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT 3, u, w1 || '>' || w2 || '>' || w3 FROM seq
+  WHERE w3 IS NOT NULL
+), sup AS (
+  SELECT k, pattern, count(DISTINCT u)::bigint AS support
+  FROM g GROUP BY k, pattern
+)
+SELECT s.k::int AS k, s.pattern, s.support,
+       ((1000000 * s.support) // nu.n_users)::bigint AS support_fp
+FROM sup s, nu
+WHERE (1000000 * s.support) // nu.n_users >= {_SEQ_MIN_SUP_FP}
+ORDER BY s.k, s.support DESC, s.pattern
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q170 — TextTiling topic segmentation (operators/textstats.
+# text_tiling): Hearst's block-comparison core — adjacent fixed-size
+# token blocks scored by distinct-token Jaccard; low-cohesion gaps are
+# topic boundaries. The segmentation signal q90's fixed-grid chunking
+# lacks (tile first, chunk within tiles). Entirely map-only: one
+# explode over the gap index, array slices, exact micro-unit Jaccard,
+# threshold flag — no shuffle anywhere.
+# DuckDB feature req: core only (list slicing + list set fns).
+# ---------------------------------------------------------------------------
+
+_TILE_B = 10
+_TILE_T = 100_000
+
+
+def q170_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import text_tiling
+
+    docs = _docs(spark, sf_dir)
+    return text_tiling(
+        docs, block_tokens=_TILE_B, boundary_fp=_TILE_T
+    ).orderBy("doc_id", "gap_idx")
+
+
+_Q170_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         (len(toks) + {_TILE_B - 1}) // {_TILE_B} AS nblocks
+  FROM d
+), g AS (
+  SELECT doc_id, toks, unnest(generate_series(0, nblocks - 2)) AS gap
+  FROM s WHERE nblocks >= 2
+), blocks AS (
+  SELECT doc_id, gap,
+         list_distinct(
+           toks[gap * {_TILE_B} + 1 : gap * {_TILE_B} + {_TILE_B}]
+         ) AS ba,
+         list_distinct(
+           toks[(gap + 1) * {_TILE_B} + 1
+                : (gap + 1) * {_TILE_B} + {_TILE_B}]
+         ) AS bb
+  FROM g
+)
+SELECT doc_id, gap::int AS gap_idx,
+       ((1000000 * len(list_intersect(ba, bb)))
+        // len(list_distinct(list_concat(ba, bb))))::bigint AS jacc_fp,
+       (((1000000 * len(list_intersect(ba, bb)))
+        // len(list_distinct(list_concat(ba, bb)))) < {_TILE_T})
+         AS is_boundary
+FROM blocks ORDER BY doc_id, gap_idx
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10672,6 +10777,8 @@ def queries():
         "q166_mad_outliers": q166_mad_outliers,
         "q167_bowtie": q167_bowtie,
         "q168_er_funnel": q168_er_funnel,
+        "q169_frequent_sequences": q169_frequent_sequences,
+        "q170_text_tiling": q170_text_tiling,
     }
 
 
@@ -10845,4 +10952,6 @@ def oracle_sql():
         "q166_mad_outliers": _Q166_SQL,
         "q167_bowtie": _q167_sql(),
         "q168_er_funnel": _Q168_SQL,
+        "q169_frequent_sequences": _Q169_SQL,
+        "q170_text_tiling": _Q170_SQL,
     }

@@ -358,3 +358,54 @@ def test_funnel_strictly_after_and_deadline_inclusive(spark):
     )
     got = {r["step"]: r["n_users"] for r in ordered_funnel(ev).collect()}
     assert got[1] == 2 and got[2] == 1
+
+
+# --------------------------- frequent_sequences ---------------------------
+
+
+def test_frequent_sequences_hand_case(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import frequent_sequences
+
+    rows = []
+    # users 1..4 all do a->b; users 1,2 continue ->c; user 5 does b->a
+    for u in (1, 2, 3, 4):
+        rows += [(u, 10 * u + 1, "a", dt(2024, 1, 1, u)),
+                 (u, 10 * u + 2, "b", dt(2024, 1, 1, u, 1))]
+    for u in (1, 2):
+        rows.append((u, 10 * u + 3, "c", dt(2024, 1, 1, u, 2)))
+    rows += [(5, 51, "b", dt(2024, 1, 2)), (5, 52, "a", dt(2024, 1, 2, 1))]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {(r["k"], r["pattern"]): (r["support"], r["support_fp"])
+           for r in frequent_sequences(ev).collect()}
+    assert got[(2, "a>b")] == (4, 800000)
+    assert got[(2, "b>c")] == (2, 400000)
+    assert got[(2, "b>a")] == (1, 200000)
+    assert got[(3, "a>b>c")] == (2, 400000)
+    # a>c never contiguous
+    assert (2, "a>c") not in got
+
+
+def test_frequent_sequences_support_is_distinct_users(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import frequent_sequences
+
+    # one user loops a->b 100 times; support must stay 1
+    from datetime import timedelta
+
+    t0 = dt(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        rows += [(1, 2 * i, "a", t0 + timedelta(seconds=2 * i)),
+                 (1, 2 * i + 1, "b", t0 + timedelta(seconds=2 * i + 1))]
+    rows += [(2, 1000, "x", dt(2024, 1, 2))]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {r["pattern"]: r["support"]
+           for r in frequent_sequences(ev, min_support_fp=0).collect()}
+    assert got["a>b"] == 1

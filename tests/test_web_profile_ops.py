@@ -379,3 +379,39 @@ def test_trigram_backoff_train_filter_param(spark):
         docs, train_filter=F.lit(True)
     ).collect()
     assert all(r["n_bi"] == 0 and r["n_uni"] == 0 for r in got)
+
+
+# ------------------------------- text_tiling -------------------------------
+
+
+def test_text_tiling_finds_vocabulary_shift(spark):
+    from pathhier_spark.operators.textstats import text_tiling
+
+    # block 1: animal words; block 2: same topic; block 3: total shift
+    text = ("cat dog bird fish cat dog bird fish cat dog "
+            "dog cat fish bird dog cat fish bird dog cat "
+            "tax bond loan rate tax bond loan rate tax bond")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["gap_idx"]: r for r in text_tiling(docs).collect()}
+    assert got[0]["jacc_fp"] == 1_000_000 and not got[0]["is_boundary"]
+    assert got[1]["jacc_fp"] == 0 and got[1]["is_boundary"]
+
+
+def test_text_tiling_short_doc_emits_nothing(spark):
+    from pathhier_spark.operators.textstats import text_tiling
+
+    docs = spark.createDataFrame(
+        [(1, "only ten tokens here nothing more to see at all")],
+        "doc_id long, text string",
+    )
+    assert text_tiling(docs).count() == 0
+
+
+def test_text_tiling_ragged_final_block_participates(spark):
+    from pathhier_spark.operators.textstats import text_tiling
+
+    # 12 tokens -> blocks of 10 and 2; one gap; last block {k, l}
+    text = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = text_tiling(docs).collect()
+    assert len(rows) == 1 and rows[0]["jacc_fp"] == 0
