@@ -241,6 +241,17 @@ def main() -> None:
         # downstream ANN/near-dup shuffle inherits
         "q98_neighbor_agg",
         "q101_jl_distortion",
+        # round-5 closing families: pair eval, DAG layering, funnel,
+        # sketch intersection, robust outliers, sequence mining, topic
+        # segmentation (the heavy iterative graph ops — SCC/MSF/bow-tie
+        # — are driver-round-bound and already represented by q18/q51)
+        "q158_rouge_eval",
+        "q161_dag_layers",
+        "q164_funnel",
+        "q165_hll_intersection",
+        "q166_mad_outliers",
+        "q169_frequent_sequences",
+        "q170_text_tiling",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}
