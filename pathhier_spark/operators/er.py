@@ -50,6 +50,22 @@ def er_resolve(
     recs = records.select(
         F.col(id_col).alias("rec_id"), F.col(name_col).alias("name")
     )
+    # the CC detour rides the 20-char zero-pad string idiom (q31), whose
+    # order matches numeric order ONLY for non-negative integers up to
+    # 19 digits — validate instead of silently electing a wrong canonical
+    # (lpad('-1') > lpad('-2') lexicographically) or NULLing string ids
+    id_type = records.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"er_resolve: id column {id_col!r} must be an integer type "
+            f"(got {id_type}); map string ids to int64 first"
+        )
+    lo = recs.agg(F.min("rec_id").alias("lo")).collect()[0]["lo"]
+    if lo is not None and lo < 0:
+        raise ValueError(
+            "er_resolve: negative record ids break the zero-pad ordering "
+            "the min-id canonicalization relies on; shift ids to >= 0"
+        )
     toks = F.filter(
         F.split(F.col("name"), WS_SPLIT_RE), lambda t: t != ""
     )

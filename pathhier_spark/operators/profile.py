@@ -391,36 +391,26 @@ def mad_outliers(
     Output: (group, n, med_cents, mad_cents, n_outliers), one row per
     group, NULL-group rows excluded."""
 
-    def _low_median(values: DataFrame, vcol: str) -> DataFrame:
-        hist = values.groupBy("g", vcol).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        )
-        w = (
-            Window.partitionBy("g")
-            .orderBy(vcol)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        tot = Window.partitionBy("g")
-        cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-            "n", F.sum("cnt").over(tot)
-        )
-        # low median: smallest v with cum >= ceil(n/2) == (n+1) DIV 2
-        hit = cum.filter(
-            F.col("cum") >= F.expr("(n + 1) DIV 2")
-        )
-        return hit.groupBy("g").agg(
-            F.min(vcol).alias("med"), F.min("n").alias("n")
-        )
+    # both medians reuse textstats.grouped_value_percentiles — its
+    # inverted-CDF rank floor((n-1)*0.5)+1 equals the low-median
+    # (n+1) DIV 2 for every n (even: (n-1)/2 floors to n/2-1, +1 = n/2;
+    # odd: exact), so this IS the q45/q71 machinery, not a re-implement
+    from pathhier_spark.operators.textstats import grouped_value_percentiles
 
     base = df.select(
         F.col(group_col).alias("g"), F.col(cents_col).alias("v")
     ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
-    med = _low_median(base, "v")
+    ns = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        grouped_value_percentiles(base, "g", "v", qs=(0.5,))
+        .select("g", F.col("p50").alias("med"))
+        .join(ns, "g")
+    )
     dev = base.join(med.select("g", "med"), "g").select(
         "g", F.abs(F.col("v") - F.col("med")).alias("d")
     )
-    mad = _low_median(dev, "d").select(
-        "g", F.col("med").alias("mad")
+    mad = grouped_value_percentiles(dev, "g", "d", qs=(0.5,)).select(
+        "g", F.col("p50").alias("mad")
     )
     flagged = (
         base.join(med.select("g", "med", "n"), "g")

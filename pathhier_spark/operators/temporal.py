@@ -607,7 +607,14 @@ def frequent_sequences(
     grams = None
     for k in ks:
         cols = [f"w{i + 1}" for i in range(k)]
-        part = seq.filter(F.col(cols[-1]).isNotNull()).select(
+        # EVERY gram position must be non-NULL, not just the last lead:
+        # concat_ws silently skips NULLs, so a NULL event type mid-gram
+        # would collapse "a>NULL>c" into a spurious "a>c" (and diverge
+        # from the oracle, whose || yields NULL)
+        notnull = F.lit(True)
+        for c in cols:
+            notnull = notnull & F.col(c).isNotNull()
+        part = seq.filter(notnull).select(
             F.lit(int(k)).cast("int").alias("k"),
             "u",
             F.concat_ws(">", *cols).alias("pattern"),

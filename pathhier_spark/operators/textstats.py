@@ -2115,7 +2115,7 @@ def text_tiling(
     )
     jacc = F.expr(
         "(1000000 * size(array_intersect(_ba, _bb))) "
-        "DIV size(array_distinct(concat(_ba, _bb)))"
+        "DIV size(array_union(_ba, _bb))"
     ).cast("long")
     return (
         g.withColumn("_ba", ba)

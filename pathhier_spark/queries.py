@@ -10536,10 +10536,10 @@ WITH seq AS (
   SELECT count(DISTINCT user_id)::bigint AS n_users FROM events
 ), g AS (
   SELECT 2 AS k, u, w1 || '>' || w2 AS pattern FROM seq
-  WHERE w2 IS NOT NULL
+  WHERE w1 IS NOT NULL AND w2 IS NOT NULL
   UNION ALL
   SELECT 3, u, w1 || '>' || w2 || '>' || w3 FROM seq
-  WHERE w3 IS NOT NULL
+  WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w3 IS NOT NULL
 ), sup AS (
   SELECT k, pattern, count(DISTINCT u)::bigint AS support
   FROM g GROUP BY k, pattern

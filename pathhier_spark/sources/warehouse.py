@@ -361,24 +361,28 @@ class Warehouse:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         if man["format"] == "iceberg":
             return self.spark.read.table(man["snapshot"].split(":", 1)[1])
-        out = self._read_dirs(self._snapshot_dirs(man))
-        schema = man.get("schema")
-        if schema:
-            # canonical projection from the TRACKED schema: column order no
-            # longer depends on which snapshot dir happens to be read
-            # first, and columns an old snapshot predates surface as typed
-            # NULLs instead of union-order accidents
-            from pyspark.sql import functions as F
+        return self._project_schema(
+            self._read_dirs(self._snapshot_dirs(man)), man.get("schema")
+        )
 
-            have = set(out.columns)
-            out = out.select(
-                *[
-                    F.col(n) if n in have
-                    else F.lit(None).cast(t).alias(n)
-                    for n, t in schema
-                ]
-            )
-        return out
+    @staticmethod
+    def _project_schema(df: DataFrame, schema) -> DataFrame:
+        """Canonical projection through the TRACKED schema: column order
+        no longer depends on which snapshot dir happens to be read first,
+        and columns an old snapshot predates surface as typed NULLs
+        instead of union-order accidents. No-op for pre-tracking
+        manifests (schema None)."""
+        if not schema:
+            return df
+        from pyspark.sql import functions as F
+
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in schema
+            ]
+        )
 
     def read_incremental(
         self, table: str, since_fingerprint: str | None = None
@@ -408,7 +412,13 @@ class Warehouse:
         dirs = [d for c in commits[idx + 1 :] for d in c["dirs"]]
         if not dirs:
             return self.read(table).limit(0)  # caught up: empty, same schema
-        return self._read_dirs(dirs)
+        # same canonical projection as read(): a delta whose batch lacked
+        # an evolved column must still present the CURRENT table schema,
+        # or the consumer's frame shape would flap batch to batch
+        man = self.manifest(table)
+        return self._project_schema(
+            self._read_dirs(dirs), man.get("schema") if man else None
+        )
 
     def _commit_index(
         self, table: str, fingerprint: str, *, op: str
@@ -507,7 +517,14 @@ class Warehouse:
         rewrite earlier directories, so the historical view is byte-stable
         as long as the history hasn't been reset (overwrite/compaction
         rewrite the data layout and clear the log — older fingerprints
-        then raise, same contract as read_incremental)."""
+        then raise, same contract as read_incremental).
+
+        Deliberately NOT projected through the tracked schema: the
+        manifest tracks only the CURRENT schema, and presenting a
+        historical snapshot through it would add columns that did not
+        exist at that commit (real Iceberg time-travels the schema too —
+        that needs per-commit schema history, out of scope). The
+        historical frame is the raw union of its own directories."""
         commits, idx = self._commit_index(table, fingerprint, op="time travel")
         dirs = [d for c in commits[: idx + 1] for d in c["dirs"]]
         return self._read_dirs(dirs)

@@ -231,19 +231,28 @@ def stream_to_warehouse(
     *,
     checkpoint_dir: str,
     partition_by: list[str] | None = None,
+    allow_new_columns: bool = False,
+    allow_missing_columns: bool = False,
 ):
     """foreachBatch sink committing each micro-batch into the Warehouse as
     an append with fingerprint 'batch:<id>'. Combined with the streaming
     checkpoint this is exactly-once at the table level: after a crash
     between the data write and the offset commit, Spark replays the batch
     with the SAME batch_id and Warehouse.write skips the matching
-    fingerprint instead of duplicating rows. Returns the StreamingQuery."""
+    fingerprint instead of duplicating rows. Returns the StreamingQuery.
+
+    The schema-evolution flags pass through to Warehouse.write: a stream
+    restarted against a source that gained (or lost) a column would
+    otherwise fail the sink's append validation inside _commit with no
+    opt-in path, killing the StreamingQuery."""
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         warehouse.write(
             batch_df, table,
             partition_by=partition_by, mode="append",
             fingerprint=f"batch:{batch_id}",
+            allow_new_columns=allow_new_columns,
+            allow_missing_columns=allow_missing_columns,
         )
 
     return (

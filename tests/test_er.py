@@ -62,3 +62,19 @@ def test_er_edit_distance_threshold_respected(spark):
     got2 = {r["rec_id"]: r["entity_id"]
             for r in er_resolve(recs, max_edit=2).collect()}
     assert got2[1] == got2[2] == 1
+
+
+def test_er_rejects_negative_and_string_ids(spark):
+    from pathhier_spark.operators.er import er_resolve
+
+    neg = spark.createDataFrame(
+        [(-2, "cold widget 5"), (-1, "col widget 5")],
+        "rec_id long, name string",
+    )
+    with pytest.raises(ValueError, match="negative"):
+        er_resolve(neg)
+    strs = spark.createDataFrame(
+        [("a", "cold widget 5")], "rec_id string, name string"
+    )
+    with pytest.raises(ValueError, match="integer type"):
+        er_resolve(strs)

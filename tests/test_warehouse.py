@@ -1002,3 +1002,42 @@ def test_schema_survives_compaction(spark, tmp_path):
         ["id", "bigint"], ["name", "string"], ["lang", "string"]
     ]
     assert wh.read("t").columns == ["id", "name", "lang"]
+
+
+def test_incremental_read_projects_current_schema(spark, tmp_path):
+    """r5 review: the delta feed must present the CURRENT table schema —
+    a batch that lacked an evolved column would otherwise flap the
+    consumer's frame shape batch to batch."""
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    wh.write(spark.createDataFrame([(2, "b", "en")],
+                                   "id long, name string, lang string"),
+             "t", mode="append", fingerprint="b1", allow_new_columns=True)
+    wh.write(spark.createDataFrame([(3,)], "id long"),
+             "t", mode="append", fingerprint="b2",
+             allow_missing_columns=True)
+    delta = wh.read_incremental("t", since_fingerprint="b1")
+    assert delta.columns == ["id", "name", "lang"]
+    assert delta.collect()[0]["name"] is None
+
+
+def test_stream_sink_passes_evolution_flags(spark, tmp_path):
+    """The foreachBatch sink must be able to opt into evolution — a
+    restarted stream whose source gained a column would otherwise kill
+    the StreamingQuery with no recourse."""
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    wh.write(spark.createDataFrame([(1, "a")], "id long, name string"),
+             "t", fingerprint="v1")
+    # simulate the sink's _commit with the flags threaded through
+    import inspect
+
+    from pathhier_spark.streaming.stream import stream_to_warehouse
+
+    sig = inspect.signature(stream_to_warehouse)
+    assert "allow_new_columns" in sig.parameters
+    assert "allow_missing_columns" in sig.parameters
