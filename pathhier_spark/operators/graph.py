@@ -2370,6 +2370,30 @@ def dag_longest_paths(
     )
 
 
+def _kruskal_finish(rows):
+    """Union-find Kruskal over driver-collected (w, a, b, u, v) rows —
+    (a, b, w) the original edge, (u, v) its current component labels.
+    Returns the kept (a, b, w) edges. Bounded input: callers check the
+    row count against `driver_finish` BEFORE collecting."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    kept = []
+    for w, a, b, u, v in sorted(rows):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            kept.append((a, b, w))
+    return kept
+
+
 def boruvka_msf(
     edges: DataFrame,
     *,
@@ -2378,6 +2402,7 @@ def boruvka_msf(
     weight: str = "w",
     rounds: int = 8,
     strict: bool = True,
+    driver_finish: int = 100_000,
 ) -> DataFrame:
     """Minimum spanning forest via Borůvka — the single-linkage
     clustering backbone: the MSF of a similarity graph IS the
@@ -2410,6 +2435,23 @@ def boruvka_msf(
     least halve per round, rounds=8 covers any forest up to 256
     effective components per tree.
 
+    HYBRID FINISH (`driver_finish`, the standard Borůvka/Kruskal
+    two-phase MST): a Borůvka round costs a fixed fan of Spark jobs
+    (label joins + argmin + hooking + pointer jumping), so once the
+    surviving cross-component edge set fits comfortably on the driver
+    it is strictly cheaper to collect it and finish with union-find
+    Kruskal — O(E log E) locally vs O(log n) more distributed rounds
+    of pure job-scheduling overhead. Under globally distinct weights
+    the two phases compose exactly: the contracted components are the
+    current label partition, and Kruskal over the cross-component
+    edges (original endpoints kept) emits precisely the remaining MSF
+    edges of the unique forest. The collect is bounded by
+    `driver_finish` rows (checked before collecting — never corpus-
+    scale); pass driver_finish=0 to force the all-distributed path.
+    At 100 TB the big graph still runs distributed rounds — the
+    threshold only decides when the log-round tail (which by then is
+    tiny by the halving guarantee) stops paying per-round job setup.
+
     Output: the MSF edge list (a, b, w) with a < b, one row per kept
     edge — n_nodes - n_components rows."""
     e = (
@@ -2434,6 +2476,13 @@ def boruvka_msf(
             f"({chk['n']} edges, {chk['nw']} distinct weights) — apply a "
             "deterministic hash tiebreak before calling"
         )
+    out_schema = e.select("a", "b", "w").schema
+    spark = edges.sparkSession
+    if 0 < chk["n"] <= driver_finish:
+        kept = _kruskal_finish(
+            (r["w"], r["a"], r["b"], r["a"], r["b"]) for r in e.collect()
+        )
+        return spark.createDataFrame(kept, out_schema)
     labels = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -2441,7 +2490,6 @@ def boruvka_msf(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
     msf = e.limit(0).localCheckpoint(eager=True)
     converged = False
     for _ in range(rounds):
@@ -2457,7 +2505,19 @@ def boruvka_msf(
             .filter(F.col("la") != F.col("lb"))
             .localCheckpoint(eager=True)
         )
-        if lab.limit(1).count() == 0:
+        n_cross = lab.count()
+        if n_cross == 0:
+            converged = True
+            break
+        if n_cross <= driver_finish:
+            # the contracted graph fits on the driver: Kruskal over the
+            # surviving cross-component edges finishes the forest in one
+            # bounded collect instead of more per-round job fans
+            kept = _kruskal_finish(
+                (r["w"], r["a"], r["b"], r["la"], r["lb"])
+                for r in lab.collect()
+            )
+            msf = msf.union(spark.createDataFrame(kept, out_schema))
             converged = True
             break
         # each component's lightest incident edge (struct min is total:

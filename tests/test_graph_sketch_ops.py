@@ -1245,16 +1245,48 @@ def test_scc_deep_backward_distance_raises_not_mislabels(spark):
     assert all(r["scc_id"] == 1 and r["scc_size"] == 12 for r in rows)
 
 
-def test_boruvka_known_mst(spark):
+@pytest.mark.parametrize("driver_finish", [0, 100_000])
+def test_boruvka_known_mst(spark, driver_finish):
     from pathhier_spark.operators.graph import boruvka_msf
 
-    # classic 4-node graph; MST = {(0,1,1),(1,2,2),(1,3,4)}
+    # classic 4-node graph; MST = {(0,1,1),(1,2,2),(1,3,4)} — identical
+    # through the all-distributed path (driver_finish=0) and the hybrid
+    # driver-Kruskal finish (the default)
     e = spark.createDataFrame(
         [(0, 1, 1), (1, 2, 2), (0, 2, 3), (1, 3, 4), (2, 3, 5)],
         "src long, dst long, w long",
     )
-    got = {(r["a"], r["b"], r["w"]) for r in boruvka_msf(e).collect()}
+    got = {
+        (r["a"], r["b"], r["w"])
+        for r in boruvka_msf(e, driver_finish=driver_finish).collect()
+    }
     assert got == {(0, 1, 1), (1, 2, 2), (1, 3, 4)}
+
+
+def test_boruvka_hybrid_equals_distributed(spark):
+    """The driver-Kruskal finish and the all-distributed path must emit
+    the identical unique MSF — including when the hybrid kicks in MID-
+    LOOP (driver_finish below the initial edge count, above the
+    post-round-1 cross-component count)."""
+    from pathhier_spark.operators.graph import boruvka_msf
+
+    # 40-node graph: ring + chords, md5-style distinct pseudo-weights
+    edges = [
+        (i, (i + 1) % 40, (7 * i + 13) % 1000 + 1000) for i in range(40)
+    ] + [(i, (i * 17 + 5) % 40, (11 * i + 3) % 1000 + 3000)
+         for i in range(0, 40, 3)]
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    dist = {(r["a"], r["b"], r["w"])
+            for r in boruvka_msf(e, driver_finish=0).collect()}
+    entry = {(r["a"], r["b"], r["w"])
+             for r in boruvka_msf(e).collect()}
+    # ring halves components fast: after round 1 the cross-component
+    # edge count is well under len(edges) — force the mid-loop branch
+    mid = {(r["a"], r["b"], r["w"])
+           for r in boruvka_msf(e, driver_finish=len(edges) // 3).collect()}
+    assert entry == dist
+    assert mid == dist
 
 
 def test_boruvka_forest_spans_each_component(spark):
