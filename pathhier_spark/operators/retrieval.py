@@ -138,6 +138,7 @@ def setsim_join_exact(
     tokens_col,
     *,
     threshold: float = 0.5,
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """Exact Jaccard self-join via prefix filtering (AllPairs family).
 
@@ -155,7 +156,10 @@ def setsim_join_exact(
     tokens, so hot tokens like stopwords never become join keys — the
     skew-resistance comes from the algorithm, not from salting).
     Verification joins token sets back by doc id (narrow key shuffle) and
-    computes |intersect| / |union| with JVM array intrinsics.
+    computes |intersect| / |union| with JVM array intrinsics. The
+    rarity-rank join against the vocabulary-scale freq table defaults to
+    broadcast (right at single-node sizes); set broadcast_freq=False at
+    web scale, where the vocabulary exceeds any broadcast budget.
 
     Returns (a, b, jacc) with a < b, jacc rounded to 6.
     """
@@ -172,10 +176,16 @@ def setsim_join_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
+    # freq is VOCABULARY-scale (one row per distinct corpus token):
+    # fine to broadcast at single-node corpus sizes (and much faster —
+    # the posting table avoids a full extra shuffle), but past any
+    # broadcast budget at web scale — pass broadcast_freq=False there
+    # to take the shuffle join (the q44 broadcast_vocab discipline)
+    f = F.broadcast(freq) if broadcast_freq else freq
     tok_ranked = (
         toks.select("doc_id", F.size("ts").cast("long").alias("setlen"),
                     F.explode("ts").alias("term"))
-        .join(F.broadcast(freq), "term")
+        .join(f, "term")
     )
     # prefix length: L - ceil(t*L) + 1, with the ceiling taken in exact
     # integer arithmetic over the micro-unit threshold — float ceil(t*L)
@@ -233,6 +243,7 @@ def containment_join_exact(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """Exact DIRECTIONAL containment join over n-token shingle sets:
     emit every ordered pair (a, b), a != b, with
@@ -255,6 +266,10 @@ def containment_join_exact(
     Containment is ONE IEEE division of exact integers (inter / La) —
     bit-exact on any engine, no round() (the q81 half-way-tie lesson).
     Docs with fewer than n tokens have no shingles and never pair.
+    The rarity-rank join against the shingle-vocabulary-scale freq table
+    defaults to broadcast (right at single-node sizes); set
+    broadcast_freq=False at web scale, where the shingle vocabulary is
+    near corpus-size and exceeds any broadcast budget.
     Output: (a, b, size_a, inter, containment)."""
     toks = docs.select(
         F.col(id_col).alias("_id"), tokens_col.alias("_ts")
@@ -281,7 +296,12 @@ def containment_join_exact(
     )
     order_w = Window.partitionBy("_id").orderBy(F.asc("cnt"), F.asc("sh"))
     prefix = (
-        posts.join(F.broadcast(freq), "sh")
+        # freq here is SHINGLE-vocabulary-scale (near one row per
+        # distinct 3-gram in the corpus): broadcast is the fast plan at
+        # single-node corpus sizes but impossible at web scale — pass
+        # broadcast_freq=False there for the shuffle join (the q44
+        # broadcast_vocab discipline)
+        posts.join(F.broadcast(freq) if broadcast_freq else freq, "sh")
         .withColumn("pos", F.row_number().over(order_w))
         .filter(F.col("pos") <= pref_len)
         .select(F.col("_id").alias("a"), "sh")

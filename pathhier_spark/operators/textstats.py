@@ -1805,12 +1805,16 @@ def rouge_pairs(
     integer-ratio IEEE division each (the q89 fixed-shape discipline), so
     no p*r/(p+r) float composition can drift between engines.
 
-    Scale shape: per n, each side explodes to (pair, gram) COUNT rows via
-    one combiner groupBy (partial aggregation collapses repeated grams
-    map-side), the clip is an inner equi-join on (pair, gram) — grams
-    absent from either side clip to 0 and never join — and the final
-    per-pair rollup is a second combiner groupBy. Nothing quadratic,
-    nothing driver-side; gram rows are (id, gram string, int64 count).
+    Scale shape: ONE side-and-n-tagged explode feeds one combiner
+    groupBy(pair, n, gram) counting both sides at once (partial
+    aggregation collapses repeated grams map-side), so the clip is
+    least(nc, nr) on the already-co-grouped row — no (pair, gram)
+    equi-join, no per-n replay of the tokenize/join subtree — and the
+    per-pair rollup re-aggregates the reduced gram rows. Totals come
+    from the token-array lengths directly (no explode), which also
+    keeps a row per pair per n when both sides are empty. Nothing
+    quadratic, nothing driver-side; gram rows are (id, n, gram string,
+    two int64 counts).
 
     Gram identity uses a 0x1f joiner so multi-token grams cannot collide
     across token boundaries ("ab"+"c" vs "a"+"bc").
@@ -1827,94 +1831,126 @@ def rouge_pairs(
         toks_r.alias("tr"),
     )
     sep = "\x1f"
-    out = None
-    for n in ns:
 
-        def grams(col):
-            return F.when(
-                F.size(col) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(col) - n),
-                    lambda i: F.concat_ws(
-                        sep,
-                        *[F.element_at(col, i + j + 1) for j in range(n)],
-                    ),
+    def grams(col, n):
+        return F.when(
+            F.size(col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(col) - n),
+                lambda i: F.concat_ws(
+                    sep,
+                    *[F.element_at(col, i + j + 1) for j in range(n)],
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-        sides = base.select(
-            "pair_id",
-            grams(F.col("tc")).alias("gc"),
-            grams(F.col("tr")).alias("gr"),
-        )
-        cc = (
-            sides.select("pair_id", F.explode("gc").alias("g"))
-            .groupBy("pair_id", "g")
-            .agg(F.count(F.lit(1)).alias("nc"))
-        )
-        rc = (
-            sides.select("pair_id", F.explode("gr").alias("g"))
-            .groupBy("pair_id", "g")
-            .agg(F.count(F.lit(1)).alias("nr"))
-        )
-        matched = (
-            cc.join(rc, ["pair_id", "g"])
-            .groupBy("pair_id")
-            .agg(F.sum(F.least("nc", "nr")).cast("long").alias("match_n"))
-        )
-        totals = sides.select(
-            "pair_id",
-            F.size("gc").cast("long").alias("cand_total"),
-            F.size("gr").cast("long").alias("ref_total"),
-        )
-        per_n = (
-            totals.join(matched, "pair_id", "left")
-            .select(
-                "pair_id",
+    def tagged(col, n, side):
+        return F.transform(
+            grams(col, n),
+            lambda g: F.struct(
                 F.lit(n).cast("int").alias("n"),
-                F.coalesce("match_n", F.lit(0)).cast("long").alias(
-                    "match_n"
-                ),
-                "cand_total",
-                "ref_total",
-            )
-            .select(
-                "*",
-                (
-                    F.round(
-                        F.when(
-                            F.col("cand_total") > 0,
-                            F.col("match_n") / F.col("cand_total"),
-                        ),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("rouge_p"),
-                (
-                    F.round(
-                        F.when(
-                            F.col("ref_total") > 0,
-                            F.col("match_n") / F.col("ref_total"),
-                        ),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("rouge_r"),
-                (
-                    F.round(
-                        F.when(
-                            F.col("cand_total") + F.col("ref_total") > 0,
-                            (2 * F.col("match_n"))
-                            / (F.col("cand_total") + F.col("ref_total")),
-                        ),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("rouge_f1"),
-            )
+                g.alias("g"),
+                F.lit(side).alias("side"),
+            ),
         )
-        out = per_n if out is None else out.unionByName(per_n)
-    return out
+
+    # one tagged explode covers both sides and every n: the clip needs
+    # only the per-(pair, n, gram) counts of each side, so tagging the
+    # side into the exploded struct replaces the old per-n cc/rc
+    # explodes + (pair, gram) equi-join — one wide shuffle instead of
+    # 2|ns| explodes and |ns| joins, and the text join + tokenization
+    # subtree is computed twice (grams + totals) instead of 3|ns| times
+    ex = base.select(
+        "pair_id",
+        F.explode(
+            F.concat(
+                *[tagged(F.col("tc"), n, "c") for n in ns],
+                *[tagged(F.col("tr"), n, "r") for n in ns],
+            )
+        ).alias("e"),
+    )
+    matched = (
+        ex.groupBy(
+            "pair_id",
+            F.col("e.n").alias("n"),
+            F.col("e.g").alias("g"),
+        )
+        .agg(
+            F.count(F.when(F.col("e.side") == "c", 1)).alias("nc"),
+            F.count(F.when(F.col("e.side") == "r", 1)).alias("nr"),
+        )
+        .groupBy("pair_id", "n")
+        .agg(F.sum(F.least("nc", "nr")).cast("long").alias("match_n"))
+    )
+
+    def n_count(col, n):
+        return (
+            F.when(F.size(col) >= n, F.size(col) - n + 1)
+            .otherwise(0)
+            .cast("long")
+        )
+
+    # totals come straight from the token-array lengths — no explode,
+    # and every pair keeps a row per n even when both sides are empty
+    totals = base.select(
+        "pair_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("int").alias("n"),
+                        n_count(F.col("tc"), n).alias("cand_total"),
+                        n_count(F.col("tr"), n).alias("ref_total"),
+                    )
+                    for n in ns
+                ]
+            )
+        ).alias("t"),
+    ).select("pair_id", "t.n", "t.cand_total", "t.ref_total")
+    return (
+        totals.join(matched, ["pair_id", "n"], "left")
+        .select(
+            "pair_id",
+            "n",
+            F.coalesce("match_n", F.lit(0)).cast("long").alias("match_n"),
+            "cand_total",
+            "ref_total",
+        )
+        .select(
+            "*",
+            (
+                F.round(
+                    F.when(
+                        F.col("cand_total") > 0,
+                        F.col("match_n") / F.col("cand_total"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rouge_p"),
+            (
+                F.round(
+                    F.when(
+                        F.col("ref_total") > 0,
+                        F.col("match_n") / F.col("ref_total"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rouge_r"),
+            (
+                F.round(
+                    F.when(
+                        F.col("cand_total") + F.col("ref_total") > 0,
+                        (2 * F.col("match_n"))
+                        / (F.col("cand_total") + F.col("ref_total")),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rouge_f1"),
+        )
+    )
 
 
 def trigram_backoff_surprisal(

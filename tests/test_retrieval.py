@@ -107,6 +107,31 @@ def test_setsim_exact_equals_brute_force(spark, sf_dir, threshold):
     assert len(want) > 0  # non-vacuous at these thresholds on this corpus
 
 
+def test_setsim_and_containment_shuffle_path_equals_broadcast(spark, sf_dir):
+    """broadcast_freq only changes the JOIN STRATEGY of the rarity-rank
+    join (the web-scale escape hatch for the vocabulary-scale freq
+    table) — results must be identical through both plans."""
+    from pathhier_spark.operators.retrieval import containment_join_exact
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(120)
+        .select("doc_id", "text")
+    )
+    a = {(r["a"], r["b"], r["jacc"])
+         for r in setsim_join_exact(docs, _tokens("text")).collect()}
+    b = {(r["a"], r["b"], r["jacc"])
+         for r in setsim_join_exact(
+             docs, _tokens("text"), broadcast_freq=False).collect()}
+    assert a == b and len(a) > 0
+    ca = {(r["a"], r["b"], r["inter"])
+          for r in containment_join_exact(docs, _tokens("text")).collect()}
+    cb = {(r["a"], r["b"], r["inter"])
+          for r in containment_join_exact(
+              docs, _tokens("text"), broadcast_freq=False).collect()}
+    assert ca == cb and len(ca) > 0
+
+
 def test_pmi_hand_example(spark):
     # x,y co-occur in every doc; x,z never beyond chance
     rows = [(i, "alpha beta unique%d" % i) for i in range(8)]
