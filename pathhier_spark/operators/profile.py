@@ -438,3 +438,75 @@ def mad_outliers(
         F.col("mad").cast("long").alias("mad_cents"),
         "n_outliers",
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    *,
+    score_col: str = "score_fp",
+    label_col: str = "is_pos",
+) -> DataFrame:
+    """Threshold-sweep precision/recall/F1 over an integer fixed-point
+    score: one curve row per distinct score value s, evaluating the rule
+    "predict positive iff score >= s". This is the calibration table a
+    curation pipeline reads to PICK its filter threshold (argmax-F1, or
+    precision-at-target) instead of hard-coding one — the eval companion
+    to the quality scorer (q14) the way retrieval_eval (q126) scores the
+    ranking stack.
+
+    The score column must arrive as EXACT INTEGER fixed point (compute
+    micro-units upstream as floor((scale * num) / den) of exact integer
+    counts — the q170 idiom); the operator never multiplies floats, so
+    the curve is engine-portable by construction. A NULL label counts
+    toward predicted-positives but not true-positives on both engines
+    (SUM skips NULLs, COUNT(*) does not).
+
+    Scale shape: one combiner groupBy collapses the row-scale input to a
+    per-score histogram whose cardinality is bounded by the score's
+    fixed-point resolution — quantize coarser upstream to bound it
+    harder; the cumulative window then runs over that HISTOGRAM (the q45
+    exact-percentile discipline: a SinglePartition sort of a
+    resolution-sized table, never the corpus); the positive total joins
+    back as a broadcast scalar. tp/fpos/fneg are exact int64;
+    prec/rec/f1 are each ONE IEEE division of exact integers — bit-exact
+    on any engine (f1 = 2*tp / (pp + total_pos), one division, no
+    compounding). rec/f1 are NULL when the input has no positives.
+    Output: (score_fp, tp, fpos, fneg, prec, rec, f1), score_fp DESC."""
+    h = (
+        df.select(
+            F.col(score_col).cast("long").alias("score_fp"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("score_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).alias("npos"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("score_fp")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = h.agg(F.sum("npos").alias("total_pos"))
+    cum = h.select(
+        "score_fp",
+        F.sum("n").over(wdesc).alias("pp"),
+        F.sum("npos").over(wdesc).alias("tp"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "score_fp",
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("pp") - F.col("tp")).cast("long").alias("fpos"),
+            (F.col("total_pos") - F.col("tp")).cast("long").alias("fneg"),
+            (F.col("tp") / F.col("pp")).alias("prec"),
+            F.when(
+                F.col("total_pos") > 0, F.col("tp") / F.col("total_pos")
+            ).alias("rec"),
+            F.when(
+                F.col("total_pos") > 0,
+                (2 * F.col("tp")) / (F.col("pp") + F.col("total_pos")),
+            ).alias("f1"),
+        )
+        .orderBy(F.desc("score_fp"))
+    )

@@ -139,6 +139,94 @@ def with_fingerprint(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken's MOSS selection): hash
+    every k-token gram (md5 hex), then select the MINIMUM hash of each
+    sliding window of w consecutive gram positions (lexicographic min —
+    the total order md5 hex shares across engines), distinct per
+    document. Unlike `with_fingerprint`'s global bottom-16 sketch (q23),
+    the per-window selection carries the winnowing GUARANTEE: any token
+    run of length >= w + k - 1 shared by two documents covers at least
+    one full hash window in each, and the minimum of that window is
+    selected in BOTH — local quote/plagiarism overlap cannot be missed,
+    which no global bottom-k can promise. Documents with >= k tokens but
+    fewer than w grams select the single global-min gram (the whole doc
+    is one window); documents with < k tokens emit nothing.
+
+    Scale shape: map-only column expressions — O(grams * w) string
+    compares per document, zero shuffle; expected selected density is
+    2/(w+1) of gram positions, so the output is a bounded fraction of
+    the token stream at any corpus size. Output: (id_col, fp) long
+    format, one row per distinct selected fingerprint per document."""
+    if k < 1 or w < 1:
+        raise ValueError("winnowing needs k >= 1 and w >= 1")
+    t = df.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
+    ).filter(F.size("_ts") >= k)
+    g = t.select(
+        "_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_ts", i, k))),
+        ).alias("g"),
+    )
+    m = F.size("g")
+    sel = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda j: F.array_min(F.slice("g", j, w)),
+        ),
+    ).otherwise(F.array(F.array_min("g")))
+    return g.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.array_distinct(sel)).alias("fp"),
+    )
+
+
+def winnowing_matches(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered document pairs sharing >= min_shared winnowing
+    fingerprints — the guaranteed-detection local-overlap join: any pair
+    sharing a token run of length >= w + k - 1 appears with shared >= 1
+    (set min_shared=1 for the pure guarantee; higher values trade the
+    guarantee for precision against one-off collisions). The fingerprint
+    table feeds both sides of the self-join, so it is checkpointed once
+    (the q52 shared-subtree discipline) rather than re-winnowed per side.
+
+    Scale shape: one equi-join keyed on the fingerprint hash — posting
+    lists per fp are short on clean text but boilerplate grams make hot
+    keys, the q85 caveat: strip boilerplate (q40) upstream, or cap
+    postings, before joining a web-scale corpus. Output:
+    (a, b, shared), a < b."""
+    fps = winnowing_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 # --- PII scrubbing (training-data prep: redact before the corpus ships) ---
 
 # conservative, engine-portable patterns (identical semantics under Java

@@ -10607,6 +10607,127 @@ FROM blocks ORDER BY doc_id, gap_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Q171 — winnowing overlap pairs (operators/textstats.winnowing_matches):
+# TRUE Schleimer/Wilkerson/Aiken winnowing — per sliding window of _WIN_W
+# consecutive k-gram hashes select the minimum, so any shared token run of
+# length >= _WIN_W + _WIN_K - 1 is GUARANTEED to contribute a shared
+# fingerprint to both docs (the local-overlap promise q23's global
+# bottom-16 sketch cannot make). Pairs sharing >= _WIN_MIN selected
+# fingerprints. Map-only selection, one fp-keyed equi-join.
+# DuckDB feature req: core only (md5 + list fns + generate_series).
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4
+_WIN_W = 5
+_WIN_MIN = 2
+
+
+def q171_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import winnowing_matches
+
+    docs = _docs(spark, sf_dir)
+    return winnowing_matches(
+        docs, k=_WIN_K, w=_WIN_W, min_shared=_WIN_MIN
+    ).orderBy("a", "b")
+
+
+_Q171_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ts) - {_WIN_K - 1}),
+                        i -> md5(array_to_string(ts[i : i + {_WIN_K - 1}], ' '))) AS h
+  FROM t WHERE len(ts) >= {_WIN_K}
+), sel AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(h) >= {_WIN_W}
+           THEN list_transform(generate_series(1, len(h) - {_WIN_W - 1}),
+                               j -> list_aggregate(h[j : j + {_WIN_W - 1}], 'min'))
+           ELSE [list_aggregate(h, 'min')] END) AS fps
+  FROM g
+), e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM sel
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*)::bigint AS shared
+FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WIN_MIN}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q172 — precision/recall threshold calibration (operators/profile.
+# pr_curve): sweep every distinct value of the micro-unit stopword-ratio
+# score as a "predict English" threshold and emit exact tp/fpos/fneg plus
+# prec/rec/f1 — the table a curation pipeline reads to PICK its filter
+# threshold instead of hard-coding one. Score is exact integer fixed
+# point ((1e6 * n_stop) // n_tokens — the q170 idiom); the curve window
+# runs over the score HISTOGRAM (q45 discipline), never the corpus;
+# prec/rec/f1 are each one IEEE division of exact integers.
+# DuckDB feature req: core only (window cumulative sums).
+# ---------------------------------------------------------------------------
+
+
+def q172_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import pr_curve
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    scored = docs.select(
+        F.size(toks).alias("n_tok"),
+        n_stop.alias("n_stop"),
+        (F.col("lang") == "en").alias("is_pos"),
+    ).filter(F.col("n_tok") > 0)
+    scored = scored.select(
+        F.floor(F.lit(1_000_000) * F.col("n_stop") / F.col("n_tok")).alias(
+            "score_fp"
+        ),
+        "is_pos",
+    )
+    return pr_curve(scored)
+
+
+_Q172_SQL = f"""
+WITH t AS (
+  SELECT (1000000 * len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))))
+           // len(toks) AS score_fp,
+         (lang = 'en')::int AS y
+  FROM (SELECT {_SQL_WS_TOKS} AS toks, lang FROM documents)
+  WHERE len(toks) > 0
+), h AS (
+  SELECT score_fp, count(*)::bigint AS n,
+         coalesce(sum(y), 0)::bigint AS npos
+  FROM t GROUP BY score_fp
+), c AS (
+  SELECT score_fp,
+         (sum(n) OVER w)::bigint AS pp,
+         (sum(npos) OVER w)::bigint AS tp
+  FROM h
+  WINDOW w AS (ORDER BY score_fp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT sum(npos)::bigint AS total_pos FROM h
+)
+SELECT score_fp, tp,
+       (pp - tp)::bigint AS fpos,
+       ((SELECT total_pos FROM tot) - tp)::bigint AS fneg,
+       tp::double / pp AS prec,
+       CASE WHEN (SELECT total_pos FROM tot) > 0
+            THEN tp::double / (SELECT total_pos FROM tot) END AS rec,
+       CASE WHEN (SELECT total_pos FROM tot) > 0
+            THEN (2 * tp)::double / (pp + (SELECT total_pos FROM tot)) END
+         AS f1
+FROM c ORDER BY score_fp DESC
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10779,6 +10900,8 @@ def queries():
         "q168_er_funnel": q168_er_funnel,
         "q169_frequent_sequences": q169_frequent_sequences,
         "q170_text_tiling": q170_text_tiling,
+        "q171_winnowing": q171_winnowing,
+        "q172_pr_curve": q172_pr_curve,
     }
 
 
@@ -10954,4 +11077,6 @@ def oracle_sql():
         "q168_er_funnel": _Q168_SQL,
         "q169_frequent_sequences": _Q169_SQL,
         "q170_text_tiling": _Q170_SQL,
+        "q171_winnowing": _Q171_SQL,
+        "q172_pr_curve": _Q172_SQL,
     }
