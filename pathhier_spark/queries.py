@@ -10728,6 +10728,108 @@ FROM c ORDER BY score_fp DESC
 
 
 
+# ---------------------------------------------------------------------------
+# Q173 — seeded betweenness centrality (operators/graph.
+# betweenness_seeded): bounded-depth Brandes over the q141 token-triple
+# graph from the same md5-seeded source subset — which nodes shortest
+# paths ROUTE THROUGH, the centrality axis flow (q51/q84/q112) and
+# distance (q141) both miss. Forward BFS carries exact int64 sigma path
+# counts; backward dependency accumulation is integer micro-units with
+# per-edge (sigma_u * (scale + delta_w)) DIV sigma_w — the oracle
+# replays both phases level-by-level as unrolled CTEs.
+# DuckDB feature req: core SQL (correlated NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+_BC_DEPTH = 3
+
+
+def q173_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import betweenness_seeded
+
+    docs = _docs(spark, sf_dir)
+    tr = extract_token_triples(docs, TRIGGERS).select(
+        F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+    ).filter(F.col("u") < F.col("v")).distinct()
+    sym = tr.union(tr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sources = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.substring(F.md5("node"), 1, 1) == "0")
+    )
+    return betweenness_seeded(
+        sym, sources, src="u", dst="v", max_depth=_BC_DEPTH
+    ).orderBy("node")
+
+
+def _q173_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    D = _BC_DEPTH
+    fwd = []
+    prev_v, prev_f = "v0", "v0"
+    for d in range(1, D + 1):
+        fwd.append(f"""n{d} AS (
+  SELECT f.root, e.v AS node, sum(f.sigma)::bigint AS sigma
+  FROM {prev_f} f JOIN e ON e.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} p
+                    WHERE p.root = f.root AND p.node = e.v)
+  GROUP BY f.root, e.v
+), v{d} AS (
+  SELECT root, node, depth, sigma FROM {prev_v}
+  UNION ALL SELECT root, node, {d} AS depth, sigma FROM n{d}
+)""")
+        prev_v, prev_f = f"v{d}", f"n{d}"
+    bwd = [f"""del{D} AS (
+  SELECT root, node, sigma, 0::bigint AS delta
+  FROM {prev_v} WHERE depth = {D}
+)"""]
+    for d in range(D - 1, 0, -1):
+        bwd.append(f"""del{d} AS (
+  SELECT vd.root, vd.node, vd.sigma, coalesce(x.dsum, 0)::bigint AS delta
+  FROM (SELECT root, node, sigma FROM {prev_v} WHERE depth = {d}) vd
+  LEFT JOIN (
+    SELECT u.root, u.node,
+           sum((u.sigma * (1000000 + w.delta)) // w.sigma)::bigint AS dsum
+    FROM (SELECT root, node, sigma FROM {prev_v} WHERE depth = {d}) u
+    JOIN e ON e.u = u.node
+    JOIN del{d + 1} w ON w.root = u.root AND w.node = e.v
+    GROUP BY u.root, u.node
+  ) x ON x.root = vd.root AND x.node = vd.node
+)""")
+    interior_union = "\n  UNION ALL ".join(
+        f"SELECT node, delta FROM del{d}" for d in range(1, D)
+    )
+    rounds = ",\n".join(fwd + bwd)
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), roots AS (
+  SELECT node FROM (SELECT DISTINCT u AS node FROM e)
+  WHERE {_HC_SEED_WHERE}
+), v0 AS (
+  SELECT node AS root, node, 0 AS depth, 1::bigint AS sigma FROM roots
+),
+{rounds}
+SELECT node, sum(delta)::bigint AS bc_fp,
+       (round((sum(delta)::bigint)::double / 1000000.0, 6) + 0.0) AS bc
+FROM ({interior_union})
+GROUP BY node
+HAVING sum(delta) > 0
+ORDER BY node
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -10902,6 +11004,7 @@ def queries():
         "q170_text_tiling": q170_text_tiling,
         "q171_winnowing": q171_winnowing,
         "q172_pr_curve": q172_pr_curve,
+        "q173_betweenness": q173_betweenness,
     }
 
 
@@ -11079,4 +11182,5 @@ def oracle_sql():
         "q170_text_tiling": _Q170_SQL,
         "q171_winnowing": _Q171_SQL,
         "q172_pr_curve": _Q172_SQL,
+        "q173_betweenness": _q173_sql(),
     }
