@@ -510,3 +510,68 @@ def pr_curve(
         )
         .orderBy(F.desc("score_fp"))
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    *,
+    score_col: str = "score_fp",
+    label_col: str = "is_pos",
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney pair count with the standard
+    half-credit tie correction — the single-scalar companion to
+    pr_curve's full threshold sweep (q172): AUC = P(random positive
+    outranks random negative), ties counting 1/2. Never materializes
+    pairs and never ranks rows: per distinct score s the histogram
+    gives (npos_s, nneg_s); wins = Σ_s npos_s * (negatives strictly
+    below s) via an EXCLUSIVE cumulative window, ties = Σ_s
+    npos_s * nneg_s — so auc = (2*wins + ties) / (2*npos*nneg) is ONE
+    IEEE division of exact int64s (the doubled numerator absorbs the
+    half-credit without a float ever multiplying a float).
+
+    Same scale shape as pr_curve: one combiner groupBy to the
+    score-resolution histogram, one SinglePartition cumulative window
+    over that HISTOGRAM only (q45 discipline), one single-row finish.
+    NULL labels count as neither positive nor negative (they carry no
+    ordering information — unlike pr_curve, where they still occupy
+    predicted-positive slots). AUC is NULL when either class is empty.
+    Output: one row (n_pos, n_neg, wins2, auc)."""
+    h = (
+        df.select(
+            F.col(score_col).cast("long").alias("score_fp"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("score_fp")
+        .agg(
+            F.coalesce(F.sum("y"), F.lit(0)).alias("npos"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("y").isNotNull(), 1 - F.col("y"))
+                ),
+                F.lit(0),
+            ).alias("nneg"),
+        )
+    )
+    wexcl = Window.orderBy(F.asc("score_fp")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = h.select(
+        "npos",
+        "nneg",
+        F.coalesce(F.sum("nneg").over(wexcl), F.lit(0)).alias("nneg_below"),
+    )
+    return c.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum("nneg").cast("long").alias("n_neg"),
+        (
+            F.sum(F.col("npos") * (2 * F.col("nneg_below") + F.col("nneg")))
+        ).cast("long").alias("wins2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "wins2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("wins2") / (2 * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )

@@ -429,3 +429,94 @@ def temperature_allocation(
             F.round(alloc.cast("double") / F.lit(float(budget)), 6) + F.lit(0.0)
         ).alias("share"),
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez) diversity selection
+    over an embedding column — the coreset picker for training-data
+    diversity: each round adds the point FARTHEST from everything
+    already chosen, the classic 2-approximation to the k-center
+    clustering optimum. Deterministic end to end: vectors quantize to
+    int64 micro-units (the q36 discipline — distances are all-integer
+    squared L2, no float boundary flips), the seed is the row with the
+    smallest md5('kc:' || id) (engine-portable, the k-means init
+    trick), and each round's argmax breaks ties by MINIMUM id via a
+    single max(struct(mind, -id, qv)) aggregate — one job per round,
+    no window, no sort.
+
+    The min-distance column updates INCREMENTALLY (mind =
+    least(mind, sqdist(·, newest))) so round r costs one map pass, not
+    r re-scans; each round localCheckpoints eagerly (the q51 loop
+    discipline — k bounded and small, the driver holds only k centers).
+    Rounds stop early when max(mind) = 0: every remaining point
+    duplicates a chosen center, so further picks are degenerate (the
+    oracle mirrors the same guard). Overflow bound: sum over dims of
+    (2 * scale * |x|)^2 must stay < 2^63 (|x| <= ~30 at 64 dims — the
+    _sqdist_l2 domain). Output: (sel, id, dist_fp) in selection order,
+    dist_fp = the selected point's distance to the prior centers (the
+    coverage radius just before it was added; 0 for the seed)."""
+    from pathhier_spark.operators.similarity import _sqdist_l2
+
+    spark = emb.sparkSession
+    out_schema = f"sel int, {id_col} long, dist_fp long"
+    if k < 1:
+        raise ValueError("kcenter_select needs k >= 1")
+    c = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("_qv"),
+    )
+    seed_rows = (
+        c.select(
+            "_id",
+            "_qv",
+            F.md5(F.concat(F.lit("kc:"), F.col("_id").cast("string"))).alias(
+                "_h"
+            ),
+        )
+        .orderBy("_h", "_id")
+        .limit(1)
+        .collect()
+    )
+    if not seed_rows:
+        return spark.createDataFrame([], out_schema)
+    seed = seed_rows[0]
+    chosen = [(0, int(seed["_id"]), 0)]
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(v)) for v in vals])
+
+    cur = c.select(
+        "_id",
+        "_qv",
+        _sqdist_l2(F.col("_qv"), lit_vec(seed["_qv"])).alias("mind"),
+    ).localCheckpoint(eager=True)
+    for r in range(1, k):
+        top = cur.agg(
+            F.max(
+                F.struct(
+                    F.col("mind").alias("m"),
+                    (-F.col("_id")).alias("nid"),
+                    F.col("_qv").alias("qv"),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        if top is None or top["m"] == 0:
+            break
+        chosen.append((r, int(-top["nid"]), int(top["m"])))
+        cur = cur.select(
+            "_id",
+            "_qv",
+            F.least(
+                F.col("mind"), _sqdist_l2(F.col("_qv"), lit_vec(top["qv"]))
+            ).alias("mind"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(chosen, out_schema)

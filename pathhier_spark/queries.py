@@ -10830,6 +10830,133 @@ ORDER BY node
 
 
 
+# ---------------------------------------------------------------------------
+# Q174 — exact ROC AUC (operators/profile.auc_exact): the Mann-Whitney
+# pair probability with half-credit ties, computed from the q172 score
+# histogram without ever ranking rows or materializing pairs — wins
+# via an EXCLUSIVE cumulative window, ties via npos*nneg per score,
+# auc = (2*wins + ties) / (2*npos*nneg) as ONE exact-int division.
+# Same predict-English calibration input as q172.
+# DuckDB feature req: core only (window cumulative sums).
+# ---------------------------------------------------------------------------
+
+
+def q174_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import auc_exact
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    scored = docs.select(
+        F.size(toks).alias("n_tok"),
+        n_stop.alias("n_stop"),
+        (F.col("lang") == "en").alias("is_pos"),
+    ).filter(F.col("n_tok") > 0)
+    scored = scored.select(
+        F.floor(F.lit(1_000_000) * F.col("n_stop") / F.col("n_tok")).alias(
+            "score_fp"
+        ),
+        "is_pos",
+    )
+    return auc_exact(scored)
+
+
+_Q174_SQL = f"""
+WITH t AS (
+  SELECT (1000000 * len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))))
+           // len(toks) AS score_fp,
+         (lang = 'en')::int AS y
+  FROM (SELECT {_SQL_WS_TOKS} AS toks, lang FROM documents)
+  WHERE len(toks) > 0
+), h AS (
+  SELECT score_fp,
+         coalesce(sum(y), 0)::bigint AS npos,
+         coalesce(sum(CASE WHEN y IS NOT NULL THEN 1 - y END), 0)::bigint
+           AS nneg
+  FROM t GROUP BY score_fp
+), c AS (
+  SELECT npos, nneg,
+         coalesce((sum(nneg) OVER (ORDER BY score_fp ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::bigint, 0)
+           AS nneg_below
+  FROM h
+), agg AS (
+  SELECT sum(npos)::bigint AS n_pos, sum(nneg)::bigint AS n_neg,
+         sum(npos * (2 * nneg_below + nneg))::bigint AS wins2
+  FROM c
+)
+SELECT n_pos, n_neg, wins2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN wins2::double / (2 * n_pos * n_neg) END AS auc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q175 — greedy k-center diversity selection (operators/sampling.
+# kcenter_select): Gonzalez farthest-point over the embeddings table —
+# the training-data coreset picker, 2-approximation to the k-center
+# optimum. md5-seeded start, all-integer quantized L2 (q36 discipline),
+# per-round argmax with min-id tie-break, incremental min-distance
+# updates. The oracle unrolls every greedy round as CTEs with the same
+# m > 0 early-stop guard.
+# DuckDB feature req: core only (list fns + generate_series).
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def q175_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import kcenter_select
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return kcenter_select(emb, k=_KC_K).orderBy("sel")
+
+
+def _q175_sql() -> str:
+    k = _KC_K
+    dist = _sql_ivf_dist
+    # every round CTE is MATERIALIZED (the q163 discipline): DuckDB
+    # inlines plain CTEs, so the m{k} chain would otherwise expand into
+    # an exponential tree of parquet re-scans ("too many open files")
+    parts = [f"""q AS MATERIALIZED (
+  SELECT vec_id, {_SQL_IVF_QUANT} AS qv FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id, qv FROM q
+  ORDER BY md5('kc:' || vec_id::varchar), vec_id LIMIT 1
+), m0 AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, {dist('p.qv', 'c.qv')}::bigint AS mind
+  FROM q p, c0 c
+)"""]
+    for r in range(1, k):
+        parts.append(f"""s{r} AS MATERIALIZED (
+  SELECT max(mind) AS m FROM m{r - 1}
+), c{r} AS MATERIALIZED (
+  SELECT vec_id, qv, mind FROM m{r - 1}
+  WHERE mind = (SELECT m FROM s{r}) AND (SELECT m FROM s{r}) > 0
+  ORDER BY vec_id LIMIT 1
+), m{r} AS MATERIALIZED (
+  SELECT p.vec_id, p.qv,
+         least(p.mind, {dist('p.qv', 'c.qv')}::bigint) AS mind
+  FROM m{r - 1} p, c{r} c
+)""")
+    sel_union = "\n  UNION ALL ".join(
+        ["SELECT 0 AS sel, vec_id, 0::bigint AS dist_fp FROM c0"]
+        + [
+            f"SELECT {r} AS sel, vec_id, mind::bigint AS dist_fp FROM c{r}"
+            for r in range(1, k)
+        ]
+    )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT sel, vec_id, dist_fp FROM ({sel_union}) ORDER BY sel"
+    )
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11005,6 +11132,8 @@ def queries():
         "q171_winnowing": q171_winnowing,
         "q172_pr_curve": q172_pr_curve,
         "q173_betweenness": q173_betweenness,
+        "q174_auc": q174_auc,
+        "q175_kcenter": q175_kcenter,
     }
 
 
@@ -11183,4 +11312,6 @@ def oracle_sql():
         "q171_winnowing": _Q171_SQL,
         "q172_pr_curve": _Q172_SQL,
         "q173_betweenness": _q173_sql(),
+        "q174_auc": _Q174_SQL,
+        "q175_kcenter": _q175_sql(),
     }

@@ -1,0 +1,94 @@
+"""auc_exact (operators/profile.py, q174) and kcenter_select
+(operators/sampling.py, q175) — hand-checkable semantics: exact
+Mann-Whitney AUC values (perfect/reversed/tied/half-credit, NULL
+labels, empty-class NULL), and the greedy farthest-point selection
+against a pure-Python mirror including the duplicate early-stop and
+k > n edges.
+"""
+
+import hashlib
+import math
+
+from pathhier_spark.operators.profile import auc_exact
+from pathhier_spark.operators.sampling import kcenter_select
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "score_fp long, is_pos boolean")
+    r = auc_exact(df).collect()[0]
+    return r["n_pos"], r["n_neg"], r["wins2"], r["auc"]
+
+
+def test_auc_perfect_and_reversed(spark):
+    assert _auc(spark, [(3, True), (2, True), (1, False)])[3] == 1.0
+    assert _auc(spark, [(1, True), (2, False), (3, False)])[3] == 0.0
+
+
+def test_auc_half_credit_ties(spark):
+    # one pos and one neg at the same score: exactly half credit
+    assert _auc(spark, [(2, True), (2, False)]) == (1, 1, 1, 0.5)
+
+
+def test_auc_hand_mixed(spark):
+    # pos {3, 1}, neg {2}: one win, one loss -> 0.5 with wins2 = 2
+    assert _auc(spark, [(3, True), (1, True), (2, False)]) == (2, 1, 2, 0.5)
+
+
+def test_auc_null_label_ignored_and_empty_class_null(spark):
+    df = spark.createDataFrame(
+        [(3, True), (2, None), (1, False)], "score_fp long, is_pos boolean"
+    )
+    r = auc_exact(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (1, 1, 1.0)
+    assert _auc(spark, [(1, True), (2, True)])[3] is None  # no negatives
+
+
+def _py_kcenter(pts, k):
+    """Pure-Python mirror of the operator's exact arithmetic."""
+    q = {i: [math.floor(x * 1_000_000) for x in v] for i, v in pts.items()}
+    seed = min(q, key=lambda i: (hashlib.md5(f"kc:{i}".encode()).hexdigest(), i))
+    chosen = [(0, seed, 0)]
+    mind = {
+        i: sum((a - b) ** 2 for a, b in zip(v, q[seed])) for i, v in q.items()
+    }
+    for r in range(1, k):
+        m = max(mind.values())
+        if m == 0:
+            break
+        pick = min(i for i, d in mind.items() if d == m)
+        chosen.append((r, pick, m))
+        for i, v in q.items():
+            mind[i] = min(mind[i], sum((a - b) ** 2 for a, b in zip(v, q[pick])))
+    return chosen
+
+
+def _spark_kcenter(spark, pts, k):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<float>",
+    )
+    return [
+        (r["sel"], r["vec_id"], r["dist_fp"])
+        for r in kcenter_select(df, k=k).orderBy("sel").collect()
+    ]
+
+
+def test_kcenter_matches_pure_python_mirror(spark):
+    pts = {1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0],
+           4: [10.0, 10.0], 5: [10.0, 9.0]}
+    assert _spark_kcenter(spark, pts, 4) == _py_kcenter(pts, 4)
+
+
+def test_kcenter_duplicate_early_stop(spark):
+    # two coincident points and one distinct: the third pick would have
+    # distance 0, so selection stops at 2 rows even with k=5
+    pts = {1: [0.0], 2: [0.0], 3: [5.0]}
+    got = _spark_kcenter(spark, pts, 5)
+    assert got == _py_kcenter(pts, 5)
+    assert len(got) == 2
+
+
+def test_kcenter_k_exceeds_n(spark):
+    pts = {7: [0.0], 9: [3.0]}
+    got = _spark_kcenter(spark, pts, 6)
+    assert len(got) == 2 and got == _py_kcenter(pts, 6)
