@@ -215,3 +215,49 @@ def snake_shard_assignment(
         "rank0",
         shard.cast("int").alias("shard"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+    salt: str = "rdv",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to the shard s in [0, n_shards) maximizing
+    md5(salt || ':' || id || ':' || s) — the consistent-hashing
+    discipline a 100 TB ingest needs: when the fleet grows from N to
+    N+1 shards, ONLY rows whose new winner IS the new shard move
+    (every old shard keeps its relative order under any surviving
+    shard, so no row reshuffles between survivors — expected movement
+    exactly 1/(N+1), the provable minimum; modulo sharding moves
+    ~N/(N+1) of the corpus by contrast). Deterministic and
+    engine-portable: md5 hex compares lexicographically the same
+    everywhere; ties (never in practice) break toward the HIGHER shard
+    id via struct ordering.
+
+    Scale shape: map-only — one array_max over an n_shards-length
+    in-row array of (hash, shard) structs, no explode, no shuffle, no
+    state; n_shards is a literal, so the whole assignment inlines into
+    the scan's codegen. Output: df plus `out_col` int."""
+    if n_shards < 1:
+        raise ValueError("rendezvous_shard needs n_shards >= 1")
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_shards - 1)),
+            lambda s: F.struct(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        s.cast("string"),
+                    )
+                ).alias("h"),
+                s.cast("int").alias("s"),
+            ),
+        )
+    )
+    return df.withColumn(out_col, best.getField("s"))

@@ -575,3 +575,61 @@ def auc_exact(
             F.col("wins2") / (2 * F.col("n_pos") * F.col("n_neg")),
         ).alias("auc"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    *,
+    group_col: str,
+    day_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend slope over a daily count
+    series — the drift detector that says not just "did the
+    distribution shift" (q102) but in WHICH DIRECTION and HOW FAST each
+    group's volume is moving. x = day index relative to the group's own
+    first day (self-contained — no global calendar join), y = the daily
+    count; slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) computed from five
+    exact int64 moments and finished by ONE IEEE division (the q81
+    lesson: the numerator and denominator ship too, so the exactness
+    claim is auditable in the output). NULL slope when the group has a
+    single day (denominator 0). Day gaps are NOT densified — a missing
+    day is absent, not zero; run gapfill (q117) upstream when zeros are
+    the intended reading.
+
+    Scale shape: one combiner groupBy to (group, day) counts, a
+    group-sized broadcast join for each group's first day, one combiner
+    groupBy for the moments — value-domain tables only, nothing
+    row-scale past the first aggregate. Output: (group, n_days,
+    slope_num, slope_den, slope)."""
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(day_col).alias("d")
+    ).agg(F.coalesce(F.sum(count_col), F.lit(0)).cast("long").alias("y"))
+    first = daily.groupBy("g").agg(F.min("d").alias("d0"))
+    m = (
+        daily.join(F.broadcast(first), "g")
+        .select("g", F.datediff("d", "d0").cast("long").alias("x"), "y")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        F.when(
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")) > 0,
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        ).alias("slope"),
+    )

@@ -10957,6 +10957,115 @@ def _q175_sql() -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Q176 — rendezvous shard movement audit (operators/packing.
+# rendezvous_shard): highest-random-weight assignment at N=8 and N=9
+# shards side by side — per old shard, how many rows move when the
+# fleet grows. Rendezvous guarantees every mover lands on the NEW
+# shard (survivors keep their relative hash order), expected movement
+# 1/(N+1) vs modulo's ~N/(N+1); the per-shard audit is the proof read.
+# Map-only struct-array argmax on the Spark side; the oracle replays
+# the argmax with a (hash DESC, shard DESC) window.
+# DuckDB feature req: core only (generate_series table fn + windows).
+# ---------------------------------------------------------------------------
+
+_RDV_N = 8
+
+
+def q176_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.packing import rendezvous_shard
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a8 = rendezvous_shard(docs, n_shards=_RDV_N, out_col="shard8")
+    both = rendezvous_shard(a8, n_shards=_RDV_N + 1, out_col="shard9")
+    return (
+        both.groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("shard9") != F.col("shard8")).cast("long")
+            ).alias("n_moved"),
+        )
+        .orderBy("shard8")
+    )
+
+
+_Q176_SQL = f"""
+WITH a AS (
+  SELECT doc_id, s,
+         md5('rdv:' || doc_id::varchar || ':' || s::varchar) AS h
+  FROM documents CROSS JOIN generate_series(0, {_RDV_N}) t(s)
+), a8 AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, s DESC) AS rn
+    FROM a WHERE s < {_RDV_N}
+  ) WHERE rn = 1
+), a9 AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, s DESC) AS rn
+    FROM a
+  ) WHERE rn = 1
+)
+SELECT a8.s::int AS shard8, count(*)::bigint AS n_docs,
+       sum((a9.s <> a8.s)::int)::bigint AS n_moved
+FROM a8 JOIN a9 USING (doc_id)
+GROUP BY a8.s ORDER BY shard8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q177 — per-type daily-volume trend (operators/profile.group_trend):
+# OLS slope of each event type's daily count series from five exact
+# int64 moments and ONE final division — q102 says whether the
+# distribution drifted; this says which direction and how fast each
+# stream's volume is moving. x is the day index from the group's own
+# first day; slope_num/slope_den ship alongside the double so the
+# exactness is auditable.
+# DuckDB feature req: core only (date_diff + combiner aggregates).
+# ---------------------------------------------------------------------------
+
+
+def q177_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import group_trend
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        "event_type", F.to_date("ts").alias("day"), F.lit(1).alias("n")
+    )
+    return group_trend(
+        ev, group_col="event_type", day_col="day", count_col="n"
+    ).orderBy("event_type")
+
+
+_Q177_SQL = """
+WITH daily AS (
+  SELECT event_type AS g, ts::date AS d, count(*)::bigint AS y
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT g, min(d) AS d0 FROM daily GROUP BY g
+), m AS (
+  SELECT daily.g, count(*)::bigint AS n_days,
+         sum(date_diff('day', d0, d))::bigint AS sx,
+         sum(y)::bigint AS sy,
+         sum(date_diff('day', d0, d) * y)::bigint AS sxy,
+         sum(date_diff('day', d0, d) * date_diff('day', d0, d))::bigint
+           AS sxx
+  FROM daily JOIN f USING (g) GROUP BY daily.g
+)
+SELECT g AS event_type, n_days,
+       (n_days * sxy - sx * sy)::bigint AS slope_num,
+       (n_days * sxx - sx * sx)::bigint AS slope_den,
+       CASE WHEN n_days * sxx - sx * sx > 0
+            THEN (n_days * sxy - sx * sy)::double
+                 / (n_days * sxx - sx * sx) END AS slope
+FROM m ORDER BY event_type
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11134,6 +11243,8 @@ def queries():
         "q173_betweenness": q173_betweenness,
         "q174_auc": q174_auc,
         "q175_kcenter": q175_kcenter,
+        "q176_rendezvous": q176_rendezvous,
+        "q177_volume_trend": q177_volume_trend,
     }
 
 
@@ -11314,4 +11425,6 @@ def oracle_sql():
         "q173_betweenness": _q173_sql(),
         "q174_auc": _Q174_SQL,
         "q175_kcenter": _q175_sql(),
+        "q176_rendezvous": _Q176_SQL,
+        "q177_volume_trend": _Q177_SQL,
     }
