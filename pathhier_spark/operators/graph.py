@@ -2852,3 +2852,79 @@ def bowtie_decomposition(
         .otherwise(F.lit("other"))
         .alias("cls"),
     )
+
+
+def bellman_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-hop single-source cheapest paths from a seeded source
+    subset — weighted Bellman-Ford rounds, the MIN-PLUS member of the
+    path-semiring family (bfs_closure counts hops, dag_longest_path is
+    max-plus, this is min-cost): after round r the table holds EXACTLY
+    the minimum path cost using at most r edges, because each round is
+    the FUNCTIONAL relaxation d_r(v) = min(d_{r-1}(v), min over edges
+    (u,v) of d_{r-1}(u) + w) — a pure expression over the previous
+    round, so any relaxation schedule (here: delta-frontier) and any
+    engine produce identical tables, and negative weights would be
+    handled correctly within the hop bound (no convergence assumption).
+    Weights must be exact integers (quantize upstream — the q49 cents
+    discipline); costs then sum as exact int64 with no float path
+    dependence. Parallel edges collapse to their min weight up front.
+
+    Scale shape: the delta-frontier optimization relaxes only edges out
+    of nodes IMPROVED last round (provably the same d_r: unimproved
+    nodes contribute nothing new), so settled regions cost nothing;
+    each round is one equi-join + one min-combiner groupBy + a
+    min-union merge, all eagerly localCheckpointed (the CC loop
+    discipline); state is the seeded balls, the q141 cost argument.
+    Output: (root, node, dist) including the root itself at dist 0."""
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    root_col = sources.columns[0]
+    dist = sources.select(
+        F.col(root_col).alias("root"),
+        F.col(root_col).alias("node"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _r in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("root", F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+            .groupBy("root", "node")
+            .agg(F.min("d").alias("d"))
+        )
+        imp = (
+            cand.join(
+                dist.select("root", "node", F.col("d").alias("old")),
+                ["root", "node"],
+                "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
+            .select("root", "node", "d")
+            .localCheckpoint(eager=True)
+        )
+        if imp.limit(1).count() == 0:
+            break
+        dist = (
+            dist.unionByName(imp)
+            .groupBy("root", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = imp
+    return dist.select("root", "node", F.col("d").alias("dist"))

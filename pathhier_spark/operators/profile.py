@@ -633,3 +633,86 @@ def group_trend(
             / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")),
         ).alias("slope"),
     )
+
+
+def wasserstein1(
+    df: DataFrame,
+    *,
+    value_col: str = "v",
+    group_col: str = "snap",
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the integer
+    value distributions of two snapshots — the drift metric that, unlike
+    PSI (q102) or a chi-square (q104), respects the ORDER of the value
+    domain: mass moved two buckets costs twice mass moved one. Uses the
+    closed form W1 = ∫ |CDF_A - CDF_B| dx over the merged value domain:
+    per distinct value the histogram gives (na_v, nb_v); an inclusive
+    cumulative window yields cumA/cumB; each inter-value gap contributes
+    |cumA * nB - cumB * nA| * gap — exact int64 under the common
+    denominator nA*nB — and w1 = Σ / (nA * nB) is ONE IEEE division (the
+    q174 doubled-numerator trick generalized to a common denominator).
+    Group values must be exactly two after filtering; rows in neither
+    snapshot are the caller's bug, not silently dropped — group_col is
+    read as `= 0` (A) vs `<> 0` (B).
+
+    Scale shape: corpus → one combiner groupBy to the value-domain
+    histogram; the cumulative window and the gap lead() run over that
+    HISTOGRAM only (q45 discipline); single-row finish. Overflow bound:
+    max(cum) * max(n) * value_range summed over the domain must stay
+    < 2^63 — fine for counts to ~1e6 over ranges to ~1e4; quantize the
+    value domain coarser upstream when it is not. Output: one row
+    (n_a, n_b, w1_num, w1)."""
+    h = (
+        df.select(
+            F.col(value_col).cast("long").alias("x"),
+            F.when(F.col(group_col) == 0, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("x")
+        .agg(
+            F.sum("a").alias("na"),
+            F.sum(1 - F.col("a")).alias("nb"),
+        )
+    )
+    wincl = Window.orderBy(F.asc("x")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wnext = Window.orderBy(F.asc("x"))
+    c = h.select(
+        "x",
+        "na",
+        "nb",
+        F.sum("na").over(wincl).alias("cuma"),
+        F.sum("nb").over(wincl).alias("cumb"),
+        F.lead("x").over(wnext).alias("xnext"),
+    )
+    tot = c.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    num = (
+        c.filter(F.col("xnext").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cuma") * F.col("n_b")
+                    - F.col("cumb") * F.col("n_a")
+                )
+                * (F.col("xnext") - F.col("x"))
+            )
+            .cast("long")
+            .alias("w1_num")
+        )
+    )
+    # tot and num join back as 1-row broadcasts so a single-value domain
+    # (no gaps -> empty sum) still reports the true totals with W1 = 0
+    return tot.crossJoin(F.broadcast(num)).select(
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("w1_num"), F.lit(0)).alias("w1_num"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.coalesce(F.col("w1_num"), F.lit(0))
+            / (F.col("n_a") * F.col("n_b")),
+        ).alias("w1"),
+    )

@@ -11066,6 +11066,132 @@ FROM m ORDER BY event_type
 
 
 
+# ---------------------------------------------------------------------------
+# Q178 — bounded-hop cheapest paths (operators/graph.bellman_bounded):
+# weighted Bellman-Ford rounds over the q78 co-purchase part graph with
+# integer-cents bundle weights — the MIN-PLUS path semiring next to
+# q78's hop counts and q161's max-plus layers. Each round is the
+# FUNCTIONAL relaxation d_r(v) = min(d_{r-1}(v), min (u,v) d_{r-1}(u)+w),
+# so the oracle's unrolled MATERIALIZED rounds and Spark's
+# delta-frontier schedule provably produce identical tables.
+# DuckDB feature req: core only (MATERIALIZED CTEs).
+# ---------------------------------------------------------------------------
+
+_BF_HOPS = 3
+
+
+def q178_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import bellman_bounded
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "ok")
+        .filter(F.col("a.pk") != F.col("b.pk"))
+        .select(
+            F.col("a.pk").alias("src"),
+            F.col("b.pk").alias("dst"),
+            (F.col("a.cents") + F.col("b.cents")).alias("w"),
+        )
+    )
+    roots = (
+        edges.select("src").filter(F.col("src") % 100 == 0).distinct()
+    )
+    return bellman_bounded(
+        edges, roots, max_hops=_BF_HOPS
+    ).orderBy("root", "node")
+
+
+def _q178_sql() -> str:
+    rounds = []
+    for r in range(1, _BF_HOPS + 1):
+        rounds.append(f"""d{r} AS MATERIALIZED (
+  SELECT root, node, min(d)::bigint AS d FROM (
+    SELECT root, node, d FROM d{r - 1}
+    UNION ALL
+    SELECT p.root, e.v AS node, p.d + e.w AS d
+    FROM d{r - 1} p JOIN e ON e.u = p.node
+  ) GROUP BY root, node
+)""")
+    joined = ",\n".join(rounds)
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey AS ok, l_partkey AS pk,
+         floor(l_extendedprice * 100)::bigint AS cents
+  FROM lineitem
+), e AS MATERIALIZED (
+  SELECT a.pk AS u, b.pk AS v, min(a.cents + b.cents)::bigint AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY a.pk, b.pk
+), d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS root, u AS node, 0::bigint AS d
+  FROM e WHERE u % 100 = 0
+),
+{joined}
+SELECT root, node, d AS dist FROM d{_BF_HOPS} ORDER BY root, node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q179 — exact 1-Wasserstein drift (operators/profile.wasserstein1):
+# earth-mover distance between the even/odd-snapshot token-count
+# distributions — unlike PSI (q102) it respects the ORDER of the value
+# domain (mass moved two buckets costs twice one). Closed form
+# ∫|CDF_A - CDF_B| dx as exact int64 under the common denominator
+# nA*nB, finished by ONE division; the windows run over the
+# value-domain histogram only (q45 discipline).
+# DuckDB feature req: core only (window cumulative sums + lead).
+# ---------------------------------------------------------------------------
+
+
+def q179_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import wasserstein1
+    from pathhier_spark.operators.textstats import with_token_counts
+
+    docs = _docs(spark, sf_dir)
+    b = with_token_counts(docs).select(
+        F.col("ws_tokens").alias("v"), (F.col("doc_id") % 2).alias("snap")
+    )
+    return wasserstein1(b, value_col="v", group_col="snap")
+
+
+_Q179_SQL = f"""
+WITH t AS (
+  SELECT len({_SQL_WS_TOKS})::bigint AS x, (doc_id % 2) AS g
+  FROM documents
+), h AS (
+  SELECT x, sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::bigint AS na,
+            sum(CASE WHEN g <> 0 THEN 1 ELSE 0 END)::bigint AS nb
+  FROM t GROUP BY x
+), c AS (
+  SELECT x, na, nb,
+         (sum(na) OVER w)::bigint AS cuma,
+         (sum(nb) OVER w)::bigint AS cumb,
+         lead(x) OVER (ORDER BY x) AS xnext
+  FROM h
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), tot AS (
+  SELECT coalesce(sum(na), 0)::bigint AS n_a,
+         coalesce(sum(nb), 0)::bigint AS n_b FROM h
+), num AS (
+  SELECT coalesce(sum(abs(cuma * (SELECT n_b FROM tot)
+                          - cumb * (SELECT n_a FROM tot))
+                      * (xnext - x)), 0)::bigint AS w1_num
+  FROM c WHERE xnext IS NOT NULL
+)
+SELECT n_a, n_b, w1_num,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN w1_num::double / (n_a * n_b) END AS w1
+FROM tot, num
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11245,6 +11371,8 @@ def queries():
         "q175_kcenter": q175_kcenter,
         "q176_rendezvous": q176_rendezvous,
         "q177_volume_trend": q177_volume_trend,
+        "q178_cheapest_paths": q178_cheapest_paths,
+        "q179_wasserstein": q179_wasserstein,
     }
 
 
@@ -11427,4 +11555,6 @@ def oracle_sql():
         "q175_kcenter": _q175_sql(),
         "q176_rendezvous": _Q176_SQL,
         "q177_volume_trend": _Q177_SQL,
+        "q178_cheapest_paths": _q178_sql(),
+        "q179_wasserstein": _Q179_SQL,
     }
