@@ -235,6 +235,12 @@ class Warehouse:
             commits = [
                 {"fingerprint": fingerprint, "mode": mode, "dirs": [snapshot]}
             ]
+        # expired-history base survives appends, dies with history resets
+        log_base = (
+            list(man.get("log_base_dirs") or [])
+            if (mode == "append" and man)
+            else None
+        )
         # concurrency guard (parquet backend; see docstring for the iceberg
         # caveat): the re-read + pointer swap happen under an exclusive
         # commit lock — a plain check-then-replace would leave a window
@@ -261,16 +267,18 @@ class Warehouse:
                 self._swap_manifest(
                     table, snapshot, snapshots, fingerprint, applied,
                     partition_by, commits, schema=schema,
+                    log_base_dirs=log_base,
                 )
         else:
             self._swap_manifest(
                 table, snapshot, snapshots, fingerprint, applied,
                 partition_by, commits, schema=schema,
+                log_base_dirs=log_base,
             )
 
     def _swap_manifest(
         self, table, snapshot, snapshots, fingerprint, applied, partition_by,
-        commits, schema=None,
+        commits, schema=None, log_base_dirs=None,
     ) -> None:
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
@@ -285,6 +293,7 @@ class Warehouse:
                     "partition_by": partition_by or [],
                     "schema": schema,
                     "commits": commits,
+                    "log_base_dirs": log_base_dirs or [],
                     "committed_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),
@@ -510,6 +519,60 @@ class Warehouse:
                 removed += 1
         return {"removed": removed, "kept_young": kept_young, "live": len(live)}
 
+    def expire_snapshots(self, table: str, *, keep_last: int = 10) -> dict:
+        """Commit-log retention — the Iceberg `expire_snapshots` analog
+        and vacuum()'s missing other half: vacuum reclaims directories no
+        commit references, but the log itself grows one entry per append
+        FOREVER, so the manifest bloats and every historical fingerprint
+        stays a live time-travel/incremental target. This trims the log
+        to its newest `keep_last` commits, which (a) bounds manifest
+        metadata at any append rate and (b) bounds the replay horizon:
+        read_at / read_incremental on an expired fingerprint now raise
+        the existing expired-snapshot ValueError — the same contract as
+        any log-retention system (a consumer lagging past retention must
+        resync via a full read()).
+
+        What it deliberately does NOT touch: the live snapshot list (the
+        table's data is never affected — append dirs stay readable via
+        read(); directory reclamation remains vacuum()'s job and only
+        ever applies to dirs superseded by overwrite/compaction), and
+        applied_fingerprints (exactly-once replay suppression — dropping
+        those would re-admit a duplicate of an ancient write; they are
+        tiny strings, and keeping them is the cheap side of the
+        trade-off). Runs under the commit lock; the manifest rewrite
+        preserves every other field byte-for-byte and swaps atomically.
+        Returns {"expired": n, "kept": n}."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots needs keep_last >= 1")
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if man["format"] == "iceberg":
+            raise NotImplementedError(
+                "iceberg snapshot expiry = CALL expire_snapshots; no "
+                "iceberg runtime in this sandbox"
+            )
+        with self._commit_lock(table):
+            man = self.manifest(table)  # re-read under the lock
+            commits = man.get("commits") or []
+            if len(commits) <= keep_last:
+                return {"expired": 0, "kept": len(commits)}
+            kept = commits[-keep_last:]
+            expired = commits[: len(commits) - keep_last]
+            man["commits"] = kept
+            # expired history collapses into a base-dir list so read_at on
+            # a KEPT fingerprint still reconstructs the FULL table as of
+            # that commit (a time-travel view is the whole table, not the
+            # post-horizon delta) — the Iceberg expire-keeps-current rule
+            man["log_base_dirs"] = list(man.get("log_base_dirs") or []) + [
+                d for c in expired for d in c["dirs"]
+            ]
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, self._manifest_path(table))
+        return {"expired": len(commits) - len(kept), "kept": len(kept)}
+
     def read_at(self, table: str, fingerprint: str) -> DataFrame:
         """Snapshot time-travel — read the table AS OF the commit carrying
         `fingerprint`: exactly the directories of that commit and every
@@ -524,9 +587,14 @@ class Warehouse:
         historical snapshot through it would add columns that did not
         exist at that commit (real Iceberg time-travels the schema too —
         that needs per-commit schema history, out of scope). The
-        historical frame is the raw union of its own directories."""
+        historical frame is the raw union of its own directories.
+        History expired by expire_snapshots() is prepended as the
+        log_base_dirs base, so kept fingerprints still see the full
+        table as of their commit."""
         commits, idx = self._commit_index(table, fingerprint, op="time travel")
-        dirs = [d for c in commits[: idx + 1] for d in c["dirs"]]
+        man = self.manifest(table) or {}
+        base = list(man.get("log_base_dirs") or [])
+        dirs = base + [d for c in commits[: idx + 1] for d in c["dirs"]]
         return self._read_dirs(dirs)
 
     def diff(
@@ -854,6 +922,9 @@ class Warehouse:
                     "dirs": [new_dir],
                 }
             ]
+            # the compacted dir already holds every row: a carried-over
+            # expired-history base would double-count in read_at
+            man["log_base_dirs"] = []
             man["compaction"] = {
                 "files_before": len(files),
                 "files_after": files_after,

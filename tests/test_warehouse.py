@@ -1041,3 +1041,52 @@ def test_stream_sink_passes_evolution_flags(spark, tmp_path):
     sig = inspect.signature(stream_to_warehouse)
     assert "allow_new_columns" in sig.parameters
     assert "allow_missing_columns" in sig.parameters
+
+
+def test_expire_snapshots_bounds_log_keeps_data(spark, tmp_path):
+    """expire_snapshots trims the commit log to keep_last: expired
+    fingerprints raise on read_at/read_incremental (bounded replay),
+    recent ones still time-travel, read() sees every row (data is never
+    touched), exactly-once replay suppression survives expiry, and the
+    trimmed manifest preserves the other fields."""
+    import pytest as _pytest
+
+    from pathhier_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whx"), fmt="parquet")
+    for i, fp in enumerate(["f0", "f1", "f2", "f3"]):
+        wh.write(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            "t",
+            mode="append" if i else "overwrite",
+            fingerprint=fp,
+        )
+    out = wh.expire_snapshots("t", keep_last=2)
+    assert out == {"expired": 2, "kept": 2}
+    # data intact
+    assert {r["id"] for r in wh.read("t").collect()} == {0, 1, 2, 3}
+    # recent fingerprints still travel; expired ones raise the existing
+    # expired-snapshot contract
+    assert {r["id"] for r in wh.read_at("t", "f3").collect()} == {0, 1, 2, 3}
+    assert {r["id"] for r in wh.read_at("t", "f2").collect()} == {0, 1, 2}
+    for old in ("f0", "f1"):
+        with _pytest.raises(ValueError, match="not in"):
+            wh.read_at("t", old)
+        with _pytest.raises(ValueError, match="not in"):
+            wh.read_incremental("t", since_fingerprint=old)
+    # exactly-once suppression survives: replaying an EXPIRED write is
+    # still a no-op
+    wh.write(
+        spark.createDataFrame([(99, "dup")], "id long, v string"),
+        "t",
+        mode="append",
+        fingerprint="f1",
+    )
+    assert {r["id"] for r in wh.read("t").collect()} == {0, 1, 2, 3}
+    # idempotent when already within budget; keep_last validation
+    assert wh.expire_snapshots("t", keep_last=10) == {"expired": 0, "kept": 2}
+    with _pytest.raises(ValueError, match="keep_last"):
+        wh.expire_snapshots("t", keep_last=0)
+    man = wh.manifest("t")
+    assert [c["fingerprint"] for c in man["commits"]] == ["f2", "f3"]
+    assert set(man["applied_fingerprints"]) >= {"f0", "f1", "f2", "f3"}
