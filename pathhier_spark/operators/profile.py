@@ -716,3 +716,69 @@ def wasserstein1(
             / (F.col("n_a") * F.col("n_b")),
         ).alias("w1"),
     )
+
+
+def signal_correlations(df: DataFrame, *, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over integer signal columns —
+    which quality signals are REDUNDANT: a curation pipeline weighing
+    n_tokens, n_chars, distinct counts, stopword counts (q14's family)
+    reads this to drop the ones that move together. ONE aggregate pass
+    computes every moment (n, each Sx/Sxx, every pairwise Sxy — Spark
+    fuses them into a single scan with map-side partials, the
+    profile_columns discipline); the pair table then pivots off that
+    single row via an array-of-structs explode, driver-free.
+
+    corr = (n*Sxy - Sx*Sy) / sqrt(n*Sxx - Sx²) / sqrt(n*Syy - Sy²):
+    numerator and both denominators are exact int64 (and ship in the
+    output, so the exactness is auditable); the finish is the FIXED
+    SHAPE cast-divide-sqrt-divide — identical IEEE ops in identical
+    order on any engine (the int64→double cast rounds to nearest the
+    same way everywhere). NULL corr when a signal is constant
+    (denominator 0). Overflow bound: n * max|x| * max|y| summed must
+    stay < 2^63 — counts to ~1e5 over signal magnitudes to ~1e4 are
+    safe; quantize coarser upstream past that. Output: one row per
+    unordered pair, sig_a < sig_b lexicographic."""
+    cs = sorted(cols)
+    if len(cs) < 2:
+        raise ValueError("signal_correlations needs >= 2 columns")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cs:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cs):
+        for b in cs[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = df.agg(*aggs)
+    structs = []
+    for i, a in enumerate(cs):
+        for b in cs[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(
+                f"s_{b}"
+            )
+            dena = F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(
+                f"s_{a}"
+            )
+            denb = F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(
+                f"s_{b}"
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("sig_a"),
+                    F.lit(b).alias("sig_b"),
+                    F.col("n").cast("long").alias("n"),
+                    num.cast("long").alias("corr_num"),
+                    dena.cast("long").alias("den_a"),
+                    denb.cast("long").alias("den_b"),
+                    F.when(
+                        (dena > 0) & (denb > 0),
+                        num.cast("double")
+                        / F.sqrt(dena.cast("double"))
+                        / F.sqrt(denb.cast("double")),
+                    ).alias("corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("sig_a", "sig_b")
+    )

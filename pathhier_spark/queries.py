@@ -11192,6 +11192,77 @@ FROM tot, num
 
 
 
+# ---------------------------------------------------------------------------
+# Q180 — quality-signal correlation matrix (operators/profile.
+# signal_correlations): pairwise Pearson between the q14-family count
+# signals (n_chars / n_distinct / n_stop / n_tokens) — which signals
+# are redundant before weighting a quality blend. ONE aggregate pass
+# computes every moment; exact int64 numerator/denominators ship in the
+# output; the corr finish is the fixed-shape cast-divide-sqrt-divide.
+# DuckDB feature req: core only (sums + sqrt).
+# ---------------------------------------------------------------------------
+
+_CORR_SIGS = ["n_chars", "n_distinct", "n_stop", "n_tokens"]
+
+
+def q180_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import signal_correlations
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    feats = docs.select(
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_lit, t))
+        ).cast("long").alias("n_stop"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return signal_correlations(feats, cols=_CORR_SIGS)
+
+
+def _q180_sql() -> str:
+    cs = sorted(_CORR_SIGS)
+    sums = ["count(*)::bigint AS n"]
+    for c in cs:
+        sums.append(f"sum({c})::bigint AS s_{c}")
+        sums.append(f"sum({c} * {c})::bigint AS ss_{c}")
+    pairs = []
+    for i, a in enumerate(cs):
+        for b in cs[i + 1 :]:
+            sums.append(f"sum({a} * {b})::bigint AS sp_{a}_{b}")
+            pairs.append((a, b))
+    rows = []
+    for a, b in pairs:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        da = f"(n * ss_{a} - s_{a} * s_{a})"
+        db = f"(n * ss_{b} - s_{b} * s_{b})"
+        rows.append(f"""SELECT '{a}' AS sig_a, '{b}' AS sig_b, n,
+       {num}::bigint AS corr_num,
+       {da}::bigint AS den_a, {db}::bigint AS den_b,
+       CASE WHEN {da} > 0 AND {db} > 0 THEN
+         {num}::double / sqrt({da}::double) / sqrt({db}::double)
+       END AS corr
+FROM m""")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH feats AS (
+  SELECT length(text)::bigint AS n_chars,
+         len(list_distinct(toks))::bigint AS n_distinct,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::bigint
+           AS n_stop,
+         len(toks)::bigint AS n_tokens
+  FROM (SELECT text, {_SQL_WS_TOKS} AS toks FROM documents)
+), m AS MATERIALIZED (
+  SELECT {", ".join(sums)} FROM feats
+)
+SELECT * FROM ({union}) ORDER BY sig_a, sig_b
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11373,6 +11444,7 @@ def queries():
         "q177_volume_trend": q177_volume_trend,
         "q178_cheapest_paths": q178_cheapest_paths,
         "q179_wasserstein": q179_wasserstein,
+        "q180_signal_corr": q180_signal_corr,
     }
 
 
@@ -11557,4 +11629,5 @@ def oracle_sql():
         "q177_volume_trend": _Q177_SQL,
         "q178_cheapest_paths": _q178_sql(),
         "q179_wasserstein": _Q179_SQL,
+        "q180_signal_corr": _q180_sql(),
     }

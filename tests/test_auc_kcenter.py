@@ -92,3 +92,44 @@ def test_kcenter_k_exceeds_n(spark):
     pts = {7: [0.0], 9: [3.0]}
     got = _spark_kcenter(spark, pts, 6)
     assert len(got) == 2 and got == _py_kcenter(pts, 6)
+
+
+def test_signal_correlations_hand_values(spark):
+    """signal_correlations (q180): exact ±1 on linear signals, 0 on an
+    orthogonal pattern, NULL on a constant signal, and auditable
+    integer moments."""
+    from pathhier_spark.operators.profile import signal_correlations
+
+    rows = [
+        # a rises 1..4; b = 2a (corr +1); c = -a + 10 (corr -1);
+        # d constant (corr NULL against everything)
+        (1, 2, 9, 5),
+        (2, 4, 8, 5),
+        (3, 6, 7, 5),
+        (4, 8, 6, 5),
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got = {
+        (r["sig_a"], r["sig_b"]): r
+        for r in signal_correlations(df, cols=["a", "b", "c", "d"]).collect()
+    }
+    assert got[("a", "b")]["corr"] == 1.0
+    assert got[("a", "c")]["corr"] == -1.0
+    assert got[("b", "c")]["corr"] == -1.0
+    for pair in [("a", "d"), ("b", "d"), ("c", "d")]:
+        assert got[pair]["corr"] is None
+        assert got[pair]["den_b"] == 0  # d is constant
+    # auditable exact moments: n*Sab - Sa*Sb for a=1..4, b=2a:
+    # Sab = 2*(1+4+9+16) = 60, Sa = 10, Sb = 20 -> 4*60 - 200 = 40
+    assert got[("a", "b")]["corr_num"] == 40
+    assert got[("a", "b")]["n"] == 4
+
+
+def test_signal_correlations_rejects_single_column(spark):
+    import pytest as _pytest
+
+    from pathhier_spark.operators.profile import signal_correlations
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with _pytest.raises(ValueError):
+        signal_correlations(df, cols=["a"])
