@@ -782,3 +782,122 @@ def signal_correlations(df: DataFrame, *, cols: list[str]) -> DataFrame:
         .select("p.*")
         .orderBy("sig_a", "sig_b")
     )
+
+
+def mutual_information(
+    df: DataFrame, *, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information I(X;Y) between two categorical columns — the
+    association-strength scalar completing the family: chi-square
+    (source_chisq) asks "is the deviation surprising", kappa
+    (cohens_kappa) scores rater agreement, MI measures how many nats
+    knowing X tells you about Y — directly comparable across pairs and
+    bounded by min(H(X), H(Y)). Per observed cell the term is
+    (n_ij/n) * ln((n_ij*n)/(r_i*c_j)) — counts exact int64, the ln
+    argument ONE division of exact integer products, the whole term a
+    fixed shape both engines evaluate identically; zero cells
+    contribute nothing (x ln x -> 0). The cell terms fold in (x, y)
+    sorted order from a 0.0 seed (the q104 float-sum discipline) so the
+    total is partition- and engine-invariant. NULL categories are
+    dropped (MI over the observed joint distribution; NULL ordering
+    differs across engines and a null category is an upstream bug).
+
+    Scale shape: one combiner groupBy to the cell table (categories ×
+    categories — value-domain, never row-scale), two category-sized
+    margins broadcast back, one scalar total; the ordered fold runs
+    over the cell list. Output: one row (n, n_cells, mi round-6)."""
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    rx = cells.groupBy("x").agg(F.sum("nij").alias("rx"))
+    cy = cells.groupBy("y").agg(F.sum("nij").alias("cy"))
+    n = cells.agg(F.sum("nij").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "n",
+            (
+                (F.col("nij").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("nij") * F.col("n")).cast("double")
+                    / (F.col("rx") * F.col("cy")).cast("double")
+                )
+            ).alias("t"),
+        )
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("x", "y", "t"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mi"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    *,
+    score_col: str = "score_fp",
+    label_col: str = "is_pos",
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability table (calibration curve) — the third member of the
+    eval family: pr_curve (q172) sweeps thresholds, auc_exact (q174)
+    scores ranking, this asks whether the SCORE MEANS WHAT IT SAYS: in
+    each score bin, does the positive fraction track the scores? The
+    score arrives as integer fixed point in [0, scale]; bin =
+    min((score * n_bins) DIV scale, n_bins - 1) is pure integer
+    arithmetic (top-of-range scores fold into the last bin). Per bin
+    the counts are exact int64; frac_pos and mean_score_fp are each ONE
+    IEEE division of exact integers. A NULL label occupies the bin's n
+    but never n_pos (the pr_curve convention). Empty bins are absent,
+    not zero rows — the domain is data-defined.
+
+    Scale shape: one combiner groupBy straight to the n_bins-sized
+    table; no window, no sort beyond the final n_bins-row orderBy.
+    Output: (bin, n, n_pos, frac_pos, mean_score_fp)."""
+    if n_bins < 1:
+        raise ValueError("calibration_bins needs n_bins >= 1")
+    b = F.least(
+        F.floor(
+            (F.col(score_col).cast("long") * n_bins)
+            / F.lit(int(scale)).cast("long")
+        ).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("n_pos"),
+            F.sum("s").alias("sum_s"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            "n_pos",
+            (F.col("n_pos") / F.col("n")).alias("frac_pos"),
+            (F.col("sum_s") / F.col("n")).alias("mean_score_fp"),
+        )
+        .orderBy("bin")
+    )

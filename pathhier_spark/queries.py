@@ -32,6 +32,7 @@ from pathhier_spark.operators.extract import extract_token_triples
 from pathhier_spark.operators.linking import candidate_pairs
 from pathhier_spark.operators.similarity import brute_force_topk
 from pathhier_spark.operators.textstats import (
+    _tokens as _tokens_q,
     char_entropy_profile,
     with_lang_id,
     with_quality_features,
@@ -10658,6 +10659,27 @@ ORDER BY a, b
 """
 
 
+def _stopword_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q172/q174/q182 input: micro-unit stopword-ratio score
+    ((1e6 * n_stop) // n_tokens of exact counts — the q170 idiom) with
+    the predict-English label; empty docs dropped on both engines."""
+    docs = _docs(spark, sf_dir)
+    toks = _tokens_q("text")
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    scored = docs.select(
+        F.size(toks).alias("n_tok"),
+        n_stop.alias("n_stop"),
+        (F.col("lang") == "en").alias("is_pos"),
+    ).filter(F.col("n_tok") > 0)
+    return scored.select(
+        F.floor(F.lit(1_000_000) * F.col("n_stop") / F.col("n_tok")).alias(
+            "score_fp"
+        ),
+        "is_pos",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q172 — precision/recall threshold calibration (operators/profile.
 # pr_curve): sweep every distinct value of the micro-unit stopword-ratio
@@ -10673,24 +10695,8 @@ ORDER BY a, b
 
 def q172_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.profile import pr_curve
-    from pathhier_spark.operators.textstats import _tokens
 
-    docs = _docs(spark, sf_dir)
-    toks = _tokens("text")
-    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
-    scored = docs.select(
-        F.size(toks).alias("n_tok"),
-        n_stop.alias("n_stop"),
-        (F.col("lang") == "en").alias("is_pos"),
-    ).filter(F.col("n_tok") > 0)
-    scored = scored.select(
-        F.floor(F.lit(1_000_000) * F.col("n_stop") / F.col("n_tok")).alias(
-            "score_fp"
-        ),
-        "is_pos",
-    )
-    return pr_curve(scored)
+    return pr_curve(_stopword_scored(spark, sf_dir))
 
 
 _Q172_SQL = f"""
@@ -10843,24 +10849,8 @@ ORDER BY node
 
 def q174_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.profile import auc_exact
-    from pathhier_spark.operators.textstats import _tokens
 
-    docs = _docs(spark, sf_dir)
-    toks = _tokens("text")
-    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
-    scored = docs.select(
-        F.size(toks).alias("n_tok"),
-        n_stop.alias("n_stop"),
-        (F.col("lang") == "en").alias("is_pos"),
-    ).filter(F.col("n_tok") > 0)
-    scored = scored.select(
-        F.floor(F.lit(1_000_000) * F.col("n_stop") / F.col("n_tok")).alias(
-            "score_fp"
-        ),
-        "is_pos",
-    )
-    return auc_exact(scored)
+    return auc_exact(_stopword_scored(spark, sf_dir))
 
 
 _Q174_SQL = f"""
@@ -11263,6 +11253,88 @@ SELECT * FROM ({union}) ORDER BY sig_a, sig_b
 
 
 
+# ---------------------------------------------------------------------------
+# Q181 — lang × source mutual information (operators/profile.
+# mutual_information): how many nats knowing the crawl source tells you
+# about language — the association scalar next to chi-square (q104) and
+# kappa (q105), comparable across pairs and bounded by min entropy.
+# Exact int64 cell counts, one-division ln arguments, (x, y)-ordered
+# fold from 0.0 (the q104 float-sum discipline).
+# DuckDB feature req: core SQL + list(ORDER BY)/list_sum (the q63 fold).
+# ---------------------------------------------------------------------------
+
+
+def q181_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import mutual_information
+
+    docs = _docs(spark, sf_dir)
+    return mutual_information(docs, x_col="lang", y_col="source")
+
+
+_Q181_SQL = """
+WITH cells AS (
+  SELECT lang AS x, source AS y, count(*)::bigint AS nij
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), rx AS (
+  SELECT x, sum(nij)::bigint AS rx FROM cells GROUP BY x
+), cy AS (
+  SELECT y, sum(nij)::bigint AS cy FROM cells GROUP BY y
+), tot AS (
+  SELECT sum(nij)::bigint AS n FROM cells
+), terms AS (
+  SELECT x, y,
+         (nij::double / n) * ln((nij * n)::double / (rx * cy)::double) AS t
+  FROM cells JOIN rx USING (x) JOIN cy USING (y), tot
+)
+SELECT (SELECT n FROM tot) AS n, count(*)::bigint AS n_cells,
+       (round(list_sum(list(t ORDER BY x, y)), 6) + 0.0) AS mi
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q182 — calibration reliability bins (operators/profile.
+# calibration_bins): does the stopword score MEAN what it says — per
+# score decile, positive fraction vs mean score, each ONE exact-int
+# division; the third member of the eval family (q172 threshold sweep,
+# q174 ranking AUC). Same shared scored input as q172/q174.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def q182_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import calibration_bins
+
+    return calibration_bins(
+        _stopword_scored(spark, sf_dir), n_bins=_CAL_BINS
+    )
+
+
+_Q182_SQL = f"""
+WITH t AS (
+  SELECT (1000000 * len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))))
+           // len(toks) AS score_fp,
+         (lang = 'en')::int AS y
+  FROM (SELECT {_SQL_WS_TOKS} AS toks, lang FROM documents)
+  WHERE len(toks) > 0
+), b AS (
+  SELECT least((score_fp * {_CAL_BINS}) // 1000000, {_CAL_BINS - 1})
+           AS bin,
+         score_fp, y
+  FROM t
+)
+SELECT bin, count(*)::bigint AS n,
+       coalesce(sum(y), 0)::bigint AS n_pos,
+       coalesce(sum(y), 0)::double / count(*) AS frac_pos,
+       sum(score_fp)::double / count(*) AS mean_score_fp
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11445,6 +11517,8 @@ def queries():
         "q178_cheapest_paths": q178_cheapest_paths,
         "q179_wasserstein": q179_wasserstein,
         "q180_signal_corr": q180_signal_corr,
+        "q181_mutual_info": q181_mutual_info,
+        "q182_calibration": q182_calibration,
     }
 
 
@@ -11630,4 +11704,6 @@ def oracle_sql():
         "q178_cheapest_paths": _q178_sql(),
         "q179_wasserstein": _Q179_SQL,
         "q180_signal_corr": _q180_sql(),
+        "q181_mutual_info": _Q181_SQL,
+        "q182_calibration": _Q182_SQL,
     }

@@ -133,3 +133,65 @@ def test_signal_correlations_rejects_single_column(spark):
     df = spark.createDataFrame([(1,)], "a long")
     with _pytest.raises(ValueError):
         signal_correlations(df, cols=["a"])
+
+
+def test_mutual_information_hand_values(spark):
+    """mutual_information (q181): 0 nats on an independent joint,
+    ln 2 on a deterministic 2x2 bijection, NULL categories dropped."""
+    import math
+
+    from pathhier_spark.operators.profile import mutual_information
+
+    # independent: every (x, y) cell equally likely
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x string, y string",
+    )
+    r = mutual_information(indep, x_col="x", y_col="y").collect()[0]
+    assert (r["n"], r["n_cells"], r["mi"]) == (12, 4, 0.0)
+
+    # deterministic bijection: knowing x pins y -> I = H = ln 2
+    dep = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("b", "d"), ("b", "d")],
+        "x string, y string",
+    )
+    r = mutual_information(dep, x_col="x", y_col="y").collect()[0]
+    assert (r["n"], r["n_cells"]) == (4, 2)
+    assert r["mi"] == round(math.log(2), 6)
+
+    # NULL categories dropped from the joint
+    withnull = spark.createDataFrame(
+        [("a", "c"), ("a", None), (None, "d"), ("b", "d")],
+        "x string, y string",
+    )
+    r = mutual_information(withnull, x_col="x", y_col="y").collect()[0]
+    assert r["n"] == 2 and r["n_cells"] == 2
+    assert r["mi"] == round(math.log(2), 6)
+
+
+def test_calibration_bins_hand_case(spark):
+    """calibration_bins (q182): decile binning, exact per-bin counts and
+    one-division fractions, NULL labels occupy n but not n_pos,
+    top-of-range folds into the last bin, empty bins absent."""
+    import pytest as _pytest
+
+    from pathhier_spark.operators.profile import calibration_bins
+
+    rows = [
+        (50_000, True),    # bin 0
+        (50_000, False),   # bin 0
+        (150_000, None),   # bin 1: NULL label
+        (950_000, True),   # bin 9
+        (1_000_000, True), # exactly scale -> folds into bin 9
+    ]
+    df = spark.createDataFrame(rows, "score_fp long, is_pos boolean")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["frac_pos"], r["mean_score_fp"])
+        for r in calibration_bins(df).collect()
+    }
+    assert set(got) == {0, 1, 9}  # empty bins absent
+    assert got[0] == (2, 1, 0.5, 50_000.0)
+    assert got[1] == (1, 0, 0.0, 150_000.0)
+    assert got[9] == (2, 2, 1.0, 975_000.0)
+    with _pytest.raises(ValueError):
+        calibration_bins(df, n_bins=0)
