@@ -92,3 +92,62 @@ def test_exact_dedup_uses_aggregate_not_window(spark):
     plan = _plan(exact_dedup(df))
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_rendezvous_shard_is_map_only(spark):
+    """rendezvous_shard's 100 TB claim is zero-shuffle: the in-row
+    struct-array argmax must compile to a plain projection — any
+    Exchange or explode (Generate) means the map-only claim broke."""
+    from pathhier_spark.operators.packing import rendezvous_shard
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    plan = _plan(rendezvous_shard(df, n_shards=8))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_signal_correlations_single_scan(spark):
+    """signal_correlations claims ONE fused aggregate pass: the plan
+    must contain exactly one scan of the input and no join — a second
+    scan or a join means the moments stopped fusing."""
+    from pathhier_spark.operators.profile import signal_correlations
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long").localCheckpoint()
+    # simple mode: formatted mode lists each node twice (tree + details)
+    plan = _plan(signal_correlations(df, cols=["a", "b"]), mode="simple")
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine actually planned
+
+
+def test_winnowing_selection_is_map_only(spark):
+    """The winnowing SELECTION (before any pairing join) must be
+    map-only: one Generate for the final explode is expected, but no
+    Exchange — per-window mins are in-row expressions, not a shuffle."""
+    from pathhier_spark.operators.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = _plan(winnowing_fingerprints(df))
+    assert "Exchange" not in plan
+
+
+def test_pr_curve_windows_run_on_histogram_not_corpus(spark):
+    """pr_curve's SinglePartition window is legal ONLY above the
+    score-histogram aggregate (q45 discipline): the plan must aggregate
+    (HashAggregate) BEFORE the Window operator — window-over-raw-rows
+    would sort the corpus."""
+    from pathhier_spark.operators.profile import pr_curve
+
+    df = spark.createDataFrame([(1, True)], "score_fp long, is_pos boolean")
+    plan = _plan(pr_curve(df), mode="simple")
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "no aggregate below the window"
+
+
+def test_calibration_bins_no_window_no_single_partition_sort(spark):
+    """calibration_bins claims one combiner groupBy straight to the
+    bins table — no Window operator anywhere."""
+    from pathhier_spark.operators.profile import calibration_bins
+
+    df = spark.createDataFrame([(1, True)], "score_fp long, is_pos boolean")
+    assert "Window" not in _plan(calibration_bins(df))
