@@ -741,6 +741,8 @@ def signal_correlations(df: DataFrame, *, cols: list[str]) -> DataFrame:
     cs = sorted(cols)
     if len(cs) < 2:
         raise ValueError("signal_correlations needs >= 2 columns")
+    if len(set(cs)) != len(cs):
+        raise ValueError("signal_correlations columns must be distinct")
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cs:
         aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))

@@ -11288,7 +11288,7 @@ WITH cells AS (
   FROM cells JOIN rx USING (x) JOIN cy USING (y), tot
 )
 SELECT (SELECT n FROM tot) AS n, count(*)::bigint AS n_cells,
-       (round(list_sum(list(t ORDER BY x, y)), 6) + 0.0) AS mi
+       (round(coalesce(list_sum(list(t ORDER BY x, y)), 0.0), 6) + 0.0) AS mi
 FROM terms
 """
 
