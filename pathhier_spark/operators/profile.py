@@ -903,3 +903,58 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def corpus_quantile_bins(
+    df: DataFrame,
+    *,
+    score_col: str = "score_fp",
+    group_col: str = "source",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Rank-based cross-group score normalization: place every row at
+    its CORPUS-WIDE quantile, then histogram each group over those
+    quantile bins — the reading that says "source A's quality scores
+    sit in the corpus' bottom deciles" even when sources use wildly
+    different score ranges (the curation fix for heterogeneous-source
+    score drift; grouped_value_percentiles answers the inverse
+    question, per-group cut points). Quantile position is EXACT integer
+    rank: below_s = rows with score strictly below s (an exclusive
+    cumulative window over the score histogram — q45 discipline), and
+    qbin = (below_s * n_bins) DIV n, pure integer arithmetic with no
+    interpolation to diverge on. Ties share a bin by construction
+    (equal scores have equal below-counts).
+
+    Scale shape: one combiner groupBy to the score histogram, the
+    exclusive window over that HISTOGRAM only, then the histogram —
+    score-resolution-sized — broadcasts back onto the rows for the
+    final (group, qbin) combiner count; nothing row-scale is ever
+    sorted. Output: (group_col, qbin, n_rows), ordered."""
+    if n_bins < 1:
+        raise ValueError("corpus_quantile_bins needs n_bins >= 1")
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).cast("long").alias("s"),
+    )
+    h = rows.groupBy("s").agg(F.count(F.lit(1)).alias("ns"))
+    wexcl = Window.orderBy(F.asc("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    qmap = h.select(
+        "s", F.coalesce(F.sum("ns").over(wexcl), F.lit(0)).alias("below")
+    )
+    tot = h.agg(F.sum("ns").cast("long").alias("n"))
+    return (
+        rows.join(F.broadcast(qmap), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            F.floor((F.col("below") * n_bins) / F.col("n"))
+            .cast("long")
+            .alias("qbin"),
+        )
+        .groupBy("g", "qbin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.col("g").alias(group_col), "qbin", "n_rows")
+        .orderBy(group_col, "qbin")
+    )

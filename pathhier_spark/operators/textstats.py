@@ -2253,3 +2253,101 @@ def text_tiling(
             "is_boundary", F.col("jacc_fp") < F.lit(int(boundary_fp))
         )
     )
+
+
+def kmv_key_overlap(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    *,
+    key_a: str,
+    key_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV-sketch estimate of JOIN KEY OVERLAP between two tables — the
+    query-planner statistic behind "will this join explode": from two
+    k-minimum-values sketches (kmv_distinct's md5 hashing, so every
+    step is engine-reproducible), the union sketch re-cut to k gives
+    |A ∪ B| via (k-1)/u_k, the fraction of the re-cut sketch present in
+    BOTH sides estimates Jaccard EXACTLY as n_both/k_used (one integer
+    division), and their product estimates |A ∩ B|. The same row
+    carries the EXACT distinct-key intersection and the EXACT join row
+    count, so the estimate's error is auditable in the output — the
+    sketch is what a planner would consult at 100 TB, the exact columns
+    are the ground truth the gate verifies.
+
+    Scale shape: per side one hash-distinct combiner groupBy + a
+    distributed partial top-k (orderBy.limit(k) — each partition keeps
+    k candidates, no global sort); the membership-tagged union is
+    2k rows. The exact columns cost one distinct-key equi-join — drop
+    them at true scale and keep the sketch half. Output: one row
+    (k_used, n_both, est_union, est_jaccard, est_inter, exact_inter,
+    exact_join_rows)."""
+
+    def hashes(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.conv(
+                    F.substring(F.md5(F.col(col).cast("string")), 1, 8),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .groupBy("h")
+            .agg(F.lit(1).alias("_one"))
+            .select("h")
+        )
+
+    mina = hashes(dfa, key_a).orderBy("h").limit(k)
+    minb = hashes(dfb, key_b).orderBy("h").limit(k)
+    u = (
+        mina.select("h", F.lit(1).alias("in_a"))
+        .join(minb.select("h", F.lit(1).alias("in_b")), "h", "full")
+        .select(
+            "h",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    ka = dfa.select(F.col(key_a).alias("kk")).distinct()
+    kb = dfb.select(F.col(key_b).alias("kk")).distinct()
+    exact_inter = ka.join(kb, "kk").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_inter")
+    )
+    exact_rows = (
+        dfa.select(F.col(key_a).alias("kk"))
+        .join(dfb.select(F.col(key_b).alias("kk")), "kk")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_rows"))
+    )
+    sk = u.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("kth").cast("double") / F.lit(float(1 << 32)))
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact_inter))
+        .crossJoin(F.broadcast(exact_rows))
+        .select(
+            F.col("k_used").cast("long").alias("k_used"),
+            "n_both",
+            (F.round(est_union, 4) + F.lit(0.0)).alias("est_union"),
+            (F.col("n_both") / F.col("k_used")).alias("est_jaccard"),
+            (
+                F.round(
+                    (F.col("n_both") / F.col("k_used")) * est_union, 4
+                )
+                + F.lit(0.0)
+            ).alias("est_inter"),
+            "exact_inter",
+            "exact_join_rows",
+        )
+    )

@@ -11335,6 +11335,133 @@ FROM b GROUP BY bin ORDER BY bin
 
 
 
+# ---------------------------------------------------------------------------
+# Q183 — corpus-quantile normalization per source (operators/profile.
+# corpus_quantile_bins): place every doc's stopword score at its
+# corpus-wide quantile, histogram each source over those bins — the
+# cross-source normalization that survives per-source score drift
+# (q71 answers the inverse: per-group cut points). Exact integer
+# ranks: below-counts from an exclusive window over the score
+# HISTOGRAM, qbin = (below * 10) DIV n — no interpolation.
+# DuckDB feature req: core only (window cumulative sums).
+# ---------------------------------------------------------------------------
+
+_QN_BINS = 10
+
+
+def q183_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import corpus_quantile_bins
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    scored = docs.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        n_stop.alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
+    scored = scored.select(
+        "source",
+        F.floor(F.lit(1_000_000) * F.col("n_stop") / F.col("n_tok")).alias(
+            "score_fp"
+        ),
+    )
+    return corpus_quantile_bins(scored, n_bins=_QN_BINS)
+
+
+_Q183_SQL = f"""
+WITH t AS (
+  SELECT source,
+         (1000000 * len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))))
+           // len(toks) AS s
+  FROM (SELECT source, {_SQL_WS_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+), h AS (
+  SELECT s, count(*)::bigint AS ns FROM t GROUP BY s
+), qmap AS (
+  SELECT s, coalesce((sum(ns) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::bigint, 0)
+           AS below
+  FROM h
+), tot AS (
+  SELECT sum(ns)::bigint AS n FROM h
+)
+SELECT t.source, ((qmap.below * {_QN_BINS}) // (SELECT n FROM tot))::bigint
+         AS qbin,
+       count(*)::bigint AS n_rows
+FROM t JOIN qmap USING (s)
+GROUP BY t.source, qbin
+ORDER BY source, qbin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q184 — KMV join-cardinality estimate (operators/textstats.
+# kmv_key_overlap): the planner statistic behind "will this join
+# explode" — union-sketch |A∪B|, in-both fraction as exact-int
+# Jaccard, their product as the key-overlap estimate, with the EXACT
+# intersection and join row count in the same row so the sketch error
+# is auditable. orders.o_custkey vs customer.c_custkey.
+# DuckDB feature req: core only (md5 + hex parse — the q50 idiom).
+# ---------------------------------------------------------------------------
+
+_JE_K = 256
+
+
+def q184_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import kmv_key_overlap
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    return kmv_key_overlap(
+        orders, cust, key_a="o_custkey", key_b="c_custkey", k=_JE_K
+    )
+
+
+def _q184_sql() -> str:
+    k = _JE_K
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT {_sql_hex32('o_custkey::varchar')} AS h FROM orders
+), hb AS (
+  SELECT DISTINCT {_sql_hex32('c_custkey::varchar')} AS h FROM customer
+), mina AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+minb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+u AS (
+  SELECT h, coalesce(a.in_a, 0) AS in_a, coalesce(b.in_b, 0) AS in_b
+  FROM (SELECT h, 1 AS in_a FROM mina) a
+  FULL JOIN (SELECT h, 1 AS in_b FROM minb) b USING (h)
+  ORDER BY h LIMIT {k}
+), sk AS (
+  SELECT count(*)::bigint AS k_used, max(h) AS kth,
+         sum(in_a * in_b)::bigint AS n_both
+  FROM u
+), ex AS (
+  SELECT count(*)::bigint AS exact_inter FROM (
+    SELECT DISTINCT o_custkey FROM orders
+  ) a JOIN (SELECT DISTINCT c_custkey FROM customer) b
+    ON a.o_custkey = b.c_custkey
+), er AS (
+  SELECT count(*)::bigint AS exact_join_rows
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT k_used, n_both,
+       (round(CASE WHEN k_used < {k} THEN k_used::double
+              ELSE {k - 1}.0 / (kth::double / 4294967296.0) END, 4) + 0.0)
+         AS est_union,
+       n_both::double / k_used AS est_jaccard,
+       (round((n_both::double / k_used)
+              * (CASE WHEN k_used < {k} THEN k_used::double
+                 ELSE {k - 1}.0 / (kth::double / 4294967296.0) END), 4)
+        + 0.0) AS est_inter,
+       exact_inter, exact_join_rows
+FROM sk, ex, er
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11519,6 +11646,8 @@ def queries():
         "q180_signal_corr": q180_signal_corr,
         "q181_mutual_info": q181_mutual_info,
         "q182_calibration": q182_calibration,
+        "q183_quantile_norm": q183_quantile_norm,
+        "q184_join_estimate": q184_join_estimate,
     }
 
 
@@ -11706,4 +11835,6 @@ def oracle_sql():
         "q180_signal_corr": _q180_sql(),
         "q181_mutual_info": _Q181_SQL,
         "q182_calibration": _Q182_SQL,
+        "q183_quantile_norm": _Q183_SQL,
+        "q184_join_estimate": _q184_sql(),
     }

@@ -83,3 +83,56 @@ def test_trend_counts_aggregate_within_day_and_gaps_stay_absent(spark):
 def test_trend_single_day_null_slope(spark):
     got = _trend(spark, [("g", 1, 7)])
     assert got["g"] == (1, 0, 0, None)
+
+
+def test_corpus_quantile_bins_hand_case(spark):
+    """corpus_quantile_bins (q183): exact rank bins, tie sharing, and
+    cross-group normalization on a hand corpus."""
+    import pytest as _pytest
+
+    from pathhier_spark.operators.profile import corpus_quantile_bins
+
+    # group A holds the 4 lowest scores, B the 4 highest; 2 bins
+    rows = [("A", s) for s in (10, 20, 30, 40)] + [
+        ("B", s) for s in (50, 60, 70, 80)
+    ]
+    df = spark.createDataFrame(rows, "source string, score_fp long")
+    got = {
+        (r["source"], r["qbin"]): r["n_rows"]
+        for r in corpus_quantile_bins(df, n_bins=2).collect()
+    }
+    assert got == {("A", 0): 4, ("B", 1): 4}
+
+    # ties share a bin: all-equal scores -> below = 0 -> everyone bin 0
+    tied = spark.createDataFrame(
+        [("A", 5), ("B", 5), ("B", 5)], "source string, score_fp long"
+    )
+    got = {
+        (r["source"], r["qbin"]): r["n_rows"]
+        for r in corpus_quantile_bins(tied, n_bins=10).collect()
+    }
+    assert got == {("A", 0): 1, ("B", 0): 2}
+    with _pytest.raises(ValueError):
+        corpus_quantile_bins(df, n_bins=0)
+
+
+def test_kmv_key_overlap_exact_regime_and_ground_truth(spark):
+    """kmv_key_overlap (q184): below k distinct keys the sketch is in
+    its exact regime — est_union equals the true union size and
+    est_jaccard the true Jaccard; exact columns carry ground truth
+    including join-row multiplicity."""
+    from pathhier_spark.operators.textstats import kmv_key_overlap
+
+    # A keys {1..6}, B keys {4..9}: union 9, inter 3, jaccard 1/3.
+    # B carries key 4 twice -> exact_join_rows counts multiplicity.
+    a = spark.createDataFrame([(i,) for i in range(1, 7)], "ka long")
+    b = spark.createDataFrame(
+        [(i,) for i in range(4, 10)] + [(4,)], "kb long"
+    )
+    r = kmv_key_overlap(a, b, key_a="ka", key_b="kb", k=64).collect()[0]
+    assert r["k_used"] == 9 and r["n_both"] == 3
+    assert r["est_union"] == 9.0
+    assert r["est_jaccard"] == 3 / 9
+    assert r["est_inter"] == 3.0
+    assert r["exact_inter"] == 3
+    assert r["exact_join_rows"] == 4  # key 4 joins twice
