@@ -11462,6 +11462,58 @@ FROM sk, ex, er
 
 
 
+# ---------------------------------------------------------------------------
+# Q185 — incremental connected components (operators/canonicalize.
+# cc_incremental): the q18 graph split 90/10 into history + delta; the
+# Spark side labels the history with full CC, then folds the delta in
+# via cc_incremental (only touched components re-cluster, prior labels
+# reused as depth-1 stars). The oracle is FULL-GRAPH recursive-CTE CC —
+# so "incremental equals from-scratch" is the hash claim itself.
+# DuckDB feature req: recursive CTE (the q18 oracle).
+# ---------------------------------------------------------------------------
+
+
+def q185_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.canonicalize import (
+        cc_incremental,
+        connected_components,
+    )
+
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    pad = lambda col: F.lpad(col.cast("string"), 20, "0")  # noqa: E731
+    a = c.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n")
+    )
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("k"), F.col("c_nationkey").alias("n2"),
+        F.col("c_custkey").alias("k2"),
+    )
+    e = a.join(b, ["k"]).filter(F.col("n") == F.col("n2")).select(
+        "k", "k2"
+    )
+    old = e.filter(F.col("k") % 10 != 0).select(
+        pad(F.col("k")).alias("xref_a"), pad(F.col("k2")).alias("xref_b")
+    )
+    new = e.filter(F.col("k") % 10 == 0).select(
+        pad(F.col("k")).alias("xref_a"), pad(F.col("k2")).alias("xref_b")
+    )
+    nodes_all = c.select(pad(F.col("c_custkey")).alias("xref_a")).select(
+        "xref_a", F.col("xref_a").alias("xref_b")
+    )
+    history = connected_components(old.union(nodes_all))
+    merged = cc_incremental(history, new)
+    return merged.select(
+        F.col("node").cast("bigint").alias("c_custkey"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("c_custkey")
+
+
+# deliberately the q18 oracle verbatim: the gate claim IS that the
+# incremental path reproduces from-scratch full-graph CC bit-for-bit
+_Q185_SQL = Q18_SQL
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11648,6 +11700,7 @@ def queries():
         "q182_calibration": q182_calibration,
         "q183_quantile_norm": q183_quantile_norm,
         "q184_join_estimate": q184_join_estimate,
+        "q185_cc_incremental": q185_cc_incremental,
     }
 
 
@@ -11837,4 +11890,5 @@ def oracle_sql():
         "q182_calibration": _Q182_SQL,
         "q183_quantile_norm": _Q183_SQL,
         "q184_join_estimate": _q184_sql(),
+        "q185_cc_incremental": _Q185_SQL,
     }

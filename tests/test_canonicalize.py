@@ -93,3 +93,46 @@ def test_component_size_histogram_shape(spark):
         .collect()
     }
     assert hist == {2: 1, 3: 2}
+
+
+def test_cc_incremental_matches_scratch_and_spares_untouched(spark):
+    """cc_incremental (q185): merging two components via a delta edge
+    relabels exactly the touched components to the global min; labels
+    of untouched components pass through; brand-new nodes register;
+    the result equals a from-scratch recompute; empty delta is a
+    passthrough."""
+    from pathhier_spark.operators.canonicalize import (
+        cc_incremental,
+        connected_components,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "xref_a string, xref_b string")
+
+    # history: {a,b}, {c,d}, {x,y} (+ self-loop singleton s)
+    old = edges(
+        [("a", "b"), ("c", "d"), ("x", "y"), ("s", "s")]
+    )
+    hist = connected_components(old)
+    # delta: join {a,b} with {c,d}; attach brand-new node z to x
+    new = edges([("b", "c"), ("z", "x")])
+    got = {
+        r["node"]: r["component"]
+        for r in cc_incremental(hist, new).collect()
+    }
+    scratch = {
+        r["node"]: r["component"]
+        for r in connected_components(old.union(new)).collect()
+    }
+    assert got == scratch
+    assert got["d"] == "a"          # merged component takes the global min
+    assert got["z"] == "x"          # new node joined the x-component
+    assert got["s"] == "s"          # untouched singleton label unchanged
+
+    # empty delta: every label passes through
+    empty = edges([])
+    got2 = {
+        r["node"]: r["component"]
+        for r in cc_incremental(hist, empty).collect()
+    }
+    assert got2 == {r["node"]: r["component"] for r in hist.collect()}
