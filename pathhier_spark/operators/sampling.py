@@ -520,3 +520,69 @@ def kcenter_select(
             ).alias("mind"),
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(chosen, out_schema)
+
+
+def set_cover_select(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection — the submodular
+    facility-location classic for training-data picking: each round
+    adds the document covering the most NOT-YET-COVERED vocabulary,
+    the (1 - 1/e)-approximation to optimal coverage that diminishing
+    returns guarantees. The diversity companion to kcenter_select:
+    k-center spreads in embedding space, set-cover spreads over
+    discrete vocabulary.
+
+    Deterministic end to end: gains are exact distinct-token counts,
+    the per-round argmax is one max(struct(gain, -id)) aggregate (max
+    gain, then MIN id among ties — the portable two-phase argmax), and
+    rounds stop early when the best gain is 0 (everything coverable is
+    covered). Scale shape: the (id, token) membership table
+    materializes ONCE (eager localCheckpoint) and each round is one
+    anti-join against the covered set + one combiner count — never a
+    re-tokenization, never anything quadratic; k is small and bounded,
+    so the driver holds only the k picks (the kcenter/q163 argument).
+    Output: (sel, id_col, gain, n_covered) in selection order, where
+    n_covered is the cumulative distinct vocabulary after the pick."""
+    if k < 1:
+        raise ValueError("set_cover_select needs k >= 1")
+    spark = df.sparkSession
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(F.col(tokens_col))).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    rows = []
+    for r in range(k):
+        pool = toks if covered is None else toks.join(
+            covered, "tok", "left_anti"
+        )
+        top_rows = pool.groupBy("_id").agg(
+            F.count(F.lit(1)).alias("gain")
+        ).agg(
+            F.max(
+                F.struct(F.col("gain"), (-F.col("_id")).alias("nid"))
+            ).alias("s")
+        ).collect()
+        top = top_rows[0]["s"] if top_rows else None
+        if top is None or top["gain"] == 0:
+            break
+        doc = -top["nid"]
+        picked = toks.filter(F.col("_id") == doc).select("tok")
+        covered = (
+            picked
+            if covered is None
+            else covered.union(picked).distinct()
+        ).localCheckpoint(eager=True)
+        rows.append((r, int(doc), int(top["gain"]), covered.count()))
+    return spark.createDataFrame(
+        rows, f"sel int, {id_col} long, gain long, n_covered long"
+    )

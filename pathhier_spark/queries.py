@@ -11514,6 +11514,81 @@ _Q185_SQL = Q18_SQL
 
 
 
+# ---------------------------------------------------------------------------
+# Q186 — greedy set-cover corpus selection (operators/sampling.
+# set_cover_select): the submodular maximum-coverage pick — each round
+# the document covering the most not-yet-covered vocabulary, the
+# (1 − 1/e) classic for training-data selection, kcenter's (q175)
+# discrete-vocabulary companion. Exact distinct-token gains, two-phase
+# argmax (max gain, min id), early stop at zero gain; the oracle
+# unrolls every greedy round as MATERIALIZED CTEs with NOT EXISTS
+# anti-joins.
+# DuckDB feature req: core SQL (MATERIALIZED CTEs + NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+_SC_K = 5
+
+
+def q186_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import set_cover_select
+
+    # cover token BIGRAMS, not unigrams: the driver corpus has ~31
+    # distinct tokens, so unigram cover degenerates to one pick; the
+    # ~900-bigram vocabulary exercises a real multi-round greedy trace
+    toks = _tokens_q("text")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = _docs(spark, sf_dir).select("doc_id", grams.alias("toks"))
+    return set_cover_select(docs, k=_SC_K).orderBy("sel")
+
+
+def _q186_sql() -> str:
+    k = _SC_K
+    parts = [f"""toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS tok
+  FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  WHERE len(ts) >= 2
+)"""]
+    prev_cov = None
+    selects = []
+    for r in range(1, k + 1):
+        if prev_cov is None:
+            pool = "toks t"
+            where = ""
+        else:
+            pool = "toks t"
+            where = (f"WHERE NOT EXISTS (SELECT 1 FROM {prev_cov} c "
+                     f"WHERE c.tok = t.tok)")
+        parts.append(f"""g{r} AS MATERIALIZED (
+  SELECT t.doc_id, count(*)::bigint AS gain FROM {pool} {where}
+  GROUP BY t.doc_id
+), c{r} AS MATERIALIZED (
+  SELECT doc_id, gain FROM g{r}
+  WHERE gain = (SELECT max(gain) FROM g{r})
+    AND (SELECT max(gain) FROM g{r}) > 0
+  ORDER BY doc_id LIMIT 1
+), cov{r} AS MATERIALIZED (
+  {"SELECT tok FROM " + prev_cov + " UNION " if prev_cov else ""}
+  SELECT t.tok FROM toks t JOIN c{r} USING (doc_id)
+)""")
+        selects.append(
+            f"SELECT {r - 1} AS sel, doc_id, gain, "
+            f"(SELECT count(*) FROM cov{r})::bigint AS n_covered FROM c{r}"
+        )
+        prev_cov = f"cov{r}"
+    union = "\nUNION ALL\n".join(selects)
+    joined = ",\n".join(parts)
+    return f"WITH {joined}\nSELECT * FROM ({union}) ORDER BY sel"
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11701,6 +11776,7 @@ def queries():
         "q183_quantile_norm": q183_quantile_norm,
         "q184_join_estimate": q184_join_estimate,
         "q185_cc_incremental": q185_cc_incremental,
+        "q186_set_cover": q186_set_cover,
     }
 
 
@@ -11891,4 +11967,5 @@ def oracle_sql():
         "q183_quantile_norm": _Q183_SQL,
         "q184_join_estimate": _q184_sql(),
         "q185_cc_incremental": _Q185_SQL,
+        "q186_set_cover": _q186_sql(),
     }

@@ -213,3 +213,37 @@ def test_cluster_safe_split_members_share_split(spark, sf_dir):
         .count()
     )
     assert n_bad == 0
+
+
+def test_set_cover_greedy_hand_case(spark):
+    """set_cover_select (q186): the textbook greedy trace — biggest doc
+    first, gains count only UNCOVERED tokens, min-id tie-break, early
+    stop when everything coverable is covered."""
+    import pytest as _pytest
+
+    from pathhier_spark.operators.sampling import set_cover_select
+
+    rows = [
+        (1, ["a", "b", "c"]),        # 3 fresh tokens -> picked first
+        (2, ["c", "d"]),             # then gains 1 (d)
+        (3, ["a", "b"]),             # never gains after doc 1
+        (4, ["d"]),                  # subset of doc 2's contribution
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = [
+        (r["sel"], r["doc_id"], r["gain"], r["n_covered"])
+        for r in set_cover_select(df, k=4).orderBy("sel").collect()
+    ]
+    # round 0: doc 1 (gain 3); round 1: doc 2 (gain 1, covers d);
+    # round 2: best gain is 0 -> early stop
+    assert got == [(0, 1, 3, 3), (1, 2, 1, 4)]
+
+    # min-id tie-break: two identical docs -> lower id wins
+    tie = spark.createDataFrame(
+        [(7, ["x", "y"]), (5, ["x", "y"])], "doc_id long, toks array<string>"
+    )
+    got = set_cover_select(tie, k=2).collect()
+    assert [(r["sel"], r["doc_id"]) for r in got] == [(0, 5)]
+
+    with _pytest.raises(ValueError):
+        set_cover_select(df, k=0)
