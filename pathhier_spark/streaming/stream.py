@@ -484,3 +484,46 @@ def streaming_daily_counts(
         .agg(F.count(F.lit(1)).alias("x"))
         .select("series", F.col("w.start").cast("date").alias("day"), "x")
     )
+
+
+def streaming_trending_terms(
+    docs_stream: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """SLIDING-window streaming term counts — the trending detector, and
+    the overlapping-window pattern the tumbling aggregations here
+    (streaming_mention_counts, stream_hll_rollup) don't exercise: with
+    window/slide overlap every event lands in window÷slide windows, so
+    a term burst surfaces while it is STILL RISING instead of after a
+    tumbling window closes — at the cost of window÷slide× aggregation
+    state, which the watermark still bounds (closed windows evict).
+
+    Emits raw (window, token, n) counts rather than a top-k: ranking
+    inside the stream would force complete output mode (unbounded
+    result state); rank-at-read keeps the sink append-only and the
+    state watermark-bounded — the same split as stream_hll_rollup
+    (sketch in the stream, estimate at read). Batch parity is free by
+    construction: F.window(ts, window, slide) is the identical
+    expression in batch, so the same groupBy over the same static table
+    must produce identical counts (pinned in tests, the funnel-parity
+    discipline). Output: (window_start, window_end, token, n)."""
+    from pathhier_spark.operators.textstats import _tokens
+
+    toks = docs_stream.withWatermark(ts_col, watermark).select(
+        F.col(ts_col).alias("_ts"), F.explode(_tokens(text_col)).alias("token")
+    )
+    return (
+        toks.groupBy(F.window("_ts", window, slide), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )

@@ -733,3 +733,81 @@ def test_streaming_batch_rate_anomaly_parity_via_warehouse(spark, tmp_path):
     assert len(s_rows) == 12  # 6 days x 2 series, nudge day absent
     flagged = [t for t in s_rows if t[4] == 1]
     assert len(flagged) == 1 and flagged[0][0] == "a" and flagged[0][2] == 11
+
+
+def test_streaming_trending_terms_sliding_windows_batch_parity(
+    spark, tmp_path
+):
+    """streaming_trending_terms: (a) overlapping windows — an event at
+    :07 with window=10m/slide=5m lands in BOTH the [:00,:10) and
+    [:05,:15) windows; (b) exact batch parity — the identical
+    F.window groupBy over the same static table produces identical
+    (window, token, n) rows; (c) the burst is visible in the rising
+    window before the tumbling boundary would have closed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.streaming.stream import (
+        stream_documents,
+        streaming_trending_terms,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+
+    def doc(url, minute, text):
+        return (url, t(minute), text.encode(), text, "xx")
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"
+    )
+    rows = [
+        doc("u1", 2, "calm calm words"),
+        doc("u2", 7, "burst burst burst words"),
+        doc("u3", 12, "burst calm"),
+    ]
+    ddir = tmp_path / "docs"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(ddir))
+
+    out = streaming_trending_terms(stream_documents(spark, str(ddir)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trending")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].minute, r["token"]): r["n"]
+            for r in spark.sql("select * from trending").collect()
+        }
+    finally:
+        q.stop()
+    # u2's burst at :07 lands in both the [:00,:10) and [:05,:15) windows
+    assert got[(0, "burst")] == 3
+    assert got[(5, "burst")] == 4   # :07 burst + :12 burst
+    assert got[(10, "burst")] == 1  # :12 only
+    assert got[(0, "calm")] == 2 and got[(5, "calm")] == 1
+
+    # batch parity: identical expression over the static table
+    batch = (
+        spark.read.parquet(str(ddir))
+        .select(
+            F.col("warc_ts").alias("_ts"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .groupBy(F.window("_ts", "10 minutes", "5 minutes"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "token", "n"
+        )
+    )
+    bgot = {
+        (r["window_start"].minute, r["token"]): r["n"]
+        for r in batch.collect()
+    }
+    assert bgot == got
