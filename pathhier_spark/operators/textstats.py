@@ -2351,3 +2351,62 @@ def kmv_key_overlap(
             "exact_join_rows",
         )
     )
+
+
+def with_readability(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style readability in exact integer micro-units — the
+    quality signal the q14 family lacks: length/stopword ratios say
+    "is it text", readability says "is it HARD text" (a curation knob
+    for difficulty-mixed training data). Counts are exact and
+    engine-portable: sentences = non-empty [.!?]+ splits (min 1 so the
+    ratio is defined on fragment-only docs), words = whitespace tokens,
+    syllables = vowel GROUPS per word ([aeiouy]+ runs, min 1 per word —
+    the standard approximation; no dictionary). The score is the
+    Flesch formula in micro-units computed from exact int64 counts:
+    206835000 - 1015 * (1000 * words DIV sentences)
+              - 84600 * (1000 * syllables DIV words),
+    every step integer (two inner DIVs, two multiplies, two subtracts)
+    so both engines agree bit-for-bit — no clamping, so scores can go
+    negative on dense text exactly as Flesch does. Docs with zero
+    words emit NULL. Output adds (n_sentences, n_words, n_syllables,
+    flesch_fp). Map-only column expressions; no shuffle anywhere."""
+    sents = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    toks = _tokens(text_col)
+    words = F.size(toks)
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(w, r"[^aeiouy]+"), lambda s: s != ""
+                )
+            ),
+            F.lit(1),
+        ),
+    )
+    n_sent = F.greatest(sents, F.lit(1)).cast("long")
+    return (
+        df.withColumn("n_sentences", n_sent)
+        .withColumn("n_words", words.cast("long"))
+        .withColumn("n_syllables", syl)
+        .withColumn(
+            "flesch_fp",
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206_835_000).cast("long")
+                - F.lit(1015)
+                * F.expr("(1000 * n_words) DIV n_sentences")
+                - F.lit(84_600)
+                * F.expr("(1000 * n_syllables) DIV n_words"),
+            ),
+        )
+    )

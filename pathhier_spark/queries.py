@@ -11589,6 +11589,54 @@ def _q186_sql() -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# Q187 — exact-integer readability (operators/textstats.
+# with_readability): the Flesch formula in micro-units from exact
+# sentence/word/vowel-group counts — the "is it HARD text" knob the
+# q14 quality family lacks. Every step integer (two DIVs, two
+# multiplies, two subtracts), map-only, no clamping (negative scores
+# are real Flesch behavior).
+# DuckDB feature req: core only (regexp splits + list fold).
+# ---------------------------------------------------------------------------
+
+
+def q187_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import with_readability
+
+    docs = _docs(spark, sf_dir)
+    return with_readability(docs).select(
+        "doc_id", "n_sentences", "n_words", "n_syllables", "flesch_fp"
+    ).orderBy("doc_id")
+
+
+_Q187_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1)::bigint
+           AS n_sentences,
+         {_SQL_WS_TOKS} AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_sentences,
+         len(toks)::bigint AS n_words,
+         list_sum(list_transform(toks, w -> greatest(
+           len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                           s -> s <> '')), 1)))::bigint AS n_syllables
+  FROM t
+)
+SELECT doc_id, n_sentences, n_words,
+       coalesce(n_syllables, 0)::bigint AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         (206835000
+          - 1015 * ((1000 * n_words) // n_sentences)
+          - 84600 * ((1000 * coalesce(n_syllables, 0)) // n_words))::bigint
+       END AS flesch_fp
+FROM c ORDER BY doc_id
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11777,6 +11825,7 @@ def queries():
         "q184_join_estimate": q184_join_estimate,
         "q185_cc_incremental": q185_cc_incremental,
         "q186_set_cover": q186_set_cover,
+        "q187_readability": q187_readability,
     }
 
 
@@ -11968,4 +12017,5 @@ def oracle_sql():
         "q184_join_estimate": _q184_sql(),
         "q185_cc_incremental": _Q185_SQL,
         "q186_set_cover": _q186_sql(),
+        "q187_readability": _Q187_SQL,
     }

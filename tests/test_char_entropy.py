@@ -62,3 +62,35 @@ def test_map_only_plan_no_exchange(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     plan = char_entropy_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_readability_hand_counts_and_formula(spark):
+    """with_readability (q187): exact sentence/word/vowel-group counts
+    and the integer Flesch formula, incl. the min-1 floors, the
+    zero-word NULL, and a negative score on dense text."""
+    from pathhier_spark.operators.textstats import with_readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 2 sentences, 6 words
+        (2, "no punctuation here"),          # fragment -> 1 sentence
+        (3, ""),                             # empty -> NULL score
+        (4, "xyz qrst"),                     # vowel-less words -> 1 syl each
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_sentences"], r["n_words"], r["n_syllables"], r["flesch_fp"]
+        )
+        for r in with_readability(df).collect()
+    }
+    # doc 1: 6 monosyllables, 2 sentences: wps=3000, spw=1000
+    exp1 = 206_835_000 - 1015 * 3000 - 84_600 * 1000
+    assert got[1] == (2, 6, 6, exp1)
+    # doc 2: "no"(1) "punctuation"(u-ua-io -> groups u,u,a,io = 4+? count:
+    # p-u-nct-ua-t-io-n -> vowel runs: u, ua, io = 3) "here"(e,e = 2)
+    assert got[2][0] == 1 and got[2][1] == 3
+    assert got[2][2] == 1 + 3 + 2
+    # empty: 1 sentence floor, 0 words, NULL score
+    assert got[3] == (1, 0, 0, None)
+    # vowel-less words floor at 1 syllable each
+    assert got[4][2] == 2
