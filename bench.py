@@ -252,6 +252,14 @@ def main() -> None:
         "q166_mad_outliers",
         "q169_frequent_sequences",
         "q170_text_tiling",
+        # round-5 final tranche: guaranteed-detection local dedup, seeded
+        # Brandes betweenness, min-plus weighted paths, greedy coverage
+        # selection, and the corpus-CDF normalization — one per new family
+        "q171_winnowing",
+        "q173_betweenness",
+        "q178_cheapest_paths",
+        "q183_quantile_norm",
+        "q186_set_cover",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

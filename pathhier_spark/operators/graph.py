@@ -1655,6 +1655,52 @@ def harmonic_centrality(
     )
 
 
+def _brandes_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str,
+    dst: str,
+    max_depth: int,
+):
+    """Shared Brandes forward phase (betweenness_seeded /
+    edge_betweenness_seeded): labeled multi-source BFS carrying exact
+    int64 sigma shortest-path counts, summed over depth-(d-1) parents
+    BEFORE the visited anti-join. Returns (deduped edge frame, list of
+    per-depth level frames), every round eagerly localCheckpointed."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    root_col = sources.columns[0]
+    lvl0 = sources.select(
+        F.col(root_col).alias("root"),
+        F.col(root_col).alias("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    levels = [lvl0]
+    visited = lvl0.select("root", "node")
+    frontier = lvl0
+    for _d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("root", F.col("v").alias("node"), "sigma")
+            .groupBy("root", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("root", "node")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    return e, levels
+
+
 def betweenness_seeded(
     edges: DataFrame,
     sources: DataFrame,
@@ -1697,36 +1743,10 @@ def betweenness_seeded(
     backward is max_depth-1 level-to-level equi-joins, each
     level-sized, never ball-squared. Output: (node, bc_fp, bc) for
     nodes with positive accumulated dependency."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e, levels = _brandes_levels(
+        edges, sources, src=src, dst=dst, max_depth=max_depth
     )
-    root_col = sources.columns[0]
-    lvl0 = sources.select(
-        F.col(root_col).alias("root"),
-        F.col(root_col).alias("node"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
-    levels = [lvl0]
-    visited = lvl0.select("root", "node")
-    frontier = lvl0
-    for _d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["u"])
-            .select("root", F.col("v").alias("node"), "sigma")
-            .groupBy("root", "node")
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["root", "node"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        levels.append(nxt)
-        visited = visited.union(nxt.select("root", "node")).localCheckpoint(
-            eager=True
-        )
-        frontier = nxt
+    lvl0 = levels[0]
     deepest = len(levels) - 1
     if deepest < 2:
         # no interior nodes exist within the horizon; preserve the
@@ -1798,6 +1818,121 @@ def betweenness_seeded(
                 )
                 + F.lit(0.0)
             ).alias("bc"),
+        )
+    )
+
+
+def edge_betweenness_seeded(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EDGE betweenness from the seeded sources — the Girvan-Newman
+    primitive (communities fall out by repeatedly cutting the
+    highest-betweenness EDGE): which edges shortest paths route
+    through, where betweenness_seeded scores nodes. Same forward
+    sigma-BFS (shared _brandes_levels); the backward pass EMITS the
+    per-DAG-edge Brandes credit — credit(u→w | root) =
+    (sigma_u * (scale + delta_w)) DIV sigma_w for depth(w) =
+    depth(u)+1 — instead of only folding it into the node delta, and
+    unlike node betweenness the loop runs down to depth 0: edges OUT
+    OF a root carry real credit (on a path a→b→c, edge (a,b) lies on
+    both the a→b and a→c paths — credit exactly 2·scale). Node deltas
+    still accumulate per level to feed the next round, so both
+    readouts stay mutually consistent (an edge's credit is a summand
+    of its tail's delta by construction).
+
+    Same determinism (integer micro-units, identical floors on both
+    engines), same truncation semantics, same overflow bound, and the
+    same scale shape as betweenness_seeded — the only extra state is
+    the per-level edge-term frames, each DAG-level-sized. Output:
+    (src, dst, eb_fp, eb) summed over roots, for DAG edges reached
+    within the horizon."""
+    e, levels = _brandes_levels(
+        edges, sources, src=src, dst=dst, max_depth=max_depth
+    )
+    lvl0 = levels[0]
+    deepest = len(levels) - 1
+    if deepest < 1:
+        return lvl0.select(
+            F.col("node").alias(src),
+            F.col("node").alias(dst),
+            F.lit(0).cast("long").alias("eb_fp"),
+            F.lit(0.0).alias("eb"),
+        ).limit(0)
+    prev = levels[deepest].select(
+        "root",
+        F.col("node").alias("wnode"),
+        F.col("sigma").alias("wsigma"),
+        F.lit(0).cast("long").alias("wdelta"),
+    )
+    term_frames = []
+    for d in range(deepest - 1, -1, -1):
+        lvl = levels[d]
+        terms = (
+            lvl.join(e, lvl["node"] == e["u"])
+            .join(
+                prev,
+                (prev["root"] == lvl["root"]) & (prev["wnode"] == e["v"]),
+            )
+            .select(
+                lvl["root"].alias("root"),
+                lvl["node"].alias("un"),
+                F.col("wnode").alias("wn"),
+                (
+                    F.col("sigma") * (F.lit(int(scale)) + F.col("wdelta"))
+                ).alias("num"),
+                F.col("wsigma").alias("den"),
+            )
+            .select(
+                "root", "un", "wn", F.expr("num DIV den").alias("term")
+            )
+            .localCheckpoint(eager=True)
+        )
+        term_frames.append(terms)
+        if d == 0:
+            break
+        dsum = terms.groupBy(
+            F.col("root"), F.col("un").alias("node")
+        ).agg(F.sum("term").alias("delta"))
+        cur = (
+            lvl.join(dsum, ["root", "node"], "left")
+            .select(
+                "root",
+                "node",
+                "sigma",
+                F.coalesce(F.col("delta"), F.lit(0)).cast("long").alias(
+                    "delta"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev = cur.select(
+            "root",
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+    out = term_frames[0]
+    for extra in term_frames[1:]:
+        out = out.union(extra)
+    return (
+        out.groupBy(F.col("un").alias(src), F.col("wn").alias(dst))
+        .agg(F.sum("term").alias("eb_fp"))
+        .select(
+            src,
+            dst,
+            F.col("eb_fp").cast("long").alias("eb_fp"),
+            (
+                F.round(
+                    F.col("eb_fp").cast("double") / F.lit(float(scale)), 6
+                )
+                + F.lit(0.0)
+            ).alias("eb"),
         )
     )
 

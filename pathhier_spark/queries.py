@@ -11637,6 +11637,108 @@ FROM c ORDER BY doc_id
 
 
 
+# ---------------------------------------------------------------------------
+# Q188 — seeded EDGE betweenness (operators/graph.
+# edge_betweenness_seeded): the Girvan-Newman primitive — which EDGES
+# shortest paths route through, q173's per-edge dual (same forward
+# sigma-BFS; the backward pass emits each DAG edge's Brandes credit
+# and runs down to depth 0, since edges out of a root carry real
+# credit). Same graph and seeds as q173; the oracle unrolls forward
+# sigma rounds, per-level term tables, and node-delta rounds as CTEs.
+# DuckDB feature req: core SQL (correlated NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+def q188_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import edge_betweenness_seeded
+
+    docs = _docs(spark, sf_dir)
+    tr = extract_token_triples(docs, TRIGGERS).select(
+        F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+    ).filter(F.col("u") < F.col("v")).distinct()
+    sym = tr.union(tr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sources = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.substring(F.md5("node"), 1, 1) == "0")
+    )
+    return edge_betweenness_seeded(
+        sym, sources, src="u", dst="v", max_depth=_BC_DEPTH
+    ).orderBy("u", "v")
+
+
+def _q188_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    D = _BC_DEPTH
+    fwd = []
+    prev_v, prev_f = "v0", "v0"
+    for d in range(1, D + 1):
+        fwd.append(f"""n{d} AS (
+  SELECT f.root, e.v AS node, sum(f.sigma)::bigint AS sigma
+  FROM {prev_f} f JOIN e ON e.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} p
+                    WHERE p.root = f.root AND p.node = e.v)
+  GROUP BY f.root, e.v
+), v{d} AS (
+  SELECT root, node, depth, sigma FROM {prev_v}
+  UNION ALL SELECT root, node, {d} AS depth, sigma FROM n{d}
+)"""
+        )
+        prev_v, prev_f = f"v{d}", f"n{d}"
+    bwd = [f"""del{D} AS (
+  SELECT root, node, sigma, 0::bigint AS delta
+  FROM {prev_v} WHERE depth = {D}
+)"""]
+    for d in range(D - 1, -1, -1):
+        bwd.append(f"""t{d} AS (
+  SELECT u.root, u.node AS un, w.node AS wn,
+         ((u.sigma * (1000000 + w.delta)) // w.sigma)::bigint AS term
+  FROM (SELECT root, node, sigma FROM {prev_v} WHERE depth = {d}) u
+  JOIN e ON e.u = u.node
+  JOIN del{d + 1} w ON w.root = u.root AND w.node = e.v
+)""")
+        if d > 0:
+            bwd.append(f"""del{d} AS (
+  SELECT vd.root, vd.node, vd.sigma, coalesce(x.dsum, 0)::bigint AS delta
+  FROM (SELECT root, node, sigma FROM {prev_v} WHERE depth = {d}) vd
+  LEFT JOIN (
+    SELECT root, un, sum(term)::bigint AS dsum FROM t{d} GROUP BY root, un
+  ) x ON x.root = vd.root AND x.un = vd.node
+)""")
+    term_union = "\n  UNION ALL ".join(
+        f"SELECT un, wn, term FROM t{d}" for d in range(D - 1, -1, -1)
+    )
+    rounds = ",\n".join(fwd + bwd)
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), roots AS (
+  SELECT node FROM (SELECT DISTINCT u AS node FROM e)
+  WHERE {_HC_SEED_WHERE}
+), v0 AS (
+  SELECT node AS root, node, 0 AS depth, 1::bigint AS sigma FROM roots
+),
+{rounds}
+SELECT un AS u, wn AS v, sum(term)::bigint AS eb_fp,
+       (round((sum(term)::bigint)::double / 1000000.0, 6) + 0.0) AS eb
+FROM ({term_union})
+GROUP BY un, wn
+ORDER BY u, v
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11826,6 +11928,7 @@ def queries():
         "q185_cc_incremental": q185_cc_incremental,
         "q186_set_cover": q186_set_cover,
         "q187_readability": q187_readability,
+        "q188_edge_betweenness": q188_edge_betweenness,
     }
 
 
@@ -12018,4 +12121,5 @@ def oracle_sql():
         "q185_cc_incremental": _Q185_SQL,
         "q186_set_cover": _q186_sql(),
         "q187_readability": _Q187_SQL,
+        "q188_edge_betweenness": _q188_sql(),
     }

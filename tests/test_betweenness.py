@@ -74,3 +74,50 @@ def test_shallow_horizon_is_empty_with_schema(spark):
     out = betweenness_seeded(e, s, max_depth=3)
     assert out.count() == 0
     assert out.columns == ["node", "bc_fp", "bc"]
+
+
+def _run_edges(spark, edges, roots, depth=3):
+    from pathhier_spark.operators.graph import edge_betweenness_seeded
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(r,) for r in roots], "node string")
+    return {
+        (r["src"], r["dst"]): (r["eb_fp"], r["eb"])
+        for r in edge_betweenness_seeded(e, s, max_depth=depth).collect()
+    }
+
+
+def test_edge_betweenness_path_counts_root_edge(spark):
+    # a->b->c from a: edge (a,b) lies on the paths to b AND c -> 2;
+    # edge (b,c) only on the path to c -> 1
+    got = _run_edges(spark, [("a", "b"), ("b", "c")], ["a"])
+    assert got == {("a", "b"): (2 * SCALE, 2.0), ("b", "c"): (SCALE, 1.0)}
+
+
+def test_edge_betweenness_diamond_split(spark):
+    got = _run_edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        ["a"],
+    )
+    # each first-hop edge: its endpoint (1) + half the paths to d (0.5)
+    half = SCALE // 2
+    assert got[("a", "b")] == (SCALE + half, 1.5)
+    assert got[("a", "c")] == (SCALE + half, 1.5)
+    assert got[("b", "d")] == (half, 0.5)
+    assert got[("c", "d")] == (half, 0.5)
+
+
+def test_edge_betweenness_consistent_with_node_deltas(spark):
+    # node betweenness of an interior node equals the sum of its
+    # OUT-edge credits (Brandes: delta(u) = sum of edge terms) — the
+    # mutual-consistency claim in the docstring
+    edges = [("a", "b"), ("b", "c"), ("b", "d")]
+    nodes = _run(spark, edges, ["a"])
+    eb = _run_edges(spark, edges, ["a"])
+    assert nodes["b"][0] == eb[("b", "c")][0] + eb[("b", "d")][0]
+
+
+def test_edge_betweenness_single_edge(spark):
+    got = _run_edges(spark, [("a", "b")], ["a"])
+    assert got == {("a", "b"): (SCALE, 1.0)}
