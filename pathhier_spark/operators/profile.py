@@ -958,3 +958,84 @@ def corpus_quantile_bins(
         .select(F.col("g").alias(group_col), "qbin", "n_rows")
         .orderBy(group_col, "qbin")
     )
+
+
+def spearman_rho(
+    df: DataFrame, *, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact Spearman rank correlation with proper average-rank tie
+    handling — the rank-based companion to signal_correlations' Pearson:
+    Pearson asks "do they move together LINEARLY", Spearman asks "do
+    they move together MONOTONICALLY", which is the right question for
+    skewed quality signals where a log-shaped relation scores near zero
+    linearly. Ranks come from the value-domain histograms (q45
+    discipline — never a row-scale sort): the DOUBLED average rank of
+    value v is 2·below_v + n_v + 1, an exact integer (the q174 doubling
+    trick applied to midranks), and the doubled-rank mean is exactly
+    n + 1, so deviations dx = rx2 − (n+1) are exact int64 with |dx| < n.
+    rho = Σdx·dy / sqrt(Σdx²) / sqrt(Σdy²) — exact integer moments (the
+    denominators ship in the output), fixed-shape cast-divide-sqrt-
+    divide finish, NULL when either signal is constant. Rows with a
+    NULL in either column are dropped (a rank for NULL is undefined).
+    Overflow bound: Σ|dx·dy| ≤ n³ must stay < 2^63 — fine to n ≈ 2e6;
+    pre-aggregate coarser upstream past that.
+
+    Scale shape: two combiner groupBys to the per-column histograms,
+    exclusive cumulative windows over those HISTOGRAMS only, two
+    histogram-sized broadcast joins back onto the rows, one fused
+    moment aggregate. Output: one row
+    (n, sum_dxdy, sum_dx2, sum_dy2, rho)."""
+    rows = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def rank2_map(col: str):
+        h = rows.groupBy(col).agg(F.count(F.lit(1)).alias("nv"))
+        wexcl = Window.orderBy(F.asc(col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("nv").over(wexcl), F.lit(0))
+                + F.col("nv")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    tot = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        rows.join(F.broadcast(rank2_map("x")), "x")
+        .join(F.broadcast(rank2_map("y")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (F.col("r2_x") - (F.col("n") + 1)).alias("dx"),
+            (F.col("r2_y") - (F.col("n") + 1)).alias("dy"),
+        )
+    )
+    m = ranked.agg(
+        F.max("n").alias("n"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dy")), F.lit(0))
+        .cast("long")
+        .alias("sum_dxdy"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dx")), F.lit(0))
+        .cast("long")
+        .alias("sum_dx2"),
+        F.coalesce(F.sum(F.col("dy") * F.col("dy")), F.lit(0))
+        .cast("long")
+        .alias("sum_dy2"),
+    )
+    return m.select(
+        "n",
+        "sum_dxdy",
+        "sum_dx2",
+        "sum_dy2",
+        F.when(
+            (F.col("sum_dx2") > 0) & (F.col("sum_dy2") > 0),
+            F.col("sum_dxdy").cast("double")
+            / F.sqrt(F.col("sum_dx2").cast("double"))
+            / F.sqrt(F.col("sum_dy2").cast("double")),
+        ).alias("rho"),
+    )

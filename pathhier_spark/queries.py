@@ -11746,6 +11746,74 @@ ORDER BY u, v
 
 
 
+# ---------------------------------------------------------------------------
+# Q189 — Spearman rank correlation (operators/profile.spearman_rho):
+# do n_chars and token count move together MONOTONICALLY — the
+# rank-based companion to q180's Pearson, robust to the skew that
+# makes linear correlation lie on heavy-tailed signals. Doubled
+# average ranks (2·below + n_v + 1, exact ints — q174's doubling
+# applied to midranks), deviations against the exact mean n+1, one
+# fused moment aggregate, fixed-shape sqrt finish.
+# DuckDB feature req: core only (window cumulative sums).
+# ---------------------------------------------------------------------------
+
+
+def q189_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import spearman_rho
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(_tokens_q("text")).cast("long").alias("n_tokens"),
+    )
+    return spearman_rho(feats, x_col="n_chars", y_col="n_tokens")
+
+
+_Q189_SQL = f"""
+WITH rows_ AS (
+  SELECT length(text)::bigint AS x,
+         len({_SQL_WS_TOKS})::bigint AS y
+  FROM documents
+  WHERE text IS NOT NULL
+), hx AS (
+  SELECT x, count(*)::bigint AS nv FROM rows_ GROUP BY x
+), rx AS (
+  SELECT x,
+         (2 * coalesce((sum(nv) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::bigint, 0)
+          + nv + 1) AS r2x
+  FROM hx
+), hy AS (
+  SELECT y, count(*)::bigint AS nv FROM rows_ GROUP BY y
+), ry AS (
+  SELECT y,
+         (2 * coalesce((sum(nv) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::bigint, 0)
+          + nv + 1) AS r2y
+  FROM hy
+), tot AS (
+  SELECT count(*)::bigint AS n FROM rows_
+), d AS (
+  SELECT (SELECT n FROM tot) AS n,
+         r2x - ((SELECT n FROM tot) + 1) AS dx,
+         r2y - ((SELECT n FROM tot) + 1) AS dy
+  FROM rows_ JOIN rx USING (x) JOIN ry USING (y)
+), m AS (
+  SELECT max(n)::bigint AS n,
+         coalesce(sum(dx * dy), 0)::bigint AS sum_dxdy,
+         coalesce(sum(dx * dx), 0)::bigint AS sum_dx2,
+         coalesce(sum(dy * dy), 0)::bigint AS sum_dy2
+  FROM d
+)
+SELECT n, sum_dxdy, sum_dx2, sum_dy2,
+       CASE WHEN sum_dx2 > 0 AND sum_dy2 > 0 THEN
+         sum_dxdy::double / sqrt(sum_dx2::double) / sqrt(sum_dy2::double)
+       END AS rho
+FROM m
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -11936,6 +12004,7 @@ def queries():
         "q186_set_cover": q186_set_cover,
         "q187_readability": q187_readability,
         "q188_edge_betweenness": q188_edge_betweenness,
+        "q189_spearman": q189_spearman,
     }
 
 
@@ -12129,4 +12198,5 @@ def oracle_sql():
         "q186_set_cover": _q186_sql(),
         "q187_readability": _Q187_SQL,
         "q188_edge_betweenness": _q188_sql(),
+        "q189_spearman": _Q189_SQL,
     }

@@ -195,3 +195,40 @@ def test_calibration_bins_hand_case(spark):
     assert got[9] == (2, 2, 1.0, 975_000.0)
     with _pytest.raises(ValueError):
         calibration_bins(df, n_bins=0)
+
+
+def test_spearman_hand_values(spark):
+    """spearman_rho (q189): ±1 on monotone data regardless of linearity,
+    exact tie midranks, NULL on constants, NULL rows dropped."""
+    from pathhier_spark.operators.profile import spearman_rho
+
+    def rho(rows):
+        df = spark.createDataFrame(rows, "x long, y long")
+        r = spearman_rho(df, x_col="x", y_col="y").collect()[0]
+        return r
+
+    # monotone but wildly nonlinear -> rho is +/-1 up to the fixed-shape
+    # divide-sqrt-divide (irrational denominators make the float land a
+    # few ulps off the algebraic +/-1; BOTH engines compute the identical
+    # value — compare against the same expression, not the ideal)
+    r = rho([(1, 1), (2, 10), (3, 1000), (4, 1000000)])
+    assert r["n"] == 4
+    assert r["rho"] == r["sum_dxdy"] / (r["sum_dx2"] ** 0.5) / (
+        r["sum_dy2"] ** 0.5
+    )
+    assert abs(r["rho"] - 1.0) < 1e-12
+    rr = rho([(1, 9), (2, 5), (3, 1)])
+    assert abs(rr["rho"] + 1.0) < 1e-12
+    # exact midrank ties: x = (1,2,2,3) vs y = (1,2,3,4):
+    # doubled ranks x: 2,5,5,8 ; y: 2,4,6,8 ; mean 5
+    # dx = -3,0,0,3  dy = -3,-1,1,3 -> sum dxdy = 18, dx2 = 18, dy2 = 20
+    r = rho([(1, 1), (2, 2), (2, 3), (3, 4)])
+    assert (r["sum_dxdy"], r["sum_dx2"], r["sum_dy2"]) == (18, 18, 20)
+    assert r["rho"] == 18 / (18**0.5) / (20**0.5)
+    # constant x -> NULL
+    assert rho([(5, 1), (5, 2)])["rho"] is None
+    # NULL rows dropped
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (None, 9)], "x long, y long"
+    )
+    assert spearman_rho(df, x_col="x", y_col="y").collect()[0]["n"] == 2
