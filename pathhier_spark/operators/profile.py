@@ -1039,3 +1039,111 @@ def spearman_rho(
             / F.sqrt(F.col("sum_dy2").cast("double")),
         ).alias("rho"),
     )
+
+
+def jackknife_mean_se(
+    df: DataFrame,
+    *,
+    value_col: str = "v",
+    id_col: str = "doc_id",
+    n_shards: int = 10,
+    salt: str = "jk",
+) -> DataFrame:
+    """Delete-one-shard jackknife standard error of a corpus mean — the
+    error bar every corpus statistic here lacks: "mean tokens/doc is
+    512.3" means nothing for monitoring until you know whether ±0.1 or
+    ±50 is noise. RNG-free by the repo's standard trick: shards are md5
+    buckets of the id, so the estimate is reproducible on any engine
+    and any partitioning. Per shard the sums are exact int64; each
+    leave-one-out mean m_i = (T - t_i)/(n - n_i) is ONE division of
+    exact integers; their mean and the jackknife variance
+    (S-1)/S · Σ(m_i - m̄)² fold over the SHARD-ORDERED list from a 0.0
+    seed (the q104 float-sum discipline — S is tiny, the order is the
+    portability point). NULL values count toward neither sum nor count.
+    Degenerate guards: a shard equal to the whole corpus (every other
+    shard empty) yields a NULL m_i divisor — filtered with n > n_i,
+    mirrored in the oracle.
+
+    Scale shape: one combiner groupBy to the S-row shard table;
+    everything after is S-sized. Output: one row
+    (n, n_shards_used, mean, jk_se round-6)."""
+    if n_shards < 2:
+        raise ValueError("jackknife needs n_shards >= 2")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    per = (
+        df.select(shard.alias("s"), F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum("v").alias("ti"),
+        )
+    )
+    tot = per.agg(
+        F.sum("ni").cast("long").alias("n"), F.sum("ti").cast("long").alias("t")
+    )
+    loo = (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("ni"))
+        .select(
+            "s",
+            "n",
+            "t",
+            (
+                (F.col("t") - F.col("ti")).cast("double")
+                / (F.col("n") - F.col("ni"))
+            ).alias("m"),
+        )
+    )
+    one = loo.agg(
+        F.max("n").alias("n"),
+        F.max("t").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("s_used"),
+        F.array_sort(F.collect_list(F.struct("s", "m"))).alias("arr"),
+    ).select(
+        "n",
+        "t",
+        "s_used",
+        "arr",
+        (
+            F.aggregate(
+                F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["m"]
+            )
+            / F.col("s_used")
+        ).alias("mbar"),
+    )
+    return one.select(
+        "n",
+        F.col("s_used").alias("n_shards_used"),
+        (F.col("t") / F.col("n")).alias("mean"),
+        (
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("arr"),
+                        F.lit(0.0),
+                        lambda acc, x: acc
+                        + (x["m"] - F.col("mbar"))
+                        * (x["m"] - F.col("mbar")),
+                    )
+                    * (F.col("s_used") - 1)
+                    / F.col("s_used")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jk_se"),
+    )

@@ -11814,6 +11814,60 @@ FROM m
 
 
 
+# ---------------------------------------------------------------------------
+# Q190 — jackknife error bar on the corpus token mean (operators/
+# profile.jackknife_mean_se): the delete-one-shard SE that turns every
+# monitoring scalar into a testable claim — md5 shards (RNG-free,
+# engine-portable), exact int64 shard sums, one exact-int division per
+# leave-one-out mean, shard-ordered 0.0-seed folds for the variance
+# (the q104 float-sum discipline).
+# DuckDB feature req: core SQL + list(ORDER BY)/list fns (q63 fold).
+# ---------------------------------------------------------------------------
+
+_JK_SHARDS = 10
+
+
+def q190_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import jackknife_mean_se
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tokens_q("text")).cast("long").alias("v")
+    )
+    return jackknife_mean_se(docs, n_shards=_JK_SHARDS)
+
+
+def _q190_sql() -> str:
+    s = _JK_SHARDS
+    return f"""
+WITH rows_ AS (
+  SELECT {_sql_hex32("'jk:' || doc_id::varchar")} % {s} AS sh,
+         len({_SQL_WS_TOKS})::bigint AS v
+  FROM documents
+), per AS (
+  SELECT sh, count(*)::bigint AS ni, sum(v)::bigint AS ti
+  FROM rows_ WHERE v IS NOT NULL GROUP BY sh
+), tot AS (
+  SELECT sum(ni)::bigint AS n, sum(ti)::bigint AS t FROM per
+), loo AS (
+  SELECT sh, (t - ti)::double / (n - ni) AS m
+  FROM per, tot WHERE n > ni
+), agg AS (
+  SELECT (SELECT n FROM tot) AS n, (SELECT t FROM tot) AS t,
+         count(*)::bigint AS s_used,
+         list(m ORDER BY sh) AS ms
+  FROM loo
+), mb AS (
+  SELECT n, t, s_used, ms, list_sum(ms) / s_used AS mbar FROM agg
+)
+SELECT n, s_used AS n_shards_used,
+       t::double / n AS mean,
+       (round(sqrt(list_sum(list_transform(ms, z -> (z - mbar) * (z - mbar)))
+                   * (s_used - 1) / s_used), 6) + 0.0) AS jk_se
+FROM mb
+"""
+
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12005,6 +12059,7 @@ def queries():
         "q187_readability": q187_readability,
         "q188_edge_betweenness": q188_edge_betweenness,
         "q189_spearman": q189_spearman,
+        "q190_jackknife": q190_jackknife,
     }
 
 
@@ -12199,4 +12254,5 @@ def oracle_sql():
         "q187_readability": _Q187_SQL,
         "q188_edge_betweenness": _q188_sql(),
         "q189_spearman": _Q189_SQL,
+        "q190_jackknife": _q190_sql(),
     }

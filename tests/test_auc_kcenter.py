@@ -232,3 +232,36 @@ def test_spearman_hand_values(spark):
         [(1, 1), (2, 2), (None, 9)], "x long, y long"
     )
     assert spearman_rho(df, x_col="x", y_col="y").collect()[0]["n"] == 2
+
+
+def test_jackknife_hand_properties(spark):
+    """jackknife_mean_se (q190): mean is exact T/n; identical values in
+    every shard give SE exactly 0; a planted outlier inflates SE; NULLs
+    drop; n_shards validation."""
+    import pytest as _pytest
+
+    from pathhier_spark.operators.profile import jackknife_mean_se
+
+    def run(rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, v long")
+        return jackknife_mean_se(df, value_col="v", **kw).collect()[0]
+
+    # constant values: every leave-one-out mean equals the mean -> SE 0
+    const = run([(i, 7) for i in range(40)])
+    assert const["mean"] == 7.0 and const["jk_se"] == 0.0
+    assert const["n"] == 40
+
+    # an outlier makes the shard holding it diverge -> SE > 0
+    out = run([(i, 7) for i in range(40)] + [(99, 70000)])
+    assert out["jk_se"] > 0.0
+    assert out["n"] == 41
+
+    # NULL values excluded from n and the mean
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "doc_id long, v long"
+    )
+    r = jackknife_mean_se(df, value_col="v").collect()[0]
+    assert r["n"] == 2 and r["mean"] == 15.0
+
+    with _pytest.raises(ValueError):
+        run([(1, 1)], n_shards=1)
