@@ -3063,3 +3063,83 @@ def bellman_bounded(
         )
         frontier = imp
     return dist.select("root", "node", F.col("d").alias("dist"))
+
+
+def wl_fingerprint(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Weisfeiler-Leman label refinement over the undirected view of an
+    edge list — the standard isomorphism-sensitive graph fingerprint
+    (Shervashidze et al., JMLR 2011): round 0 labels every node with its
+    degree; each round relabels a node with a hash of (own label, sorted
+    multiset of neighbor labels). After `rounds` refinements the per-node
+    labels separate every structural role a WL kernel can separate; the
+    label HISTOGRAM is the graph fingerprint — two KG snapshots whose
+    histograms differ are guaranteed non-isomorphic, so diffing the
+    fingerprint is the cheap structural drift alarm for the materialized
+    node/edge tables (much stronger than node/edge counts, no pairwise
+    comparison). Returns per-node final labels (node, wl_label) so callers
+    can also join labels to find structurally-identical nodes; q191 folds
+    them into the histogram.
+
+    Determinism / portability: the relabel hash is the first 8 hex chars
+    of md5('<lbl>:<nl1>,<nl2>,...') read as int64 — the engine-portable
+    conv/md5 idiom every sketch here uses — with neighbor labels sorted
+    NUMERICALLY (sort_array on long; the oracle replays string_agg ...
+    ORDER BY the numeric label). Ties are equal labels, so order among
+    equals cannot perturb the string. Self-loops contribute the node's own
+    label once; isolated nodes cannot appear in an edge list and are out
+    of scope by construction.
+
+    Scale shape: symmetrize+distinct is one shuffle, eagerly
+    localCheckpoint-ed ONCE (the q51 lineage discipline — every round
+    re-reads it); each round is a node-sized equi-join onto the edge list
+    plus one combiner-friendly groupBy(d) collecting the (bounded by
+    degree) neighbor-label array. The label table stays node-sized; the
+    lazy plan grows one join per round — fine at the default 3, for deep
+    refinement localCheckpoint the label table every ~10 rounds as
+    pagerank_fixedpoint documents."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = (
+        e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("lbl")
+    ).select(F.col("s").alias("node"), "lbl")
+    for _ in range(rounds):
+        nbrs = (
+            und.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy("d")
+            .agg(F.sort_array(F.collect_list("lbl")).alias("nl"))
+            .select(
+                F.col("d").alias("node"),
+                F.concat_ws(
+                    ",", F.transform(F.col("nl"), lambda x: x.cast("string"))
+                ).alias("ns"),
+            )
+        )
+        # inner join keeps every node: each labeled node appears as some
+        # `s` in the symmetrized edge list, hence as some `d` too
+        labels = labels.join(nbrs, "node").select(
+            "node",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("lbl").cast("string"), F.lit(":"), F.col("ns")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long").alias("lbl"),
+        )
+    return labels.select("node", F.col("lbl").alias("wl_label"))

@@ -11868,6 +11868,82 @@ FROM mb
 
 
 
+# ---------------------------------------------------------------------------
+# Q191 — Weisfeiler-Leman structural fingerprint (operators/graph.
+# wl_fingerprint) over the q188 triple graph: round-0 degree labels,
+# each round relabels a node with hex32(own label : sorted neighbor
+# labels); the final label HISTOGRAM is the snapshot fingerprint —
+# two KG snapshots whose histograms differ are provably
+# non-isomorphic, so diffing this row set is the structural drift
+# alarm (far stronger than node/edge counts, no pairwise work). The
+# oracle unrolls the same refinement as string_agg(ORDER BY label)
+# CTE rounds over the identical md5 relabel hash.
+# DuckDB feature req: core SQL + string_agg(ORDER BY) + md5 (hex32).
+# ---------------------------------------------------------------------------
+
+_WL_ROUNDS = 2
+
+
+def q191_wl_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import wl_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    tr = (
+        extract_token_triples(docs, TRIGGERS)
+        .select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    return (
+        wl_fingerprint(tr, src="u", dst="v", rounds=_WL_ROUNDS)
+        .groupBy("wl_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("wl_label")
+    )
+
+
+def _q191_sql() -> str:
+    trig_list = "(" + ", ".join(f"'{k}'" for k in sorted(TRIGGERS)) + ")"
+    rounds = []
+    for r in range(1, _WL_ROUNDS + 1):
+        relabel = _sql_hex32(f"p.lbl::varchar || ':' || a.ns")
+        rounds.append(f"""a{r} AS (
+  SELECT e.v AS node, string_agg(l.lbl::varchar, ',' ORDER BY l.lbl) AS ns
+  FROM e JOIN l{r - 1} l ON l.node = e.u
+  GROUP BY e.v
+), l{r} AS (
+  SELECT p.node, {relabel} AS lbl
+  FROM l{r - 1} p JOIN a{r} a ON a.node = p.node
+)""")
+    body = ",\n".join(rounds)
+    return f"""
+WITH raw AS (
+  SELECT t[i-1] AS s, t[i+1] AS d
+  FROM (
+    SELECT t, unnest(generate_series(2, len(t) - 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+  WHERE t[i] IN {trig_list}
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE least(s, d) < greatest(s, d)
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), l0 AS (
+  SELECT u AS node, count(*)::bigint AS lbl FROM e GROUP BY u
+),
+{body}
+SELECT lbl AS wl_label, count(*)::bigint AS n_nodes
+FROM l{_WL_ROUNDS}
+GROUP BY lbl
+ORDER BY wl_label
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12060,6 +12136,7 @@ def queries():
         "q188_edge_betweenness": q188_edge_betweenness,
         "q189_spearman": q189_spearman,
         "q190_jackknife": q190_jackknife,
+        "q191_wl_fingerprint": q191_wl_fingerprint,
     }
 
 
@@ -12255,4 +12332,5 @@ def oracle_sql():
         "q188_edge_betweenness": _q188_sql(),
         "q189_spearman": _Q189_SQL,
         "q190_jackknife": _q190_sql(),
+        "q191_wl_fingerprint": _q191_sql(),
     }

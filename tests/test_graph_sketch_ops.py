@@ -1379,3 +1379,63 @@ def test_bowtie_in_out_disjoint_and_total(spark):
               out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
               .collect()}
     assert counts == {"core": 4, "in": 28, "out": 10, "other": 78}
+
+
+def test_wl_fingerprint_path_separates_roles(spark):
+    from pathhier_spark.operators.graph import wl_fingerprint
+
+    # P4: a-b-c-d. Endpoints (a,d) are one structural role, internals
+    # (b,c) another; one WL round already separates them (degree), and
+    # further rounds must keep each pair merged.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    lbl = {r["node"]: r["wl_label"]
+           for r in wl_fingerprint(edges, rounds=3).collect()}
+    assert set(lbl) == {"a", "b", "c", "d"}
+    assert lbl["a"] == lbl["d"]
+    assert lbl["b"] == lbl["c"]
+    assert lbl["a"] != lbl["b"]
+
+
+def test_wl_fingerprint_star_hub_distinct(spark):
+    from pathhier_spark.operators.graph import wl_fingerprint
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(4)], "src string, dst string"
+    )
+    out = wl_fingerprint(edges, rounds=2)
+    hist = {r["wl_label"]: r["n"] for r in
+            out.groupBy("wl_label").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    # exactly two roles: one hub, four interchangeable leaves
+    assert sorted(hist.values()) == [1, 4]
+
+
+def test_wl_fingerprint_isomorphism_invariant_histogram(spark):
+    from pathhier_spark.operators.graph import wl_fingerprint
+    from pyspark.sql import functions as F
+
+    def hist(pairs):
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return sorted(
+            (r["wl_label"], r["n"])
+            for r in wl_fingerprint(e, rounds=3)
+            .groupBy("wl_label").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    # the same 6-node graph (two triangles bridged by an edge) under a
+    # node renaming: label histograms must be identical, label-for-label
+    g = [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
+    ren = {"a": "x1", "b": "x2", "c": "x3", "d": "x4", "e": "x5", "f": "x6"}
+    g2 = [(ren[u], ren[v]) for u, v in g]
+    assert hist(g) == hist(g2)
+
+    # and a NON-isomorphic same-edge-count graph (6-path plus a chord
+    # making one triangle) must differ
+    g3 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+          ("f", "a"), ("a", "c")]
+    assert hist(g) != hist(g3)
