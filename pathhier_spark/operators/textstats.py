@@ -2410,3 +2410,146 @@ def with_readability(
             ),
         )
     )
+
+
+def kneser_ney_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_filter=None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Mean interpolated KNESER-NEY bigram surprisal per document — the
+    smoothing the stupid-backoff family (q92/q159) cannot express: the
+    fallback distribution is the CONTINUATION count (in how many distinct
+    contexts does w2 appear?), not the raw frequency, so "Francisco"
+    (frequent but only ever after "San") stops looking like a plausible
+    continuation everywhere. This is the classic fix (Kneser & Ney 1995;
+    Chen & Goodman 1999) and the scoring model KenLM-style pretraining
+    filters actually use.
+
+        p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1.)
+                   + D * N1+(w1.)/c(w1.) * p_cont(w2)
+        p_cont(w2) = (N1+(.w2) + 1) / (B + U + 1)      [add-1 over types]
+
+    with discount D = 3/4 — chosen EXACTLY representable so the whole
+    probability is a ratio of two exact int64s after scaling by 4:
+
+        num = max(4*c2 - 3, 0)*M + 3*n1f(w1)*(n1b(w2) + 1)
+        den = 4*c1p(w1)*M,          M = B + U + 1
+
+    (unseen context w1: num = n1b(w2)+1, den = M — pure continuation).
+    Both engines compute lnp = ln(den) - ln(num) from identical integers,
+    so the fold is bit-stable without any float-sum discipline beyond the
+    POSITION-ordered per-doc aggregate (the q44/q92/q159 fold). Overflow
+    bound: 4*c1p*M < 2^63, i.e. hottest-prefix count x smoothed type
+    count < 2.3e18 — fine through ~1e9-doc shards; beyond that train the
+    LM per shard (the KenLM practice anyway).
+
+    The LM trains on the TRAIN half only (default: even doc ids; any
+    deterministic predicate via train_filter) and scores ALL documents —
+    same held-out design as q159, which is what makes the discount and
+    continuation tiers actually fire. Output tier counts are exact:
+    n_seen (bigram in train), n_disc (context seen, bigram not — the
+    interpolation-only term), n_oovctx (context unseen).
+
+    Scale shape: identical to bigram_surprisal — the pairs subtree is
+    lazily localCheckpoint-ed once; `bi` is ONE combiner-friendly groupBy
+    over train pairs; c1p/n1f/n1b/B all derive from `bi` (tiny
+    re-aggregations, never a corpus re-scan); U is one distinct-count
+    over train tokens; the probe is one broadcast (or AQE-skew shuffle)
+    join per count table. Docs with < 2 tokens emit n_scored = 0 and a
+    NULL avg."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    if train_filter is None:
+        train_filter = F.col(id_col) % 2 == 0
+    bi = (
+        pairs.where(train_filter)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    pre = bi.groupBy("w1").agg(
+        F.sum("c2").alias("c1p"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = bi.groupBy(F.col("w2").alias("bw")).agg(
+        F.count(F.lit(1)).alias("n1b")
+    )
+    scal = (
+        bi.agg(F.count(F.lit(1)).alias("bt"))
+        .crossJoin(
+            toks.where(train_filter).agg(
+                F.count_distinct("w1").alias("uv")
+            )
+        )
+        .select((F.col("bt") + F.col("uv") + F.lit(1)).alias("m"))
+    )
+    b = F.broadcast(bi) if broadcast_vocab else bi
+    p = F.broadcast(pre) if broadcast_vocab else pre
+    g = F.broadcast(bwd) if broadcast_vocab else bwd
+    n1b1 = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1)).cast("long")
+    seen_ctx = F.col("c1p").isNotNull()
+    num = F.when(
+        seen_ctx,
+        F.greatest(
+            F.lit(4) * F.coalesce(F.col("c2"), F.lit(0)) - F.lit(3),
+            F.lit(0),
+        ).cast("long")
+        * F.col("m")
+        + F.lit(3) * F.col("n1f") * n1b1,
+    ).otherwise(n1b1)
+    den = F.when(
+        seen_ctx, F.lit(4) * F.col("c1p") * F.col("m")
+    ).otherwise(F.col("m"))
+    scored = (
+        pairs.join(b, ["w1", "w2"], "left")
+        .join(p, "w1", "left")
+        .join(g, pairs["w2"] == F.col("bw"), "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            id_col,
+            "pos",
+            (
+                F.log(den.cast("double")) - F.log(num.cast("double"))
+            ).alias("lnp"),
+            F.when(F.col("c2").isNotNull(), 1).otherwise(0).alias("t_seen"),
+            F.when(F.col("c2").isNull() & seen_ctx, 1)
+            .otherwise(0)
+            .alias("t_disc"),
+            F.when(seen_ctx, 0).otherwise(1).alias("t_oov"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("t_seen").alias("n_seen"),
+        F.sum("t_disc").alias("n_disc"),
+        F.sum("t_oov").alias("n_oovctx"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+                lambda s: s["lnp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_lnp"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_scored"), F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
+        F.coalesce(F.col("n_disc"), F.lit(0)).cast("long").alias("n_disc"),
+        F.coalesce(F.col("n_oovctx"), F.lit(0)).cast("long").alias("n_oovctx"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(F.col("sum_lnp") / F.col("n_scored"), 6) + F.lit(0.0),
+        ).alias("avg_surprisal"),
+    )

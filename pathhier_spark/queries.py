@@ -11944,6 +11944,93 @@ ORDER BY wl_label
 """
 
 
+# ---------------------------------------------------------------------------
+# Q192 — interpolated Kneser-Ney bigram surprisal (operators/textstats.
+# kneser_ney_surprisal): the continuation-count smoothing the
+# stupid-backoff family (q92/q159) cannot express — the fallback asks
+# "in how many distinct contexts does w2 appear?", not "how often",
+# so a frequent-but-bound word (Francisco after San) stops looking
+# plausible everywhere. Discount D = 3/4 exactly; scaling by 4 makes
+# p(w2|w1) a ratio of two exact int64s (num/den, M = B + U + 1), so
+# lnp = ln(den) - ln(num) is computed from identical integers on both
+# engines. Trains on even doc ids, scores all docs (the q159 held-out
+# design — it is what makes the discount and continuation tiers fire);
+# per-doc sums fold in POSITION order.
+# DuckDB feature req: core SQL + list(ORDER BY)/list_sum.
+# ---------------------------------------------------------------------------
+
+
+def q192_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import kneser_ney_surprisal
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney_surprisal(docs).orderBy("doc_id")
+
+
+_Q192_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1)::int AS pos, ts[i] AS w1
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  )
+), pairs AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, w1,
+           lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+), bi AS (
+  SELECT w1, w2, count(*)::bigint AS c2 FROM pairs
+  WHERE doc_id % 2 = 0 GROUP BY w1, w2
+), pre AS (
+  SELECT w1, sum(c2)::bigint AS c1p, count(*)::bigint AS n1f
+  FROM bi GROUP BY w1
+), bwd AS (
+  SELECT w2 AS bw, count(*)::bigint AS n1b FROM bi GROUP BY w2
+), scal AS (
+  SELECT ((SELECT count(*) FROM bi)
+          + (SELECT count(DISTINCT w1) FROM toks WHERE doc_id % 2 = 0)
+          + 1)::bigint AS m
+), probe AS (
+  SELECT pr.doc_id, pr.pos,
+         CASE WHEN p.c1p IS NOT NULL THEN
+           ln((4 * p.c1p * s.m)::double)
+           - ln((greatest(4 * coalesce(b.c2, 0) - 3, 0) * s.m
+                 + 3 * p.n1f * (coalesce(g.n1b, 0) + 1))::double)
+         ELSE
+           ln(s.m::double) - ln((coalesce(g.n1b, 0) + 1)::double)
+         END AS lnp,
+         CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS t_seen,
+         CASE WHEN b.c2 IS NULL AND p.c1p IS NOT NULL THEN 1 ELSE 0 END
+           AS t_disc,
+         CASE WHEN p.c1p IS NULL THEN 1 ELSE 0 END AS t_oov
+  FROM pairs pr
+  LEFT JOIN bi b USING (w1, w2)
+  LEFT JOIN pre p USING (w1)
+  LEFT JOIN bwd g ON g.bw = pr.w2
+  CROSS JOIN scal s
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_scored,
+         sum(t_seen)::bigint AS n_seen, sum(t_disc)::bigint AS n_disc,
+         sum(t_oov)::bigint AS n_oovctx,
+         list_sum(list(lnp ORDER BY pos)) AS sum_lnp
+  FROM probe GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_scored, 0)::bigint AS n_scored,
+       coalesce(p.n_seen, 0)::bigint AS n_seen,
+       coalesce(p.n_disc, 0)::bigint AS n_disc,
+       coalesce(p.n_oovctx, 0)::bigint AS n_oovctx,
+       CASE WHEN p.n_scored > 0
+            THEN round(p.sum_lnp / p.n_scored, 6) + 0.0 END
+         AS avg_surprisal
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12137,6 +12224,7 @@ def queries():
         "q189_spearman": q189_spearman,
         "q190_jackknife": q190_jackknife,
         "q191_wl_fingerprint": q191_wl_fingerprint,
+        "q192_kneser_ney": q192_kneser_ney,
     }
 
 
@@ -12333,4 +12421,5 @@ def oracle_sql():
         "q189_spearman": _Q189_SQL,
         "q190_jackknife": _q190_sql(),
         "q191_wl_fingerprint": _q191_sql(),
+        "q192_kneser_ney": _Q192_SQL,
     }

@@ -415,3 +415,74 @@ def test_text_tiling_ragged_final_block_participates(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = text_tiling(docs).collect()
     assert len(rows) == 1 and rows[0]["jacc_fp"] == 0
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Train on even ids: doc0 'a b a b c', doc2 'b c'. bi: (a,b)=2,
+    (b,a)=1, (b,c)=2; pre: a=(2,1), b=(3,2); bwd: a=1,b=1,c=1; B=3, U=3,
+    M=7. Doc1 'a b x': (a,b) seen -> p=((8-3)*7+3*1*2)/(4*2*7)=41/56;
+    (b,x) disc -> p=(0+3*2*1)/(4*3*7)=6/84."""
+    import math
+    from pathhier_spark.operators.textstats import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in kneser_ney_surprisal(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_scored"], r1["n_seen"], r1["n_disc"], r1["n_oovctx"]) == (
+        2, 1, 1, 0,
+    )
+    want = round((math.log(56.0 / 41.0) + math.log(84.0 / 6.0)) / 2, 6)
+    assert abs(r1["avg_surprisal"] - want) < 1e-9
+    # doc0 scores against itself: every bigram seen, no backoff
+    assert rows[0]["n_seen"] == 4 and rows[0]["n_disc"] == 0
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """The Kneser-Ney point: 'francisco' is as FREQUENT as 'the' in train
+    but only ever follows 'san', so under an unseen context its
+    continuation probability (n1b=1) must be lower -> surprisal higher
+    than 'the' (n1b=3). Stupid backoff (raw unigram fallback) scores
+    them identically."""
+    from pathhier_spark.operators.textstats import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a the b the c the san francisco san francisco san francisco"),
+            (1, "q the"),
+            (3, "q francisco"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in kneser_ney_surprisal(docs).collect()}
+    assert rows[1]["n_oovctx"] == 1 and rows[3]["n_oovctx"] == 1
+    assert rows[3]["avg_surprisal"] > rows[1]["avg_surprisal"]
+
+
+def test_kneser_ney_short_and_empty_docs(spark):
+    from pathhier_spark.operators.textstats import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in kneser_ney_surprisal(docs).collect()}
+    for d in (1, 3):
+        assert rows[d]["n_scored"] == 0
+        assert rows[d]["avg_surprisal"] is None
+
+
+def test_kneser_ney_shuffle_join_path_matches_broadcast(spark):
+    from pathhier_spark.operators.textstats import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 7} tok{(i * 5) % 11} common")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, kneser_ney_surprisal(docs).collect()))
+    b = sorted(map(tuple, kneser_ney_surprisal(
+        docs, broadcast_vocab=False).collect()))
+    assert a == b
