@@ -718,6 +718,95 @@ def wasserstein1(
     )
 
 
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str = "v",
+    group_col: str = "snap",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the integer
+    value distributions of two snapshots — the sup-norm sibling of
+    wasserstein1 (q103): W1 integrates |CDF_A - CDF_B| (total drift mass),
+    KS takes its MAXIMUM (worst single-threshold divergence) — the right
+    alarm when one narrow band of the distribution moved (a new crawl
+    source injecting only very short docs barely moves W1 but spikes KS),
+    and the statistic behind the standard two-sample test.
+
+    Exactness: per distinct value the histogram gives (na_v, nb_v); the
+    inclusive cumulative window yields cumA/cumB; D's numerator is
+    max_v |cumA*nB - cumB*nA| — exact int64 under the common denominator
+    nA*nB — and ships in the output (d_num) so the claim is auditable.
+    ks_d = d_num/(nA*nB) is ONE IEEE division; ks_stat (the asymptotic
+    test scale, sqrt(nA*nB/(nA+nB)) * D — compare against the K-alpha
+    table, 1.358 for alpha=.05) is the FIXED SHAPE
+    sqrt(cast-divide)*divide, identical IEEE ops in identical order on
+    any engine. Group semantics match wasserstein1: group_col = 0 is A,
+    anything else B; an empty side yields NULL ks_d/ks_stat, never a
+    division by zero.
+
+    Scale shape: corpus → ONE combiner groupBy to the value-domain
+    histogram; the cumulative window runs over that HISTOGRAM only (q45
+    discipline); single-row finish. Overflow bound: max(cum)*max(n) <
+    2^63 — both sides to ~3e9 rows; shard the test past that (per-shard
+    KS maxima are NOT combinable exactly — unlike W1 — so quantize the
+    domain instead when one shard cannot hold a side's count). Output:
+    one row (n_a, n_b, d_num, ks_d, ks_stat)."""
+    h = (
+        df.select(
+            F.col(value_col).cast("long").alias("x"),
+            F.when(F.col(group_col) == 0, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("x")
+        .agg(
+            F.sum("a").alias("na"),
+            F.sum(1 - F.col("a")).alias("nb"),
+        )
+    )
+    wincl = Window.orderBy(F.asc("x")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        F.sum("na").over(wincl).alias("cuma"),
+        F.sum("nb").over(wincl).alias("cumb"),
+    )
+    tot = h.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    num = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.abs(
+                        F.col("cuma") * F.col("n_b")
+                        - F.col("cumb") * F.col("n_a")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    nd = (F.col("n_a") * F.col("n_b")).cast("double")
+    ks_d = F.col("d_num") / (F.col("n_a") * F.col("n_b"))
+    return tot.crossJoin(F.broadcast(num)).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(both, F.round(ks_d, 6) + F.lit(0.0)).alias("ks_d"),
+        F.when(
+            both,
+            F.round(
+                F.sqrt(nd / (F.col("n_a") + F.col("n_b"))) * ks_d, 6
+            )
+            + F.lit(0.0),
+        ).alias("ks_stat"),
+    )
+
+
 def signal_correlations(df: DataFrame, *, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlation matrix over integer signal columns —
     which quality signals are REDUNDANT: a curation pipeline weighing

@@ -133,6 +133,117 @@ def bm25_topk(
     )
 
 
+def dirichlet_ql_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    tokens_col,
+    *,
+    mu: int = 2000,
+    k: int = 10,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k retrieval (Zhai &
+    Lafferty 2001) — the other classic lexical ranker next to BM25
+    (q63): score(q,d) = sum over query terms of ln p(w|d) under
+    p(w|d) = (tf + mu * ctf/C) / (dl + mu), the Bayesian smoothing that
+    backs a document off toward the CORPUS language model by exactly mu
+    pseudo-tokens. Differs from BM25 where it matters: long documents
+    are penalized through the smoothing denominator (no b knob), and
+    the background mass makes scores comparable across queries of
+    different lengths — the standard choice for verbose queries.
+
+    Decomposed for index-driven evaluation the standard way:
+
+        score = sum_{w in q, tf>0} [ln(tf*C + mu*ctf) - ln(mu*ctf)]
+                + nq * [ln(mu) - ln(dl + mu)]
+
+    — matching terms contribute a tf-dependent lift over the
+    background, and the per-doc normalizer is a query-length multiple.
+    This is RANK-EQUIVALENT to sum-of-ln-p (it differs by the per-query
+    constant sum_w ln(C/ctf_w), which cancels inside each query's
+    ranking — the standard inverted-index decomposition).
+    Candidates are documents matching >= 1 query term (the inverted-
+    index evaluation; a zero-match document's constant-only score is
+    not a retrieval result). With integer mu every ln argument is an
+    EXACT int64 (tf*C + mu*ctf, mu*ctf, mu, dl + mu), so both engines
+    take ln of identical integers — no float products before the
+    transcendental. Overflow bound: max tf * C < 2^63 — per-shard
+    corpora to ~1e15 total tokens; shard the index past that. Query
+    terms with zero corpus frequency are dropped from nq (their
+    background probability is 0 — the standard drop-OOV convention),
+    making nq a per-query JOIN-derived constant both engines compute
+    identically.
+
+    Scale shape: mirrors bm25_topk — postings/doc-length/ctf are
+    corpus-sized but narrow combiner aggregates; the 1-row corpus total
+    and the query side broadcast; per-(qid, doc) folds run in TERM
+    order (the q44 discipline) though every fold input is
+    integer-derived; top-k per query is a WindowGroupLimit-prunable
+    row_number with the (score desc, doc_id) tie-break. Returns
+    (qid, rank, doc_id, n_match, score) with the UNROUNDED fold score —
+    callers round at the edge (q194 rounds 6)."""
+    toks = docs.select("doc_id", tokens_col.alias("ts"))
+    dl = toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    postings = build_postings(toks, F.col("ts"))
+    ctf = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    ctot = dl.agg(F.sum("dl").cast("long").alias("c_tot"))
+    # nq per query counts only in-vocabulary terms (ctf >= 1): OOV terms
+    # carry zero background mass and are dropped on both engines
+    qv = F.broadcast(query_terms).join(ctf, "term")
+    nq = qv.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    scored = (
+        F.broadcast(qv)
+        .join(postings, "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    (
+                        F.col("tf") * F.col("c_tot")
+                        + F.lit(mu) * F.col("ctf")
+                    ).cast("double")
+                )
+                - F.log((F.lit(mu) * F.col("ctf")).cast("double"))
+            ).alias("s"),
+        )
+    )
+    folded = scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("lift"),
+    )
+    full = (
+        folded.join(F.broadcast(nq), "qid")
+        .join(dl, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            "n_match",
+            (
+                F.col("lift")
+                + F.col("nq").cast("double")
+                * (
+                    F.log(F.lit(float(mu)))
+                    - F.log((F.col("dl") + F.lit(mu)).cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "n_match", "score")
+    )
+
+
 def setsim_join_exact(
     docs: DataFrame,
     tokens_col,

@@ -12031,6 +12031,175 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q193 — exact two-sample Kolmogorov-Smirnov drift (operators/profile.
+# ks_two_sample): the sup-norm sibling of q179's Wasserstein — W1
+# integrates |CDF_A - CDF_B|, KS takes its MAXIMUM, the right alarm
+# when one narrow band moved (a new source injecting only very short
+# docs barely moves W1 but spikes KS). Even/odd doc-id snapshots over
+# the char-length signal; D's numerator is max|cumA*nB - cumB*nA| as
+# exact int64 (shipped), ks_d one division, ks_stat the fixed-shape
+# sqrt(cast-divide)*divide asymptotic scale. Windows run over the
+# value-domain histogram only (q45 discipline).
+# DuckDB feature req: core only (window cumulative sums).
+# ---------------------------------------------------------------------------
+
+
+def q193_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import ks_two_sample
+
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        F.length("text").cast("long").alias("v"),
+        (F.col("doc_id") % 2).alias("snap"),
+    )
+    return ks_two_sample(b, value_col="v", group_col="snap")
+
+
+_Q193_SQL = """
+WITH t AS (
+  SELECT length(text)::bigint AS x, (doc_id % 2) AS g
+  FROM documents
+), h AS (
+  SELECT x, sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::bigint AS na,
+            sum(CASE WHEN g <> 0 THEN 1 ELSE 0 END)::bigint AS nb
+  FROM t GROUP BY x
+), c AS (
+  SELECT (sum(na) OVER w)::bigint AS cuma,
+         (sum(nb) OVER w)::bigint AS cumb
+  FROM h
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), tot AS (
+  SELECT coalesce(sum(na), 0)::bigint AS n_a,
+         coalesce(sum(nb), 0)::bigint AS n_b FROM h
+), num AS (
+  SELECT coalesce(max(abs(cuma * (SELECT n_b FROM tot)
+                          - cumb * (SELECT n_a FROM tot))), 0)::bigint
+           AS d_num
+  FROM c
+)
+SELECT n_a, n_b, d_num,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(d_num::double / (n_a * n_b), 6) + 0.0 END AS ks_d,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(sqrt((n_a * n_b)::double / (n_a + n_b))
+                       * (d_num::double / (n_a * n_b)), 6) + 0.0 END
+         AS ks_stat
+FROM tot, num
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q194 — Dirichlet query-likelihood top-k retrieval (operators/
+# retrieval.dirichlet_ql_topk): the other classic lexical ranker next
+# to BM25 (q63) — p(w|d) = (tf + mu*ctf/C)/(dl + mu), Bayesian
+# smoothing toward the corpus LM by mu pseudo-tokens; decomposed as
+# matching-term lifts plus a query-length multiple of the per-doc
+# normalizer so evaluation is index-driven. Integer mu makes every ln
+# argument an exact int64 on both engines. Queries: every 70th doc's
+# first three first-occurrence tokens (the q63 derivation, offset so
+# the two rankers' query sets differ); candidates are >= 1-match docs;
+# fold in term order; ranking on the unrounded score, doc_id
+# tie-break.
+# DuckDB feature req: core SQL + list(ORDER BY)/list_sum.
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000
+_QL_K = 10
+_QL_QMOD = 70
+_QL_QLEN = 3
+
+
+def q194_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import dirichlet_ql_topk
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qsrc = (
+        toks.filter(F.col("doc_id") % _QL_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.posexplode("ts").alias("pos", "term"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.min("pos").alias("mp"))
+    )
+    qw = Window.partitionBy("qid").orderBy("mp", "term")
+    qterms = (
+        qsrc.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _QL_QLEN)
+        .select("qid", "term")
+    )
+    out = dirichlet_ql_topk(
+        toks, qterms, F.col("ts"), mu=_QL_MU, k=_QL_K
+    )
+    return out.select(
+        "qid",
+        "rank",
+        "doc_id",
+        "n_match",
+        (F.round("score", 6) + F.lit(0.0)).alias("score"),
+    ).orderBy("qid", "rank")
+
+
+_Q194_SQL = f"""
+WITH tl AS (
+  SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+), dl AS (
+  SELECT doc_id, len(ts)::bigint AS dl FROM tl
+), ctot AS (
+  SELECT sum(dl)::bigint AS c_tot FROM dl
+), toks AS (
+  SELECT doc_id, i::bigint AS pos, ts[i] AS term
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM tl)
+), postings AS (
+  SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term
+), ctf AS (
+  SELECT term, sum(tf)::bigint AS ctf FROM postings GROUP BY term
+), qt0 AS (
+  SELECT doc_id AS qid, term, min(pos) AS mp
+  FROM toks WHERE doc_id % {_QL_QMOD} = 0 GROUP BY doc_id, term
+), qterms AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY mp, term) AS rn
+    FROM qt0
+  ) WHERE rn <= {_QL_QLEN}
+), qv AS (
+  SELECT q.qid, q.term, c.ctf FROM qterms q JOIN ctf c USING (term)
+), nq AS (
+  SELECT qid, count(*)::bigint AS nq FROM qv GROUP BY qid
+), scored AS (
+  SELECT q.qid, p.doc_id, q.term,
+         ln((p.tf * s.c_tot + {_QL_MU} * q.ctf)::double)
+           - ln(({_QL_MU} * q.ctf)::double) AS sc
+  FROM qv q
+  JOIN postings p USING (term), ctot s
+), folded AS (
+  SELECT qid, doc_id, count(*)::bigint AS n_match,
+         list_sum(list(sc ORDER BY term)) AS lift
+  FROM scored GROUP BY qid, doc_id
+), full_sc AS (
+  SELECT f.qid, f.doc_id, f.n_match,
+         f.lift + n.nq::double
+           * (ln({float(_QL_MU)!r}) - ln((l.dl + {_QL_MU})::double))
+           AS score
+  FROM folded f
+  JOIN nq n USING (qid)
+  JOIN dl l USING (doc_id)
+), ranked AS (
+  SELECT qid, doc_id, n_match, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS "rank"
+  FROM full_sc
+)
+SELECT qid, "rank", doc_id, n_match, round(score, 6) + 0.0 AS score
+FROM ranked WHERE "rank" <= {_QL_K} ORDER BY qid, "rank"
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12225,6 +12394,8 @@ def queries():
         "q190_jackknife": q190_jackknife,
         "q191_wl_fingerprint": q191_wl_fingerprint,
         "q192_kneser_ney": q192_kneser_ney,
+        "q193_ks_drift": q193_ks_drift,
+        "q194_dirichlet_ql": q194_dirichlet_ql,
     }
 
 
@@ -12422,4 +12593,6 @@ def oracle_sql():
         "q190_jackknife": _q190_sql(),
         "q191_wl_fingerprint": _q191_sql(),
         "q192_kneser_ney": _Q192_SQL,
+        "q193_ks_drift": _Q193_SQL,
+        "q194_dirichlet_ql": _Q194_SQL,
     }

@@ -79,3 +79,57 @@ def test_wasserstein_single_value_and_empty_class(spark):
     assert _w1(spark, [(5, 0), (5, 1)]) == (1, 1, 0, 0.0)
     n_a, n_b, num, w1 = _w1(spark, [(5, 0), (6, 0)])
     assert (n_a, n_b, w1) == (2, 0, None)
+
+
+def test_ks_hand_computed(spark):
+    """A=[1,2,3], B=[3,4,5]: cum pairs (1,0)(2,0)(3,1)(3,2)(3,3) under
+    n_a=n_b=3 -> d_num=max(3,6,6,3,0)=6, D=2/3,
+    stat=sqrt(9/6)*2/3."""
+    import math
+    from pathhier_spark.operators.profile import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (3, 1), (4, 1), (5, 1)],
+        "v long, snap int",
+    )
+    r = ks_two_sample(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (3, 3, 6)
+    assert abs(r["ks_d"] - round(2.0 / 3.0, 6)) < 1e-12
+    want = round(math.sqrt(9.0 / 6.0) * (6.0 / 9.0), 6)
+    assert abs(r["ks_stat"] - want) < 1e-12
+
+
+def test_ks_identical_distributions_zero(spark):
+    from pathhier_spark.operators.profile import ks_two_sample
+
+    rows = [(v, g) for v in (1, 5, 9, 9, 20) for g in (0, 1)]
+    df = spark.createDataFrame(rows, "v long, snap int")
+    r = ks_two_sample(df).collect()[0]
+    assert r["d_num"] == 0 and r["ks_d"] == 0.0 and r["ks_stat"] == 0.0
+
+
+def test_ks_spikes_where_w1_sleeps(spark):
+    """A narrow-band shift: move 10 of 100 docs one value over. W1 is
+    tiny (10 units of mass x 1 step / 10000); KS sees the full 10%
+    threshold divergence — the sup-vs-integral distinction that
+    motivates shipping both."""
+    from pathhier_spark.operators.profile import ks_two_sample, wasserstein1
+
+    a = [(v, 0) for v in range(100)]
+    b = [(v if not (40 <= v < 50) else 50, 1) for v in range(100)]
+    df = spark.createDataFrame(a + b, "v long, snap int")
+    ks = ks_two_sample(df).collect()[0]
+    w1 = wasserstein1(df).collect()[0]
+    assert abs(ks["ks_d"] - 0.1) < 1e-9
+    # W1 is ~0.1 value-units over a 100-wide domain; normalized per unit
+    # of domain width it is 30x smaller than the KS alarm
+    assert w1["w1"] / 100.0 < ks["ks_d"] / 10.0
+
+
+def test_ks_empty_side_null(spark):
+    from pathhier_spark.operators.profile import ks_two_sample
+
+    df = spark.createDataFrame([(3, 0), (4, 0)], "v long, snap int")
+    r = ks_two_sample(df).collect()[0]
+    assert r["n_b"] == 0
+    assert r["ks_d"] is None and r["ks_stat"] is None

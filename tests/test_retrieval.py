@@ -497,3 +497,81 @@ def test_rouge_empty_sides_null_not_zero_div(spark):
     assert rows[(1, 1)]["rouge_p"] is None
     assert rows[(1, 1)]["rouge_r"] == 0.0
     assert rows[(2, 1)]["rouge_f1"] is None
+
+
+def test_dirichlet_ql_hand_computed(spark):
+    """d1='a b', d2='a b b c', query (a), mu=10: C=6, ctf(a)=2;
+    score(d) = ln(tf*6+20)-ln(20) + 1*(ln 10 - ln(dl+10)). Shorter doc
+    outranks (the smoothing denominator IS the length penalty)."""
+    import math
+    from pathhier_spark.operators.retrieval import dirichlet_ql_topk
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b", "b", "c"])],
+        "doc_id long, ts array<string>",
+    )
+    q = spark.createDataFrame([(100, "a")], "qid long, term string")
+    rows = dirichlet_ql_topk(docs, q, F.col("ts"), mu=10, k=5).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    s1 = math.log(26.0) - math.log(20.0) + (math.log(10.0) - math.log(12.0))
+    s2 = math.log(26.0) - math.log(20.0) + (math.log(10.0) - math.log(14.0))
+    assert abs(got[1]["score"] - s1) < 1e-12
+    assert abs(got[2]["score"] - s2) < 1e-12
+    assert got[1]["n_match"] == 1
+
+
+def test_dirichlet_ql_rank_equivalent_to_loglikelihood(spark):
+    """The decomposed score differs from sum-ln-p by a per-query
+    constant, so the produced ranking must equal ranking by the true
+    smoothed log-likelihood computed directly."""
+    import math
+    from collections import Counter
+    from pathhier_spark.operators.retrieval import dirichlet_ql_topk
+    from pyspark.sql import functions as F
+
+    corpus = {
+        1: "the graph spark engine".split(),
+        2: "the the graph".split(),
+        3: "spark spark shuffle".split(),
+        4: "engine shuffle plan".split(),
+    }
+    mu = 7
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, ts array<string>"
+    )
+    q = spark.createDataFrame(
+        [(9, "spark"), (9, "the")], "qid long, term string"
+    )
+    out = dirichlet_ql_topk(docs, q, F.col("ts"), mu=mu, k=10).collect()
+    got = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+
+    ctf = Counter(w for ws in corpus.values() for w in ws)
+    c_tot = sum(ctf.values())
+    def llh(d):
+        ws = corpus[d]
+        return sum(
+            math.log((Counter(ws)[w] + mu * ctf[w] / c_tot)
+                     / (len(ws) + mu))
+            for w in ("spark", "the")
+        )
+    cand = [d for d in corpus if {"spark", "the"} & set(corpus[d])]
+    want = sorted(cand, key=lambda d: (-llh(d), d))
+    assert got == want
+
+
+def test_dirichlet_ql_oov_term_dropped(spark):
+    from pathhier_spark.operators.retrieval import dirichlet_ql_topk
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"])], "doc_id long, ts array<string>"
+    )
+    q = spark.createDataFrame(
+        [(5, "a"), (5, "zzz_oov")], "qid long, term string"
+    )
+    rows = dirichlet_ql_topk(docs, q, F.col("ts"), mu=10, k=5).collect()
+    # OOV contributes neither a lift nor an nq slot; only d1 matches
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_match"] == 1
