@@ -3143,3 +3143,97 @@ def wl_fingerprint(
             ).cast("long").alias("lbl"),
         )
     return labels.select("node", F.col("lbl").alias("wl_label"))
+
+
+def butterfly_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact butterfly (bipartite 4-cycle) and wedge counting over a
+    bipartite edge list — the bipartite graph's triangle: a butterfly is
+    two src nodes sharing two dst nodes, the smallest unit of bipartite
+    clustering (Wang et al., VLDB 2014). For KG/web data this measures
+    co-engagement cohesion (two pages citing the same two entities, two
+    customers buying the same two parts); the wedge→butterfly ratio is
+    the bipartite clustering coefficient that random bipartite graphs
+    lack.
+
+    Exact counting via the standard two-level combinatorics, all int64:
+    wedges = sum over dst of C(deg_dst, 2) — pairs of src meeting at one
+    dst; co-degree of a src pair = number of shared dst; butterflies =
+    sum over src pairs of C(codeg, 2). The pair table is generated by
+    joining the (deduped) edge list to itself on dst with s1 < s2 — the
+    only corpus-scale shuffle, whose fan-out is exactly the wedge count.
+    Zipf-hot dst nodes blow that up quadratically: max_df drops dst
+    nodes with degree > max_df BEFORE pairing (the degree-cap every
+    exact butterfly counter in the literature applies; the dropped-node
+    count is reported, not silent — the no-silent-caps rule). Both raw
+    counts ship as exact int64; bfly_per_wedge (the density readout —
+    how often a wedge's src pair meets at a SECOND dst) is the one
+    fixed-shape division, rounded 6.
+
+    Output: one row (n_edges, n_dropped_dst, wedges, butterflies,
+    bfly_per_wedge). Overflow: codeg <= capped degree; sums bounded by
+    wedges^2 / 2 in the worst case — keep max_df such that
+    wedge-pair fan-out fits (documented, default uncapped for
+    near-uniform degree graphs like the trade bipartite)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct()
+    degd = e.groupBy("d").agg(F.count(F.lit(1)).alias("dd"))
+    if max_df is not None:
+        keep = degd.where(F.col("dd") <= max_df)
+        dropped = degd.where(F.col("dd") > max_df).agg(
+            F.count(F.lit(1)).cast("long").alias("n_dropped_dst")
+        )
+        e = e.join(F.broadcast(keep.select("d")), "d")
+        degd = keep
+    else:
+        dropped = degd.agg(
+            (F.count(F.lit(1)) * 0).cast("long").alias("n_dropped_dst")
+        )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    wedges = degd.agg(
+        F.coalesce(
+            F.sum(F.col("dd") * (F.col("dd") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("wedges")
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.d") == F.col("b.d"))
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("codeg"))
+    )
+    bfly = pairs.agg(
+        F.coalesce(
+            F.sum(F.col("codeg") * (F.col("codeg") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("butterflies")
+    )
+    return (
+        ne.crossJoin(F.broadcast(dropped))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(bfly))
+        .select(
+            "n_edges",
+            "n_dropped_dst",
+            "wedges",
+            "butterflies",
+            F.when(
+                F.col("wedges") > 0,
+                F.round(
+                    F.col("butterflies")
+                    / F.col("wedges").cast("double"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("bfly_per_wedge"),
+        )
+    )

@@ -586,3 +586,67 @@ def set_cover_select(
     return spark.createDataFrame(
         rows, f"sel int, {id_col} long, gain long, n_covered long"
     )
+
+
+def pareto_frontier2d(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline) over two integer quality
+    signals — the multi-criteria counterpart of the scalar keep/drop
+    thresholds (q14/q53): keep the documents no other document beats on
+    BOTH axes (maximize both). The selection primitive behind "best
+    quality at every length" curation sweeps and the threshold-free dual
+    of the q175 PR-curve: the frontier IS the set of undominated
+    operating points.
+
+    Dominance: a row is dominated iff some other row has x' >= x AND
+    y' >= y with at least one strict. Exact-tie duplicates (same x, y)
+    dominate neither each other nor anything extra — all stay on the
+    frontier (the standard skyline convention; pinned in pytest).
+
+    Scale shape — the reason this is not the textbook sort-based sweep:
+    a global ORDER BY x over corpus rows would be a SinglePartition
+    window (the one plan shape this repo bans). Instead a row is on the
+    frontier iff y = ymax(x) AND y > S(x), where ymax is the per-x-value
+    maximum and S(x) = max_{x' > x} ymax(x') is the strict-suffix
+    maximum — and BOTH live on the x-VALUE-DOMAIN histogram, not on
+    corpus rows (the q45 discipline): one combiner-friendly groupBy(x)
+    builds the histogram, one window over that tiny table computes the
+    suffix max, and one broadcast join back decides every row map-side.
+    Works for any bounded-domain signal (token counts, integer quality
+    scores); quantize upstream when the x domain is not bounded. NULL
+    in either signal disqualifies the row (dominance is undefined on
+    missing data), mirroring SQL NOT EXISTS semantics.
+
+    Output: the frontier rows (id, x, y), one per input row that
+    survives (duplicates preserved)."""
+    pts = df.select(
+        F.col(id_col),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    hist = pts.groupBy("_x").agg(F.max("_y").alias("ymax"))
+    wsuf = (
+        Window.orderBy(F.asc("_x"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    dom = hist.select(
+        "_x",
+        "ymax",
+        F.coalesce(
+            F.max("ymax").over(wsuf), F.lit(-(1 << 62))
+        ).alias("suf"),
+    )
+    return (
+        pts.join(F.broadcast(dom), "_x")
+        .where((F.col("_y") == F.col("ymax")) & (F.col("_y") > F.col("suf")))
+        .select(
+            F.col(id_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+        )
+    )

@@ -12200,6 +12200,107 @@ FROM ranked WHERE "rank" <= {_QL_K} ORDER BY qid, "rank"
 """
 
 
+# ---------------------------------------------------------------------------
+# Q195 — 2-D Pareto frontier selection (operators/sampling.
+# pareto_frontier2d): the documents no other document beats on BOTH
+# token count and distinct-token count — the multi-criteria dual of
+# the scalar keep/drop thresholds, and the threshold-free skyline the
+# curation sweeps read. The Spark side avoids the textbook global sort
+# (a SinglePartition window): frontier iff y = ymax(x) AND y > strict-
+# suffix-max(x), both computed on the x-VALUE-DOMAIN histogram (q45
+# discipline) and broadcast back — corpus rows are decided map-side.
+# The oracle is the OTHER algorithm: a quadratic NOT EXISTS dominance
+# anti-join (the q47 two-algorithms-agree pattern).
+# DuckDB feature req: core only (NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+def q195_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import pareto_frontier2d
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    sig = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return pareto_frontier2d(
+        sig, id_col="doc_id", x_col="n_tokens", y_col="n_distinct"
+    ).orderBy("doc_id")
+
+
+_Q195_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, len(ts)::bigint AS n_tokens,
+         len(list_distinct(ts))::bigint AS n_distinct
+  FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+)
+SELECT doc_id, n_tokens, n_distinct
+FROM sig a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sig b
+  WHERE b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
+    AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct)
+)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q196 — exact butterfly counting (operators/graph.butterfly_count):
+# bipartite 4-cycles over the customer→part co-purchase graph — the
+# bipartite triangle, the smallest unit of co-engagement cohesion the
+# KG's entity-mention bipartite shares. Wedges = Σ_part C(deg, 2);
+# butterflies = Σ_{cust pairs} C(codeg, 2); the pair join's fan-out IS
+# the wedge count, with the literature-standard degree cap (max_df)
+# available and its drop count REPORTED (no silent caps). All counts
+# exact int64; bfly_per_wedge is the one fixed-shape division.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+
+def q196_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import butterfly_count
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+    )
+    return butterfly_count(edges, src="cust", dst="part")
+
+
+_Q196_SQL = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), ne AS (
+  SELECT count(*)::bigint AS n_edges, 0::bigint AS n_dropped_dst FROM e
+), degd AS (
+  SELECT d, count(*)::bigint AS dd FROM e GROUP BY d
+), w AS (
+  SELECT coalesce(sum(dd * (dd - 1) // 2), 0)::bigint AS wedges FROM degd
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, count(*)::bigint AS codeg
+  FROM e a JOIN e b ON a.d = b.d AND a.s < b.s
+  GROUP BY a.s, b.s
+), bf AS (
+  SELECT coalesce(sum(codeg * (codeg - 1) // 2), 0)::bigint AS butterflies
+  FROM pairs
+)
+SELECT n_edges, n_dropped_dst, wedges, butterflies,
+       CASE WHEN wedges > 0
+            THEN round(butterflies / wedges::double, 6) + 0.0 END
+         AS bfly_per_wedge
+FROM ne, w, bf
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12396,6 +12497,8 @@ def queries():
         "q192_kneser_ney": q192_kneser_ney,
         "q193_ks_drift": q193_ks_drift,
         "q194_dirichlet_ql": q194_dirichlet_ql,
+        "q195_pareto_frontier": q195_pareto_frontier,
+        "q196_butterflies": q196_butterflies,
     }
 
 
@@ -12595,4 +12698,6 @@ def oracle_sql():
         "q192_kneser_ney": _Q192_SQL,
         "q193_ks_drift": _Q193_SQL,
         "q194_dirichlet_ql": _Q194_SQL,
+        "q195_pareto_frontier": _Q195_SQL,
+        "q196_butterflies": _Q196_SQL,
     }

@@ -247,3 +247,39 @@ def test_set_cover_greedy_hand_case(spark):
 
     with _pytest.raises(ValueError):
         set_cover_select(df, k=0)
+
+
+def test_pareto_frontier_hand_case(spark):
+    """(2,7) dominates everything at x<=2 with y<=7; (3,1) survives as
+    the only x=3 point; exact duplicates of a frontier point all stay;
+    NULL-signal rows are disqualified."""
+    from pathhier_spark.operators.sampling import pareto_frontier2d
+
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, 2, 5), (3, 2, 5), (4, 1, 6), (5, 3, 1),
+         (6, 2, 7), (7, 2, 7), (8, None, 9)],
+        "doc_id long, x long, y long",
+    )
+    got = sorted(
+        map(tuple, pareto_frontier2d(df, x_col="x", y_col="y").collect())
+    )
+    assert got == [(5, 3, 1), (6, 2, 7), (7, 2, 7)]
+
+
+def test_pareto_frontier_equals_brute_force(spark):
+    from pathhier_spark.operators.sampling import pareto_frontier2d
+
+    pts = [(i, (i * 7) % 23, (i * 13) % 19) for i in range(200)]
+    df = spark.createDataFrame(pts, "doc_id long, x long, y long")
+    got = sorted(
+        map(tuple, pareto_frontier2d(df, x_col="x", y_col="y").collect())
+    )
+    want = sorted(
+        (i, x, y)
+        for (i, x, y) in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y)
+            for (_, bx, by) in pts
+        )
+    )
+    assert got == want

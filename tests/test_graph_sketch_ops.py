@@ -1439,3 +1439,43 @@ def test_wl_fingerprint_isomorphism_invariant_histogram(spark):
     g3 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
           ("f", "a"), ("a", "c")]
     assert hist(g) != hist(g3)
+
+
+def test_butterfly_k22_and_k23(spark):
+    from pathhier_spark.operators.graph import butterfly_count
+
+    k22 = spark.createDataFrame(
+        [("s1", "d1"), ("s1", "d2"), ("s2", "d1"), ("s2", "d2"),
+         ("s1", "d1")],  # duplicate edge must dedup
+        "src string, dst string",
+    )
+    r = butterfly_count(k22).collect()[0]
+    assert (r["n_edges"], r["wedges"], r["butterflies"]) == (4, 2, 1)
+    assert abs(r["bfly_per_wedge"] - 0.5) < 1e-12
+
+    k23 = spark.createDataFrame(
+        [(s, d) for s in ("s1", "s2") for d in ("d1", "d2", "d3")],
+        "src string, dst string",
+    )
+    r = butterfly_count(k23).collect()[0]
+    # three dst of degree 2 -> 3 wedges; the one src pair has codeg 3
+    # -> C(3,2) = 3 butterflies
+    assert (r["wedges"], r["butterflies"]) == (3, 3)
+
+
+def test_butterfly_degree_cap_reports_drops(spark):
+    from pathhier_spark.operators.graph import butterfly_count
+
+    edges = [("s1", "d1"), ("s1", "d2"), ("s2", "d1"), ("s2", "d2")]
+    hot = [(f"s{i}", "hot") for i in range(1, 6)]  # degree-5 dst
+    df = spark.createDataFrame(edges + hot, "src string, dst string")
+    uncapped = butterfly_count(df).collect()[0]
+    capped = butterfly_count(df, max_df=4).collect()[0]
+    assert uncapped["n_dropped_dst"] == 0
+    assert capped["n_dropped_dst"] == 1
+    # with the hot dst removed the graph is exactly K2,2 again
+    assert (capped["n_edges"], capped["wedges"], capped["butterflies"]) == (
+        4, 2, 1,
+    )
+    # and uncapped counts include the hot wedge contributions
+    assert uncapped["wedges"] == 2 + 10
