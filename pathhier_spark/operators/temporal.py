@@ -635,3 +635,71 @@ def frequent_sequences(
         .select("k", "pattern", "support", "support_fp")
         .orderBy("k", F.desc("support"), "pattern")
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Exact per-key union length of overlapping integer intervals —
+    the classic sweep ("how much wall-clock was this user/session/host
+    actually active, counting overlaps once?") that sessionize (q16)
+    cannot answer: gap-based sessions tell you how many bursts there
+    were, coverage tells you how much of the clock the bursts covered.
+
+    The sweep is ONE window partitioned by key, ordered by
+    (start, end): with reach = running max of PRIOR ends, each interval
+    contributes max(0, end - max(reach, start)) — exact int64 — and
+    opens a new merged block iff start > reach. Touching intervals
+    ([1,2], [2,3]) merge (coverage 2, one block), the half-open
+    [start, end) convention. Zero/negative-length and NULL-bounded
+    intervals are dropped before the sweep (they cover nothing and
+    would otherwise seed phantom blocks).
+
+    Scale shape: the window partitions BY KEY — per-user partitions,
+    never SinglePartition; skewed power-users are bounded by their own
+    event counts, and AQE's skew split handles the outliers. All
+    arithmetic is int64 (microseconds): no float time math anywhere.
+    Output: (key, n_intervals, covered, n_blocks)."""
+    iv = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("s"), F.asc("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = iv.select(
+        "k",
+        "s",
+        "e",
+        F.coalesce(F.max("e").over(w), F.lit(-(1 << 62))).alias("reach"),
+    )
+    return (
+        swept.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(
+                F.greatest(
+                    F.col("e") - F.greatest(F.col("reach"), F.col("s")),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("covered"),
+            F.sum(
+                F.when(F.col("s") > F.col("reach"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_blocks"),
+        )
+    )

@@ -12301,6 +12301,73 @@ FROM ne, w, bf
 """
 
 
+# ---------------------------------------------------------------------------
+# Q197 — per-user interval-union coverage (operators/temporal.
+# interval_coverage): the classic merge-overlapping-intervals sweep —
+# how much wall-clock a user's activity intervals actually cover,
+# counting overlaps ONCE — which sessionize (q16) cannot answer:
+# gap-sessions count bursts, coverage measures the union length.
+# Intervals are derived deterministically from the point events:
+# start = unix_micros(ts), duration = floor(value*100) deci-seconds —
+# identical IEEE double→floor→int64 arithmetic on both engines, so
+# typical minutes-apart events overlap heavily within a user. The sweep
+# is ONE window partitioned BY USER (never SinglePartition): reach =
+# running max of PRIOR ends; each interval contributes
+# max(0, e - max(reach, s)) and opens a block iff s > reach. All
+# arithmetic int64 microseconds — no float time math.
+# DuckDB feature req: core window functions only.
+# ---------------------------------------------------------------------------
+
+
+def q197_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import interval_coverage
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    iv = ev.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * F.lit(100.0)).cast("long")
+            * F.lit(100000)
+        ).alias("end"),
+    )
+    return interval_coverage(
+        iv, key_col="user_id", start_col="start", end_col="end"
+    ).orderBy("user_id")
+
+
+_Q197_SQL = """
+WITH iv AS (
+  SELECT user_id AS k,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + floor(value * 100)::bigint * 100000 AS e
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+), ok AS (
+  SELECT k, s, e FROM iv WHERE e > s
+), swept AS (
+  SELECT k, s, e,
+         coalesce(
+           max(e) OVER (PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -4611686018427387904) AS reach
+  FROM ok
+)
+SELECT k AS user_id,
+       count(*)::bigint AS n_intervals,
+       sum(greatest(e - greatest(reach, s), 0))::bigint AS covered,
+       sum(CASE WHEN s > reach THEN 1 ELSE 0 END)::bigint AS n_blocks
+FROM swept
+GROUP BY k
+ORDER BY user_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12499,6 +12566,7 @@ def queries():
         "q194_dirichlet_ql": q194_dirichlet_ql,
         "q195_pareto_frontier": q195_pareto_frontier,
         "q196_butterflies": q196_butterflies,
+        "q197_interval_coverage": q197_interval_coverage,
     }
 
 
@@ -12700,4 +12768,5 @@ def oracle_sql():
         "q194_dirichlet_ql": _Q194_SQL,
         "q195_pareto_frontier": _Q195_SQL,
         "q196_butterflies": _Q196_SQL,
+        "q197_interval_coverage": _Q197_SQL,
     }

@@ -409,3 +409,29 @@ def test_frequent_sequences_support_is_distinct_users(spark):
     got = {r["pattern"]: r["support"]
            for r in frequent_sequences(ev, min_support_fp=0).collect()}
     assert got["a>b"] == 1
+
+
+def test_interval_coverage_hand_computed(spark):
+    from pathhier_spark.operators.temporal import interval_coverage
+
+    rows = [
+        # user 1: [0,10) + [5,12) overlap -> one block covering 12;
+        # [12,15) touches (half-open merge) -> still one block, +3;
+        # [20,25) disjoint -> second block, +5
+        (1, 0, 10), (1, 5, 12), (1, 12, 15), (1, 20, 25),
+        # user 2: containment — [0,100) swallows [10,20) and [90,95)
+        (2, 0, 100), (2, 10, 20), (2, 90, 95),
+        # user 3: zero-length and inverted intervals are dropped
+        (3, 5, 5), (3, 9, 4), (3, 1, 3),
+        # user 4: NULL bounds dropped entirely -> no output row
+        (4, None, 7), (4, 7, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start long, end long")
+    got = {
+        r["user_id"]: (r["n_intervals"], r["covered"], r["n_blocks"])
+        for r in interval_coverage(df).collect()
+    }
+    assert got[1] == (4, 20, 2)
+    assert got[2] == (3, 100, 1)
+    assert got[3] == (1, 2, 1)
+    assert 4 not in got
