@@ -3237,3 +3237,79 @@ def butterfly_count(
             ).alias("bfly_per_wedge"),
         )
     )
+
+
+def katz_fixedpoint(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    alpha_pct: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Katz centrality in integer fixed-point — the path-counting
+    centrality PageRank is NOT: no out-degree normalization, so a node's
+    influence is its raw attenuated in-path count (beta * sum over path
+    lengths k of alpha^k * #in-paths of length k), which on the typed KG
+    rewards hub entities with many distinct provenance chains rather
+    than probability mass. Complements pagerank_fixedpoint (q51/q57),
+    HITS (q84), harmonic (q141): four centralities, four different
+    questions.
+
+    Determinism + convergence in one move: the attenuation is
+    alpha_pct / (100 * dmax) where dmax = max in-degree. Since the
+    adjacency spectral radius is <= max degree, the effective alpha is
+    < 1/lambda_max whenever alpha_pct < 100 — the series converges — and
+    each round's per-edge contribution floor(x * alpha_pct /
+    (100 * dmax)) keeps every intermediate < 2*scale, so int64 never
+    overflows regardless of graph shape (a plain alpha^k recursion
+    overflows at hub in-degrees ~100). Pure integer ops -> the oracle
+    replays the rounds as unrolled SQL CTEs, the q51 trick.
+
+    Scale shape: inputs localCheckpoint-ed ONCE before the loop
+    (pagerank's r4 lesson — never re-derive the edge lineage per round);
+    each round is one node-sized equi-join + one combiner-friendly
+    integer sum; dmax is a single scalar collect.
+    Output: (node, katz_fp INT64, katz DOUBLE = katz_fp / scale)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    row = (
+        e.groupBy("d").agg(F.count(F.lit(1)).alias("indeg"))
+        .agg(F.max("indeg").alias("m"))
+        .collect()
+    )
+    dmax = int(row[0]["m"]) if row and row[0]["m"] is not None else 1
+    denom = 100 * dmax
+    x = nodes.withColumn("katz_fp", F.lit(int(scale)).cast("long"))
+    for _ in range(iterations):
+        insum = (
+            e.join(x.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                F.floor(
+                    F.col("katz_fp") * F.lit(alpha_pct) / F.lit(denom)
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        x = nodes.join(insum, "node", "left").select(
+            "node",
+            (
+                F.lit(int(scale)).cast("long")
+                + F.coalesce(F.col("in_sum"), F.lit(0)).cast("long")
+            ).alias("katz_fp"),
+        )
+    return x.select(
+        "node",
+        "katz_fp",
+        (F.col("katz_fp").cast("double") / F.lit(float(scale))).alias("katz"),
+    )

@@ -12368,6 +12368,181 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q198 — Katz centrality (operators/graph.katz_fixedpoint) over the
+# two-layer typed trade graph customer→supplier (traded-with) ∪
+# supplier→nation (located-in): the path-counting centrality PageRank
+# is not — no out-degree normalization, so nations accumulate raw
+# attenuated 1- and 2-hop in-path counts. Attenuation alpha_pct /
+# (100 * max-in-degree) makes the truncated series both convergent
+# (alpha < 1/lambda_max since lambda_max <= dmax) and int64-safe at ANY
+# hub degree; all-integer rounds replay as unrolled CTEs (q51's trick).
+# DuckDB feature req: core only (integer // division).
+# ---------------------------------------------------------------------------
+
+_KATZ_ITERS = 4
+_KATZ_ALPHA_PCT = 20
+_KATZ_SCALE = 1_000_000
+
+
+def q198_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import katz_fixedpoint
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supplier = spark.read.parquet(_t(sf_dir, "supplier"))
+    trade = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    loc = supplier.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    return katz_fixedpoint(
+        trade.union(loc),
+        iterations=_KATZ_ITERS,
+        alpha_pct=_KATZ_ALPHA_PCT,
+        scale=_KATZ_SCALE,
+    ).select(
+        "node", "katz_fp", _rz(F.col("katz"), 6).alias("katz")
+    ).orderBy("node")
+
+
+def _q198_sql() -> str:
+    def rnd(prev, c, cur):
+        return f"""{c} AS (
+  SELECT e.d AS node,
+         sum((r.katz_fp * {_KATZ_ALPHA_PCT}) // (100 * dmax.m)) AS in_sum
+  FROM e JOIN {prev} r ON e.s = r.node, dmax
+  GROUP BY e.d
+), {cur} AS (
+  SELECT n.node,
+         ({_KATZ_SCALE} + coalesce(c.in_sum, 0))::bigint AS katz_fp
+  FROM nodes n LEFT JOIN {c} c ON n.node = c.node
+)"""
+
+    rounds = ",\n".join(
+        rnd(f"x{i}", f"c{i + 1}", f"x{i + 1}") for i in range(_KATZ_ITERS)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey::varchar AS s,
+                  's' || l_suppkey::varchar AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT DISTINCT 's' || s_suppkey::varchar, 'n' || s_nationkey::varchar
+  FROM supplier
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+  )
+), dmax AS (
+  SELECT max(c)::bigint AS m FROM (
+    SELECT d, count(*)::bigint AS c FROM e GROUP BY d
+  )
+), x0 AS (
+  SELECT node, {_KATZ_SCALE}::bigint AS katz_fp FROM nodes
+),
+{rounds}
+SELECT node, katz_fp,
+       (round(katz_fp::double / {_KATZ_SCALE}.0, 6) + 0.0) AS katz
+FROM x{_KATZ_ITERS}
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q199 — Allen interval-relation census (operators/temporal.
+# allen_relation_counts): per-user counts of WHICH of Allen's 7
+# canonical relations (precedes/meets/overlaps/starts/contains/
+# finished_by/equals) hold between pairs of the user's activity
+# intervals — the temporal texture interval_coverage (q197) collapses.
+# Same deterministic interval derivation as q197 (unix micros +
+# floor(value*100) deci-seconds). The pairwise join is equi on user
+# only; the quadratic per-user fan-out is bounded by max_per_key=50
+# (first-by-time via one row_number window) with the per-user drop
+# count REPORTED in n_dropped — at sf0.001/sf0.01 the busiest users
+# have 86-88 events, so the cap path is exercised by the gate itself.
+# DuckDB feature req: core window + join only.
+# ---------------------------------------------------------------------------
+
+_ALLEN_CAP = 50
+
+
+def q199_allen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import allen_relation_counts
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    iv = ev.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * F.lit(100.0)).cast("long")
+            * F.lit(100000)
+        ).alias("end"),
+    )
+    return allen_relation_counts(
+        iv,
+        key_col="user_id",
+        start_col="start",
+        end_col="end",
+        id_col="event_id",
+        max_per_key=_ALLEN_CAP,
+    ).orderBy("user_id", "relation")
+
+
+_Q199_SQL = f"""
+WITH iv AS (
+  SELECT user_id AS k, event_id AS i,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + floor(value * 100)::bigint * 100000 AS e
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+), ok AS (
+  SELECT k, i, s, e FROM iv WHERE e > s
+), ranked AS (
+  SELECT k, i, s, e,
+         row_number() OVER (PARTITION BY k ORDER BY s, e, i) AS rn
+  FROM ok
+), kept AS (
+  SELECT k, i, s, e FROM ranked WHERE rn <= {_ALLEN_CAP}
+), drops AS (
+  SELECT k, count(*)::bigint AS n_dropped
+  FROM ranked WHERE rn > {_ALLEN_CAP} GROUP BY k
+), pairs AS (
+  SELECT a.k,
+         CASE WHEN a.e < b.s THEN 'precedes'
+              WHEN a.e = b.s THEN 'meets'
+              WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+              WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+              WHEN a.e < b.e THEN 'overlaps'
+              WHEN a.e = b.e THEN 'finished_by'
+              ELSE 'contains' END AS relation
+  FROM kept a JOIN kept b ON a.k = b.k AND (
+       a.s < b.s
+       OR (a.s = b.s AND a.e < b.e)
+       OR (a.s = b.s AND a.e = b.e AND a.i < b.i))
+)
+SELECT p.k AS user_id, p.relation, count(*)::bigint AS n_pairs,
+       coalesce(min(d.n_dropped), 0)::bigint AS n_dropped
+FROM pairs p LEFT JOIN drops d ON p.k = d.k
+GROUP BY p.k, p.relation
+ORDER BY user_id, relation
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12567,6 +12742,8 @@ def queries():
         "q195_pareto_frontier": q195_pareto_frontier,
         "q196_butterflies": q196_butterflies,
         "q197_interval_coverage": q197_interval_coverage,
+        "q198_katz": q198_katz,
+        "q199_allen_census": q199_allen_census,
     }
 
 
@@ -12769,4 +12946,6 @@ def oracle_sql():
         "q195_pareto_frontier": _Q195_SQL,
         "q196_butterflies": _Q196_SQL,
         "q197_interval_coverage": _Q197_SQL,
+        "q198_katz": _q198_sql(),
+        "q199_allen_census": _Q199_SQL,
     }

@@ -1479,3 +1479,38 @@ def test_butterfly_degree_cap_reports_drops(spark):
     )
     # and uncapped counts include the hot wedge contributions
     assert uncapped["wedges"] == 2 + 10
+
+
+def test_katz_fixedpoint_hand_computed(spark):
+    from pathhier_spark.operators.graph import katz_fixedpoint
+
+    # a->b, c->b, b->d: dmax = indeg(b) = 2, so with alpha_pct=20 and
+    # scale=100 each edge carries floor(x / 10). Fixed point after two
+    # rounds: sources stay at beta=100, b = 100 + 2*10 = 120,
+    # d = 100 + floor(120/10) = 112.
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "d")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["katz_fp"]
+        for r in katz_fixedpoint(e, iterations=4, alpha_pct=20, scale=100).collect()
+    }
+    assert got == {"a": 100, "c": 100, "b": 120, "d": 112}
+
+
+def test_katz_bounded_at_hub_degree(spark):
+    from pathhier_spark.operators.graph import katz_fixedpoint
+
+    # 200 spokes -> one hub: the dmax normalization must keep the hub's
+    # score <= scale * (1 + alpha) regardless of in-degree (a plain
+    # alpha^k recursion would give hub = scale * (1 + 200 * alpha)).
+    e = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(200)], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["katz_fp"]
+        for r in katz_fixedpoint(e, iterations=3, alpha_pct=20, scale=1_000_000).collect()
+    }
+    # each spoke contributes floor(1e6 * 20 / (100 * 200)) = 1000
+    assert got["hub"] == 1_000_000 + 200 * 1000
+    assert got["s0"] == 1_000_000

@@ -435,3 +435,44 @@ def test_interval_coverage_hand_computed(spark):
     assert got[2] == (3, 100, 1)
     assert got[3] == (1, 2, 1)
     assert 4 not in got
+
+
+def test_allen_relation_counts_all_seven(spark):
+    from pathhier_spark.operators.temporal import allen_relation_counts
+
+    rows = [
+        # one pair per relation, key 1 (ids fix the lex tie for equals)
+        (1, 1, 0, 10), (1, 2, 20, 30),    # precedes
+        (1, 3, 40, 50), (1, 4, 50, 60),   # meets
+        (1, 5, 100, 110), (1, 6, 105, 120),  # overlaps
+        (1, 7, 200, 210), (1, 8, 200, 220),  # starts
+        (1, 9, 300, 340), (1, 10, 310, 320),  # contains
+        (1, 11, 400, 420), (1, 12, 410, 420),  # finished_by
+        (1, 13, 500, 510), (1, 14, 500, 510),  # equals
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start long, end long"
+    )
+    got = {
+        (r["user_id"], r["relation"]): r["n_pairs"]
+        for r in allen_relation_counts(df).collect()
+    }
+    for rel in ("meets", "overlaps", "starts", "contains",
+                "finished_by", "equals"):
+        assert got[(1, rel)] == 1, rel
+    # every cross-block pair is 'precedes': 7 blocks of 2 -> C(14,2)=91
+    # pairs total, 6 non-precedes within-block, 1 precedes within-block
+    assert got[(1, "precedes")] == 91 - 6
+
+
+def test_allen_relation_counts_cap_reports_drops(spark):
+    from pathhier_spark.operators.temporal import allen_relation_counts
+
+    rows = [(1, i, 10 * i, 10 * i + 5) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start long, end long"
+    )
+    out = allen_relation_counts(df, max_per_key=4).collect()
+    assert {(r["relation"], r["n_pairs"], r["n_dropped"]) for r in out} == {
+        ("precedes", 6, 6)
+    }
