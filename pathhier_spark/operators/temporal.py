@@ -793,3 +793,135 @@ def allen_relation_counts(
         "n_pairs",
         nd.alias("n_dropped"),
     )
+
+
+def decayed_engagement(
+    df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_us: int = 7 * 24 * 3600 * 1_000_000,
+    anchor_us: int | None = None,
+    max_shift: int = 40,
+) -> DataFrame:
+    """Half-life-decayed engagement score — the freshness-weighted sum
+    behind "recent activity counts more": each event contributes
+    value_cents / 2^age where age = whole half-lives between the event
+    and the anchor. EXACT integers throughout: value_cents =
+    floor(value*100), age = (anchor_us - ts_us) // halflife_us (int64
+    floor division), and the decay is floor(v / 2^age) — a power-of-two
+    double division is exact for v < 2^53, so floor matches pure integer
+    shifting on any engine. Events after the anchor clamp to age 0;
+    shifts clamp at `max_shift` (contribution already 0 for any real
+    value). No float accumulates across rows: the groupBy sums int64.
+
+    Scale shape: the decay is a per-row map expression + ONE
+    combiner-friendly groupBy — the cheapest possible distributed shape
+    (map-side partial sums, no window, no join). anchor_us=None derives
+    the anchor from max(ts) via a single scalar collect.
+    Output: (*key_cols, n_events, raw_cents, decayed_cents)."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if anchor_us is None:
+        anchor_us = df.agg(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        ).collect()[0][0]
+    age = F.floor(
+        (F.lit(int(anchor_us)) - ts_us) / F.lit(int(halflife_us))
+    ).cast("long")
+    age = F.least(
+        F.greatest(age, F.lit(0)), F.lit(int(max_shift))
+    ).cast("int")
+    cents = F.floor(F.col(value_col) * F.lit(100.0)).cast("long")
+    contrib = F.floor(
+        cents / F.pow(F.lit(2.0), age.cast("double"))
+    ).cast("long")
+    return (
+        df.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(*key_cols, cents.alias("_c"), contrib.alias("_d"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_c").cast("long").alias("raw_cents"),
+            F.sum("_d").cast("long").alias("decayed_cents"),
+        )
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_margin_us: int = 7 * 24 * 3600 * 1_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival over user lifetimes — the
+    churn curve: S(t) = prod over death times t' <= t of (1 - d/n),
+    where a user's lifetime is last-event minus first-event (whole
+    hours) and users whose last event falls within `censor_margin_us`
+    of the study end (global max ts) are right-CENSORED: they leave the
+    risk set at their observed lifetime without counting as a death —
+    dropping them instead would bias churn down, the classic mistake.
+
+    Exactness: the product is int64 fixed-point, S_fp <- floor(
+    S_fp * (n - d) / n) stepped over death times in order — no float
+    product, no ln-sum whose association order an engine could change.
+    The step runs on the DRIVER over the collected lifetime histogram,
+    which is DOMAIN-bounded (distinct whole-hour lifetimes <= the study
+    window in hours), not corpus-bounded — the q45 histogram-walk
+    discipline; the oracle replays the identical recurrence as a
+    recursive CTE. Everything corpus-sized (per-user min/max, the
+    histogram groupBy) is distributed and combiner-friendly.
+
+    At-risk n(t) counts every user with observed lifetime >= t (deaths
+    and censored alike — ties resolve deaths-before-censoring, the
+    standard convention). Output, death times only:
+    (t_hours, n_at_risk, n_deaths, surv_fp, surv)."""
+    spark = df.sparkSession
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lives = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.min(ts_us).alias("t0"), F.max(ts_us).alias("t1"))
+    )
+    end_us = lives.agg(F.max("t1")).collect()[0][0]
+    hist = (
+        lives.select(
+            F.floor((F.col("t1") - F.col("t0")) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("t_hours"),
+            F.when(
+                F.lit(int(end_us)) - F.col("t1") < F.lit(int(censor_margin_us)),
+                0,
+            )
+            .otherwise(1)
+            .alias("is_death"),
+        )
+        .groupBy("t_hours")
+        .agg(
+            F.sum("is_death").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .orderBy("t_hours")
+        .collect()
+    )
+    total = sum(r["c"] for r in hist)
+    rows, at_risk, s_fp = [], total, int(scale)
+    for r in hist:
+        if r["d"] > 0:
+            s_fp = s_fp * (at_risk - r["d"]) // at_risk
+            rows.append((int(r["t_hours"]), int(at_risk), int(r["d"]), s_fp))
+        at_risk -= r["c"]
+    out = spark.createDataFrame(
+        rows, "t_hours long, n_at_risk long, n_deaths long, surv_fp long"
+    )
+    return out.select(
+        "t_hours",
+        "n_at_risk",
+        "n_deaths",
+        "surv_fp",
+        (F.col("surv_fp").cast("double") / F.lit(float(scale))).alias("surv"),
+    )

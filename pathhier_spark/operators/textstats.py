@@ -2553,3 +2553,71 @@ def kneser_ney_surprisal(
             F.round(F.col("sum_lnp") / F.col("n_scored"), 6) + F.lit(0.0),
         ).alias("avg_surprisal"),
     )
+
+
+def g2_collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood (G²) collocations over ADJACENT token
+    bigrams — the association statistic PMI (q64) is not: PMI rewards
+    rare-but-exclusive pairs, G² weights the evidence by frequency
+    (2·Σ O·ln(O/E) over the 2×2 bigram contingency), so it surfaces
+    high-volume collocations PMI drowns and is robust at low counts
+    where PMI explodes. Also a different grain: q64 counts document
+    co-occurrence, this counts surface adjacency.
+
+    Contingency per pair (x, y): a = c(x,y), row = c(x,·), col =
+    c(·,y), N = total bigrams; b = row−a, c_ = col−a, d = N−row−col+a.
+    Each term is o·ln((o·N)/(rowsum·colsum)) with o, N and the margins
+    exact int64 — the ln of the same rational on both engines (the q64
+    bit-parity argument) — and the four terms fold in one FIXED scalar
+    expression per row: no float crosses a shuffle.
+
+    Scale shape: bigram counts are one combiner groupBy; margins are
+    two more tiny groupBys off the bigram table (never a corpus
+    re-scan); the scoring join is margin-sized. Zipf-hot margins are
+    broadcast-or-AQE territory, same as bigram_surprisal.
+    Output: (x, y, c_xy, g2) for pairs with c_xy >= min_count."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    big = pairs.groupBy(
+        F.col("w1").alias("x"), F.col("w2").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("a"))
+    row = big.groupBy("x").agg(F.sum("a").alias("rs"))
+    col = big.groupBy("y").agg(F.sum("a").alias("cs"))
+    n = big.agg(F.sum("a")).collect()[0][0] or 0
+
+    def term(o, rsum, csum):
+        e_ratio = (o.cast("double") * F.lit(float(n))) / (
+            rsum.cast("double") * csum.cast("double")
+        )
+        return F.when(o > 0, o.cast("double") * F.log(e_ratio)).otherwise(
+            F.lit(0.0)
+        )
+
+    a = F.col("a")
+    rs, cs = F.col("rs"), F.col("cs")
+    nn = F.lit(int(n)).cast("long")
+    g2 = F.lit(2.0) * (
+        term(a, rs, cs)
+        + term(rs - a, rs, nn - cs)
+        + term(cs - a, nn - rs, cs)
+        + term(nn - rs - cs + a, nn - rs, nn - cs)
+    )
+    return (
+        big.where(F.col("a") >= min_count)
+        .join(row, "x")
+        .join(col, "y")
+        .select("x", "y", F.col("a").alias("c_xy"), g2.alias("g2"))
+    )

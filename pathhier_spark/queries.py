@@ -12543,6 +12543,179 @@ ORDER BY user_id, relation
 """
 
 
+# ---------------------------------------------------------------------------
+# Q200 — half-life-decayed engagement (operators/temporal.
+# decayed_engagement): freshness-weighted per-user/type activity —
+# each event contributes floor(value_cents / 2^age), age = whole
+# 7-day half-lives before the corpus max-ts anchor (one scalar
+# collect). Exact end-to-end: int64 floor-division for age, and the
+# power-of-two division is exact in doubles below 2^53, so floor
+# equals integer shifting on both engines. Shape: per-row map + ONE
+# combiner groupBy — the cheapest distributed form there is.
+# DuckDB feature req: core only (pow + integer //).
+# ---------------------------------------------------------------------------
+
+
+def q200_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import decayed_engagement
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return decayed_engagement(ev).orderBy("user_id", "event_type")
+
+
+_Q200_SQL = """
+WITH mx AS (
+  SELECT max(epoch_us(ts)) AS m FROM events
+), e AS (
+  SELECT user_id, event_type,
+         floor(value * 100)::bigint AS cents,
+         least(greatest((mx.m - epoch_us(ts)) // 604800000000, 0),
+               40)::bigint AS age
+  FROM events, mx
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, event_type,
+       count(*)::bigint AS n_events,
+       sum(cents)::bigint AS raw_cents,
+       sum(floor(cents / pow(2.0, age))::bigint)::bigint AS decayed_cents
+FROM e
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q201 — Kaplan-Meier churn curve (operators/temporal.kaplan_meier):
+# product-limit survival over user lifetimes (last − first event,
+# whole hours) with real right-censoring — users whose last event is
+# within 6 hours of the study end (the testdata's median last-event
+# gap is ~7h, so both fates are populated at every sf) leave the risk
+# set without counting as deaths. The survival product is int64
+# fixed-point stepped over
+# death times on the DOMAIN-bounded lifetime histogram (q45's
+# histogram-walk discipline — distinct whole-hour lifetimes, not
+# users); the oracle replays the identical floor-product recurrence
+# as a recursive CTE (the q18/q31 oracle tool).
+# DuckDB feature req: WITH RECURSIVE (also used by q18/q31 oracles).
+# ---------------------------------------------------------------------------
+
+
+def q201_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import kaplan_meier
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return kaplan_meier(ev, censor_margin_us=6 * 3600 * 1_000_000).select(
+        "t_hours", "n_at_risk", "n_deaths", "surv_fp",
+        _rz(F.col("surv"), 6).alias("surv"),
+    ).orderBy("t_hours")
+
+
+_Q201_SQL = """
+WITH RECURSIVE lives AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), study AS (
+  SELECT max(t1) AS e FROM lives
+), obs AS (
+  SELECT (t1 - t0) // 3600000000 AS t_hours,
+         CASE WHEN study.e - t1 < 21600000000 THEN 0 ELSE 1 END AS is_death
+  FROM lives, study
+), hist AS (
+  SELECT t_hours, sum(is_death)::bigint AS d, count(*)::bigint AS c
+  FROM obs GROUP BY t_hours
+), risk AS (
+  SELECT t_hours, d, sum(c) OVER (ORDER BY t_hours DESC)::bigint AS n
+  FROM hist
+), deaths AS (
+  SELECT t_hours, n, d,
+         row_number() OVER (ORDER BY t_hours)::bigint AS idx
+  FROM risk WHERE d > 0
+), rec AS (
+  SELECT 0::bigint AS idx, 1000000::bigint AS s_fp
+  UNION ALL
+  SELECT d.idx, ((r.s_fp * (d.n - d.d)) // d.n)::bigint
+  FROM rec r JOIN deaths d ON d.idx = r.idx + 1
+)
+SELECT d.t_hours, d.n AS n_at_risk, d.d AS n_deaths, r.s_fp AS surv_fp,
+       (round(r.s_fp::double / 1000000.0, 6) + 0.0) AS surv
+FROM deaths d JOIN rec r ON d.idx = r.idx
+ORDER BY t_hours
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q202 — Dunning log-likelihood (G²) collocations (operators/textstats.
+# g2_collocations) over adjacent token bigrams — the
+# frequency-weighted association PMI (q64) is not (PMI rewards rare
+# exclusivity; G² weights evidence), and a different grain (surface
+# adjacency vs document co-occurrence). All contingency cells exact
+# int64; each term is o·ln(o·N / (rowsum·colsum)) — ln of the same
+# rational on both engines (q64's bit-parity argument) — folded in one
+# fixed scalar expression; the top-50 cut orders on the UNROUNDED g2.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+_G2_MINC = 5
+_G2_TOPK = 50
+
+
+def q202_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import g2_collocations
+
+    docs = _docs(spark, sf_dir)
+    out = g2_collocations(docs, min_count=_G2_MINC)
+    return (
+        out.orderBy(F.desc("g2"), "x", "y")
+        .limit(_G2_TOPK)
+        .select("x", "y", "c_xy", _rz(F.col("g2"), 6).alias("g2"))
+    )
+
+
+def _q202_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents)
+  )
+), big AS (
+  SELECT w1 AS x, w2 AS y, count(*)::bigint AS a FROM toks GROUP BY w1, w2
+), rowm AS (
+  SELECT x, sum(a)::bigint AS rs FROM big GROUP BY x
+), colm AS (
+  SELECT y, sum(a)::bigint AS cs FROM big GROUP BY y
+), nn AS (
+  SELECT sum(a)::bigint AS n FROM big
+), scored AS (
+  SELECT b.x, b.y, b.a AS c_xy,
+    2.0 * (
+      CASE WHEN b.a > 0 THEN b.a::double
+           * ln((b.a::double * n) / (rs::double * cs::double))
+           ELSE 0.0 END
+    + CASE WHEN rs - b.a > 0 THEN (rs - b.a)::double
+           * ln(((rs - b.a)::double * n) / (rs::double * (n - cs)::double))
+           ELSE 0.0 END
+    + CASE WHEN cs - b.a > 0 THEN (cs - b.a)::double
+           * ln(((cs - b.a)::double * n) / ((n - rs)::double * cs::double))
+           ELSE 0.0 END
+    + CASE WHEN n - rs - cs + b.a > 0 THEN (n - rs - cs + b.a)::double
+           * ln(((n - rs - cs + b.a)::double * n)
+                / ((n - rs)::double * (n - cs)::double))
+           ELSE 0.0 END
+    ) AS g2_raw
+  FROM big b JOIN rowm ON b.x = rowm.x JOIN colm ON b.y = colm.y, nn
+  WHERE b.a >= {_G2_MINC}
+)
+SELECT x, y, c_xy, (round(g2_raw, 6) + 0.0) AS g2
+FROM scored
+ORDER BY g2_raw DESC, x, y
+LIMIT {_G2_TOPK}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12744,6 +12917,9 @@ def queries():
         "q197_interval_coverage": q197_interval_coverage,
         "q198_katz": q198_katz,
         "q199_allen_census": q199_allen_census,
+        "q200_decayed_engagement": q200_decayed_engagement,
+        "q201_kaplan_meier": q201_kaplan_meier,
+        "q202_g2_collocations": q202_g2_collocations,
     }
 
 
@@ -12948,4 +13124,7 @@ def oracle_sql():
         "q197_interval_coverage": _Q197_SQL,
         "q198_katz": _q198_sql(),
         "q199_allen_census": _Q199_SQL,
+        "q200_decayed_engagement": _Q200_SQL,
+        "q201_kaplan_meier": _Q201_SQL,
+        "q202_g2_collocations": _q202_sql(),
     }

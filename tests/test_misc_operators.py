@@ -1002,3 +1002,35 @@ def test_mad_constant_group_zero_outliers(spark):
            .collect()}
     assert got["a"]["n_outliers"] == 0
     assert got["b"]["med_cents"] == 2 and got["b"]["mad_cents"] == 1
+
+
+def test_g2_collocations_matches_closed_form(spark):
+    import math
+
+    from pathhier_spark.operators.textstats import g2_collocations
+
+    # one doc "x y x y x y": bigrams xy,yx,xy,yx,xy -> a(x,y)=3,
+    # a(y,x)=2, N=5; margins: rs(x)=3, rs(y)=2, cs(y)=3, cs(x)=2
+    df = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    got = {
+        (r["x"], r["y"]): (r["c_xy"], r["g2"])
+        for r in g2_collocations(df, min_count=1).collect()
+    }
+
+    def g2(a, rs, cs, n):
+        cells = [
+            (a, rs * cs),
+            (rs - a, rs * (n - cs)),
+            (cs - a, (n - rs) * cs),
+            (n - rs - cs + a, (n - rs) * (n - cs)),
+        ]
+        return 2.0 * sum(
+            o * math.log(o * n / e) for o, e in cells if o > 0
+        )
+
+    assert got[("x", "y")][0] == 3
+    assert abs(got[("x", "y")][1] - g2(3, 3, 3, 5)) < 1e-9
+    assert got[("y", "x")][0] == 2
+    assert abs(got[("y", "x")][1] - g2(2, 2, 2, 5)) < 1e-9

@@ -476,3 +476,60 @@ def test_allen_relation_counts_cap_reports_drops(spark):
     assert {(r["relation"], r["n_pairs"], r["n_dropped"]) for r in out} == {
         ("precedes", 6, 6)
     }
+
+
+def test_decayed_engagement_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import decayed_engagement
+
+    HL = 7 * 24 * 3600 * 1_000_000
+    anchor = dt(2024, 3, 1)
+    anchor_us = int(anchor.timestamp() * 1_000_000)
+    rows = [
+        # age 0 (at anchor): full 100 cents
+        (1, "a", anchor, 1.00),
+        # age 1 (one half-life back): 200 -> 100
+        (1, "a", dt(2024, 2, 23), 2.00),
+        # age 2 (2.5 half-lives back floors to 2): 200 -> 50
+        (1, "a", dt(2024, 2, 13, 12), 2.00),
+        # future event clamps to age 0
+        (1, "b", dt(2024, 3, 5), 3.00),
+        (2, "a", None, 9.99),  # NULL ts dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["event_type"]):
+            (r["n_events"], r["raw_cents"], r["decayed_cents"])
+        for r in decayed_engagement(df, anchor_us=anchor_us).collect()
+    }
+    assert got[(1, "a")] == (3, 500, 250)
+    assert got[(1, "b")] == (1, 300, 300)
+    assert (2, "a") not in got
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import kaplan_meier
+
+    rows = [
+        # A: 10h lifetime, death          B: 10h, death
+        ("A", dt(2024, 1, 1, 0)), ("A", dt(2024, 1, 1, 10)),
+        ("B", dt(2024, 1, 1, 1)), ("B", dt(2024, 1, 1, 11)),
+        # C: 20h, death      D: single event -> 0h, death
+        ("C", dt(2024, 1, 1, 0)), ("C", dt(2024, 1, 1, 20)),
+        ("D", dt(2024, 1, 5, 0)),
+        # E: sets the study end; censored (last event == end)
+        ("E", dt(2024, 1, 1, 0)), ("E", dt(2024, 3, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = [
+        (r["t_hours"], r["n_at_risk"], r["n_deaths"], r["surv_fp"])
+        for r in kaplan_meier(df).orderBy("t_hours").collect()
+    ]
+    # t=0: 1/5 die -> 0.8; t=10: 2/4 -> 0.4; t=20: 1/2 -> 0.2;
+    # E's censoring emits no row and no death
+    assert got == [(0, 5, 1, 800000), (10, 4, 2, 400000), (20, 2, 1, 200000)]
