@@ -260,6 +260,14 @@ def main() -> None:
         "q178_cheapest_paths",
         "q183_quantile_norm",
         "q186_set_cover",
+        # continuation tranche: keyed-window interval sweep, fixed-point
+        # Katz (4th centrality family), map+combine decay scoring,
+        # domain-histogram survival, and G² collocations — one per family
+        "q197_interval_coverage",
+        "q198_katz",
+        "q200_decayed_engagement",
+        "q201_kaplan_meier",
+        "q202_g2_collocations",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

@@ -1236,3 +1236,105 @@ def jackknife_mean_se(
             + F.lit(0.0)
         ).alias("jk_se"),
     )
+
+
+def kendall_tau(
+    df: DataFrame, *, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact Kendall tau-b — the third correlation question: Pearson
+    (linear), Spearman (monotone via ranks), Kendall (pairwise ORDER
+    AGREEMENT: of all row pairs, how many are concordant minus
+    discordant, tie-corrected). Tau-b is the robust choice when both
+    signals are coarse integers riddled with ties — exactly the shape
+    of doc-level count features — because the b-correction discounts
+    tied pairs from the denominator instead of diluting the statistic.
+
+    The pair census never touches row pairs: it runs on the JOINT
+    (x, y) VALUE-CELL histogram (the q45/q189 domain discipline, one
+    dimension up). For cells in strict lex order, x1<x2 ∧ y1<y2 adds
+    h1·h2 concordant, x1<x2 ∧ y1>y2 adds h1·h2 discordant; equal-x or
+    equal-y cell pairs are tie pairs, counted in closed form from the
+    marginal histograms (Σ t(t−1)/2). All counts exact int64;
+    tau_b = (C−D) / (sqrt(n0−n1)·sqrt(n0−n2)) is the one fixed-shape
+    float finish (separate sqrts — the product can pass 2^63 where the
+    factors cannot). NULL rows drop; tau_b NULL if either signal is
+    constant.
+
+    Scale shape: one combiner groupBy to the joint histogram, a
+    cell×cell join bounded by DISTINCT-cell count squared (≪ rows² for
+    integer signals; pre-bucket coarser if the domain explodes), two
+    marginal aggregates. Output: one row
+    (n, concordant, discordant, ties_x, ties_y, tau_b)."""
+    rows = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = rows.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    ).localCheckpoint(eager=False)
+    a, b = cells.alias("a"), cells.alias("b")
+    lex = (F.col("a.x") < F.col("b.x")) | (
+        (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
+    )
+    pair = (
+        a.join(b, lex)
+        .select(
+            F.when(
+                (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+                F.col("a.h") * F.col("b.h"),
+            )
+            .otherwise(F.lit(0))
+            .alias("c"),
+            F.when(
+                (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")),
+                F.col("a.h") * F.col("b.h"),
+            )
+            .otherwise(F.lit(0))
+            .alias("d"),
+        )
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("concordant"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("discordant"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("h").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("t") * (F.col("t") - 1) / 2).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("ties_x"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("h").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("t") * (F.col("t") - 1) / 2).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("ties_y")
+        )
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    denom = F.sqrt((n0 - F.col("ties_x")).cast("double")) * F.sqrt(
+        (n0 - F.col("ties_y")).cast("double")
+    )
+    return (
+        pair.crossJoin(tx)
+        .crossJoin(ty)
+        .select(
+            "n",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            F.when(
+                (n0 > F.col("ties_x")) & (n0 > F.col("ties_y")),
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / denom,
+            ).alias("tau_b"),
+        )
+    )

@@ -517,3 +517,71 @@ def semantic_dedup(
             F.col("_dropped_id").isNotNull().alias("is_dropped"),
         )
     )
+
+
+def label_medoids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact 1-medoid per label — the cluster EXEMPLAR, not the centroid
+    (q13): the member minimizing the sum of squared L2 distances to its
+    label-mates, i.e. an actual document you can show, dedup against, or
+    ship as the canonical representative (keep_best picks by external
+    quality; the medoid is the geometrically central choice).
+
+    Exactness: vectors are int64-quantized (floor(x·1e6), the
+    similarity-module convention) and every pairwise distance is the
+    all-integer _sqdist_l2 fold — no float ever aggregates, so the
+    argmin is engine-portable. Ties break on the lower id.
+
+    Scale shape: the pairwise join is equi ON LABEL — per-label work is
+    quadratic in that label's member count, the honest cost of an exact
+    medoid; for web-scale clusters run it per near-dup component (small
+    by construction) or downsample per label first. The argmin window
+    partitions BY LABEL, never SinglePartition. Singleton labels keep
+    their only member with total_sqdist 0.
+    Output: (label, medoid_id, n_members, total_sqdist)."""
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("l"),
+        F.col(id_col).alias("i"),
+        _quantized(F.col(vec_col)).alias("_qv"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sums = (
+        a.join(
+            b,
+            (F.col("a.l") == F.col("b.l")) & (F.col("a.i") != F.col("b.i")),
+        )
+        .select(
+            F.col("a.l").alias("l"),
+            F.col("a.i").alias("i"),
+            _sqdist_l2(F.col("a._qv"), F.col("b._qv")).alias("d"),
+        )
+        .groupBy("l", "i")
+        .agg(F.sum("d").cast("long").alias("total"))
+    )
+    scored = base.select("l", "i").join(sums, ["l", "i"], "left").select(
+        "l", "i", F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("total")
+    )
+    w = Window.partitionBy("l").orderBy("total", "i")
+    members = base.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .join(members, "l")
+        .select(
+            F.col("l").alias(label_col),
+            F.col("i").alias("medoid_id"),
+            "n_members",
+            F.col("total").alias("total_sqdist"),
+        )
+    )

@@ -2621,3 +2621,116 @@ def g2_collocations(
         .join(col, "y")
         .select("x", "y", F.col("a").alias("c_xy"), g2.alias("g2"))
     )
+
+
+def pairwise_bleu(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """BLEU-2 between each document and its successor (next id in the
+    same group) — the n-gram PRECISION view of pairwise similarity that
+    ROUGE (q158, recall) and Jaccard near-dup are not: clipped modified
+    n-gram precision with the brevity penalty, the exact machinery of
+    MT/generation eval, here serving as a template-similarity probe
+    (high chained BLEU inside a source = boilerplate-stamped docs).
+
+    Per pair: p_n = Σ_g min(c_cand(g), c_ref(g)) / #cand n-grams for
+    n = 1, 2; BLEU = BP · sqrt(p1 · p2) — the geometric mean as a
+    SQRT, not exp(Σln/2), because sqrt is IEEE-correctly-rounded on
+    both engines while exp is merely faithful; exp survives only in
+    the brevity penalty exp(1 − r/c) (the q77 precedent: one exp under
+    the final round-6). All match counts exact int64; pairs where
+    either precision is 0 (or the candidate has < 2 tokens) score 0,
+    the standard convention.
+
+    Scale shape: pairing is one lead() window BY GROUP; n-gram counts
+    are per-doc combiner groupBys; clipping is two (doc, gram)-keyed
+    equi-joins that ship only SHARED grams (inner join). No float
+    crosses a shuffle — the one float expression is per-pair scalar.
+    Output: (cand_id, ref_id, c_len, r_len, m1, m2, bleu)."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("i"),
+        _tokens(text_col).alias("ts"),
+    )
+    w = Window.partitionBy("g").orderBy("i")
+    pairs = (
+        toks.select(
+            "i",
+            F.lead("i").over(w).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    uni = toks.select("i", F.explode("ts").alias("gram")).groupBy(
+        "i", "gram"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    big = (
+        toks.select(
+            "i",
+            F.explode(
+                F.when(
+                    F.size("ts") >= 2,
+                    F.transform(
+                        F.slice("ts", 1, F.size("ts") - 1),
+                        lambda x, j: F.concat_ws(
+                            " ", x, F.element_at(F.col("ts"), j + 2)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .groupBy("i", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lens = toks.select(
+        "i", F.size("ts").cast("long").alias("n")
+    )
+
+    def clipped(grams):
+        ca = grams.select(
+            F.col("i").alias("ci"), "gram", F.col("c").alias("cc")
+        )
+        ra = grams.select(
+            F.col("i").alias("ri"), "gram", F.col("c").alias("rc")
+        )
+        return (
+            pairs.join(ca, pairs["i"] == ca["ci"])
+            .join(ra, (pairs["r"] == ra["ri"]) & (ca["gram"] == ra["gram"]))
+            .groupBy(F.col("i").alias("pi"))
+            .agg(F.sum(F.least("cc", "rc")).cast("long").alias("m"))
+        )
+    m1 = clipped(uni).withColumnRenamed("m", "m1")
+    m2 = clipped(big).withColumnRenamed("m", "m2")
+    base = (
+        pairs.join(lens.select(F.col("i"), F.col("n").alias("c_len")), "i")
+        .join(
+            lens.select(F.col("i").alias("r"), F.col("n").alias("r_len")),
+            "r",
+        )
+        .join(m1.withColumnRenamed("pi", "i"), "i", "left")
+        .join(m2.withColumnRenamed("pi", "i"), "i", "left")
+        .select(
+            F.col("i").alias("cand_id"),
+            F.col("r").alias("ref_id"),
+            "c_len",
+            "r_len",
+            F.coalesce("m1", F.lit(0)).cast("long").alias("m1"),
+            F.coalesce("m2", F.lit(0)).cast("long").alias("m2"),
+        )
+    )
+    c_len = F.col("c_len").cast("double")
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("r_len").cast("double") / c_len)
+    )
+    bleu = F.when(
+        (F.col("m1") > 0) & (F.col("m2") > 0) & (F.col("c_len") >= 2),
+        bp
+        * F.sqrt(
+            (F.col("m1").cast("double") / c_len)
+            * (F.col("m2").cast("double") / (c_len - F.lit(1.0)))
+        ),
+    ).otherwise(F.lit(0.0))
+    return base.withColumn("bleu", bleu)

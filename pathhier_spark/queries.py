@@ -12716,6 +12716,198 @@ LIMIT {_G2_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q203 — exact per-label medoid (operators/similarity.label_medoids):
+# the cluster EXEMPLAR — the member minimizing summed squared L2 to its
+# label-mates — vs q13's centroid (an average no document equals) and
+# q131's keep-best (external quality). All-integer: quantized vectors
+# (floor(x·1e6)) + the _sqdist_l2 fold, argmin ties on lower id; the
+# pairwise join is equi ON LABEL (quadratic per label, the honest
+# exact-medoid cost — run per near-dup component at web scale).
+# DuckDB feature req: list_transform/list_sum (q32/q36 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q203_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.similarity import label_medoids
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return label_medoids(emb).orderBy("label")
+
+
+_Q203_SQL = """
+WITH base AS (
+  SELECT label AS l, vec_id AS i,
+         list_transform(embedding,
+                        x -> floor(x::double * 1000000)::bigint) AS qv
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+), sums AS (
+  SELECT a.l, a.i,
+         sum(list_sum(list_transform(generate_series(1, len(a.qv)),
+             j -> (a.qv[j] - b.qv[j]) * (a.qv[j] - b.qv[j]))))::bigint
+           AS total
+  FROM base a JOIN base b ON a.l = b.l AND a.i <> b.i
+  GROUP BY a.l, a.i
+), scored AS (
+  SELECT base.l, base.i, coalesce(s.total, 0)::bigint AS total
+  FROM base LEFT JOIN sums s ON base.l = s.l AND base.i = s.i
+), best AS (
+  SELECT l, i, total,
+         row_number() OVER (PARTITION BY l ORDER BY total, i) AS rn
+  FROM scored
+), members AS (
+  SELECT l, count(*)::bigint AS n_members FROM base GROUP BY l
+)
+SELECT b.l AS label, b.i AS medoid_id, m.n_members,
+       b.total AS total_sqdist
+FROM best b JOIN members m ON b.l = m.l
+WHERE rn = 1
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q204 — exact Kendall tau-b (operators/profile.kendall_tau) between
+# doc length and distinct-token count — the third correlation question
+# after Pearson (q180, linear) and Spearman (q189, monotone ranks):
+# pairwise ORDER AGREEMENT with the tie-corrected b denominator, the
+# right statistic for coarse integer signals where ties dominate. The
+# pair census runs on the JOINT value-cell histogram (q189's domain
+# discipline one dimension up) — never row pairs; ties come in closed
+# form from the marginals. All counts int64; one fixed-shape
+# sqrt·sqrt divide finish.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+
+def q204_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import kendall_tau
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    feats = docs.where(F.col("text").isNotNull()).select(
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    out = kendall_tau(feats, x_col="n_tokens", y_col="n_distinct")
+    return out.select(
+        "n", "concordant", "discordant", "ties_x", "ties_y",
+        _rz(F.col("tau_b"), 6).alias("tau_b"),
+    )
+
+
+_Q204_SQL = f"""
+WITH rows_ AS (
+  SELECT len(ts)::bigint AS x, len(list_distinct(ts))::bigint AS y
+  FROM (SELECT {_SQL_WS_TOKS} AS ts FROM documents WHERE text IS NOT NULL)
+), cells AS (
+  SELECT x, y, count(*)::bigint AS h FROM rows_ GROUP BY x, y
+), pairagg AS (
+  SELECT coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                           THEN a.h * b.h ELSE 0 END), 0)::bigint
+           AS concordant,
+         coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                           THEN a.h * b.h ELSE 0 END), 0)::bigint
+           AS discordant
+  FROM cells a JOIN cells b
+    ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+), tx AS (
+  SELECT coalesce(sum(t * (t - 1) // 2), 0)::bigint AS ties_x,
+         coalesce(sum(t), 0)::bigint AS n
+  FROM (SELECT sum(h)::bigint AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT coalesce(sum(t * (t - 1) // 2), 0)::bigint AS ties_y
+  FROM (SELECT sum(h)::bigint AS t FROM cells GROUP BY y)
+)
+SELECT n, concordant, discordant, ties_x, ties_y,
+       CASE WHEN (n * (n - 1) // 2) > ties_x
+             AND (n * (n - 1) // 2) > ties_y THEN
+         round((concordant - discordant)::double
+               / (sqrt(((n * (n - 1) // 2) - ties_x)::double)
+                  * sqrt(((n * (n - 1) // 2) - ties_y)::double)), 6) + 0.0
+       END AS tau_b
+FROM pairagg, tx, ty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q205 — chained pairwise BLEU-2 (operators/textstats.pairwise_bleu):
+# each doc scored against its same-lang successor with clipped modified
+# n-gram precision + brevity penalty — the PRECISION eval metric
+# (ROUGE q158 is the recall one), doubling as a template-similarity
+# probe. Geometric mean computed as sqrt(p1·p2) (IEEE-exact on both
+# engines), exp only inside the brevity penalty under round-6 (q77
+# precedent); all clip counts int64 via shared-gram inner joins.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+
+def q205_pairwise_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import pairwise_bleu
+
+    docs = _docs(spark, sf_dir)
+    out = pairwise_bleu(docs)
+    return out.select(
+        "cand_id", "ref_id", "c_len", "r_len", "m1", "m2",
+        _rz(F.col("bleu"), 6).alias("bleu"),
+    ).orderBy("cand_id")
+
+
+_Q205_SQL = f"""
+WITH toks AS (
+  SELECT lang AS g, doc_id AS i, {_SQL_WS_TOKS} AS ts
+  FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT i, r FROM (
+    SELECT i, lead(i) OVER (PARTITION BY g ORDER BY i) AS r FROM toks
+  ) WHERE r IS NOT NULL
+), lens AS (
+  SELECT i, len(ts)::bigint AS n FROM toks
+), uni AS (
+  SELECT i, gram, count(*)::bigint AS c FROM (
+    SELECT i, unnest(ts) AS gram FROM toks
+  ) GROUP BY i, gram
+), big AS (
+  SELECT i, gram, count(*)::bigint AS c FROM (
+    SELECT i, ts[j] || ' ' || ts[j + 1] AS gram
+    FROM (SELECT i, ts, unnest(generate_series(1, len(ts) - 1)) AS j
+          FROM toks)
+  ) GROUP BY i, gram
+), mm1 AS (
+  SELECT p.i AS pi, sum(least(ca.c, ra.c))::bigint AS m
+  FROM pairs p
+  JOIN uni ca ON p.i = ca.i
+  JOIN uni ra ON p.r = ra.i AND ca.gram = ra.gram
+  GROUP BY p.i
+), mm2 AS (
+  SELECT p.i AS pi, sum(least(ca.c, ra.c))::bigint AS m
+  FROM pairs p
+  JOIN big ca ON p.i = ca.i
+  JOIN big ra ON p.r = ra.i AND ca.gram = ra.gram
+  GROUP BY p.i
+), base AS (
+  SELECT p.i AS cand_id, p.r AS ref_id, lc.n AS c_len, lr.n AS r_len,
+         coalesce(mm1.m, 0)::bigint AS m1, coalesce(mm2.m, 0)::bigint AS m2
+  FROM pairs p
+  JOIN lens lc ON p.i = lc.i
+  JOIN lens lr ON p.r = lr.i
+  LEFT JOIN mm1 ON p.i = mm1.pi
+  LEFT JOIN mm2 ON p.i = mm2.pi
+)
+SELECT cand_id, ref_id, c_len, r_len, m1, m2,
+       round(CASE WHEN m1 > 0 AND m2 > 0 AND c_len >= 2 THEN
+         (CASE WHEN c_len >= r_len THEN 1.0
+               ELSE exp(1.0 - r_len::double / c_len::double) END)
+         * sqrt((m1::double / c_len::double)
+                * (m2::double / (c_len::double - 1.0)))
+       ELSE 0.0 END, 6) + 0.0 AS bleu
+FROM base
+ORDER BY cand_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -12920,6 +13112,9 @@ def queries():
         "q200_decayed_engagement": q200_decayed_engagement,
         "q201_kaplan_meier": q201_kaplan_meier,
         "q202_g2_collocations": q202_g2_collocations,
+        "q203_label_medoids": q203_label_medoids,
+        "q204_kendall_tau": q204_kendall_tau,
+        "q205_pairwise_bleu": q205_pairwise_bleu,
     }
 
 
@@ -13127,4 +13322,7 @@ def oracle_sql():
         "q200_decayed_engagement": _Q200_SQL,
         "q201_kaplan_meier": _Q201_SQL,
         "q202_g2_collocations": _q202_sql(),
+        "q203_label_medoids": _Q203_SQL,
+        "q204_kendall_tau": _Q204_SQL,
+        "q205_pairwise_bleu": _Q205_SQL,
     }

@@ -1034,3 +1034,47 @@ def test_g2_collocations_matches_closed_form(spark):
     assert abs(got[("x", "y")][1] - g2(3, 3, 3, 5)) < 1e-9
     assert got[("y", "x")][0] == 2
     assert abs(got[("y", "x")][1] - g2(2, 2, 2, 5)) < 1e-9
+
+
+def test_pairwise_bleu_hand_computed(spark):
+    import math
+
+    from pathhier_spark.operators.textstats import pairwise_bleu
+
+    # cand "the cat sat" vs ref "the cat ran": m1=2 (the, cat),
+    # m2=1 (the cat); p1=2/3, p2=1/2, same length -> BP=1
+    # second pair: cand shorter than ref -> BP = exp(1 - 4/3)
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat"),
+            (2, "en", "the cat ran"),
+            (3, "en", "a b c d"),
+            (9, "fr", "x y"),  # last in group -> no pair as cand
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["cand_id"]: (r["c_len"], r["r_len"], r["m1"], r["m2"], r["bleu"])
+        for r in pairwise_bleu(df).collect()
+    }
+    c1, r1, m1, m2, b1 = got[1]
+    assert (c1, r1, m1, m2) == (3, 3, 2, 1)
+    assert abs(b1 - math.sqrt((2 / 3) * (1 / 2))) < 1e-12
+    c2, r2, m1b, m2b, b2 = got[2]
+    assert (c2, r2, m1b, m2b) == (3, 4, 0, 0)
+    assert b2 == 0.0
+    assert 9 not in got and 3 not in got
+
+
+def test_pairwise_bleu_clipping_caps_repeats(spark):
+    from pathhier_spark.operators.textstats import pairwise_bleu
+
+    # cand repeats "the" 4x but ref has it twice: clipped m1 = 2, not 4
+    df = spark.createDataFrame(
+        [(1, "en", "the the the the"), (2, "en", "the x the y")],
+        "doc_id long, lang string, text string",
+    )
+    r = pairwise_bleu(df).collect()[0]
+    assert r["m1"] == 2
+    # cand bigrams: "the the" x3; ref has none -> m2 = 0 -> bleu 0
+    assert r["m2"] == 0 and r["bleu"] == 0.0

@@ -253,3 +253,37 @@ def test_embedding_profile_hand_case(spark, tmp_path):
     assert got[1] == (0.0, 0.25, -500000, 500000)
     # dim 2: all zero
     assert got[2] == (0.0, 0.0, 0, 0)
+
+
+def test_label_medoids_hand_computed(spark):
+    from pathhier_spark.operators.similarity import label_medoids
+
+    rows = [
+        # label 1 on a line: 0, 1, 10 -> middle point (id 2) minimizes
+        # summed squared distance (82 vs 101 vs 181) at quant scale 1e6
+        (1, 1, [0.0, 0.0]), (2, 1, [1.0, 0.0]), (3, 1, [10.0, 0.0]),
+        # singleton label keeps its member with total 0
+        (9, 2, [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        r["label"]: (r["medoid_id"], r["n_members"], r["total_sqdist"])
+        for r in label_medoids(df).collect()
+    }
+    q = 1_000_000
+    assert got[1] == (2, 3, (1 * q) ** 2 + (9 * q) ** 2)
+    assert got[2] == (9, 1, 0)
+
+
+def test_label_medoids_tie_breaks_low_id(spark):
+    from pathhier_spark.operators.similarity import label_medoids
+
+    df = spark.createDataFrame(
+        [(7, 1, [0.0]), (3, 1, [2.0]), (5, 1, [1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    # symmetric pair 0.0/2.0 around 1.0: medoid is the middle (id 5)
+    out = label_medoids(df).collect()
+    assert out[0]["medoid_id"] == 5

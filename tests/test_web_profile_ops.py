@@ -486,3 +486,38 @@ def test_kneser_ney_shuffle_join_path_matches_broadcast(spark):
     b = sorted(map(tuple, kneser_ney_surprisal(
         docs, broadcast_vocab=False).collect()))
     assert a == b
+
+
+def test_kendall_tau_hand_computed(spark):
+    from pathhier_spark.operators.profile import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2)], "x long, y long"
+    )
+    r = kendall_tau(df, x_col="x", y_col="y").collect()[0]
+    assert (r["n"], r["concordant"], r["discordant"]) == (3, 2, 1)
+    assert (r["ties_x"], r["ties_y"]) == (0, 0)
+    assert abs(r["tau_b"] - 1 / 3) < 1e-12
+
+
+def test_kendall_tau_tie_correction(spark):
+    from pathhier_spark.operators.profile import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2)], "x long, y long"
+    )
+    r = kendall_tau(df, x_col="x", y_col="y").collect()[0]
+    # one concordant pair; one x-tie pair, one y-tie pair; n0=3
+    assert (r["concordant"], r["discordant"]) == (1, 0)
+    assert (r["ties_x"], r["ties_y"]) == (1, 1)
+    assert abs(r["tau_b"] - 0.5) < 1e-12
+
+
+def test_kendall_tau_constant_signal_is_null(spark):
+    from pathhier_spark.operators.profile import kendall_tau
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "x long, y long"
+    )
+    r = kendall_tau(df, x_col="x", y_col="y").collect()[0]
+    assert r["tau_b"] is None
