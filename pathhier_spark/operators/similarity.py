@@ -585,3 +585,128 @@ def label_medoids(
             F.col("total").alias("total_sqdist"),
         )
     )
+
+
+def dbscan_2d(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps_q: int = 20_000,
+    min_pts: int = 4,
+) -> DataFrame:
+    """Exact DBSCAN over the first two embedding dimensions — DENSITY
+    clustering, the shape k-means/IVF (q36) and threshold near-dup CC
+    (q31) cannot find: clusters of arbitrary shape separated by sparse
+    regions, with an explicit noise class. Coordinates are int64-
+    quantized (floor(x·1e6)); eps is `eps_q` quantized units, so every
+    distance test (dx²+dy² ≤ eps_q²) is exact integer arithmetic.
+
+    The radius search is a GRID-BUCKETED spatial join — the new plan
+    shape here: cell side = eps, so any in-range partner lies in the
+    3×3 cell neighborhood; one side explodes its 9 probe cells and the
+    join is pure equi on (cx, cy) with the exact integer distance as a
+    post-filter (the q48 bin-bucketing argument in 2-D). Per-cell work
+    is bounded by local point density — never all-pairs.
+
+    DBSCAN roles, determinism-hardened: core = |N_eps| ≥ min_pts
+    (self included, standard); clusters = connected components over
+    core-core in-range edges (reusing canonicalize.connected_components
+    on zero-padded ids so the min-label is numeric order); border
+    points join the MINIMUM-labeled core neighbor's cluster (textbook
+    DBSCAN is first-found order-dependent — min-label is the
+    deterministic refinement, documented divergence); the rest is
+    noise. Output: (id, role, cluster) with cluster NULL for noise."""
+    from pathhier_spark.operators.canonicalize import connected_components
+
+    pts = df.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("i"),
+        F.floor(F.element_at(F.col(vec_col), 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.element_at(F.col(vec_col), 2).cast("double") * 1e6)
+        .cast("long")
+        .alias("qy"),
+    )
+    cell = lambda c: F.floor(c / F.lit(int(eps_q))).cast("long")  # noqa: E731
+    base = pts.select(
+        "i", "qx", "qy", cell(F.col("qx")).alias("cx"), cell(F.col("qy")).alias("cy")
+    ).localCheckpoint(eager=False)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        F.col("i").alias("ai"),
+        F.col("qx").alias("ax"),
+        F.col("qy").alias("ay"),
+        F.explode(offs).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "ai",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("pcx"),
+        (F.col("cy") + F.col("o.dy")).alias("pcy"),
+    )
+    near = (
+        probe.join(
+            base.select(
+                F.col("i").alias("bi"),
+                F.col("qx").alias("bx"),
+                F.col("qy").alias("by"),
+                F.col("cx").alias("bcx"),
+                F.col("cy").alias("bcy"),
+            ),
+            (F.col("pcx") == F.col("bcx")) & (F.col("pcy") == F.col("bcy")),
+        )
+        .where(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= F.lit(int(eps_q) * int(eps_q))
+        )
+        .select("ai", "bi")
+        .localCheckpoint(eager=False)
+    )
+    counts = near.groupBy("ai").agg(F.count(F.lit(1)).alias("nb"))
+    core = counts.where(F.col("nb") >= min_pts).select(
+        F.col("ai").alias("i")
+    ).localCheckpoint(eager=False)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    core_edges = (
+        near.join(core.select(F.col("i").alias("ai")), "ai")
+        .join(core.select(F.col("i").alias("bi")), "bi")
+        .select(pad(F.col("ai")).alias("pa"), pad(F.col("bi")).alias("pb"))
+    )
+    comp = connected_components(
+        core_edges.union(
+            core.select(pad(F.col("i")).alias("pa"), pad(F.col("i")).alias("pb"))
+        ),
+        a="pa",
+        b="pb",
+    ).select(
+        F.col("node").cast("long").alias("i"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    core_out = comp.join(core, "i").select(
+        "i", F.lit("core").alias("role"), "cluster"
+    )
+    noncore = pts.select("i").join(core, "i", "left_anti")
+    border = (
+        noncore.join(near.select(F.col("ai").alias("i"), "bi"), "i")
+        .join(comp.select(F.col("i").alias("bi"), "cluster"), "bi")
+        .groupBy("i")
+        .agg(F.min("cluster").alias("cluster"))
+        .select("i", F.lit("border").alias("role"), "cluster")
+    )
+    noise = (
+        noncore.join(border.select("i"), "i", "left_anti")
+        .select("i", F.lit("noise").alias("role"), F.lit(None).cast("long").alias("cluster"))
+    )
+    return core_out.union(border).union(noise).withColumnRenamed("i", id_col)

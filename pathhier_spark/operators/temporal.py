@@ -925,3 +925,52 @@ def kaplan_meier(
         "surv_fp",
         (F.col("surv_fp").cast("double") / F.lit(float(scale))).alias("surv"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    k_div: int = 20,
+    h_mult: int = 8,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over the daily event-volume
+    series — the changepoint question the pointwise z-score anomaly scan
+    (rate_anomalies) cannot answer: a sustained small shift never trips
+    a per-day threshold but ACCUMULATES here. S+ tracks upward drift
+    (S+ <- max(0, S+ + x - mean - k)), S- downward; an alarm fires when
+    either side crosses h. Reference/allowance/threshold derive from the
+    data as pure integers: mean = total // n_days, k = max(1,
+    mean // k_div), h = h_mult * k — so the whole statistic is int64
+    end-to-end, NO floats anywhere (the strongest determinism class in
+    the repo; even the fixed-point queries keep one rounded double).
+
+    The recurrence is sequential, but over the DAY domain — bounded by
+    the study window, corpus-size-independent (the q45/Kaplan-Meier
+    histogram-walk discipline): daily counts are one combiner groupBy;
+    the fold walks the collected day series on the driver; the oracle
+    replays it as a recursive CTE. Days with no events simply don't
+    appear (the series walks observed days in order).
+    Output: (day DATE, x, s_pos, s_neg, alarm)."""
+    spark = df.sparkSession
+    days = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    n = len(days)
+    total = sum(r["x"] for r in days)
+    mean = total // n if n else 0
+    k = max(1, mean // k_div)
+    h = h_mult * k
+    rows, sp, sn = [], 0, 0
+    for r in days:
+        sp = max(0, sp + r["x"] - mean - k)
+        sn = max(0, sn + mean - r["x"] - k)
+        rows.append((r["day"], int(r["x"]), sp, sn, sp >= h or sn >= h))
+    out = spark.createDataFrame(
+        rows, "day date, x long, s_pos long, s_neg long, alarm boolean"
+    )
+    return out.orderBy("day")

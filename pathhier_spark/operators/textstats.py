@@ -2734,3 +2734,107 @@ def pairwise_bleu(
         ),
     ).otherwise(F.lit(0.0))
     return base.withColumn("bleu", bleu)
+
+
+def naive_bayes_lang_confusion(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    on the corpus itself (the q27 LR self-consistency protocol) — the
+    GENERATIVE counterpart to the discriminative LR quality model:
+    argmax_l [ln p(l) + Σ_tok ln p(tok|l)] with Laplace smoothing
+    p(tok|l) = (c(tok,l)+1)/(tot_l+V). Its confusion against the stored
+    label is the model-vs-metadata disagreement signal (the heuristic
+    langid q15 confusion, upgraded to a learned model).
+
+    Determinism is the q44 discipline end-to-end: every term is the ln
+    of one rational from exact int64 counts, folded per (doc, lang) in
+    POSITION order (array_sort + sequential F.aggregate — never a
+    shuffled float sum), prior added once; the argmax orders on the
+    bit-identical unrounded score with lang as tie-break. Zero-token
+    docs are excluded (no likelihood evidence; documented).
+
+    Scale shape: count tables are combiner groupBys; the lang
+    dimension is a tiny broadcast crossJoin (|langs| ~ handfuls); the
+    (lang, tok)-keyed smoothing join is vocab-sized. V and N are two
+    scalar collects. Output: (true_lang, pred_lang, n_docs)."""
+    toks = df.where(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("d"),
+        F.col(label_col).alias("truth"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    ).localCheckpoint(eager=False)
+    ctl = toks.groupBy(
+        F.col("truth").alias("l"), "tok"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totl = ctl.groupBy("l").agg(F.sum("c").cast("long").alias("tot"))
+    priors = (
+        toks.select("d", "truth").distinct()
+        .groupBy(F.col("truth").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    v = ctl.select("tok").distinct().count()
+    n_docs = toks.select("d").distinct().count()
+    lang_dim = F.broadcast(
+        priors.join(totl, "l").select("l", "nd", "tot")
+    )
+    scored = (
+        toks.crossJoin(lang_dim)
+        .join(
+            F.broadcast(
+                ctl.select(
+                    F.col("l").alias("cl"),
+                    F.col("tok").alias("ctok"),
+                    "c",
+                )
+            ),
+            (F.col("l") == F.col("cl")) & (F.col("tok") == F.col("ctok")),
+            "left",
+        )
+        .select(
+            "d",
+            "truth",
+            "l",
+            "pos",
+            "nd",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("tot") + F.lit(int(v))).cast("double")
+            ).alias("lnp"),
+        )
+        .groupBy("d", "truth", "l", "nd")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+                    lambda s: s["lnp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_lnp"),
+        )
+        .select(
+            "d",
+            "truth",
+            "l",
+            (
+                F.log(F.col("nd").cast("double") / F.lit(float(n_docs)))
+                + F.col("sum_lnp")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("score"), F.asc("l"))
+    pred = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("truth").alias("true_lang"), F.col("l").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -12908,6 +12908,183 @@ ORDER BY cand_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q206 — two-sided CUSUM changepoint scan (operators/temporal.
+# cusum_changepoints) over daily event volume: sustained small shifts
+# ACCUMULATE into S+/S- where a pointwise z-threshold (rate-anomaly
+# family) stays silent. Reference mean, allowance k and threshold h
+# are integer-derived from the data; the whole statistic is int64 —
+# no floats anywhere. Sequential, but over the DAY domain
+# (study-window-bounded, corpus-size-independent — the q45/q201 walk):
+# combiner groupBy to daily counts, driver fold, recursive-CTE oracle.
+# DuckDB feature req: WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+
+def q206_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import cusum_changepoints
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return cusum_changepoints(ev)
+
+
+_Q206_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY ts::date
+), params AS (
+  SELECT (sum(x)::bigint // count(*)::bigint) AS mean,
+         greatest(1, (sum(x)::bigint // count(*)::bigint) // 20) AS k
+  FROM daily
+), seq AS (
+  SELECT day, x, row_number() OVER (ORDER BY day)::bigint AS idx FROM daily
+), rec AS (
+  SELECT 0::bigint AS idx, 0::bigint AS sp, 0::bigint AS sn
+  UNION ALL
+  SELECT s.idx,
+         greatest(0, r.sp + s.x - p.mean - p.k)::bigint,
+         greatest(0, r.sn + p.mean - s.x - p.k)::bigint
+  FROM rec r JOIN seq s ON s.idx = r.idx + 1, params p
+)
+SELECT s.day, s.x, r.sp AS s_pos, r.sn AS s_neg,
+       (r.sp >= 8 * p.k OR r.sn >= 8 * p.k) AS alarm
+FROM seq s JOIN rec r ON s.idx = r.idx, params p
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q207 — exact DBSCAN (operators/similarity.dbscan_2d) over the first
+# two embedding dims: density clustering with an explicit noise class —
+# shapes k-means (q36) and threshold-CC near-dup (q31) cannot find.
+# The Spark plan is a GRID-BUCKETED radius join (cell side = eps, 9
+# probe cells, exact int64 dx²+dy² post-filter — q48's bin-bucketing in
+# 2-D); clusters = CC over core-core edges (reusing canonicalize CC on
+# zero-padded ids); border points take the MIN-labeled core neighbor
+# (the deterministic refinement of textbook first-found assignment —
+# divergence documented). The oracle is THE OTHER ALGORITHM: quadratic
+# pairwise + recursive-CTE CC (the q47/q195 two-algorithms-agree
+# pattern). DuckDB feature req: WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS_Q = 20_000
+_DBSCAN_MINPTS = 4
+
+
+def q207_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.similarity import dbscan_2d
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return dbscan_2d(
+        emb, eps_q=_DBSCAN_EPS_Q, min_pts=_DBSCAN_MINPTS
+    ).orderBy("vec_id")
+
+
+def _q207_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT vec_id AS i,
+         floor(embedding[1]::double * 1000000)::bigint AS qx,
+         floor(embedding[2]::double * 1000000)::bigint AS qy
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), near AS (
+  SELECT a.i AS ai, b.i AS bi FROM p a JOIN p b
+  ON (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)
+     <= {_DBSCAN_EPS_Q * _DBSCAN_EPS_Q}
+), core AS (
+  SELECT ai AS i FROM near GROUP BY ai HAVING count(*) >= {_DBSCAN_MINPTS}
+), ce AS (
+  SELECT n.ai, n.bi FROM near n
+  JOIN core ca ON n.ai = ca.i JOIN core cb ON n.bi = cb.i
+), reach AS (
+  SELECT i, i AS lab FROM core
+  UNION
+  SELECT e.bi AS i, r.lab FROM reach r JOIN ce e ON e.ai = r.i
+), comp AS (
+  SELECT i, min(lab)::bigint AS cluster FROM reach GROUP BY i
+), bord AS (
+  SELECT n.ai AS i, min(c.cluster)::bigint AS cluster
+  FROM near n JOIN comp c ON n.bi = c.i
+  WHERE n.ai NOT IN (SELECT i FROM core)
+  GROUP BY n.ai
+)
+SELECT i AS vec_id, 'core' AS role, cluster FROM comp
+UNION ALL
+SELECT i, 'border', cluster FROM bord
+UNION ALL
+SELECT p.i, 'noise', NULL::bigint FROM p
+WHERE p.i NOT IN (SELECT i FROM comp) AND p.i NOT IN (SELECT i FROM bord)
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q208 — multinomial Naive Bayes language confusion (operators/
+# textstats.naive_bayes_lang_confusion): the GENERATIVE classifier next
+# to the discriminative LR (q27/q77), trained and scored on the corpus
+# itself; its confusion vs the stored label upgrades q15's heuristic
+# langid disagreement to a learned-model signal. Laplace-smoothed
+# ln-likelihoods are each the ln of one rational from int64 counts,
+# folded per (doc, lang) in POSITION order (the q44 discipline);
+# argmax on the bit-identical unrounded score, lang tie-break.
+# DuckDB feature req: list(... ORDER BY) + list_sum (q44 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q208_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import naive_bayes_lang_confusion
+
+    docs = _docs(spark, sf_dir)
+    return naive_bayes_lang_confusion(docs).orderBy("true_lang", "pred_lang")
+
+
+def _q208_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS d, lang AS truth, (i - 1)::int AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, lang, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, lang, {_SQL_WS_TOKS} AS ts FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL)
+  )
+), ctl AS (
+  SELECT truth AS l, tok, count(*)::bigint AS c FROM toks GROUP BY truth, tok
+), totl AS (
+  SELECT l, sum(c)::bigint AS tot FROM ctl GROUP BY l
+), priors AS (
+  SELECT truth AS l, count(*)::bigint AS nd
+  FROM (SELECT DISTINCT d, truth FROM toks) GROUP BY truth
+), vv AS (
+  SELECT count(DISTINCT tok)::bigint AS v FROM ctl
+), nn AS (
+  SELECT count(DISTINCT d)::bigint AS n FROM toks
+), langdim AS (
+  SELECT p.l, p.nd, t.tot FROM priors p JOIN totl t ON p.l = t.l
+), rows_ AS (
+  SELECT t.d, t.truth, ld.l, t.pos, ld.nd,
+         ln((coalesce(c.c, 0) + 1)::double / (ld.tot + vv.v)::double) AS lnp
+  FROM toks t
+  CROSS JOIN langdim ld
+  LEFT JOIN ctl c ON c.l = ld.l AND c.tok = t.tok
+  CROSS JOIN vv
+), scored AS (
+  SELECT r.d, r.truth, r.l,
+         ln(min(r.nd)::double / min(nn.n)::double)
+         + list_sum(list(r.lnp ORDER BY r.pos)) AS score
+  FROM rows_ r, nn
+  GROUP BY r.d, r.truth, r.l
+), pred AS (
+  SELECT d, truth, l,
+         row_number() OVER (PARTITION BY d ORDER BY score DESC, l) AS rn
+  FROM scored
+)
+SELECT truth AS true_lang, l AS pred_lang, count(*)::bigint AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY truth, l
+ORDER BY true_lang, pred_lang
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -13115,6 +13292,9 @@ def queries():
         "q203_label_medoids": q203_label_medoids,
         "q204_kendall_tau": q204_kendall_tau,
         "q205_pairwise_bleu": q205_pairwise_bleu,
+        "q206_cusum": q206_cusum,
+        "q207_dbscan": q207_dbscan,
+        "q208_nb_confusion": q208_nb_confusion,
     }
 
 
@@ -13325,4 +13505,7 @@ def oracle_sql():
         "q203_label_medoids": _Q203_SQL,
         "q204_kendall_tau": _Q204_SQL,
         "q205_pairwise_bleu": _Q205_SQL,
+        "q206_cusum": _Q206_SQL,
+        "q207_dbscan": _q207_sql(),
+        "q208_nb_confusion": _q208_sql(),
     }

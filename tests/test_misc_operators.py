@@ -1078,3 +1078,48 @@ def test_pairwise_bleu_clipping_caps_repeats(spark):
     assert r["m1"] == 2
     # cand bigrams: "the the" x3; ref has none -> m2 = 0 -> bleu 0
     assert r["m2"] == 0 and r["bleu"] == 0.0
+
+
+def test_naive_bayes_separable_corpus(spark):
+    from pathhier_spark.operators.textstats import naive_bayes_lang_confusion
+
+    # two cleanly separable vocabularies -> perfect diagonal confusion
+    rows = [
+        (1, "en", "the cat sat the cat"),
+        (2, "en", "the dog sat"),
+        (3, "fr", "le chat assis le chat"),
+        (4, "fr", "le chien assis"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in naive_bayes_lang_confusion(df).collect()
+    }
+    assert got == {("en", "en"): 2, ("fr", "fr"): 2}
+
+
+def test_naive_bayes_prior_breaks_empty_evidence_tie(spark):
+    from pathhier_spark.operators.textstats import naive_bayes_lang_confusion
+
+    # doc 9's single token "zzz" is unseen in training for BOTH langs
+    # beyond its own contribution; majority-prior lang must win for a
+    # doc whose tokens give symmetric evidence
+    rows = [
+        (1, "en", "alpha beta"),
+        (2, "en", "alpha gamma"),
+        (3, "en", "beta gamma"),
+        (4, "fr", "un deux"),
+        (9, "fr", "shared"),
+        (10, "en", "shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in naive_bayes_lang_confusion(df).collect()
+    }
+    # 'shared' occurs once per lang; fr's SMALLER token mass gives it
+    # the higher smoothed likelihood (2/9 vs 2/13), but the en prior
+    # (4/6 vs 2/6) overcomes it: ln(4/6·2/13) > ln(2/6·2/9), so both
+    # 'shared' docs predict en — the prior term is load-bearing
+    assert got[("fr", "en")] == 1
+    assert got[("en", "en")] == 4

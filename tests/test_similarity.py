@@ -287,3 +287,29 @@ def test_label_medoids_tie_breaks_low_id(spark):
     # symmetric pair 0.0/2.0 around 1.0: medoid is the middle (id 5)
     out = label_medoids(df).collect()
     assert out[0]["medoid_id"] == 5
+
+
+def test_dbscan_2d_roles_and_min_label(spark):
+    from pathhier_spark.operators.similarity import dbscan_2d
+
+    # eps = 0.02 (20000 quantized), minPts = 4.
+    # ids 1-5: tight clique -> all core, one cluster labeled min id 1.
+    # id 6 at (0.0215, 0): within eps of ONLY core id 5 (0.002, 0)
+    #   (self + 1 neighbor = 2 < 4) -> border, inherits cluster 1 —
+    #   and sits in the NEXT grid cell, exercising the 3x3 probe.
+    # id 7 far away -> noise.
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.001, 0.0]), (3, [0.0, 0.001]),
+        (4, [0.001, 0.001]), (5, [0.002, 0.0]),
+        (6, [0.0215, 0.0]),
+        (7, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["role"], r["cluster"])
+        for r in dbscan_2d(df, eps_q=20_000, min_pts=4).collect()
+    }
+    for i in (1, 2, 3, 4, 5):
+        assert got[i] == ("core", 1), (i, got[i])
+    assert got[6] == ("border", 1)
+    assert got[7] == ("noise", None)

@@ -533,3 +533,30 @@ def test_kaplan_meier_hand_computed(spark):
     # t=0: 1/5 die -> 0.8; t=10: 2/4 -> 0.4; t=20: 1/2 -> 0.2;
     # E's censoring emits no row and no death
     assert got == [(0, 5, 1, 800000), (10, 4, 2, 400000), (20, 2, 1, 200000)]
+
+
+def test_cusum_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import cusum_changepoints
+
+    # 6 days: counts 10,10,10,22,22,10 -> total 84, mean 14, k=1, h=8.
+    # S+ walk: max(0, S+ + x - 15): 0,0,0,7,14,9 -> alarm on days 5,6
+    # S- walk: max(0, S- + 13 - x): 3,6,9,0,0,3 -> alarm on day 3 (9>=8)
+    rows = []
+    counts = [10, 10, 10, 22, 22, 10]
+    for d, c in enumerate(counts, start=1):
+        rows += [(dt(2024, 2, d, 12),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        (str(r["day"]), r["x"], r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_changepoints(df).collect()
+    ]
+    assert got == [
+        ("2024-02-01", 10, 0, 3, False),
+        ("2024-02-02", 10, 0, 6, False),
+        ("2024-02-03", 10, 0, 9, True),
+        ("2024-02-04", 22, 7, 0, False),
+        ("2024-02-05", 22, 14, 0, True),
+        ("2024-02-06", 10, 9, 3, True),
+    ]
