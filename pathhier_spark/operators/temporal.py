@@ -974,3 +974,130 @@ def cusum_changepoints(
         rows, "day date, x long, s_pos long, s_neg long, alarm boolean"
     )
     return out.orderBy("day")
+
+
+def holt_forecast(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    scale: int = 1000,
+) -> DataFrame:
+    """Holt linear-trend smoothing over the daily event-volume series —
+    the FORECASTING primitive (one-step-ahead prediction + backtest
+    error) that the descriptive OLS trend (volume_trend) is not: OLS
+    fits one global line after the fact; Holt tracks level and trend
+    recursively so the forecast adapts to drift, and the per-day
+    one-step error IS the backtest.
+
+    Exact fixed-point with alpha = beta = 1/2: states live in int64
+    `scale` units and each update is a floor of an integer half —
+    l_t = (x_t + l_prev + b_prev) // 2,
+    b_t = (b_prev + (l_t − l_prev)) // 2 — so the walk is bit-portable
+    (no float smoothing constants anywhere). Init: l = x_1,
+    b = x_2 − x_1, the standard two-point start. Forecast for day t is
+    l_{t−1} + b_{t−1}; output rows start at day 2 (day 1 has no prior
+    state).
+
+    Sequential over the DAY domain only (q206's argument): combiner
+    groupBy to daily counts, driver fold over ≤ window-days rows,
+    recursive-CTE oracle. Output: (day, x, forecast_fp, abs_err_fp) in
+    scale units."""
+    spark = df.sparkSession
+    days = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    rows = []
+    if len(days) >= 2:
+        xs = [int(r["x"]) * scale for r in days]
+        lev, tr = xs[0], xs[1] - xs[0]
+        for t in range(1, len(days)):
+            fc = lev + tr
+            new_lev = (xs[t] + lev + tr) // 2
+            tr = (tr + (new_lev - lev)) // 2
+            lev = new_lev
+            rows.append(
+                (days[t]["day"], int(days[t]["x"]), fc, abs(xs[t] - fc))
+            )
+    out = spark.createDataFrame(
+        rows, "day date, x long, forecast_fp long, abs_err_fp long"
+    )
+    return out.orderBy("day")
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-volume series — the
+    MEDIAN of all pairwise slopes, the breakdown-resistant complement
+    to the per-group OLS trend (volume_trend): one corrupted day drags
+    an OLS fit arbitrarily; Theil-Sen tolerates ~29% outliers. The
+    intercept is the median residual y − m·x (the standard companion
+    estimator).
+
+    Everything lives on the DAY domain: C(days, 2) slope pairs
+    (~435 for a 30-day window) — the global median sort is over this
+    DOMAIN-bounded table, never corpus rows (the q45 exemption to the
+    no-global-sort rule). Slopes are IEEE doubles from integer
+    (dy, dx); both engines compute the identical division and sort by
+    (slope, i, j), so the median element choice is bit-portable; even
+    counts average the two middles.
+    Output: one row (n_days, n_pairs, slope, intercept)."""
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wd = Window.orderBy("day")
+    pts = daily.select(
+        F.row_number().over(wd).cast("long").alias("i"), "y"
+    ).localCheckpoint(eager=False)
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("slope"),
+    )
+    ws = Window.orderBy("slope", "i", "j")
+    np_ = pairs.count()
+    if np_ == 0:
+        return daily.sparkSession.createDataFrame(
+            [], "n_days long, n_pairs long, slope double, intercept double"
+        )
+    mid = [(np_ + 1) // 2, (np_ + 2) // 2]
+    m = (
+        pairs.withColumn("_rn", F.row_number().over(ws))
+        .where(F.col("_rn").isin(mid))
+        .agg(F.avg("slope").alias("slope"))
+    )
+    res = pts.crossJoin(F.broadcast(m)).select(
+        "i",
+        (F.col("y").cast("double") - F.col("slope") * F.col("i").cast("double"))
+        .alias("b"),
+        "slope",
+    )
+    nd = pts.count()
+    midb = [(nd + 1) // 2, (nd + 2) // 2]
+    wb = Window.orderBy("b", "i")
+    icept = (
+        res.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn").isin(midb))
+        .agg(
+            F.min("slope").alias("slope"),
+            F.avg("b").alias("intercept"),
+        )
+    )
+    return icept.select(
+        F.lit(int(nd)).cast("long").alias("n_days"),
+        F.lit(int(np_)).cast("long").alias("n_pairs"),
+        "slope",
+        "intercept",
+    )

@@ -2838,3 +2838,61 @@ def naive_bayes_lang_confusion(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+ABBR_PATTERN = r"\(([A-Za-z][A-Za-z0-9]{1,9})\)"
+
+
+def mine_abbreviations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Abbreviation/long-form mining from '(SF)' parentheticals — the
+    SYNONYM-DICTIONARY grower for entity linking: every validated
+    (long form, abbreviation) pair is a new alias edge for the
+    ontology dictionary the linker broadcasts (the reference's synonym
+    lists, mined instead of curated). Simplified Schwartz-Hearst: the
+    candidate long form is the |SF| words immediately left of the
+    parenthetical, accepted iff their initials spell SF
+    case-insensitively (the exact-initialism rule — full S-H allows
+    mid-word subsequence matches; divergence documented, rejects are
+    REPORTED with valid=false rather than dropped).
+
+    Pure column machinery, deterministic on both engines: one regex
+    split by the parenthetical pattern (segment i precedes match i),
+    one regexp_extract_all for the SFs, arrays_zip + explode, then
+    array slicing/initial-taking per candidate. Map-only — no
+    shuffle at all until a consumer aggregates.
+    Output: (id, abbr, long_form, valid)."""
+    segs = F.split(F.col(text_col), ABBR_PATTERN)
+    abbrs = F.regexp_extract_all(F.col(text_col), F.lit(ABBR_PATTERN), 1)
+    rows = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(segs, 1, F.size(abbrs)).alias("seg"),
+                abbrs.alias("ab"),
+            )
+        ).alias("z"),
+    ).select(id_col, F.col("z.seg").alias("seg"), F.col("z.ab").alias("ab"))
+    toks = F.filter(
+        F.split(F.trim(F.col("seg")), " +"), lambda x: x != ""
+    )
+    ln = F.length(F.col("ab"))
+    window = F.slice(
+        toks, F.greatest(F.size(toks) - ln + 1, F.lit(1)), ln
+    )
+    initials = F.array_join(
+        F.transform(window, lambda w: F.substring(w, 1, 1)), ""
+    )
+    return rows.select(
+        id_col,
+        F.col("ab").alias("abbr"),
+        F.array_join(window, " ").alias("long_form"),
+        (
+            (F.size(window) == ln)
+            & (F.lower(initials) == F.lower(F.col("ab")))
+        ).alias("valid"),
+    )

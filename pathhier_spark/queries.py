@@ -13085,6 +13085,204 @@ ORDER BY true_lang, pred_lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q209 — Holt linear-trend forecast backtest (operators/temporal.
+# holt_forecast): the FORECASTING family — recursive level+trend
+# smoothing with one-step-ahead predictions and per-day backtest
+# errors, where the OLS trend (q177) fits one global line after the
+# fact. Exact fixed-point at alpha=beta=1/2: every update is a floored
+# integer half in scale-1000 units — no float smoothing anywhere.
+# Python // floors and DuckDB // truncates, so the oracle spells
+# floor(x/2.0) explicitly (the q207 lesson). Day-domain driver fold +
+# recursive-CTE oracle (q206's shape, two state variables).
+# DuckDB feature req: WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+
+def q209_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import holt_forecast
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return holt_forecast(ev)
+
+
+_Q209_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY ts::date
+), seq AS (
+  SELECT day, x, row_number() OVER (ORDER BY day)::bigint AS idx FROM daily
+), rec AS (
+  SELECT 1::bigint AS idx,
+         s1.x * 1000 AS lev,
+         (s2.x - s1.x) * 1000 AS tr,
+         0::bigint AS fc
+  FROM seq s1, seq s2 WHERE s1.idx = 1 AND s2.idx = 2
+  UNION ALL
+  SELECT s.idx,
+         floor((s.x * 1000 + r.lev + r.tr) / 2.0)::bigint,
+         floor((r.tr + floor((s.x * 1000 + r.lev + r.tr) / 2.0)::bigint
+                - r.lev) / 2.0)::bigint,
+         (r.lev + r.tr)::bigint
+  FROM rec r JOIN seq s ON s.idx = r.idx + 1
+)
+SELECT s.day, s.x, r.fc AS forecast_fp,
+       abs(s.x * 1000 - r.fc)::bigint AS abs_err_fp
+FROM rec r JOIN seq s ON s.idx = r.idx
+WHERE r.idx >= 2
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q210 — Theil-Sen robust trend (operators/temporal.theil_sen_trend):
+# median pairwise slope + median-residual intercept over daily volume —
+# the ~29%-breakdown robust complement to the OLS trend (q177). All
+# medians sort the DOMAIN-bounded pair table (C(30,2)=435 rows — the
+# q45 exemption), slopes are identical IEEE divisions of integer
+# (dy, dx) on both engines, sorted (slope, i, j) so the median element
+# choice is bit-portable; even counts average the two middles.
+# DuckDB feature req: core window only.
+# ---------------------------------------------------------------------------
+
+
+def q210_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import theil_sen_trend
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = theil_sen_trend(ev)
+    return out.select(
+        "n_days", "n_pairs",
+        _rz(F.col("slope"), 6).alias("slope"),
+        _rz(F.col("intercept"), 6).alias("intercept"),
+    )
+
+
+_Q210_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY ts::date
+), pts AS (
+  SELECT row_number() OVER (ORDER BY day)::bigint AS i, y FROM daily
+), pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         (b.y - a.y)::double / (b.i - a.i)::double AS slope
+  FROM pts a JOIN pts b ON a.i < b.i
+), np AS (
+  SELECT count(*)::bigint AS n_pairs FROM pairs
+), ms AS (
+  SELECT avg(slope) AS slope FROM (
+    SELECT slope, row_number() OVER (ORDER BY slope, i, j)::bigint AS rn
+    FROM pairs
+  ), np
+  WHERE rn = (np.n_pairs + 1) // 2 OR rn = (np.n_pairs + 2) // 2
+), nd AS (
+  SELECT count(*)::bigint AS n_days FROM pts
+), res AS (
+  SELECT p.i, p.y::double - ms.slope * p.i::double AS b
+  FROM pts p, ms
+), mi AS (
+  SELECT avg(b) AS intercept FROM (
+    SELECT b, row_number() OVER (ORDER BY b, i)::bigint AS rn FROM res
+  ), nd
+  WHERE rn = (nd.n_days + 1) // 2 OR rn = (nd.n_days + 2) // 2
+)
+SELECT nd.n_days, np.n_pairs,
+       (round(ms.slope, 6) + 0.0) AS slope,
+       (round(mi.intercept, 6) + 0.0) AS intercept
+FROM nd, np, ms, mi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q211 — abbreviation mining (operators/textstats.mine_abbreviations):
+# the synonym-dictionary grower for entity linking — validated
+# (long form, SF) pairs are new alias edges for the broadcast ontology
+# dictionary. Exact-initialism validation (simplified Schwartz-Hearst;
+# divergence documented, rejects REPORTED with valid=false). The
+# corpus text has no parentheticals, so the query synthesizes them
+# deterministically (the q88 synthetic-anchor precedent): docs with
+# doc_id%3==0 get ' <first-3-words> (<INITIALS>)' appended — and
+# doc_id%6==0 gets a corrupted SF so the reject path is exercised by
+# the gate itself. Map-only; DuckDB feature req: regexp_extract_all +
+# string_split_regex + list ops (q88/q37 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q211_mine_abbreviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import mine_abbreviations
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    lf = F.array_join(F.slice(words, 1, 3), " ")
+    initials = F.upper(
+        F.array_join(
+            F.transform(F.slice(words, 1, 3), lambda w: F.substring(w, 1, 1)),
+            "",
+        )
+    )
+    sf = F.when(F.col("doc_id") % 6 == 0, F.concat(initials, F.lit("X"))).otherwise(
+        initials
+    )
+    annotated = docs.where(
+        F.col("text").isNotNull() & (F.size(words) >= 3)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "), lf, F.lit(" ("), sf, F.lit(")")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mine_abbreviations(annotated).orderBy("doc_id", "abbr")
+
+
+def _q211_sql() -> str:
+    pat = r"\(([A-Za-z][A-Za-z0-9]{1,9})\)"
+    return f"""
+WITH ann AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' ' || array_to_string(ws[1:3], ' ') || ' (' ||
+           upper(array_to_string(list_transform(ws[1:3], w -> w[1]), ''))
+           || (CASE WHEN doc_id % 6 = 0 THEN 'X' ELSE '' END) || ')'
+         ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        WHERE text IS NOT NULL)
+  WHERE len(ws) >= 3
+), m AS (
+  SELECT doc_id,
+         string_split_regex(text, '{pat}') AS segs,
+         regexp_extract_all(text, '{pat}', 1) AS abbrs
+  FROM ann
+), x AS (
+  SELECT doc_id, segs[k] AS seg, abbrs[k] AS ab
+  FROM (SELECT doc_id, segs, abbrs,
+               unnest(generate_series(1, len(abbrs))) AS k FROM m)
+), t AS (
+  SELECT doc_id, ab,
+         list_filter(string_split_regex(trim(seg), ' +'),
+                     y -> y <> '') AS toks,
+         length(ab)::int AS l
+  FROM x
+), w AS (
+  SELECT doc_id, ab,
+         toks[greatest(len(toks) - l + 1, 1):len(toks)] AS win, l
+  FROM t
+)
+SELECT doc_id, ab AS abbr,
+       array_to_string(win, ' ') AS long_form,
+       (len(win) = l AND
+        lower(array_to_string(list_transform(win, y -> y[1]), ''))
+          = lower(ab)) AS valid
+FROM w
+ORDER BY doc_id, abbr
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -13295,6 +13493,9 @@ def queries():
         "q206_cusum": q206_cusum,
         "q207_dbscan": q207_dbscan,
         "q208_nb_confusion": q208_nb_confusion,
+        "q209_holt_forecast": q209_holt_forecast,
+        "q210_theil_sen": q210_theil_sen,
+        "q211_mine_abbreviations": q211_mine_abbreviations,
     }
 
 
@@ -13508,4 +13709,7 @@ def oracle_sql():
         "q206_cusum": _Q206_SQL,
         "q207_dbscan": _q207_sql(),
         "q208_nb_confusion": _q208_sql(),
+        "q209_holt_forecast": _Q209_SQL,
+        "q210_theil_sen": _Q210_SQL,
+        "q211_mine_abbreviations": _q211_sql(),
     }

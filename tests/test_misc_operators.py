@@ -1123,3 +1123,28 @@ def test_naive_bayes_prior_breaks_empty_evidence_tie(spark):
     # 'shared' docs predict en — the prior term is load-bearing
     assert got[("fr", "en")] == 1
     assert got[("en", "en")] == 4
+
+
+def test_mine_abbreviations_validates_initialism(spark):
+    from pathhier_spark.operators.textstats import mine_abbreviations
+
+    df = spark.createDataFrame(
+        [
+            (1, "the world health organization (WHO) said so"),
+            (2, "prefix words gross domestic product (GDP) and after"),
+            (3, "totally unrelated words here (XYZ) trailing"),
+            (4, "no parenthetical at all"),
+            (5, "two hits: alpha beta (AB) then gamma delta (GD) end"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["abbr"]): (r["long_form"], r["valid"])
+        for r in mine_abbreviations(df).collect()
+    }
+    assert got[(1, "WHO")] == ("world health organization", True)
+    assert got[(2, "GDP")] == ("gross domestic product", True)
+    assert got[(3, "XYZ")] == ("unrelated words here", False)
+    assert (4, "") not in got and len([k for k in got if k[0] == 4]) == 0
+    assert got[(5, "AB")] == ("alpha beta", True)
+    assert got[(5, "GD")] == ("gamma delta", True)

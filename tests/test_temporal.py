@@ -560,3 +560,60 @@ def test_cusum_hand_computed(spark):
         ("2024-02-05", 22, 14, 0, True),
         ("2024-02-06", 10, 9, 3, True),
     ]
+
+
+def test_holt_forecast_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import holt_forecast
+
+    # counts 10, 12, 14: init l=10000, b=2000 (scale 1000).
+    # day2: fc=12000, err=0; l=(12000+10000+2000)//2=12000, b=(2000+2000)//2=2000
+    # day3: fc=14000, err=0 (perfect linear series forecasts exactly)
+    rows = []
+    for d, c in [(1, 10), (2, 12), (3, 14)]:
+        rows += [(dt(2024, 5, d),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        (str(r["day"]), r["x"], r["forecast_fp"], r["abs_err_fp"])
+        for r in holt_forecast(df).collect()
+    ]
+    assert got == [
+        ("2024-05-02", 12, 12000, 0),
+        ("2024-05-03", 14, 14000, 0),
+    ]
+
+
+def test_holt_forecast_adapts_to_break(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import holt_forecast
+
+    # flat 10,10,10 then jump to 30: the break day carries the full
+    # 20000 error; the next forecast moves most of the way up
+    rows = []
+    for d, c in [(1, 10), (2, 10), (3, 10), (4, 30), (5, 30)]:
+        rows += [(dt(2024, 5, d),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {str(r["day"]): (r["forecast_fp"], r["abs_err_fp"])
+           for r in holt_forecast(df).collect()}
+    assert got["2024-05-04"] == (10000, 20000)
+    assert got["2024-05-05"][1] < 10000  # adapted past half the gap
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import theil_sen_trend
+
+    # perfect slope-2 line except one wild day: median slope stays 2
+    counts = [10, 12, 14, 90, 18, 20, 22]
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(dt(2024, 6, d),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = theil_sen_trend(df).collect()[0]
+    assert r["n_days"] == 7 and r["n_pairs"] == 21
+    assert abs(r["slope"] - 2.0) < 1e-12
+    # intercept = median of y_i - 2*i = [8,8,8,82,8,8,8] -> 8
+    assert abs(r["intercept"] - 8.0) < 1e-12
