@@ -1338,3 +1338,52 @@ def kendall_tau(
             ).alias("tau_b"),
         )
     )
+
+
+def constraint_profile(
+    tables: dict[str, DataFrame],
+    *,
+    fds: list[tuple[str, str, str]],
+    inds: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Schema-constraint discovery over a table audit list — the data
+    profiler that tells an engine what the catalog does not: which
+    functional dependencies (X → Y iff |distinct X| = |distinct (X,Y)|)
+    and inclusion dependencies (FK candidates: values(A.x) ⊆
+    values(B.y), checked as a distinct left-anti count) actually HOLD
+    in the data. FDs that hold license aggregation pushdown and
+    dimension collapsing; INDs that hold license join reordering and
+    referential bucketing — the discovered constraints feed exactly the
+    physical decisions the rest of this repo makes by hand.
+
+    Every check is exact integer: two distinct-counts per FD, one
+    distinct left-anti count per IND; violations are REPORTED as counts
+    (n_check = surplus pairs / missing FK values), never just a
+    boolean. Each check is a tiny aggregate; the audit result is their
+    union — at warehouse scale each distinct-count is one
+    combiner-friendly pass over its own table, embarrassingly parallel
+    across checks. Output: (kind, cname, n_lhs, n_check, holds)."""
+    spark = next(iter(tables.values())).sparkSession
+    rows = []
+    for t, lhs, rhs in fds:
+        df = tables[t]
+        n_lhs = df.select(lhs).distinct().count()
+        n_pairs = df.select(lhs, rhs).distinct().count()
+        rows.append(
+            ("fd", f"{t}.{lhs} -> {t}.{rhs}", n_lhs, n_pairs,
+             n_lhs == n_pairs)
+        )
+    for t1, c1, t2, c2 in inds:
+        lhs_vals = tables[t1].select(F.col(c1).alias("v")).distinct()
+        rhs_vals = tables[t2].select(F.col(c2).alias("v")).distinct()
+        n_lhs = lhs_vals.count()
+        n_missing = lhs_vals.join(rhs_vals, "v", "left_anti").count()
+        rows.append(
+            ("ind", f"{t1}.{c1} subset-of {t2}.{c2}", n_lhs, n_missing,
+             n_missing == 0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "kind string, cname string, n_lhs long, n_check long,"
+        " holds boolean",
+    )

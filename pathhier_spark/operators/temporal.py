@@ -1101,3 +1101,68 @@ def theil_sen_trend(
         "slope",
         "intercept",
     )
+
+
+def best_sse_split(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Optimal OFFLINE single changepoint of the daily volume series:
+    the split minimizing total within-segment SSE — the retrospective
+    complement to CUSUM (q-online detection answers "is it drifting
+    NOW"; this answers "WHERE did the level change, exactly"). Fitting
+    a piecewise-constant mean with one break is the 2-segment Jenks /
+    1-changepoint least-squares classic.
+
+    Exactness: prefix sums Σy and Σy² are int64 cumulative windows over
+    the DAY-domain table; each candidate split's SSE =
+    (Σy²_L − (Σy_L)²/n_L) + (Σy²_R − (Σy_R)²/n_R) is one fixed scalar
+    expression of those integers — identical bits on both engines — and
+    the argmin orders by (sse, split_idx). No corpus-row work beyond
+    the one combiner groupBy to daily counts.
+    Output: one row (n_days, split_idx, split_day, sse_one, sse_two)
+    where sse_one is the no-split SSE and split_idx is the last day of
+    the left segment."""
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wd = Window.orderBy("day")
+    pts = daily.select(
+        "day",
+        F.row_number().over(wd).cast("long").alias("i"),
+        "y",
+        F.sum("y").over(wd).cast("long").alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wd).cast("long").alias("cy2"),
+    ).localCheckpoint(eager=False)
+    tot = pts.agg(
+        F.max("i").alias("n"),
+        F.max("cy").alias("ty"),
+        F.max("cy2").alias("ty2"),
+    )
+    cand = pts.crossJoin(F.broadcast(tot)).where(F.col("i") < F.col("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sse_two = (
+        (d("cy2") - d("cy") * d("cy") / d("i"))
+        + (
+            (d("ty2") - d("cy2"))
+            - (d("ty") - d("cy")) * (d("ty") - d("cy")) / (d("n") - d("i"))
+        )
+    )
+    wbest = Window.orderBy("sse_two", "i")
+    best = (
+        cand.select(
+            "day", "i", "n", "ty", "ty2", sse_two.alias("sse_two")
+        )
+        .withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+    )
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("i").alias("split_idx"),
+        F.col("day").alias("split_day"),
+        (d("ty2") - d("ty") * d("ty") / d("n")).alias("sse_one"),
+        "sse_two",
+    )

@@ -13283,6 +13283,129 @@ ORDER BY doc_id, abbr
 """
 
 
+# ---------------------------------------------------------------------------
+# Q212 — optimal single changepoint by SSE (operators/temporal.
+# best_sse_split): WHERE the level changed, retrospectively — the
+# offline complement to q206's online CUSUM. Int64 prefix sums over
+# the day domain; each candidate split's SSE is one fixed scalar
+# expression (identical bits both engines); argmin by (sse, idx).
+# DuckDB feature req: core window only.
+# ---------------------------------------------------------------------------
+
+
+def q212_sse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import best_sse_split
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = best_sse_split(ev)
+    return out.select(
+        "n_days", "split_idx", "split_day",
+        _rz(F.col("sse_one"), 6).alias("sse_one"),
+        _rz(F.col("sse_two"), 6).alias("sse_two"),
+    )
+
+
+_Q212_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY ts::date
+), pts AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day)::bigint AS i,
+         sum(y) OVER (ORDER BY day)::bigint AS cy,
+         sum(y * y) OVER (ORDER BY day)::bigint AS cy2
+  FROM daily
+), tot AS (
+  SELECT max(i)::bigint AS n, max(cy)::bigint AS ty,
+         max(cy2)::bigint AS ty2
+  FROM pts
+), cand AS (
+  SELECT p.day, p.i, t.n, t.ty, t.ty2,
+         (p.cy2::double - p.cy::double * p.cy::double / p.i::double)
+         + ((t.ty2 - p.cy2)::double
+            - (t.ty - p.cy)::double * (t.ty - p.cy)::double
+              / (t.n - p.i)::double) AS sse_two
+  FROM pts p, tot t WHERE p.i < t.n
+), best AS (
+  SELECT day, i, n, ty, ty2, sse_two,
+         row_number() OVER (ORDER BY sse_two, i) AS rn
+  FROM cand
+)
+SELECT n AS n_days, i AS split_idx, day AS split_day,
+       (round(ty2::double - ty::double * ty::double / n::double, 6) + 0.0)
+         AS sse_one,
+       (round(sse_two, 6) + 0.0) AS sse_two
+FROM best WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q213 — schema-constraint discovery (operators/profile.
+# constraint_profile): which functional dependencies and inclusion
+# dependencies (FK candidates) actually HOLD in the data — the
+# profiler behind aggregation pushdown, dimension collapsing, and
+# referential bucketing decisions. The audit list mixes true and false
+# constraints so BOTH verdicts are exercised; violations are REPORTED
+# as exact counts (surplus (X,Y) pairs / missing FK values), never a
+# bare boolean. Each check is one combiner-friendly distinct pass.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+_Q213_FDS = [
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_regionkey", "n_name"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+]
+_Q213_INDS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("supplier", "s_suppkey", "orders", "o_custkey"),
+]
+
+
+def q213_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import constraint_profile
+
+    tables = {
+        t: spark.read.parquet(_t(sf_dir, t))
+        for t in ("nation", "region", "orders", "lineitem", "customer",
+                  "supplier")
+    }
+    return constraint_profile(
+        tables, fds=_Q213_FDS, inds=_Q213_INDS
+    ).orderBy("kind", "cname")
+
+
+def _q213_sql() -> str:
+    parts = []
+    for t, lhs, rhs in _Q213_FDS:
+        parts.append(f"""
+SELECT 'fd' AS kind, '{t}.{lhs} -> {t}.{rhs}' AS cname,
+       (SELECT count(DISTINCT {lhs}) FROM {t})::bigint AS n_lhs,
+       (SELECT count(*) FROM (SELECT DISTINCT {lhs}, {rhs} FROM {t}))::bigint
+         AS n_check,
+       (SELECT count(DISTINCT {lhs}) FROM {t})
+         = (SELECT count(*) FROM (SELECT DISTINCT {lhs}, {rhs} FROM {t}))
+         AS holds""")
+    for t1, c1, t2, c2 in _Q213_INDS:
+        parts.append(f"""
+SELECT 'ind', '{t1}.{c1} subset-of {t2}.{c2}',
+       (SELECT count(DISTINCT {c1}) FROM {t1})::bigint,
+       (SELECT count(*) FROM
+          (SELECT DISTINCT {c1} AS v FROM {t1}
+           EXCEPT SELECT DISTINCT {c2} FROM {t2}))::bigint,
+       (SELECT count(*) FROM
+          (SELECT DISTINCT {c1} AS v FROM {t1}
+           EXCEPT SELECT DISTINCT {c2} FROM {t2})) = 0""")
+    return (
+        "SELECT * FROM (" + "\nUNION ALL".join(parts)
+        + ") ORDER BY kind, cname"
+    )
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -13496,6 +13619,8 @@ def queries():
         "q209_holt_forecast": q209_holt_forecast,
         "q210_theil_sen": q210_theil_sen,
         "q211_mine_abbreviations": q211_mine_abbreviations,
+        "q212_sse_split": q212_sse_split,
+        "q213_constraints": q213_constraints,
     }
 
 
@@ -13712,4 +13837,6 @@ def oracle_sql():
         "q209_holt_forecast": _Q209_SQL,
         "q210_theil_sen": _Q210_SQL,
         "q211_mine_abbreviations": _q211_sql(),
+        "q212_sse_split": _Q212_SQL,
+        "q213_constraints": _q213_sql(),
     }

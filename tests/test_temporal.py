@@ -617,3 +617,21 @@ def test_theil_sen_ignores_outlier_day(spark):
     assert abs(r["slope"] - 2.0) < 1e-12
     # intercept = median of y_i - 2*i = [8,8,8,82,8,8,8] -> 8
     assert abs(r["intercept"] - 8.0) < 1e-12
+
+
+def test_best_sse_split_finds_the_break(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import best_sse_split
+
+    # 10,10,10 then 30,30,30: the optimal split is after day 3 with
+    # zero residual SSE; one-segment SSE = 6*(20-mean)^2 = 600
+    rows = []
+    for d, c in [(1, 10), (2, 10), (3, 10), (4, 30), (5, 30), (6, 30)]:
+        rows += [(dt(2024, 7, d),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = best_sse_split(df).collect()[0]
+    assert r["n_days"] == 6
+    assert r["split_idx"] == 3 and str(r["split_day"]) == "2024-07-03"
+    assert abs(r["sse_two"]) < 1e-9
+    assert abs(r["sse_one"] - 600.0) < 1e-9

@@ -521,3 +521,29 @@ def test_kendall_tau_constant_signal_is_null(spark):
     )
     r = kendall_tau(df, x_col="x", y_col="y").collect()[0]
     assert r["tau_b"] is None
+
+
+def test_constraint_profile_verdicts(spark):
+    from pathhier_spark.operators.profile import constraint_profile
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20)],
+        "k long, name string, grp long",
+    )
+    fact = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 102), (9, 103)], "fk long, payload long"
+    )
+    out = {
+        r["cname"]: (r["n_lhs"], r["n_check"], r["holds"])
+        for r in constraint_profile(
+            {"dim": dim, "fact": fact},
+            fds=[("dim", "k", "name"), ("dim", "grp", "name")],
+            inds=[("fact", "fk", "dim", "k"), ("dim", "grp", "fact", "payload")],
+        ).collect()
+    }
+    assert out["dim.k -> dim.name"] == (3, 3, True)
+    # grp 10 maps to two names -> 2 lhs values but 3 pairs
+    assert out["dim.grp -> dim.name"] == (2, 3, False)
+    # fk 9 has no dim row -> 1 missing value reported
+    assert out["fact.fk subset-of dim.k"] == (3, 1, False)
+    assert out["dim.grp subset-of fact.payload"] == (2, 2, False)
