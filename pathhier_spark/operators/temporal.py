@@ -1166,3 +1166,145 @@ def best_sse_split(
         (d("ty2") - d("ty") * d("ty") / d("n")).alias("sse_one"),
         "sse_two",
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    iterations: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Markov removal-effect attribution — WHICH touchpoint channels
+    actually drive conversion, by the counterfactual the last-click /
+    funnel views (q164/q168) cannot ask: how much does START→CONV
+    probability DROP if a channel is deleted from the graph? Journeys
+    are each user's events up to the first `conv_type` (users without
+    one end in NULL); transitions feed an absorbing Markov chain and
+    the per-channel removal effect is (V_base − V_removed) / V_base.
+
+    Exact fixed-point: conversion values live in int64 `scale` units
+    and each iteration step is v_s ← (Σ_j c_sj·v_j) // c_s — one
+    integer dot product and ONE floor division per state (exact because
+    Σ_j c_sj = c_s), with CONV pinned at scale, NULL and the removed
+    channel pinned at 0. Truncated at `iterations` — the truncation IS
+    the defined semantics, so both engines replay identical integers
+    (the q51 unrolled-round trick, one chain per removal scenario).
+    Overflow bound: c_sj·scale must stay < 2^63 — fine to ~9e12
+    transitions per edge; normalize counts upstream past that.
+
+    Scale shape: journey windows partition BY USER; transition counts
+    are one combiner groupBy to a ≤ (|channels|+2)² table — the chain
+    math walks that DOMAIN-bounded table on the driver. Output one row
+    per channel: (channel, conv_base_fp, conv_removed_fp,
+    removal_effect, share)."""
+    w = Window.partitionBy("u").orderBy("ts_", "eid")
+    ev = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts_"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("t"),
+    )
+    ranked = ev.select(
+        "u", "t", F.row_number().over(w).alias("rn")
+    )
+    firstc = (
+        ranked.where(F.col("t") == conv_type)
+        .groupBy("u")
+        .agg(F.min("rn").alias("crn"))
+    )
+    kept = ranked.join(firstc, "u", "left").where(
+        F.col("crn").isNull() | (F.col("rn") <= F.col("crn"))
+    )
+    wk = Window.partitionBy("u").orderBy("rn")
+    hops = kept.select(
+        "u",
+        "t",
+        "rn",
+        F.lead("t").over(wk).alias("nxt"),
+    )
+    trans = (
+        hops.select(
+            F.when(F.col("rn") == 1, True).otherwise(False).alias("is_first"),
+            "t",
+            "nxt",
+        )
+    )
+    edges = (
+        trans.select(
+            F.lit("START").alias("s"),
+            F.col("t").alias("d"),
+        ).where(F.col("is_first"))
+        .union(
+            trans.where(F.col("nxt").isNotNull()).select(
+                F.col("t").alias("s"), F.col("nxt").alias("d")
+            )
+        )
+        .union(
+            trans.where(
+                F.col("nxt").isNull() & (F.col("t") != conv_type)
+            ).select(F.col("t").alias("s"), F.lit("NULL").alias("d"))
+        )
+    )
+    counts = {
+        (r["s"], r["d"]): r["c"]
+        for r in edges.groupBy("s", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    states = ["START", *channels]
+    out_tot = {}
+    for (s, _d), c in counts.items():
+        out_tot[s] = out_tot.get(s, 0) + c
+
+    def solve(removed: str | None) -> int:
+        v = {s: 0 for s in states}
+        for _ in range(iterations):
+            nv = {}
+            for s in states:
+                if s == removed or s not in out_tot:
+                    nv[s] = 0
+                    continue
+                acc = 0
+                for d in states:
+                    if d == removed:
+                        continue
+                    acc += counts.get((s, d), 0) * v[d]
+                acc += counts.get((s, conv_type), 0) * scale
+                nv[s] = acc // out_tot[s]
+            v = nv
+        return v["START"]
+
+    base = solve(None)
+    rows = []
+    effects = {}
+    for ch in channels:
+        vr = solve(ch)
+        effects[ch] = base - vr
+        rows.append((ch, base, vr))
+    tot_eff = sum(effects.values())
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                ch,
+                b,
+                vr,
+                (float(b - vr) / float(b)) if b else None,
+                (float(effects[ch]) / float(tot_eff)) if tot_eff else None,
+            )
+            for ch, b, vr in rows
+        ],
+        "channel string, conv_base_fp long, conv_removed_fp long,"
+        " removal_effect double, share double",
+    )
+    return out.orderBy("channel")

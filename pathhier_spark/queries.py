@@ -13406,6 +13406,110 @@ SELECT 'ind', '{t1}.{c1} subset-of {t2}.{c2}',
     )
 
 
+# ---------------------------------------------------------------------------
+# Q214 — Markov removal-effect attribution (operators/temporal.
+# markov_attribution): the counterfactual the funnel views (q164/q168)
+# cannot ask — how much does START→conversion probability drop when a
+# channel is deleted from the journey graph? Absorbing-chain values in
+# int64 fixed-point, each round one integer dot product + one exact
+# floor division per state (Σ_j c_sj = c_s), truncated at 12 rounds —
+# truncation IS the semantics, so the oracle replays identical
+# integers as unrolled per-scenario round CTEs (q51's trick with a
+# scenario dimension). Journey windows partition BY USER; the chain
+# walks the ≤(channels+2)² DOMAIN-bounded transition table.
+# DuckDB feature req: core only (unrolled CTEs).
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 12
+_MK_SCALE = 1_000_000
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def q214_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import markov_attribution
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = markov_attribution(
+        ev, channels=_MK_CHANNELS, iterations=_MK_ITERS, scale=_MK_SCALE
+    )
+    return out.select(
+        "channel", "conv_base_fp", "conv_removed_fp",
+        _rz(F.col("removal_effect"), 6).alias("removal_effect"),
+        _rz(F.col("share"), 6).alias("share"),
+    )
+
+
+def _q214_sql() -> str:
+    chans = ", ".join(f"'{c}'" for c in _MK_CHANNELS)
+
+    def rnd(prev, cur):
+        return f"""{cur} AS MATERIALIZED (
+  SELECT p.rm, p.st,
+         (CASE WHEN p.st = p.rm OR min(ot.tot) IS NULL THEN 0
+               ELSE coalesce(sum(tc.c * CASE
+                      WHEN tc.d = 'purchase' THEN {_MK_SCALE}
+                      WHEN tc.d = 'NULL' OR tc.d = p.rm THEN 0
+                      ELSE coalesce(pv.v, 0) END), 0) // min(ot.tot)
+          END)::bigint AS v
+  FROM {prev} p
+  LEFT JOIN ot ON ot.s = p.st
+  LEFT JOIN tc ON tc.s = p.st
+  LEFT JOIN {prev} pv ON pv.rm = p.rm AND pv.st = tc.d
+  GROUP BY p.rm, p.st
+)"""
+
+    rounds = ",\n".join(rnd(f"v{i}", f"v{i + 1}") for i in range(_MK_ITERS))
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, ts, event_id AS eid, event_type AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), ranked AS (
+  SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn
+  FROM ev
+), firstc AS (
+  SELECT u, min(rn) AS crn FROM ranked WHERE t = 'purchase' GROUP BY u
+), kept AS MATERIALIZED (
+  SELECT r.u, r.t, r.rn FROM ranked r LEFT JOIN firstc f ON r.u = f.u
+  WHERE f.crn IS NULL OR r.rn <= f.crn
+), hops AS MATERIALIZED (
+  SELECT u, t, rn, lead(t) OVER (PARTITION BY u ORDER BY rn) AS nxt
+  FROM kept
+), edges AS MATERIALIZED (
+  SELECT 'START' AS s, t AS d FROM hops WHERE rn = 1
+  UNION ALL SELECT t, nxt FROM hops WHERE nxt IS NOT NULL
+  UNION ALL SELECT t, 'NULL' FROM hops WHERE nxt IS NULL AND t <> 'purchase'
+), tc AS MATERIALIZED (
+  SELECT s, d, count(*)::bigint AS c FROM edges GROUP BY s, d
+), ot AS MATERIALIZED (
+  SELECT s, sum(c)::bigint AS tot FROM tc GROUP BY s
+), scen AS (
+  SELECT unnest(['base', {chans}]) AS rm
+), states AS (
+  SELECT unnest(['START', {chans}]) AS st
+), v0 AS MATERIALIZED (
+  SELECT rm, st, 0::bigint AS v FROM scen, states
+),
+{rounds},
+base AS (
+  SELECT v FROM v{_MK_ITERS} WHERE rm = 'base' AND st = 'START'
+), rem AS (
+  SELECT rm AS channel, v FROM v{_MK_ITERS}
+  WHERE rm <> 'base' AND st = 'START'
+), toteff AS (
+  SELECT sum(b.v - r.v)::bigint AS te FROM rem r, base b
+)
+SELECT r.channel, b.v AS conv_base_fp, r.v AS conv_removed_fp,
+       CASE WHEN b.v > 0
+            THEN round((b.v - r.v)::double / b.v::double, 6) + 0.0 END
+         AS removal_effect,
+       CASE WHEN t.te > 0
+            THEN round((b.v - r.v)::double / t.te::double, 6) + 0.0 END
+         AS share
+FROM rem r, base b, toteff t
+ORDER BY channel
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -13621,6 +13725,7 @@ def queries():
         "q211_mine_abbreviations": q211_mine_abbreviations,
         "q212_sse_split": q212_sse_split,
         "q213_constraints": q213_constraints,
+        "q214_markov_attribution": q214_markov_attribution,
     }
 
 
@@ -13839,4 +13944,5 @@ def oracle_sql():
         "q211_mine_abbreviations": _q211_sql(),
         "q212_sse_split": _Q212_SQL,
         "q213_constraints": _q213_sql(),
+        "q214_markov_attribution": _q214_sql(),
     }

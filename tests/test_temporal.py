@@ -635,3 +635,57 @@ def test_best_sse_split_finds_the_break(spark):
     assert r["split_idx"] == 3 and str(r["split_day"]) == "2024-07-03"
     assert abs(r["sse_two"]) < 1e-9
     assert abs(r["sse_one"] - 600.0) < 1e-9
+
+
+def test_markov_attribution_hand_solved(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import markov_attribution
+
+    # u1: click -> purchase; u2: click -> end; u3: view -> end.
+    # v[click] = (1*scale)/2 = 500000, v[view] = 0,
+    # base = START: (2*500000 + 0)//3 = 333333.
+    # remove click -> START value 0 (effect 1.0, full share);
+    # remove view -> unchanged (effect 0).
+    rows = [
+        (1, 1, "click", dt(2024, 8, 1, 0)),
+        (1, 2, "purchase", dt(2024, 8, 1, 1)),
+        (2, 3, "click", dt(2024, 8, 1, 0)),
+        (3, 4, "view", dt(2024, 8, 1, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["channel"]: (
+            r["conv_base_fp"], r["conv_removed_fp"],
+            r["removal_effect"], r["share"],
+        )
+        for r in markov_attribution(df, channels=("click", "view")).collect()
+    }
+    assert got["click"] == (333333, 0, 1.0, 1.0)
+    assert got["view"] == (333333, 333333, 0.0, 0.0)
+
+
+def test_markov_attribution_journey_cut_at_first_purchase(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import markov_attribution
+
+    # events AFTER the first purchase must not create transitions:
+    # u1: view -> purchase -> click; the trailing click is ignored, so
+    # removing click changes nothing
+    rows = [
+        (1, 1, "view", dt(2024, 8, 1, 0)),
+        (1, 2, "purchase", dt(2024, 8, 1, 1)),
+        (1, 3, "click", dt(2024, 8, 1, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["channel"]: (r["conv_base_fp"], r["conv_removed_fp"])
+        for r in markov_attribution(df, channels=("click", "view")).collect()
+    }
+    assert got["click"] == (1000000, 1000000)
+    assert got["view"] == (1000000, 0)
