@@ -1387,3 +1387,127 @@ def constraint_profile(
         "kind string, cname string, n_lhs long, n_check long,"
         " holds boolean",
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources — the
+    authorship/style-drift measure built on MARKER-WORD rates, not
+    content: Delta(a, b) = mean over the top-k corpus-frequency words
+    of |z_a − z_b|, where z standardizes each marker's per-mille rate
+    across sources. Two crawls of the same template farm sit at tiny
+    Delta even when their topics differ; a styled source stands out —
+    the complement to content-level drift (chi-square/KS/PSI).
+
+    Determinism: marker rates are one exact division of int64 counts
+    (c·1e6 / tot); every cross-source float sum (marker means, squared
+    deviations, the final |z|-fold) runs over a DOMAIN-bounded table
+    (sources × markers) in a FIXED sort order via array_sort +
+    sequential aggregate — the q44 fold discipline applied to the
+    source domain. Marker selection cuts the vocab at (count DESC,
+    token ASC), a deterministic total order. Zero cells are densified
+    (a marker a source never uses is rate 0, the strongest style
+    signal there is). Constant markers (σ = 0) contribute 0.
+
+    Scale shape: ONE corpus-scale groupBy(source, token); everything
+    after lives on sources × top_k cells. Output:
+    (src_a, src_b, n_markers, delta) for src_a < src_b."""
+    from pathhier_spark.operators.textstats import _tokens
+
+    counts = (
+        docs.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(_tokens(text_col)).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    markers = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("tc"))
+        .orderBy(F.desc("tc"), "tok")
+        .limit(top_k)
+        .select("tok")
+    )
+    tots = counts.groupBy("g").agg(F.sum("c").cast("long").alias("tot"))
+    dense = (
+        tots.crossJoin(F.broadcast(markers))
+        .join(counts, ["g", "tok"], "left")
+        .select(
+            "g",
+            "tok",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) * F.lit(1_000_000))
+                .cast("double")
+                / F.col("tot").cast("double")
+            ).alias("rate"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_src = dense.select("g").distinct().count()
+
+    def gfold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", F.col(col).alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    mu = dense.groupBy("tok").agg(
+        (gfold("rate") / F.lit(float(n_src))).alias("mu")
+    )
+    dev = dense.join(mu, "tok").select(
+        "g", "tok", "rate", "mu",
+        ((F.col("rate") - F.col("mu")) * (F.col("rate") - F.col("mu"))).alias("sq"),
+    )
+    sig = dev.groupBy("tok").agg(
+        F.sqrt(gfold("sq") / F.lit(float(n_src))).alias("sigma")
+    )
+    z = (
+        dense.join(mu, "tok")
+        .join(sig, "tok")
+        .select(
+            "g",
+            "tok",
+            F.when(
+                F.col("sigma") > 0,
+                (F.col("rate") - F.col("mu")) / F.col("sigma"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok")) & (F.col("a.g") < F.col("b.g")),
+    ).select(
+        F.col("a.g").alias("src_a"),
+        F.col("b.g").alias("src_b"),
+        F.col("a.tok").alias("tok"),
+        F.abs(F.col("a.z") - F.col("b.z")).alias("az"),
+    )
+    return pair.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_markers"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok", "az"))),
+                    lambda s: s["az"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("delta"),
+    )

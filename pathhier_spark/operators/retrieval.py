@@ -770,3 +770,55 @@ def inverted_index(
     return stats.join(head, "term").select(
         "term", "df", "cf", "top_postings"
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    slop: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity (slop) search over positional postings: documents where
+    `term_a` and `term_b` occur within `slop` tokens of each other, in
+    either order — the middle ground between bag-of-words BM25 (no
+    position at all) and exact phrase search (q103, slop 0 + order).
+    "new york" queries want phrases; "spark AND shuffle near each
+    other" queries want THIS.
+
+    Plan: per-term positional postings are two filters of one
+    posexplode; the pair distance check is an equi-join ON DOC ONLY
+    whose per-doc fan-out is the product of that doc's two term
+    frequencies — bounded by doc length, never corpus-size (and in a
+    full engine the postings join would be term-pruned first, exactly
+    as here). All-integer output: (id, n_pairs_within, min_dist) for
+    documents whose closest pair is within `slop`; min_dist is the
+    minimum over ALL occurrence pairs of the matching doc."""
+    from pathhier_spark.operators.textstats import _tokens
+
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "tok")
+    )
+    pa = toks.where(F.col("tok") == term_a).select(
+        id_col, F.col("pos").alias("p1")
+    )
+    pb = toks.where(F.col("tok") == term_b).select(
+        id_col, F.col("pos").alias("p2")
+    )
+    return (
+        pa.join(pb, id_col)
+        .select(
+            id_col,
+            F.abs(F.col("p1") - F.col("p2")).cast("long").alias("d"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("d") <= slop, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs_within"),
+            F.min("d").cast("long").alias("min_dist"),
+        )
+        .where(F.col("min_dist") <= slop)
+    )

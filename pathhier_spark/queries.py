@@ -13510,6 +13510,130 @@ ORDER BY channel
 """
 
 
+# ---------------------------------------------------------------------------
+# Q215 — proximity (slop) search (operators/retrieval.
+# proximity_search): docs where 'join' and 'merge' occur within 3
+# tokens of each other, either order — the middle ground between
+# bag-of-words BM25 (q63, no positions) and exact phrase search
+# (q103, slop 0 + order). Two postings filters off one posexplode; the
+# distance check is an equi-join ON DOC with per-doc fan-out bounded
+# by the two term frequencies. All-integer output.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+_PROX_A, _PROX_B, _PROX_SLOP = "join", "merge", 3
+
+
+def q215_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import proximity_search
+
+    docs = _docs(spark, sf_dir)
+    return proximity_search(
+        docs, _PROX_A, _PROX_B, slop=_PROX_SLOP
+    ).orderBy("doc_id")
+
+
+def _q215_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1)::bigint AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+          WHERE text IS NOT NULL)
+  )
+), pa AS (
+  SELECT doc_id, pos AS p1 FROM toks WHERE tok = '{_PROX_A}'
+), pb AS (
+  SELECT doc_id, pos AS p2 FROM toks WHERE tok = '{_PROX_B}'
+), d AS (
+  SELECT pa.doc_id, abs(p1 - p2)::bigint AS d
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+)
+SELECT doc_id,
+       sum(CASE WHEN d <= {_PROX_SLOP} THEN 1 ELSE 0 END)::bigint
+         AS n_pairs_within,
+       min(d)::bigint AS min_dist
+FROM d
+GROUP BY doc_id
+HAVING min(d) <= {_PROX_SLOP}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q216 — Burrows' Delta stylometry (operators/profile.burrows_delta):
+# pairwise STYLE distance between sources over top-20 marker-word
+# rates — template farms cluster at tiny Delta even across topics; a
+# styled source stands out (the complement to content drift:
+# chi-square q104, KS q193, Wasserstein q179). One corpus groupBy;
+# every cross-source float fold runs on the sources×markers DOMAIN in
+# fixed sort order (q44 discipline); marker cut at the deterministic
+# (count DESC, token ASC) total order; zero cells densified.
+# DuckDB feature req: list(... ORDER BY) + list_sum (q44 precedent).
+# ---------------------------------------------------------------------------
+
+_DELTA_TOPK = 20
+
+
+def q216_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import burrows_delta
+
+    docs = _docs(spark, sf_dir)
+    out = burrows_delta(docs, top_k=_DELTA_TOPK)
+    return out.select(
+        "src_a", "src_b", "n_markers", _rz(F.col("delta"), 6).alias("delta")
+    ).orderBy("src_a", "src_b")
+
+
+def _q216_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT source AS g, tok, count(*)::bigint AS c FROM (
+    SELECT source, unnest({_SQL_WS_TOKS}) AS tok FROM documents
+    WHERE text IS NOT NULL AND source IS NOT NULL
+  )
+  GROUP BY g, tok
+), markers AS (
+  SELECT tok FROM (
+    SELECT tok, sum(c)::bigint AS tc FROM counts GROUP BY tok
+  ) ORDER BY tc DESC, tok LIMIT {_DELTA_TOPK}
+), tots AS (
+  SELECT g, sum(c)::bigint AS tot FROM counts GROUP BY g
+), ns AS (
+  SELECT count(*)::bigint AS n FROM tots
+), dense AS (
+  SELECT t.g, m.tok,
+         (coalesce(c.c, 0) * 1000000)::double / t.tot::double AS rate
+  FROM tots t CROSS JOIN markers m
+  LEFT JOIN counts c ON c.g = t.g AND c.tok = m.tok
+), mu AS (
+  SELECT tok, list_sum(list(rate ORDER BY g)) / ns.n::double AS mu
+  FROM dense, ns GROUP BY tok, ns.n
+), dev AS (
+  SELECT d.g, d.tok, d.rate, mu.mu,
+         (d.rate - mu.mu) * (d.rate - mu.mu) AS sq
+  FROM dense d JOIN mu ON d.tok = mu.tok
+), sig AS (
+  SELECT tok, sqrt(list_sum(list(sq ORDER BY g)) / ns.n::double) AS sigma
+  FROM dev, ns GROUP BY tok, ns.n
+), z AS (
+  SELECT d.g, d.tok,
+         CASE WHEN s.sigma > 0 THEN (d.rate - m.mu) / s.sigma
+              ELSE 0.0 END AS z
+  FROM dense d JOIN mu m ON d.tok = m.tok JOIN sig s ON d.tok = s.tok
+), pair AS (
+  SELECT a.g AS src_a, b.g AS src_b, a.tok, abs(a.z - b.z) AS az
+  FROM z a JOIN z b ON a.tok = b.tok AND a.g < b.g
+)
+SELECT src_a, src_b, count(*)::bigint AS n_markers,
+       (round(list_sum(list(az ORDER BY tok)) / count(*)::double, 6) + 0.0)
+         AS delta
+FROM pair GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -13726,6 +13850,8 @@ def queries():
         "q212_sse_split": q212_sse_split,
         "q213_constraints": q213_constraints,
         "q214_markov_attribution": q214_markov_attribution,
+        "q215_proximity_search": q215_proximity_search,
+        "q216_burrows_delta": q216_burrows_delta,
     }
 
 
@@ -13945,4 +14071,6 @@ def oracle_sql():
         "q212_sse_split": _Q212_SQL,
         "q213_constraints": _q213_sql(),
         "q214_markov_attribution": _q214_sql(),
+        "q215_proximity_search": _q215_sql(),
+        "q216_burrows_delta": _q216_sql(),
     }

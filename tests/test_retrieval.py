@@ -575,3 +575,23 @@ def test_dirichlet_ql_oov_term_dropped(spark):
     # OOV contributes neither a lift nor an nq slot; only d1 matches
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["n_match"] == 1
+
+
+def test_proximity_search_slop_semantics(spark):
+    from pathhier_spark.operators.retrieval import proximity_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "join the big merge now"),        # dist 3 -> within slop 3
+            (2, "join a b c d e merge"),          # dist 6 -> excluded
+            (3, "merge join"),                    # order-free, dist 1
+            (4, "join join merge"),               # pairs: d=2, d=1 -> 2 within
+            (5, "no terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs_within"], r["min_dist"])
+        for r in proximity_search(df, "join", "merge", slop=3).collect()
+    }
+    assert got == {1: (1, 3), 3: (1, 1), 4: (2, 1)}

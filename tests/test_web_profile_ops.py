@@ -547,3 +547,38 @@ def test_constraint_profile_verdicts(spark):
     # fk 9 has no dim row -> 1 missing value reported
     assert out["fact.fk subset-of dim.k"] == (3, 1, False)
     assert out["dim.grp subset-of fact.payload"] == (2, 2, False)
+
+
+def test_burrows_delta_styled_source_stands_out(spark):
+    from pathhier_spark.operators.profile import burrows_delta
+
+    # sources a and b share marker rates; source c inverts them —
+    # Delta(a,b) must be far below Delta(a,c) and Delta(b,c)
+    rows = []
+    for i in range(10):
+        rows.append((3 * i, "a", "the the the of and extra words here"))
+        rows.append((3 * i + 1, "b", "the the the of and other filler text"))
+        rows.append((3 * i + 2, "c", "of of of and the unusual style marker"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): r["delta"]
+        for r in burrows_delta(df, top_k=5).collect()
+    }
+    assert got[("a", "b")] < got[("a", "c")]
+    assert got[("a", "b")] < got[("b", "c")]
+
+
+def test_burrows_delta_identical_sources_zero(spark):
+    from pathhier_spark.operators.profile import burrows_delta
+
+    rows = [
+        (1, "x", "alpha beta gamma"), (2, "y", "alpha beta gamma"),
+        (3, "z", "totally different words now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): r["delta"]
+        for r in burrows_delta(df, top_k=4).collect()
+    }
+    assert abs(got[("x", "y")]) < 1e-12
+    assert got[("x", "z")] > 0.1
