@@ -268,6 +268,13 @@ def main() -> None:
         "q200_decayed_engagement",
         "q201_kaplan_meier",
         "q202_g2_collocations",
+        # continuation tranche 2: grid-bucketed density clustering,
+        # generative classification, journey attribution, stylometry —
+        # one per family
+        "q207_dbscan",
+        "q208_nb_confusion",
+        "q214_markov_attribution",
+        "q216_burrows_delta",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

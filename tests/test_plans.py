@@ -151,3 +151,70 @@ def test_calibration_bins_no_window_no_single_partition_sort(spark):
 
     df = spark.createDataFrame([(1, True)], "score_fp long, is_pos boolean")
     assert "Window" not in _plan(calibration_bins(df))
+
+
+def test_interval_coverage_windows_by_key_not_global(spark):
+    """interval_coverage claims its sweep window partitions BY KEY —
+    no SinglePartition anywhere in the plan."""
+    from pathhier_spark.operators.temporal import interval_coverage
+
+    df = spark.createDataFrame(
+        [(1, 0, 10)], "user_id long, start long, end long"
+    )
+    assert "SinglePartition" not in _plan(interval_coverage(df))
+
+
+def test_decayed_engagement_has_partial_aggregation(spark):
+    """decayed_engagement claims map-side partial sums: the plan must
+    show a partial HashAggregate before the exchange and no Window."""
+    from pathhier_spark.operators.temporal import decayed_engagement
+
+    df = spark.createDataFrame(
+        [(1, "a", None, 1.0)],
+        "user_id long, event_type string, ts timestamp, value double",
+    )
+    plan = _plan(decayed_engagement(df, anchor_us=0))
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_dbscan_grid_join_is_equi_not_cartesian(spark):
+    """dbscan_2d claims the radius search is an equi-join on grid
+    cells — no CartesianProduct / BroadcastNestedLoopJoin in the
+    candidate-pair subplan."""
+    from pathhier_spark.operators.similarity import dbscan_2d
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.001, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(dbscan_2d(df, eps_q=20_000, min_pts=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_proximity_search_no_nested_loop(spark):
+    """proximity_search's pair-distance check is an equi-join on doc —
+    the |p1-p2| filter must be a post-filter, not a join condition that
+    degrades to a nested loop."""
+    from pathhier_spark.operators.retrieval import proximity_search
+
+    df = spark.createDataFrame([(1, "join merge")], "doc_id long, text string")
+    plan = _plan(proximity_search(df, "join", "merge", slop=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_allen_census_pair_join_is_keyed(spark):
+    """allen_relation_counts' pairwise census joins equi ON KEY; the
+    lex-order canonicalization must stay a filter, not force a
+    cartesian plan."""
+    from pathhier_spark.operators.temporal import allen_relation_counts
+
+    df = spark.createDataFrame(
+        [(1, 1, 0, 10), (1, 2, 5, 12)],
+        "user_id long, event_id long, start long, end long",
+    )
+    plan = _plan(allen_relation_counts(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
