@@ -335,3 +335,101 @@ def resolve_functional_conflicts(
         "total",
         (conf + F.lit(0.0)).alias("confidence"),
     )
+
+
+HEARST_SUCH_AS = r"(\w+) such as (\w+) and (\w+)"
+HEARST_OTHER = r"(\w+) and other (\w+)"
+
+
+def hearst_hypernyms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hearst-pattern hypernym mining — the IS-A edge grower for the
+    ontology, the lexical complement to the alias edges q211's
+    abbreviation miner produces: '<X> such as <Y> and <Z>' yields
+    (X, Y) and (X, Z); '<Y> and other <X>' yields (X, Y). These are
+    the classic high-precision taxonomy-induction patterns (Hearst
+    1992), and the mined pairs slot directly into the subsumption
+    closure (q100) as candidate parent links.
+
+    Map-only: per pattern one regexp_extract_all per capture group,
+    zipped positionally and exploded — no shuffle until a consumer
+    aggregates. Both engines run the same patterns (Java regex vs RE2:
+    \\w and the literal anchors behave identically here).
+    Output: (id, hypernym, hyponym, pattern)."""
+    def mine(pat: str, pairs: list[tuple[int, int]], tag: str):
+        groups = {
+            i: F.regexp_extract_all(F.col(text_col), F.lit(pat), i)
+            for i in {g for p in pairs for g in p}
+        }
+        outs = []
+        for hyper_i, hypo_i in pairs:
+            outs.append(
+                df.where(F.col(text_col).isNotNull())
+                .select(
+                    F.col(id_col),
+                    F.explode(
+                        F.arrays_zip(
+                            groups[hyper_i].alias("hyper"),
+                            groups[hypo_i].alias("hypo"),
+                        )
+                    ).alias("z"),
+                )
+                .select(
+                    id_col,
+                    F.col("z.hyper").alias("hypernym"),
+                    F.col("z.hypo").alias("hyponym"),
+                    F.lit(tag).alias("pattern"),
+                )
+            )
+        return outs
+
+    parts = mine(HEARST_SUCH_AS, [(1, 2), (1, 3)], "such_as")
+    parts += mine(HEARST_OTHER, [(2, 1)], "and_other")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+TR_PATTERN = r"<tr>(.*?)</tr>"
+CELL_PATTERN = r"<t[dh][^>]*>([^<]*)</t[dh]>"
+
+
+def extract_html_tables(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """HTML table extraction into long-format (row, col, cell) — the
+    STRUCTURED-data source channel of web-KG construction next to the
+    free-text one (P11 html→text, q88 anchors): infobox-style tables
+    carry the highest-precision attribute triples a page has, and this
+    is the scan that feeds them to the extractor as typed rows instead
+    of flattened prose.
+
+    Two nested regex explosions, both positional: <tr> bodies with
+    row_idx (posexplode), then header/data cells with col_idx; a row
+    is a header row iff it contains a <th cell. Cell bodies use the
+    [^<]* form (no nested markup) so Java regex and RE2 agree exactly;
+    rows use non-greedy (.*?), supported identically by both. Map-only
+    — no shuffle in the operator at all.
+    Output: (id, row_idx, col_idx, cell, is_header)."""
+    rows = df.where(F.col(html_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(TR_PATTERN), 1)
+        ).alias("row_idx", "row_html"),
+    )
+    return rows.select(
+        id_col,
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("row_html"), F.lit(CELL_PATTERN), 1)
+        ).alias("col_idx", "cell"),
+        F.col("row_html").contains("<th").alias("is_header"),
+    )

@@ -13634,6 +13634,162 @@ ORDER BY src_a, src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q217 — Hearst-pattern hypernym mining (operators/extract.
+# hearst_hypernyms): IS-A candidate edges for the ontology ('X such as
+# Y and Z' → (X,Y),(X,Z); 'Y and other X' → (X,Y)) — the taxonomy
+# complement to q211's alias edges, feeding the subsumption closure
+# (q100). Corpus text has no such sentences, so the query appends them
+# deterministically (q88/q211 precedent): %4==0 docs get a such-as
+# sentence, %4==1 docs an and-other sentence. Map-only.
+# DuckDB feature req: regexp_extract_all with group index.
+# ---------------------------------------------------------------------------
+
+
+def q217_hearst_hypernyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.extract import hearst_hypernyms
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    w1, w2, w3 = (F.element_at(w, i) for i in (1, 2, 3))
+    annotated = docs.where(
+        F.col("text").isNotNull() & (F.size(w) >= 3)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(
+                " ", F.col("text"), w1, F.lit("such as"), w2, F.lit("and"), w3
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat_ws(" ", F.col("text"), w2, F.lit("and other"), w1),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return hearst_hypernyms(annotated).orderBy(
+        "doc_id", "pattern", "hypernym", "hyponym"
+    )
+
+
+def _q217_sql() -> str:
+    p1 = r"(\w+) such as (\w+) and (\w+)"
+    p2 = r"(\w+) and other (\w+)"
+    return f"""
+WITH ann AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+                text || ' ' || ws[1] || ' such as ' || ws[2]
+                     || ' and ' || ws[3]
+              WHEN doc_id % 4 = 1 THEN
+                text || ' ' || ws[2] || ' and other ' || ws[1]
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        WHERE text IS NOT NULL)
+  WHERE len(ws) >= 3
+), p1 AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{p1}', 1) AS g1,
+         regexp_extract_all(text, '{p1}', 2) AS g2,
+         regexp_extract_all(text, '{p1}', 3) AS g3
+  FROM ann
+), p2 AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{p2}', 1) AS g1,
+         regexp_extract_all(text, '{p2}', 2) AS g2
+  FROM ann
+)
+SELECT * FROM (
+  SELECT doc_id, g1[k] AS hypernym, g2[k] AS hyponym,
+         'such_as' AS pattern
+  FROM (SELECT doc_id, g1, g2,
+               unnest(generate_series(1, len(g1))) AS k FROM p1)
+  UNION ALL
+  SELECT doc_id, g1[k], g3[k], 'such_as'
+  FROM (SELECT doc_id, g1, g3,
+               unnest(generate_series(1, len(g1))) AS k FROM p1)
+  UNION ALL
+  SELECT doc_id, g2[k], g1[k], 'and_other'
+  FROM (SELECT doc_id, g1, g2,
+               unnest(generate_series(1, len(g1))) AS k FROM p2)
+)
+ORDER BY doc_id, pattern, hypernym, hyponym
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q218 — HTML table extraction (operators/extract.extract_html_tables):
+# the structured-data source channel of web-KG construction — infobox
+# tables to long-format (row, col, cell, is_header) rows, the
+# highest-precision attribute triples a page carries. Cell bodies use
+# [^<]* so Java regex and RE2 agree exactly; rows use non-greedy
+# (.*?), identical in both. Pages are synthesized deterministically
+# (q88 precedent) with a variable-length row so ragged tables are
+# exercised. Map-only. DuckDB feature req: regexp_extract_all.
+# ---------------------------------------------------------------------------
+
+
+def q218_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.extract import extract_html_tables
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<table><tr><th>field</th><th>value</th></tr>"),
+        F.lit("<tr><td>source</td><td>"), F.col("source"),
+        F.lit("</td></tr><tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("<tr><td>bucket</td><td>b"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</table>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_html_tables(pages).orderBy("doc_id", "row_idx", "col_idx")
+
+
+_Q218_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<table><tr><th>field</th><th>value</th></tr>'
+         || '<tr><td>source</td><td>' || source
+         || '</td></tr><tr><td>lang</td><td>' || lang || '</td></tr>'
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN '<tr><td>bucket</td><td>b' || (doc_id % 7)::varchar
+                       || '</td></tr>'
+                  ELSE '' END)
+         || '</table>' AS html
+  FROM documents
+), rows_ AS (
+  SELECT doc_id, (r - 1)::int AS row_idx, rh[r] AS row_html
+  FROM (
+    SELECT doc_id, regexp_extract_all(html, '<tr>(.*?)</tr>', 1) AS rh,
+           unnest(generate_series(1,
+             len(regexp_extract_all(html, '<tr>(.*?)</tr>', 1)))) AS r
+    FROM pages
+  )
+)
+SELECT doc_id, row_idx, (k - 1)::int AS col_idx, cells[k] AS cell,
+       (row_html LIKE '%<th%') AS is_header
+FROM (
+  SELECT doc_id, row_idx, row_html,
+         regexp_extract_all(row_html, '<t[dh][^>]*>([^<]*)</t[dh]>', 1)
+           AS cells,
+         unnest(generate_series(1,
+           len(regexp_extract_all(row_html,
+               '<t[dh][^>]*>([^<]*)</t[dh]>', 1)))) AS k
+  FROM rows_
+)
+ORDER BY doc_id, row_idx, col_idx
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -13852,6 +14008,8 @@ def queries():
         "q214_markov_attribution": q214_markov_attribution,
         "q215_proximity_search": q215_proximity_search,
         "q216_burrows_delta": q216_burrows_delta,
+        "q217_hearst_hypernyms": q217_hearst_hypernyms,
+        "q218_html_tables": q218_html_tables,
     }
 
 
@@ -14073,4 +14231,6 @@ def oracle_sql():
         "q214_markov_attribution": _q214_sql(),
         "q215_proximity_search": _q215_sql(),
         "q216_burrows_delta": _q216_sql(),
+        "q217_hearst_hypernyms": _q217_sql(),
+        "q218_html_tables": _Q218_SQL,
     }

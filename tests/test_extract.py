@@ -137,3 +137,51 @@ def test_resolve_functional_conflicts_majority_and_ties(spark):
     assert got["s1"] == ("x", 3, 2, 5, 0.6)
     assert got["s2"] == ("a", 1, 2, 2, 0.5)
     assert "s3" not in got and len(got) == 2
+
+
+def test_hearst_hypernyms_patterns(spark):
+    from pathhier_spark.operators.extract import hearst_hypernyms
+
+    df = spark.createDataFrame(
+        [
+            (1, "engines such as spark and flink dominate"),
+            (2, "flink and other engines exist"),
+            (3, "plain text with no patterns"),
+            (4, "dbs such as duckdb and sqlite plus pandas and other tools"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["hypernym"], r["hyponym"], r["pattern"])
+        for r in hearst_hypernyms(df).collect()
+    }
+    assert got == {
+        (1, "engines", "spark", "such_as"),
+        (1, "engines", "flink", "such_as"),
+        (2, "engines", "flink", "and_other"),
+        (4, "dbs", "duckdb", "such_as"),
+        (4, "dbs", "sqlite", "such_as"),
+        (4, "tools", "pandas", "and_other"),
+    }
+
+
+def test_extract_html_tables_ragged_and_headers(spark):
+    from pathhier_spark.operators.extract import extract_html_tables
+
+    df = spark.createDataFrame(
+        [
+            (1, "<table><tr><th>a</th><th>b</th></tr>"
+                "<tr><td>1</td><td>2</td><td>3</td></tr></table>"),
+            (2, "<p>no table</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {
+        (r["doc_id"], r["row_idx"], r["col_idx"]): (r["cell"], r["is_header"])
+        for r in extract_html_tables(df).collect()
+    }
+    assert got[(1, 0, 0)] == ("a", True)
+    assert got[(1, 0, 1)] == ("b", True)
+    assert got[(1, 1, 2)] == ("3", False)
+    assert len([k for k in got if k[0] == 2]) == 0
+    assert len(got) == 5
