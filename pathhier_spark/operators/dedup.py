@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pathhier_spark.functions.text import WS_SPLIT_RE, jaccard
@@ -831,4 +831,82 @@ def minhash_calibration(
             .alias("mean_abs_err_fp"),
         )
         .orderBy("bucket")
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gear_mod: int = 8,
+    min_occurrences: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Content-defined chunking dedup — the rsync/FastCDC idea at token
+    granularity: chunk boundaries fall where a content HASH says so
+    (md5(token) first hex digit in {0,8} ≈ 1/gear_mod of tokens), not
+    at fixed offsets, so inserting one sentence shifts ONE chunk while
+    q34's fixed n-token segments all slide and stop matching. The
+    boundary-insensitive property is exactly why CDC is the modern
+    storage/dedup primitive, and why this catches shared boilerplate
+    that fixed segmentation fragments.
+
+    Determinism: the boundary predicate is a pure md5 expression (both
+    engines agree byte-for-byte); chunk ids are a cumulative boundary
+    sum over ONE per-doc window; chunk text reassembles in POSITION
+    order (array_sort + concat — the q41 reassembly discipline) and is
+    keyed by md5. The dedup aggregate is combiner-friendly; the top-k
+    cut orders (n_occurrences DESC, chunk_md5), a total order.
+
+    Scale shape: one posexplode, one per-doc window, one groupBy per
+    chunk, one groupBy per chunk-hash — no content ever joins on
+    itself, the same no-content-key-shuffle property as q34/q41.
+    Output: (chunk_md5, n_tokens, n_occurrences, n_docs)."""
+    from pathhier_spark.operators.textstats import _tokens
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("d"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    )
+    bchars = ["0", "8"] if gear_mod == 8 else None
+    if bchars is None:
+        raise ValueError("gear_mod: only 8 supported (1/8 boundary rate)")
+    is_boundary = F.substring(F.md5(F.col("tok")), 1, 1).isin(bchars)
+    w = (
+        Window.partitionBy("d")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunks = (
+        toks.select(
+            "d",
+            "pos",
+            "tok",
+            F.sum(F.when(is_boundary, 1).otherwise(0)).over(w).alias("cid"),
+        )
+        .groupBy("d", "cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("d").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+        .orderBy(F.desc("n_occurrences"), "chunk_md5")
+        .limit(top_k)
     )

@@ -1511,3 +1511,45 @@ def burrows_delta(
             / F.count(F.lit(1)).cast("double")
         ).alias("delta"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    *,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity + l-diversity audit over quasi-identifier classes —
+    the release-side privacy check that PII SCRUBBING (q37/q42) cannot
+    give: scrubbing removes direct identifiers, but a quasi-identifier
+    combination shared by fewer than k rows re-identifies by JOINING
+    with outside data, and a class whose sensitive attribute takes
+    fewer than l distinct values leaks it even at size ≥ k (the
+    homogeneity attack). Before a corpus slice ships, this is the
+    table a privacy review reads.
+
+    Exact and combiner-friendly: ONE groupBy over the QI columns
+    computes class size and distinct-sensitive count; violations are
+    REPORTED per class with the exact counts (the no-bare-booleans
+    discipline), never pre-suppressed — suppression policy belongs to
+    the caller. NULL QI values form their own class (NULL is itself a
+    linkable value). Output: (*qi_cols, class_size, n_sensitive,
+    k_violation, l_violation)."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("n_sensitive"),
+        )
+        .select(
+            *qi_cols,
+            "class_size",
+            "n_sensitive",
+            (F.col("class_size") < k).alias("k_violation"),
+            (F.col("n_sensitive") < l_div).alias("l_violation"),
+        )
+    )

@@ -13790,6 +13790,107 @@ ORDER BY doc_id, row_idx, col_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Q219 — content-defined chunking dedup (operators/dedup.
+# cdc_chunk_dedup): rsync/FastCDC boundaries at token granularity —
+# md5-gated splits (1/8 of tokens), so an insertion shifts ONE chunk
+# where q34's fixed segments all slide and stop matching. One per-doc
+# window for chunk ids, position-ordered reassembly (q41 discipline),
+# md5 chunk keys, combiner-friendly dedup aggregate; top-50 on the
+# total order (n_occurrences DESC, md5).
+# DuckDB feature req: string_agg(ORDER BY) (q41 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q219_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = _docs(spark, sf_dir)
+    return cdc_chunk_dedup(docs)
+
+
+def _q219_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS d, (i - 1)::bigint AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+          WHERE text IS NOT NULL)
+  )
+), marked AS (
+  SELECT d, pos, tok,
+         sum(CASE WHEN substr(md5(tok), 1, 1) IN ('0', '8')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d ORDER BY pos) AS cid
+  FROM toks
+), chunks AS (
+  SELECT d, cid, count(*)::bigint AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+  FROM marked GROUP BY d, cid
+), agg AS (
+  SELECT chunk_md5, min(n_tokens)::bigint AS n_tokens,
+         count(*)::bigint AS n_occurrences,
+         count(DISTINCT d)::bigint AS n_docs
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT chunk_md5, n_tokens, n_occurrences, n_docs
+FROM agg WHERE n_occurrences >= 2
+ORDER BY n_occurrences DESC, chunk_md5
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q220 — k-anonymity + l-diversity audit (operators/profile.
+# k_anonymity_audit) over event quasi-identifiers (type, day,
+# value-hundreds bucket) with user_id as the sensitive attribute — the
+# release-side privacy check PII scrubbing cannot give: small QI
+# classes re-identify by outside join; homogeneous classes leak the
+# sensitive value at any size. One combiner groupBy; violations
+# REPORTED per class with exact counts.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+
+def q220_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import k_anonymity_audit
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    qi = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.to_date(F.col("ts")).alias("day"),
+        F.floor(F.col("value") / 100).cast("long").alias("vbucket"),
+        "user_id",
+    )
+    return k_anonymity_audit(
+        qi,
+        qi_cols=["event_type", "day", "vbucket"],
+        sensitive_col="user_id",
+        k=5,
+        l_div=2,
+    ).orderBy("event_type", "day", "vbucket")
+
+
+_Q220_SQL = """
+WITH qi AS (
+  SELECT event_type, ts::date AS day,
+         floor(value / 100)::bigint AS vbucket, user_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_type, day, vbucket,
+       count(*)::bigint AS class_size,
+       count(DISTINCT user_id)::bigint AS n_sensitive,
+       (count(*) < 5) AS k_violation,
+       (count(DISTINCT user_id) < 2) AS l_violation
+FROM qi
+GROUP BY event_type, day, vbucket
+ORDER BY event_type, day, vbucket
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14010,6 +14111,8 @@ def queries():
         "q216_burrows_delta": q216_burrows_delta,
         "q217_hearst_hypernyms": q217_hearst_hypernyms,
         "q218_html_tables": q218_html_tables,
+        "q219_cdc_chunks": q219_cdc_chunks,
+        "q220_k_anonymity": q220_k_anonymity,
     }
 
 
@@ -14233,4 +14336,6 @@ def oracle_sql():
         "q216_burrows_delta": _q216_sql(),
         "q217_hearst_hypernyms": _q217_sql(),
         "q218_html_tables": _Q218_SQL,
+        "q219_cdc_chunks": _q219_sql(),
+        "q220_k_anonymity": _Q220_SQL,
     }

@@ -445,3 +445,31 @@ def test_minhash_calibration_partial_overlap_bounds(spark):
             r["mean_abs_err_fp"]
             == abs(r["mean_est_fp"] - r["mean_jacc_fp"])
         )
+
+
+def test_cdc_chunks_boundary_insensitive_to_insertion(spark):
+    from pathhier_spark.operators.dedup import cdc_chunk_dedup
+
+    # find a boundary token deterministically (md5 first hex in {0,8})
+    import hashlib
+
+    def is_b(t):
+        return hashlib.md5(t.encode()).hexdigest()[0] in "08"
+
+    vocab = [f"w{i}" for i in range(200)]
+    b = next(w for w in vocab if is_b(w))
+    plain = [w for w in vocab if not is_b(w)]
+    # doc 1: A-chunk | B-chunk ; doc 2: same but with an inserted
+    # prefix inside the FIRST chunk only — the second chunk (starting
+    # at boundary token b) must still dedup across both docs
+    a_part = " ".join(plain[:5])
+    shared = " ".join([b] + plain[5:10])
+    d1 = a_part + " " + shared
+    d2 = plain[10] + " " + a_part + " " + shared
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    out = cdc_chunk_dedup(df, min_occurrences=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_occurrences"] == 2 and out[0]["n_docs"] == 2
+    assert out[0]["n_tokens"] == 6  # boundary token + 5 tail tokens

@@ -582,3 +582,29 @@ def test_burrows_delta_identical_sources_zero(spark):
     }
     assert abs(got[("x", "y")]) < 1e-12
     assert got[("x", "z")] > 0.1
+
+
+def test_k_anonymity_audit_flags(spark):
+    from pathhier_spark.operators.profile import k_anonymity_audit
+
+    rows = (
+        # class (a, 1): size 5, 3 users -> no violations at k=5, l=2
+        [("a", 1, u) for u in (1, 2, 3, 1, 2)]
+        # class (a, 2): size 2 -> k violation; 2 users -> l ok
+        + [("a", 2, 7), ("a", 2, 8)]
+        # class (b, 1): size 6 but ONE user -> homogeneity (l) violation
+        + [("b", 1, 9)] * 6
+    )
+    df = spark.createDataFrame(rows, "t string, g long, user long")
+    got = {
+        (r["t"], r["g"]): (
+            r["class_size"], r["n_sensitive"],
+            r["k_violation"], r["l_violation"],
+        )
+        for r in k_anonymity_audit(
+            df, qi_cols=["t", "g"], sensitive_col="user", k=5, l_div=2
+        ).collect()
+    }
+    assert got[("a", 1)] == (5, 3, False, False)
+    assert got[("a", 2)] == (2, 2, True, False)
+    assert got[("b", 1)] == (6, 1, False, True)
