@@ -1553,3 +1553,70 @@ def k_anonymity_audit(
             (F.col("n_sensitive") < l_div).alias("l_violation"),
         )
     )
+
+
+def benford_digit_test(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+) -> DataFrame:
+    """Benford's-law first-digit test over integer cents — the
+    forensic data-quality classic: organically-generated magnitudes
+    follow P(d) = log10(1 + 1/d); fabricated, clipped, or
+    unit-converted values don't, and the per-digit deviations say
+    WHERE the distribution broke. Complements the schema profiler
+    (q91) and constraint discovery (q213): those check structure,
+    this checks the VALUES' generative plausibility.
+
+    Exact observed counts from one combiner groupBy on the first
+    digit of floor(value·100) (rows < 1 cent drop); expectations and
+    chi-square terms are fixed scalar expressions of (n, d); the total
+    chi2 folds the 9 digit terms in DIGIT order (array_sort +
+    sequential aggregate — the fixed-order float discipline), then
+    broadcasts back onto the 9-row digit table.
+    Output: (digit, observed, expected, chi2_term, chi2_total)."""
+    cents = F.floor(F.col(value_col) * F.lit(100.0)).cast("long")
+    obs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("c"))
+        .where(F.col("c") >= 1)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    digits = obs.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    n = obs.agg(F.sum("observed")).collect()[0][0] or 0
+    dense = digits.join(obs, "digit", "left").select(
+        "digit",
+        F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+    )
+    expected = F.lit(float(n)) * F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    scored = dense.select(
+        "digit",
+        "observed",
+        expected.alias("expected"),
+        (
+            (F.col("observed").cast("double") - expected)
+            * (F.col("observed").cast("double") - expected)
+            / expected
+        ).alias("chi2_term"),
+    )
+    total = scored.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("digit", "chi2_term"))),
+                lambda s: s["chi2_term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2_total")
+    )
+    return scored.crossJoin(F.broadcast(total))

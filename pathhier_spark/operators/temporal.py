@@ -1168,41 +1168,21 @@ def best_sse_split(
     )
 
 
-def markov_attribution(
+def _journey_edge_counts(
     df: DataFrame,
     *,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    id_col: str = "event_id",
-    conv_type: str = "purchase",
-    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
-    iterations: int = 12,
-    scale: int = 1_000_000,
-) -> DataFrame:
-    """Markov removal-effect attribution — WHICH touchpoint channels
-    actually drive conversion, by the counterfactual the last-click /
-    funnel views (q164/q168) cannot ask: how much does START→CONV
-    probability DROP if a channel is deleted from the graph? Journeys
-    are each user's events up to the first `conv_type` (users without
-    one end in NULL); transitions feed an absorbing Markov chain and
-    the per-channel removal effect is (V_base − V_removed) / V_base.
-
-    Exact fixed-point: conversion values live in int64 `scale` units
-    and each iteration step is v_s ← (Σ_j c_sj·v_j) // c_s — one
-    integer dot product and ONE floor division per state (exact because
-    Σ_j c_sj = c_s), with CONV pinned at scale, NULL and the removed
-    channel pinned at 0. Truncated at `iterations` — the truncation IS
-    the defined semantics, so both engines replay identical integers
-    (the q51 unrolled-round trick, one chain per removal scenario).
-    Overflow bound: c_sj·scale must stay < 2^63 — fine to ~9e12
-    transitions per edge; normalize counts upstream past that.
-
-    Scale shape: journey windows partition BY USER; transition counts
-    are one combiner groupBy to a ≤ (|channels|+2)² table — the chain
-    math walks that DOMAIN-bounded table on the driver. Output one row
-    per channel: (channel, conv_base_fp, conv_removed_fp,
-    removal_effect, share)."""
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conv_type: str,
+) -> dict:
+    """Shared journey derivation for the attribution operators
+    (markov_attribution, shapley_attribution): per-user event streams
+    cut at the first `conv_type`, folded into absorbing-chain
+    transition counts {(src, dst): n} with START / NULL sentinels.
+    The windows partition BY USER; the returned dict is the
+    DOMAIN-bounded ≤ (|types|+2)² transition table."""
     w = Window.partitionBy("u").orderBy("ts_", "eid")
     ev = df.where(
         F.col(user_col).isNotNull()
@@ -1255,12 +1235,57 @@ def markov_attribution(
             ).select(F.col("t").alias("s"), F.lit("NULL").alias("d"))
         )
     )
-    counts = {
+    return {
         (r["s"], r["d"]): r["c"]
         for r in edges.groupBy("s", "d")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .collect()
     }
+
+
+def markov_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    iterations: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Markov removal-effect attribution — WHICH touchpoint channels
+    actually drive conversion, by the counterfactual the last-click /
+    funnel views (q164/q168) cannot ask: how much does START→CONV
+    probability DROP if a channel is deleted from the graph? Journeys
+    are each user's events up to the first `conv_type` (users without
+    one end in NULL); transitions feed an absorbing Markov chain and
+    the per-channel removal effect is (V_base − V_removed) / V_base.
+
+    Exact fixed-point: conversion values live in int64 `scale` units
+    and each iteration step is v_s ← (Σ_j c_sj·v_j) // c_s — one
+    integer dot product and ONE floor division per state (exact because
+    Σ_j c_sj = c_s), with CONV pinned at scale, NULL and the removed
+    channel pinned at 0. Truncated at `iterations` — the truncation IS
+    the defined semantics, so both engines replay identical integers
+    (the q51 unrolled-round trick, one chain per removal scenario).
+    Overflow bound: c_sj·scale must stay < 2^63 — fine to ~9e12
+    transitions per edge; normalize counts upstream past that.
+
+    Scale shape: journey windows partition BY USER; transition counts
+    are one combiner groupBy to a ≤ (|channels|+2)² table — the chain
+    math walks that DOMAIN-bounded table on the driver. Output one row
+    per channel: (channel, conv_base_fp, conv_removed_fp,
+    removal_effect, share)."""
+    counts = _journey_edge_counts(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        id_col=id_col,
+        conv_type=conv_type,
+    )
     states = ["START", *channels]
     out_tot = {}
     for (s, _d), c in counts.items():
@@ -1308,3 +1333,102 @@ def markov_attribution(
         " removal_effect double, share double",
     )
     return out.orderBy("channel")
+
+
+def shapley_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    iterations: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Shapley-value channel attribution — the AXIOMATIC answer to
+    "how much credit does each channel deserve", where q214's removal
+    effect is a single counterfactual: the Shapley value averages a
+    channel's marginal contribution v(S∪{c}) − v(S) over ALL 2^(n-1)
+    coalitions S, weighted |S|!(n−1−|S|)!/n!, and is the unique
+    efficiency+symmetry+dummy-consistent split. The characteristic
+    function v(S) is the same absorbing-chain conversion probability
+    as q214, computed with every channel OUTSIDE S deleted.
+
+    Exact end-to-end: each of the 2^n coalition values is the q214
+    int64 fixed-point chain (truncation-as-semantics); Shapley weights
+    are rationals with denominator n!, so the value is carried as an
+    exact integer numerator phi_num = Σ w·Δ with w =
+    |S|!(n−1−|S|)! and divided by n! only in the final reported
+    double. Efficiency (Σφ = v(all) − v(∅)) is an exact integer
+    identity, testable to the unit.
+
+    Scale shape: ONE distributed journey pass (shared with q214 via
+    _journey_edge_counts); the 2^n chain solves walk the tiny
+    transition dict on the driver — 2^n is exponential in CHANNELS,
+    not data (n ≤ ~10 is the practical envelope; grouped-channel
+    rollups beyond that). Output: (channel, phi_num, phi, v_all_fp,
+    v_none_fp)."""
+    import math
+
+    counts = _journey_edge_counts(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        id_col=id_col,
+        conv_type=conv_type,
+    )
+    states = ["START", *channels]
+    out_tot = {}
+    for (s, _d), c in counts.items():
+        out_tot[s] = out_tot.get(s, 0) + c
+    n = len(channels)
+
+    def solve(mask: int) -> int:
+        removed = {
+            ch for i, ch in enumerate(channels) if not (mask >> i) & 1
+        }
+        v = {s: 0 for s in states}
+        for _ in range(iterations):
+            nv = {}
+            for s in states:
+                if s in removed or s not in out_tot:
+                    nv[s] = 0
+                    continue
+                acc = 0
+                for d in states:
+                    if d in removed:
+                        continue
+                    acc += counts.get((s, d), 0) * v[d]
+                acc += counts.get((s, conv_type), 0) * scale
+                nv[s] = acc // out_tot[s]
+            v = nv
+        return v["START"]
+
+    vals = {m: solve(m) for m in range(1 << n)}
+    rows = []
+    for i, ch in enumerate(channels):
+        phi_num = 0
+        for m in range(1 << n):
+            if (m >> i) & 1:
+                continue
+            ssize = bin(m).count("1")
+            w = math.factorial(ssize) * math.factorial(n - 1 - ssize)
+            phi_num += w * (vals[m | (1 << i)] - vals[m])
+        rows.append(
+            (
+                ch,
+                phi_num,
+                float(phi_num) / float(math.factorial(n)),
+                vals[(1 << n) - 1],
+                vals[0],
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel string, phi_num long, phi double, v_all_fp long,"
+        " v_none_fp long",
+    ).orderBy("channel")

@@ -13891,6 +13891,176 @@ ORDER BY event_type, day, vbucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Q221 — Shapley channel attribution (operators/temporal.
+# shapley_attribution): the axiomatic credit split next to q214's
+# single counterfactual — marginal contribution averaged over all 2^4
+# coalitions with |S|!(n−1−|S|)!/n! weights, unique under
+# efficiency+symmetry+dummy. v(S) is the q214 fixed-point chain with
+# non-coalition channels deleted; phi is carried as an EXACT integer
+# numerator (denominator n! = 24 applied only in the reported double).
+# Oracle: 16 coalition chains × 12 unrolled MATERIALIZED rounds with a
+# bitmask scenario dimension. Exponential in CHANNELS, never in data.
+# DuckDB feature req: integer bit ops (>>, &) + AS MATERIALIZED.
+# ---------------------------------------------------------------------------
+
+
+def q221_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import shapley_attribution
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = shapley_attribution(
+        ev, channels=_MK_CHANNELS, iterations=_MK_ITERS, scale=_MK_SCALE
+    )
+    return out.select(
+        "channel", "phi_num", _rz(F.col("phi"), 6).alias("phi"),
+        "v_all_fp", "v_none_fp",
+    )
+
+
+def _q221_sql() -> str:
+    chans = ", ".join(f"'{c}'" for c in _MK_CHANNELS)
+    bits = ", ".join(str(i) for i in range(len(_MK_CHANNELS)))
+
+    def rnd(prev, cur):
+        return f"""{cur} AS MATERIALIZED (
+  SELECT p.mask, p.st, p.bit,
+         (CASE WHEN (p.bit IS NOT NULL AND ((p.mask >> p.bit) & 1) = 0)
+                    OR min(ot.tot) IS NULL THEN 0
+               ELSE coalesce(sum(tc.c * CASE
+                      WHEN tc.d = 'purchase' THEN {_MK_SCALE}
+                      WHEN tc.d = 'NULL' THEN 0
+                      WHEN db.bit IS NOT NULL
+                           AND ((p.mask >> db.bit) & 1) = 0 THEN 0
+                      ELSE coalesce(pv.v, 0) END), 0) // min(ot.tot)
+          END)::bigint AS v
+  FROM {prev} p
+  LEFT JOIN ot ON ot.s = p.st
+  LEFT JOIN tc ON tc.s = p.st
+  LEFT JOIN statebits db ON db.st = tc.d
+  LEFT JOIN {prev} pv ON pv.mask = p.mask AND pv.st = tc.d
+  GROUP BY p.mask, p.st, p.bit
+)"""
+
+    rounds = ",\n".join(rnd(f"s{i}", f"s{i + 1}") for i in range(_MK_ITERS))
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, ts, event_id AS eid, event_type AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), ranked AS (
+  SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn
+  FROM ev
+), firstc AS (
+  SELECT u, min(rn) AS crn FROM ranked WHERE t = 'purchase' GROUP BY u
+), kept AS MATERIALIZED (
+  SELECT r.u, r.t, r.rn FROM ranked r LEFT JOIN firstc f ON r.u = f.u
+  WHERE f.crn IS NULL OR r.rn <= f.crn
+), hops AS MATERIALIZED (
+  SELECT u, t, rn, lead(t) OVER (PARTITION BY u ORDER BY rn) AS nxt
+  FROM kept
+), edges AS MATERIALIZED (
+  SELECT 'START' AS s, t AS d FROM hops WHERE rn = 1
+  UNION ALL SELECT t, nxt FROM hops WHERE nxt IS NOT NULL
+  UNION ALL SELECT t, 'NULL' FROM hops WHERE nxt IS NULL AND t <> 'purchase'
+), tc AS MATERIALIZED (
+  SELECT s, d, count(*)::bigint AS c FROM edges GROUP BY s, d
+), ot AS MATERIALIZED (
+  SELECT s, sum(c)::bigint AS tot FROM tc GROUP BY s
+), scen AS (
+  SELECT unnest(generate_series(0, {(1 << len(_MK_CHANNELS)) - 1})) AS mask
+), statebits AS MATERIALIZED (
+  SELECT unnest(['START', {chans}]) AS st,
+         unnest([NULL::int, {bits}]) AS bit
+), s0 AS MATERIALIZED (
+  SELECT mask, st, bit, 0::bigint AS v FROM scen, statebits
+),
+{rounds},
+chan AS (
+  SELECT unnest([{chans}]) AS ch, unnest([{bits}]) AS bit
+), masks AS (
+  SELECT mask,
+         ((mask >> 0) & 1) + ((mask >> 1) & 1)
+         + ((mask >> 2) & 1) + ((mask >> 3) & 1) AS pc
+  FROM scen
+), phi AS (
+  SELECT c.ch AS channel,
+         sum((CASE m.pc WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+              ELSE 6 END) * (vw.v - vo.v))::bigint AS phi_num
+  FROM chan c
+  JOIN masks m ON ((m.mask >> c.bit) & 1) = 0
+  JOIN s{_MK_ITERS} vo ON vo.mask = m.mask AND vo.st = 'START'
+  JOIN s{_MK_ITERS} vw ON vw.mask = (m.mask | (1 << c.bit))
+                      AND vw.st = 'START'
+  GROUP BY c.ch
+)
+SELECT p.channel, p.phi_num,
+       (round(p.phi_num::double / 24.0, 6) + 0.0) AS phi,
+       (SELECT v FROM s{_MK_ITERS}
+        WHERE mask = {(1 << len(_MK_CHANNELS)) - 1} AND st = 'START')::bigint
+         AS v_all_fp,
+       (SELECT v FROM s{_MK_ITERS}
+        WHERE mask = 0 AND st = 'START')::bigint AS v_none_fp
+FROM phi p
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q222 — Benford first-digit test (operators/profile.
+# benford_digit_test) over event value cents: the forensic
+# plausibility check beside structural profiling (q91/q213) — per-digit
+# observed vs log10(1+1/d) expectation with chi-square terms, the
+# 9-term total folded in DIGIT order. One combiner groupBy; everything
+# else is the fixed 9-row digit domain.
+# DuckDB feature req: list(... ORDER BY) + list_sum (q44 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q222_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import benford_digit_test
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = benford_digit_test(ev)
+    return out.select(
+        "digit", "observed",
+        _rz(F.col("expected"), 6).alias("expected"),
+        _rz(F.col("chi2_term"), 6).alias("chi2_term"),
+        _rz(F.col("chi2_total"), 6).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+_Q222_SQL = """
+WITH cents AS (
+  SELECT floor(value * 100)::bigint AS c FROM events
+  WHERE value IS NOT NULL
+), obs AS (
+  SELECT substr(c::varchar, 1, 1)::int AS digit, count(*)::bigint AS observed
+  FROM cents WHERE c >= 1 GROUP BY digit
+), nn AS (
+  SELECT coalesce(sum(observed), 0)::bigint AS n FROM obs
+), dense AS (
+  SELECT d.digit, coalesce(o.observed, 0)::bigint AS observed
+  FROM (SELECT unnest(generate_series(1, 9))::int AS digit) d
+  LEFT JOIN obs o ON d.digit = o.digit
+), scored AS (
+  SELECT digit, observed,
+         nn.n::double * log10(1.0 + 1.0 / digit::double) AS expected,
+         (observed::double - nn.n::double * log10(1.0 + 1.0 / digit::double))
+         * (observed::double - nn.n::double * log10(1.0 + 1.0 / digit::double))
+         / (nn.n::double * log10(1.0 + 1.0 / digit::double)) AS chi2_term
+  FROM dense, nn
+), tot AS (
+  SELECT list_sum(list(chi2_term ORDER BY digit)) AS chi2_total FROM scored
+)
+SELECT digit, observed,
+       (round(expected, 6) + 0.0) AS expected,
+       (round(chi2_term, 6) + 0.0) AS chi2_term,
+       (round(tot.chi2_total, 6) + 0.0) AS chi2_total
+FROM scored, tot
+ORDER BY digit
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14113,6 +14283,8 @@ def queries():
         "q218_html_tables": q218_html_tables,
         "q219_cdc_chunks": q219_cdc_chunks,
         "q220_k_anonymity": q220_k_anonymity,
+        "q221_shapley_attribution": q221_shapley_attribution,
+        "q222_benford": q222_benford,
     }
 
 
@@ -14338,4 +14510,6 @@ def oracle_sql():
         "q218_html_tables": _Q218_SQL,
         "q219_cdc_chunks": _q219_sql(),
         "q220_k_anonymity": _Q220_SQL,
+        "q221_shapley_attribution": _q221_sql(),
+        "q222_benford": _Q222_SQL,
     }

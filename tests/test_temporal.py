@@ -689,3 +689,33 @@ def test_markov_attribution_journey_cut_at_first_purchase(spark):
     }
     assert got["click"] == (1000000, 1000000)
     assert got["view"] == (1000000, 0)
+
+
+def test_shapley_efficiency_and_dummy(spark):
+    from datetime import datetime as dt
+
+    from pathhier_spark.operators.temporal import shapley_attribution
+
+    # u1: click -> purchase; u2: click -> end; u3: view -> end.
+    # 'view' never reaches a conversion on any path -> dummy channel,
+    # phi(view) = 0 exactly; efficiency: sum(phi_num) = 24*(v_all - v_none)
+    rows = [
+        (1, 1, "click", dt(2024, 8, 1, 0)),
+        (1, 2, "purchase", dt(2024, 8, 1, 1)),
+        (2, 3, "click", dt(2024, 8, 1, 0)),
+        (3, 4, "view", dt(2024, 8, 1, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = shapley_attribution(df, channels=("click", "view")).collect()
+    got = {r["channel"]: r for r in out}
+    n_fact = 2  # n=2 channels -> n! = 2
+    v_all, v_none = got["click"]["v_all_fp"], got["click"]["v_none_fp"]
+    assert v_none == 0
+    # dummy axiom: view contributes nothing in any coalition
+    assert got["view"]["phi_num"] == 0
+    # efficiency axiom, exact to the unit in fixed point
+    total = sum(r["phi_num"] for r in out)
+    assert total == n_fact * (v_all - v_none)
+    assert got["click"]["phi_num"] == n_fact * v_all

@@ -608,3 +608,27 @@ def test_k_anonymity_audit_flags(spark):
     assert got[("a", 1)] == (5, 3, False, False)
     assert got[("a", 2)] == (2, 2, True, False)
     assert got[("b", 1)] == (6, 1, False, True)
+
+
+def test_benford_exact_counts_and_chi2(spark):
+    import math
+
+    from pathhier_spark.operators.profile import benford_digit_test
+
+    # values 1.00, 1.50, 19.99 -> cents 100, 150, 1999 -> digits 1,1,1
+    # plus 0.005 (0 cents, dropped) and None (dropped)
+    df = spark.createDataFrame(
+        [(1.00,), (1.50,), (19.99,), (0.005,), (None,)], "value double"
+    )
+    got = {r["digit"]: r for r in benford_digit_test(df).collect()}
+    assert got[1]["observed"] == 3
+    assert all(got[d]["observed"] == 0 for d in range(2, 10))
+    e1 = 3 * math.log10(2)
+    assert abs(got[1]["expected"] - e1) < 1e-12
+    assert abs(got[1]["chi2_term"] - (3 - e1) ** 2 / e1) < 1e-12
+    # total = sum of the nine terms, identical on every row
+    tot = sum(
+        (got[d]["observed"] - got[d]["expected"]) ** 2 / got[d]["expected"]
+        for d in range(1, 10)
+    )
+    assert abs(got[5]["chi2_total"] - tot) < 1e-9
