@@ -3313,3 +3313,82 @@ def katz_fixedpoint(
         "katz_fp",
         (F.col("katz_fp").cast("double") / F.lit(float(scale))).alias("katz"),
     )
+
+
+def hash_priority_matching(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Deterministic parallel maximal matching — the graph-COARSENING
+    primitive (multilevel partitioners contract matched pairs; dedup
+    pipelines use it to pick disjoint merge pairs so no entity merges
+    twice in one pass). Classic parallel matching randomizes
+    (Israeli-Itai); this variant replaces the coin with an md5 edge
+    priority, so it is exactly reproducible anywhere: per round, an
+    edge is matched iff its priority is the MAXIMUM among all edges
+    incident to BOTH its endpoints — node-max computed over a union of
+    the two endpoint roles (general graphs, not just bipartite), so
+    local-max edges are independent by construction; matched endpoints
+    leave, repeat.
+
+    Fixed `rounds` (truncation-as-semantics, the q51/q214 discipline):
+    each round matches every local-max edge, so the remainder shrinks
+    geometrically; edges still unmatched after the last round are
+    REPORTED via n_left (no silent incompleteness — maximality holds
+    iff n_left = 0). Inputs localCheckpoint-ed per round exactly like
+    connected_components. Output: matched (src, dst, round, n_left),
+    n_left constant across rows."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .select(
+            "s",
+            "d",
+            F.md5(
+                F.concat(
+                    F.lit("m:"),
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("d").cast("string"),
+                )
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    matched = None
+    for r in range(1, rounds + 1):
+        # node-max over BOTH endpoint roles: a vertex shared between a
+        # src slot of one edge and a dst slot of another is the same
+        # vertex — general graphs, not just bipartite ones
+        incid = e.select(F.col("s").alias("node"), "p").union(
+            e.select(F.col("d").alias("node"), "p")
+        )
+        nmax = incid.groupBy("node").agg(F.max("p").alias("mp"))
+        win = (
+            e.join(nmax.select(F.col("node").alias("s"), F.col("mp").alias("mp_s")), "s")
+            .where(F.col("p") == F.col("mp_s"))
+            .join(nmax.select(F.col("node").alias("d"), F.col("mp").alias("mp_d")), "d")
+            .where(F.col("p") == F.col("mp_d"))
+            .select("s", "d", F.lit(r).alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        matched = win if matched is None else matched.union(win)
+        used = win.select(F.col("s").alias("node")).union(
+            win.select(F.col("d").alias("node"))
+        )
+        e = (
+            e.join(used.select(F.col("node").alias("s")), "s", "left_anti")
+            .join(used.select(F.col("node").alias("d")), "d", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    n_left = e.count()
+    return matched.select(
+        F.col("s").alias(src),
+        F.col("d").alias(dst),
+        "round",
+        F.lit(int(n_left)).cast("long").alias("n_left"),
+    )

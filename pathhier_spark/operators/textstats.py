@@ -2896,3 +2896,93 @@ def mine_abbreviations(
             & (F.lower(initials) == F.lower(F.col("ab")))
         ).alias("valid"),
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 40,
+) -> DataFrame:
+    """RAKE keyphrase extraction — the degree/frequency heuristic that
+    needs NO graph iteration: candidate phrases are maximal stopword-
+    free token runs; each word scores deg(w)/freq(w) where deg counts
+    word co-occurrence inside candidates (Σ phrase-length over the
+    word's occurrences, self included) and a phrase scores the sum of
+    its words. Complements TextRank (q140): TextRank converges a graph
+    walk for single keywords; RAKE is one aggregation pass and emits
+    PHRASES — the cheap first-cut keyphrase miner for corpus triage.
+
+    Determinism: segmentation is a cumulative stopword-boundary window
+    per doc (the CDC/q219 shape); word scores are one exact division of
+    int64 deg/freq; each phrase's score folds its word scores in
+    POSITION order (q44 discipline); identical phrases aggregate and
+    the top-k cut orders (score DESC, phrase) on bit-identical doubles.
+    Scale: one posexplode, two combiner groupBys, one vocab-keyed join
+    — no graph rounds, no corpus-scale window beyond the per-doc
+    segmentation. Output: (phrase, n_words, n_occurrences, score)."""
+    from pathhier_spark.functions.text import STOPWORDS
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    )
+    stop = F.col("tok").isin(list(STOPWORDS))
+    w = Window.partitionBy("doc").orderBy("pos")
+    words = (
+        toks.select(
+            "doc",
+            "pos",
+            "tok",
+            F.sum(F.when(stop, 1).otherwise(0)).over(w).alias("pid"),
+            stop.alias("is_stop"),
+        )
+        .where(~F.col("is_stop"))
+        .localCheckpoint(eager=False)
+    )
+    plen = words.groupBy("doc", "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
+    occs = words.join(plen, ["doc", "pid"])
+    wstats = occs.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    scored_words = occs.join(wstats, "tok").select(
+        "doc",
+        "pid",
+        "pos",
+        "tok",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias(
+            "ws"
+        ),
+    )
+    phrases = scored_words.groupBy("doc", "pid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ws"))),
+                lambda s: s["ws"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.min("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("score").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_k)
+    )

@@ -14061,6 +14061,145 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# Q223 — deterministic maximal matching (operators/graph.
+# hash_priority_matching) over the part–supplier bipartite graph: the
+# graph-COARSENING primitive (disjoint merge pairs — no entity merges
+# twice in one pass). Randomized parallel matching's coin is replaced
+# by an md5 edge priority: per round an edge matches iff it is the max
+# at BOTH endpoints (two groupBy-max equi-joins); fixed 4 rounds with
+# the unmatched remainder REPORTED in n_left. Unrolled MATERIALIZED
+# oracle. DuckDB feature req: AS MATERIALIZED.
+# ---------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 4
+
+
+def q223_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import hash_priority_matching
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hash_priority_matching(edges, rounds=_MATCH_ROUNDS).orderBy(
+        "src", "dst"
+    )
+
+
+def _q223_sql() -> str:
+    parts = [
+        """e1 AS MATERIALIZED (
+  SELECT s, d, md5('m:' || s || ':' || d) AS p FROM (
+    SELECT DISTINCT 'p' || l_partkey::varchar AS s,
+                    's' || l_suppkey::varchar AS d
+    FROM lineitem)
+)"""
+    ]
+    for r in range(1, _MATCH_ROUNDS + 1):
+        parts.append(f"""nmax{r} AS MATERIALIZED (
+  SELECT node, max(p) AS mp FROM (
+    SELECT s AS node, p FROM e{r}
+    UNION ALL SELECT d AS node, p FROM e{r}
+  ) GROUP BY node
+)""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT e.s, e.d, {r} AS round FROM e{r} e
+  JOIN nmax{r} a ON e.s = a.node AND e.p = a.mp
+  JOIN nmax{r} b ON e.d = b.node AND e.p = b.mp
+)""")
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.s, e.d, e.p FROM e{r} e
+  WHERE e.s NOT IN (SELECT s FROM m{r} UNION ALL SELECT d FROM m{r})
+    AND e.d NOT IN (SELECT s FROM m{r} UNION ALL SELECT d FROM m{r})
+)""")
+    allm = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, _MATCH_ROUNDS + 1)
+    )
+    return f"""
+WITH {", ".join(parts)},
+nl AS (SELECT count(*)::bigint AS n FROM e{_MATCH_ROUNDS + 1})
+SELECT m.s AS src, m.d AS dst, m.round, nl.n AS n_left
+FROM ({allm}) m, nl
+ORDER BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q224 — RAKE keyphrases (operators/textstats.rake_keyphrases):
+# stopword-run candidates scored by Σ deg(w)/freq(w) — the
+# no-iteration keyphrase miner beside TextRank's converged walk
+# (q140), and it emits PHRASES. Segmentation is a cumulative
+# stopword-boundary window (q219's shape); word scores one exact
+# division; per-phrase folds in position order; top-40 on
+# (score DESC, phrase). DuckDB feature req: list_contains +
+# string_agg(ORDER BY) + list(ORDER BY) (established precedents).
+# ---------------------------------------------------------------------------
+
+_RAKE_TOPK = 40
+
+
+def q224_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import rake_keyphrases
+
+    docs = _docs(spark, sf_dir)
+    out = rake_keyphrases(docs, top_k=_RAKE_TOPK)
+    return out.select(
+        "phrase", "n_words", "n_occurrences",
+        _rz(F.col("score"), 6).alias("score"),
+    )
+
+
+def _q224_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, (i - 1)::bigint AS pos, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+    FROM (SELECT doc_id, {_SQL_WS_TOKS} AS ts FROM documents
+          WHERE text IS NOT NULL)
+  )
+), marked AS (
+  SELECT doc, pos, tok,
+         sum(CASE WHEN list_contains({_STOP_SQL}, tok)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc ORDER BY pos) AS pid,
+         list_contains({_STOP_SQL}, tok) AS is_stop
+  FROM toks
+), words AS (
+  SELECT doc, pid, pos, tok FROM marked WHERE NOT is_stop
+), plen AS (
+  SELECT doc, pid, count(*)::bigint AS n_words
+  FROM words GROUP BY doc, pid
+), occs AS (
+  SELECT w.doc, w.pid, w.pos, w.tok, p.n_words
+  FROM words w JOIN plen p ON w.doc = p.doc AND w.pid = p.pid
+), wstats AS (
+  SELECT tok, count(*)::bigint AS freq, sum(n_words)::bigint AS deg
+  FROM occs GROUP BY tok
+), sw AS (
+  SELECT o.doc, o.pid, o.pos, o.tok,
+         ws.deg::double / ws.freq::double AS ws
+  FROM occs o JOIN wstats ws ON o.tok = ws.tok
+), ph AS (
+  SELECT doc, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*)::bigint AS n_words,
+         list_sum(list(ws ORDER BY pos)) AS score_raw
+  FROM sw GROUP BY doc, pid
+), agg AS (
+  SELECT phrase, min(n_words)::bigint AS n_words,
+         count(*)::bigint AS n_occurrences, min(score_raw) AS score_raw
+  FROM ph GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences,
+       (round(score_raw, 6) + 0.0) AS score
+FROM agg
+ORDER BY score_raw DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14285,6 +14424,8 @@ def queries():
         "q220_k_anonymity": q220_k_anonymity,
         "q221_shapley_attribution": q221_shapley_attribution,
         "q222_benford": q222_benford,
+        "q223_maximal_matching": q223_maximal_matching,
+        "q224_rake_keyphrases": q224_rake_keyphrases,
     }
 
 
@@ -14512,4 +14653,6 @@ def oracle_sql():
         "q220_k_anonymity": _Q220_SQL,
         "q221_shapley_attribution": _q221_sql(),
         "q222_benford": _Q222_SQL,
+        "q223_maximal_matching": _q223_sql(),
+        "q224_rake_keyphrases": _q224_sql(),
     }

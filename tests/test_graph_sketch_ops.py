@@ -1514,3 +1514,33 @@ def test_katz_bounded_at_hub_degree(spark):
     # each spoke contributes floor(1e6 * 20 / (100 * 200)) = 1000
     assert got["hub"] == 1_000_000 + 200 * 1000
     assert got["s0"] == 1_000_000
+
+
+def test_hash_priority_matching_is_a_matching(spark):
+    from pathhier_spark.operators.graph import hash_priority_matching
+
+    # path a-b-c-d plus isolated edge e-f: any maximal matching covers
+    # e-f and exactly one of {a-b, b-c, c-d} without sharing endpoints
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")],
+        "src string, dst string",
+    )
+    out = hash_priority_matching(e, rounds=4).collect()
+    assert out and out[0]["n_left"] == 0  # maximal: nothing matchable left
+    srcs = [r["src"] for r in out]
+    dsts = [r["dst"] for r in out]
+    ends = srcs + dsts
+    assert len(ends) == len(set(ends))  # endpoint-disjoint
+    assert ("e", "f") in {(r["src"], r["dst"]) for r in out}
+
+
+def test_hash_priority_matching_star_matches_one(spark):
+    from pathhier_spark.operators.graph import hash_priority_matching
+
+    # a star can match exactly one edge; the rest become unmatchable
+    # (hub gone), so n_left must be 0 after the hub's neighbors drop out
+    e = spark.createDataFrame(
+        [("hub", f"x{i}") for i in range(6)], "src string, dst string"
+    )
+    out = hash_priority_matching(e, rounds=4).collect()
+    assert len(out) == 1 and out[0]["n_left"] == 0

@@ -1148,3 +1148,34 @@ def test_mine_abbreviations_validates_initialism(spark):
     assert (4, "") not in got and len([k for k in got if k[0] == 4]) == 0
     assert got[(5, "AB")] == ("alpha beta", True)
     assert got[(5, "GD")] == ("gamma delta", True)
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    from pathhier_spark.operators.textstats import rake_keyphrases
+
+    # "deep learning" appears twice as a run; "learning" also occurs in
+    # the 3-word run "machine learning systems":
+    #   freq(learning)=3, deg(learning)=2+2+3=7
+    #   freq(deep)=2, deg(deep)=4; freq(machine)=1, deg=3; systems same
+    # score(deep learning) = 4/2 + 7/3; score(machine learning systems)
+    # = 3 + 7/3 + 3
+    df = spark.createDataFrame(
+        [
+            (1, "deep learning is the machine learning systems"),
+            (2, "deep learning again"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["phrase"]: (r["n_words"], r["n_occurrences"], r["score"])
+        for r in rake_keyphrases(df, top_k=10).collect()
+    }
+    # 'again' is its own run in doc 2 ('is'/'the' are stopwords; 'again'
+    # is too -> check against the actual stopword list semantics:
+    # assert on the two multiword phrases only
+    assert got["deep learning"][1] == 2
+    assert abs(got["deep learning"][2] - (4 / 2 + 7 / 3)) < 1e-9
+    assert got["machine learning systems"] == (
+        3, 1, got["machine learning systems"][2]
+    )
+    assert abs(got["machine learning systems"][2] - (3 + 7 / 3 + 3)) < 1e-9
