@@ -535,7 +535,10 @@ def label_medoids(
     Exactness: vectors are int64-quantized (floor(x·1e6), the
     similarity-module convention) and every pairwise distance is the
     all-integer _sqdist_l2 fold — no float ever aggregates, so the
-    argmin is engine-portable. Ties break on the lower id.
+    argmin is engine-portable. Ties break on the lower id. Overflow
+    bound: total_sqdist ≤ members·dims·(2·|x|·1e6)² must stay < 2^63 —
+    at unit-norm 64-dim vectors that is ~36k members per label; larger
+    clusters need a coarser quantization scale or per-label sampling.
 
     Scale shape: the pairwise join is equi ON LABEL — per-label work is
     quadratic in that label's member count, the honest cost of an exact

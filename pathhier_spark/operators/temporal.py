@@ -826,6 +826,8 @@ def decayed_engagement(
         anchor_us = df.agg(
             F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
         ).collect()[0][0]
+        if anchor_us is None:  # empty input: any anchor yields no rows
+            anchor_us = 0
     age = F.floor(
         (F.lit(int(anchor_us)) - ts_us) / F.lit(int(halflife_us))
     ).cast("long")
@@ -888,6 +890,12 @@ def kaplan_meier(
         .agg(F.min(ts_us).alias("t0"), F.max(ts_us).alias("t1"))
     )
     end_us = lives.agg(F.max("t1")).collect()[0][0]
+    if end_us is None:  # empty input: no lifetimes, empty curve
+        return spark.createDataFrame(
+            [],
+            "t_hours long, n_at_risk long, n_deaths long, surv_fp long,"
+            " surv double",
+        )
     hist = (
         lives.select(
             F.floor((F.col("t1") - F.col("t0")) / F.lit(3_600_000_000))

@@ -2629,6 +2629,7 @@ def pairwise_bleu(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "lang",
+    shard_buckets: int | None = None,
 ) -> DataFrame:
     """BLEU-2 between each document and its successor (next id in the
     same group) — the n-gram PRECISION view of pairwise similarity that
@@ -2646,13 +2647,26 @@ def pairwise_bleu(
     either precision is 0 (or the candidate has < 2 tokens) score 0,
     the standard convention.
 
-    Scale shape: pairing is one lead() window BY GROUP; n-gram counts
+    Scale shape: pairing is one lead() window BY GROUP — and a group
+    like "lang" has cardinality ~handfuls, so at corpus scale those
+    window partitions grow unboundedly: pass `shard_buckets` to
+    sub-shard the pairing key with a deterministic id hash (partitions
+    become bounded; the one successor pair lost per shard boundary is
+    the negligible, documented cost). n-gram counts
     are per-doc combiner groupBys; clipping is two (doc, gram)-keyed
     equi-joins that ship only SHARED grams (inner join). No float
     crosses a shuffle — the one float expression is per-pair scalar.
     Output: (cand_id, ref_id, c_len, r_len, m1, m2, bleu)."""
+    gexpr = F.col(group_col).cast("string")
+    if shard_buckets:
+        gexpr = F.concat(
+            gexpr,
+            F.lit(":"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shard_buckets)))
+            .cast("string"),
+        )
     toks = df.where(F.col(text_col).isNotNull()).select(
-        F.col(group_col).alias("g"),
+        gexpr.alias("g"),
         F.col(id_col).alias("i"),
         _tokens(text_col).alias("ts"),
     )
@@ -2742,6 +2756,7 @@ def naive_bayes_lang_confusion(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained and scored
     on the corpus itself (the q27 LR self-consistency protocol) — the
@@ -2760,8 +2775,11 @@ def naive_bayes_lang_confusion(
 
     Scale shape: count tables are combiner groupBys; the lang
     dimension is a tiny broadcast crossJoin (|langs| ~ handfuls); the
-    (lang, tok)-keyed smoothing join is vocab-sized. V and N are two
-    scalar collects. Output: (true_lang, pred_lang, n_docs)."""
+    (lang, tok)-keyed smoothing join is vocab-sized — broadcast by
+    default, pass broadcast_vocab=False to shuffle-join when
+    langs x vocab outgrows the broadcast budget (the bigram_surprisal
+    escape hatch). V and N are two scalar collects.
+    Output: (true_lang, pred_lang, n_docs)."""
     toks = df.where(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
@@ -2783,16 +2801,13 @@ def naive_bayes_lang_confusion(
     lang_dim = F.broadcast(
         priors.join(totl, "l").select("l", "nd", "tot")
     )
+    _ctl_sel = ctl.select(
+        F.col("l").alias("cl"), F.col("tok").alias("ctok"), "c"
+    )
     scored = (
         toks.crossJoin(lang_dim)
         .join(
-            F.broadcast(
-                ctl.select(
-                    F.col("l").alias("cl"),
-                    F.col("tok").alias("ctok"),
-                    "c",
-                )
-            ),
+            (F.broadcast(_ctl_sel) if broadcast_vocab else _ctl_sel),
             (F.col("l") == F.col("cl")) & (F.col("tok") == F.col("ctok")),
             "left",
         )

@@ -1179,3 +1179,45 @@ def test_rake_keyphrases_hand_computed(spark):
         3, 1, got["machine learning systems"][2]
     )
     assert abs(got["machine learning systems"][2] - (3 + 7 / 3 + 3)) < 1e-9
+
+
+def test_naive_bayes_shuffle_join_regime_matches_broadcast(spark):
+    from pathhier_spark.operators.textstats import naive_bayes_lang_confusion
+
+    rows = [
+        (1, "en", "the cat sat the cat"),
+        (2, "en", "the dog sat"),
+        (3, "fr", "le chat assis le chat"),
+        (4, "fr", "le chien assis"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in naive_bayes_lang_confusion(df).collect()
+    }
+    b = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in naive_bayes_lang_confusion(
+            df, broadcast_vocab=False
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pairwise_bleu_sharded_pairs_stay_in_group(spark):
+    from pathhier_spark.operators.textstats import pairwise_bleu
+
+    rows = [(i, "en" if i % 2 else "fr", f"tok{i} common words here")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pairwise_bleu(df, shard_buckets=4).collect()
+    assert out  # sharding still yields pairs
+    by_id = {i: ("en" if i % 2 else "fr") for i in range(40)}
+    # every pair pairs documents of the SAME original group
+    for r in out:
+        assert by_id[r["cand_id"]] == by_id[r["ref_id"]]
+    # one pair per doc minus one per non-empty shard (each shard's last
+    # doc has no successor); 2 langs x 4 buckets -> at most 8 shards
+    assert 40 - 8 <= len(out) < 40
+    full = pairwise_bleu(df).collect()
+    assert len(full) == 40 - 2  # unsharded: one lost pair per lang

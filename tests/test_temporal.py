@@ -719,3 +719,37 @@ def test_shapley_efficiency_and_dummy(spark):
     total = sum(r["phi_num"] for r in out)
     assert total == n_fact * (v_all - v_none)
     assert got["click"]["phi_num"] == n_fact * v_all
+
+
+def test_continuation_operators_handle_empty_inputs(spark):
+    """Empty-input sweep for the continuation-tranche temporal/graph
+    operators (a filtered shard can legitimately be empty at scale)."""
+    from pathhier_spark.operators.graph import hash_priority_matching
+    from pathhier_spark.operators.temporal import (
+        best_sse_split,
+        cusum_changepoints,
+        decayed_engagement,
+        holt_forecast,
+        interval_coverage,
+        kaplan_meier,
+        markov_attribution,
+        shapley_attribution,
+        theil_sen_trend,
+    )
+
+    eev = spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string,"
+        " ts timestamp, value double"
+    )
+    eedges = spark.createDataFrame([], "src string, dst string")
+    eiv = spark.createDataFrame([], "user_id long, start long, end long")
+    assert interval_coverage(eiv).count() == 0
+    assert decayed_engagement(eev).count() == 0
+    assert kaplan_meier(eev).count() == 0
+    assert cusum_changepoints(eev).count() == 0
+    assert holt_forecast(eev).count() == 0
+    assert theil_sen_trend(eev).count() == 0
+    assert best_sse_split(eev).count() == 0
+    assert markov_attribution(eev).count() == 4  # channels, all zero
+    assert shapley_attribution(eev).count() == 4
+    assert hash_priority_matching(eedges).count() == 0
