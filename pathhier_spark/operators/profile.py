@@ -1620,3 +1620,140 @@ def benford_digit_test(
         ).alias("chi2_total")
     )
     return scored.crossJoin(F.broadcast(total))
+
+
+def v_optimal_histogram(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """V-optimal histogram construction — the optimizer-statistics
+    classic (Ioannidis/Poosala): partition the value DOMAIN into
+    `n_buckets` contiguous buckets minimizing total within-bucket
+    frequency variance, the histogram that provably minimizes
+    equality-selectivity estimation error. Equi-width and equi-depth
+    (q118) are the cheap defaults; this is the exact optimum they
+    approximate — and the constraint/profiling family's (q91/q213)
+    natural capstone: discovered stats feeding the same CBO decisions.
+
+    Exact layered DP on the VALUE-DOMAIN frequency vector (domain-
+    bounded, the q45 exemption): prefix Σf and Σf² are int64 cumulative
+    windows; SSE(a..b) is one fixed scalar expression of those
+    integers; layer j's Ej[i] = min_s E_{j-1}[s] + SSE(s+1..i) takes
+    the min of a lexicographic (cost, split) struct — bit-identical
+    doubles, deterministic ties — and backtracking walks the argmin
+    tables. Corpus-scale work is ONE combiner groupBy to the frequency
+    vector; the DP is O(k·domain²) on the domain table.
+    Output: (bucket, lo, hi, n_values, total_freq, sse) — `sse` is the
+    bucket's own within-bucket frequency variance term."""
+    freq = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    wv = Window.orderBy("v")
+    pts = freq.select(
+        "v",
+        "f",
+        F.row_number().over(wv).cast("long").alias("i"),
+        F.sum("f").over(wv).cast("long").alias("cf"),
+        F.sum(F.col("f") * F.col("f")).over(wv).cast("long").alias("cf2"),
+    ).localCheckpoint(eager=True)
+    n = pts.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bucket int, lo long, hi long, n_values long, total_freq long,"
+            " sse double",
+        )
+    k = min(n_buckets, n)
+    zero = pts.sparkSession.createDataFrame(
+        [(0, 0, 0)], "i long, cf long, cf2 long"
+    )
+    pref = pts.select("i", "cf", "cf2").union(zero)
+
+    def sse(cf2_b, cf2_a, cf_b, cf_a, cnt):
+        tot = (cf_b - cf_a).cast("double")
+        return (cf2_b - cf2_a).cast("double") - tot * tot / cnt.cast(
+            "double"
+        )
+
+    a = pref.select(
+        F.col("i").alias("s"),
+        F.col("cf").alias("cf_a"),
+        F.col("cf2").alias("cf2_a"),
+    )
+    b = pts.select(
+        F.col("i").alias("e"),
+        F.col("cf").alias("cf_b"),
+        F.col("cf2").alias("cf2_b"),
+    )
+    seg = a.join(b, F.col("s") < F.col("e")).select(
+        "s",
+        "e",
+        sse(
+            F.col("cf2_b"), F.col("cf2_a"), F.col("cf_b"), F.col("cf_a"),
+            F.col("e") - F.col("s"),
+        ).alias("c"),
+    ).localCheckpoint(eager=True)
+    layer = seg.where(F.col("s") == 0).select(
+        "e", F.col("c").alias("cost"), F.lit(0).cast("long").alias("split")
+    )
+    layers = {1: layer.localCheckpoint(eager=True)}
+    for j in range(2, k + 1):
+        prev = layers[j - 1].select(
+            F.col("e").alias("s"), F.col("cost").alias("pcost")
+        )
+        cand = prev.join(seg, "s").select(
+            "e",
+            (F.col("pcost") + F.col("c")).alias("tc"),
+            F.col("s"),
+        )
+        layers[j] = (
+            cand.groupBy("e")
+            .agg(F.min(F.struct("tc", "s")).alias("m"))
+            .select(
+                "e",
+                F.col("m.tc").alias("cost"),
+                F.col("m.s").alias("split"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # backtrack boundaries on the driver (k scalars)
+    bounds = [int(n)]
+    cur = int(n)
+    for j in range(k, 1, -1):
+        row = layers[j].where(F.col("e") == cur).collect()[0]
+        cur = int(row["split"])
+        bounds.append(cur)
+    bounds.append(0)
+    bounds = bounds[::-1]  # [0, b1, ..., n]
+    spark = df.sparkSession
+    cuts = spark.createDataFrame(
+        [
+            (bi + 1, bounds[bi], bounds[bi + 1])
+            for bi in range(len(bounds) - 1)
+        ],
+        "bucket int, s long, e long",
+    )
+    lo = pts.select((F.col("i") - 1).alias("s"), F.col("v").alias("lo"))
+    hi = pts.select(F.col("i").alias("e"), F.col("v").alias("hi"))
+    cfs = pref.select(F.col("i").alias("s"), F.col("cf").alias("cfs"))
+    cfe = pref.select(F.col("i").alias("e"), F.col("cf").alias("cfe"))
+    return (
+        cuts.join(seg, ["s", "e"])
+        .join(lo, "s")
+        .join(hi, "e")
+        .join(cfs, "s")
+        .join(cfe, "e")
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            (F.col("e") - F.col("s")).cast("long").alias("n_values"),
+            (F.col("cfe") - F.col("cfs")).cast("long").alias("total_freq"),
+            F.col("c").alias("sse"),
+        )
+        .orderBy("bucket")
+    )

@@ -14200,6 +14200,93 @@ LIMIT {_RAKE_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q225 — v-optimal histogram (operators/profile.v_optimal_histogram)
+# over l_quantity's 50-value domain, k=4: the optimizer-statistics
+# histogram that provably minimizes equality-selectivity error —
+# equi-depth (q118) is the approximation, this is the exact optimum
+# via layered DP on the DOMAIN-bounded frequency vector (int64 prefix
+# sums, fixed scalar SSE expressions, lexicographic (cost, split)
+# argmins, driver backtrack over k scalars). The CBO capstone of the
+# q91/q213 profiling family.
+# DuckDB feature req: AS MATERIALIZED.
+# ---------------------------------------------------------------------------
+
+_VOPT_K = 4
+
+
+def q225_v_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import v_optimal_histogram
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    q = li.select(F.col("l_quantity").cast("long").alias("q"))
+    out = v_optimal_histogram(q, value_col="q", n_buckets=_VOPT_K)
+    return out.select(
+        "bucket", "lo", "hi", "n_values", "total_freq",
+        _rz(F.col("sse"), 6).alias("sse"),
+    )
+
+
+def _q225_sql() -> str:
+    def layer(prev, cur):
+        return f"""{cur} AS MATERIALIZED (
+  SELECT e, tc AS cost, s AS split FROM (
+    SELECT seg.e, p.cost + seg.c AS tc, seg.s,
+           row_number() OVER (PARTITION BY seg.e
+                              ORDER BY (p.cost + seg.c), seg.s) AS rn
+    FROM {prev} p JOIN seg ON seg.s = p.e
+  ) WHERE rn = 1
+)"""
+
+    layers = ",\n".join(layer(f"l{j}", f"l{j + 1}") for j in range(1, _VOPT_K))
+    return f"""
+WITH freq AS (
+  SELECT l_quantity::bigint AS v, count(*)::bigint AS f
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY v
+), pts AS MATERIALIZED (
+  SELECT v, f, row_number() OVER (ORDER BY v)::bigint AS i,
+         sum(f) OVER (ORDER BY v)::bigint AS cf,
+         sum(f * f) OVER (ORDER BY v)::bigint AS cf2
+  FROM freq
+), pref AS MATERIALIZED (
+  SELECT i, cf, cf2 FROM pts
+  UNION ALL SELECT 0::bigint, 0::bigint, 0::bigint
+), seg AS MATERIALIZED (
+  SELECT a.i AS s, b.i AS e,
+         (b.cf2 - a.cf2)::double
+         - (b.cf - a.cf)::double * (b.cf - a.cf)::double
+           / (b.i - a.i)::double AS c
+  FROM pref a JOIN pts b ON a.i < b.i
+), l1 AS MATERIALIZED (
+  SELECT e, c AS cost, 0::bigint AS split FROM seg WHERE s = 0
+),
+{layers},
+nmax AS (SELECT max(i)::bigint AS n FROM pts),
+b4 AS (SELECT l4.e, l4.split FROM l4, nmax WHERE l4.e = nmax.n),
+b3 AS (SELECT l3.e, l3.split FROM l3, b4 WHERE l3.e = b4.split),
+b2 AS (SELECT l2.e, l2.split FROM l2, b3 WHERE l2.e = b3.split),
+b1 AS (SELECT l1.e FROM l1, b2 WHERE l1.e = b2.split),
+cuts AS (
+  SELECT 1 AS bucket, 0::bigint AS s, e FROM b1
+  UNION ALL SELECT 2, b1.e, b2.e FROM b1, b2
+  UNION ALL SELECT 3, b2.e, b3.e FROM b2, b3
+  UNION ALL SELECT 4, b3.e, b4.e FROM b3, b4
+)
+SELECT c.bucket,
+       plo.v AS lo, phi.v AS hi,
+       (c.e - c.s)::bigint AS n_values,
+       (pe.cf - ps.cf)::bigint AS total_freq,
+       (round(seg.c, 6) + 0.0) AS sse
+FROM cuts c
+JOIN seg ON seg.s = c.s AND seg.e = c.e
+JOIN pts plo ON plo.i = c.s + 1
+JOIN pts phi ON phi.i = c.e
+JOIN pref ps ON ps.i = c.s
+JOIN pref pe ON pe.i = c.e
+ORDER BY bucket
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14426,6 +14513,7 @@ def queries():
         "q222_benford": q222_benford,
         "q223_maximal_matching": q223_maximal_matching,
         "q224_rake_keyphrases": q224_rake_keyphrases,
+        "q225_v_optimal": q225_v_optimal,
     }
 
 
@@ -14655,4 +14743,5 @@ def oracle_sql():
         "q222_benford": _Q222_SQL,
         "q223_maximal_matching": _q223_sql(),
         "q224_rake_keyphrases": _q224_sql(),
+        "q225_v_optimal": _q225_sql(),
     }

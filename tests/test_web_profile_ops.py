@@ -632,3 +632,34 @@ def test_benford_exact_counts_and_chi2(spark):
         for d in range(1, 10)
     )
     assert abs(got[5]["chi2_total"] - tot) < 1e-9
+
+
+def test_v_optimal_histogram_finds_plateaus(spark):
+    from pathhier_spark.operators.profile import v_optimal_histogram
+
+    # three exact frequency plateaus -> k=3 recovers them with SSE 0
+    rows = []
+    for v, f in [(1, 10), (2, 10), (3, 50), (4, 50), (5, 90), (6, 90)]:
+        rows += [(v,)] * f
+    df = spark.createDataFrame(rows, "x long")
+    out = v_optimal_histogram(df, value_col="x", n_buckets=3).collect()
+    got = [(r["bucket"], r["lo"], r["hi"], r["total_freq"], r["sse"])
+           for r in out]
+    assert got == [
+        (1, 1, 2, 20, 0.0), (2, 3, 4, 100, 0.0), (3, 5, 6, 180, 0.0),
+    ]
+
+
+def test_v_optimal_histogram_beats_equiwidth(spark):
+    from pathhier_spark.operators.profile import v_optimal_histogram
+
+    # skewed: one hot value among flats -> v-optimal isolates it
+    rows = []
+    for v, f in [(1, 5), (2, 5), (3, 500), (4, 5), (5, 5), (6, 5)]:
+        rows += [(v,)] * f
+    df = spark.createDataFrame(rows, "x long")
+    out = v_optimal_histogram(df, value_col="x", n_buckets=3).collect()
+    # the hot value 3 sits alone in its bucket
+    solo = [r for r in out if r["lo"] == 3 and r["hi"] == 3]
+    assert len(solo) == 1 and solo[0]["total_freq"] == 500
+    assert sum(r["sse"] for r in out) == 0.0
