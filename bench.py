@@ -275,6 +275,10 @@ def main() -> None:
         "q208_nb_confusion",
         "q214_markov_attribution",
         "q216_burrows_delta",
+        # continuation tranche 3: content-defined chunking (dedup
+        # family) and the CBO histogram DP (profiling family)
+        "q219_cdc_chunks",
+        "q225_v_optimal",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}
