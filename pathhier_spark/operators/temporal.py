@@ -960,11 +960,33 @@ def cusum_changepoints(
     replays it as a recursive CTE. Days with no events simply don't
     appear (the series walks observed days in order).
     Output: (day DATE, x, s_pos, s_neg, alarm)."""
-    spark = df.sparkSession
-    days = (
+    daily = (
         df.where(F.col(ts_col).isNotNull())
         .groupBy(F.to_date(F.col(ts_col)).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return cusum_from_daily(daily, k_div=k_div, h_mult=h_mult)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    *,
+    day_col: str = "day",
+    x_col: str = "x",
+    k_div: int = 20,
+    h_mult: int = 8,
+) -> DataFrame:
+    """The CUSUM fold over an ALREADY-AGGREGATED (day, x) series — the
+    consumable half of cusum_changepoints, so the same detector runs on
+    a batch derivation OR on streaming_daily_counts output read back
+    from the warehouse (stream -> daily counts -> exactly-once commit ->
+    THIS; parity with the batch path asserted in tests/test_streaming).
+    Semantics and integer discipline identical to cusum_changepoints."""
+    spark = daily.sparkSession
+    days = (
+        daily.select(
+            F.col(day_col).alias("day"), F.col(x_col).cast("long").alias("x")
+        )
         .orderBy("day")
         .collect()
     )

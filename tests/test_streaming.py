@@ -811,3 +811,80 @@ def test_streaming_trending_terms_sliding_windows_batch_parity(
         for r in batch.collect()
     }
     assert bgot == got
+
+
+def test_streaming_batch_cusum_parity_via_warehouse(spark, tmp_path):
+    """Stream -> watermarked daily counts -> exactly-once warehouse ->
+    cusum_from_daily agrees EXACTLY with batch cusum_changepoints over
+    the same raw events — the drift detector consumes either path. The
+    far-future nudge advances the watermark so every real day finalizes;
+    its own day stays in state and is absent from the batch rows too."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.temporal import (
+        cusum_changepoints,
+        cusum_from_daily,
+    )
+    from pathhier_spark.sources.warehouse import Warehouse
+    from pathhier_spark.streaming.stream import (
+        stream_to_warehouse,
+        streaming_daily_counts,
+    )
+
+    input_dir = tmp_path / "ev_stream"
+    input_dir.mkdir()
+    schema = "event_type string, ts timestamp"
+    t0 = datetime(2026, 3, 1, 12, 0, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(input_dir))
+
+    # daily totals 10,10,10,22,22,10 split across two series — the q206
+    # hand-computed walk (alarms on days 3, 5, 6)
+    rows = []
+    for day, n in enumerate([10, 10, 10, 22, 22, 10]):
+        rows += [("a", t0 + timedelta(days=day, minutes=i))
+                 for i in range(n - 3)]
+        rows += [("b", t0 + timedelta(days=day, minutes=40 + i))
+                 for i in range(3)]
+    wb(rows[: len(rows) // 2])
+    wb(rows[len(rows) // 2:])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet")
+    out = streaming_daily_counts(stream, watermark="1 day")
+    q = stream_to_warehouse(
+        out, wh, "daily", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        wb([("zz", t0 + timedelta(days=30))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    daily_tot = (
+        wh.read("daily")
+        .groupBy("day")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    streamed = [tuple(r) for r in cusum_from_daily(daily_tot).collect()]
+    batch = [
+        tuple(r)
+        for r in cusum_changepoints(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    ]
+    assert streamed == batch
+    assert len(streamed) == 6
+    assert [t[4] for t in streamed] == [
+        False, False, True, False, True, True,
+    ]
