@@ -49,6 +49,28 @@ def build_postings(docs: DataFrame, tokens_col) -> DataFrame:
     )
 
 
+def _bm25_term_score(k1: float, b: float):
+    """The per-(query, doc, term) Okapi BM25 score expression over columns
+    (tf, df, dl, n_docs, avgdl) — factored so bm25_topk and the PRF
+    rescorer compute the IDENTICAL float expression (literal constants
+    inlined, the q63 parity discipline)."""
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    return (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(k1p1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(one_minus_b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -100,23 +122,7 @@ def bm25_topk(
         .join(F.broadcast(dfreq.join(F.broadcast(query_terms.select("term").distinct()), "term")), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "s",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            )
-            * (F.col("tf") * F.lit(k1p1))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (
-                    F.lit(one_minus_b)
-                    + F.lit(b) * F.col("dl") / F.col("avgdl")
-                )
-            ),
-        )
+        .withColumn("s", _bm25_term_score(k1, b))
     )
     folded = scored.groupBy("qid", "doc_id").agg(
         F.aggregate(
@@ -821,4 +827,106 @@ def proximity_search(
             F.min("d").cast("long").alias("min_dist"),
         )
         .where(F.col("min_dist") <= slop)
+    )
+
+
+def prf_bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    tokens_col,
+    *,
+    fb_docs: int = 5,
+    exp_terms: int = 2,
+    exp_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio-style two-pass) — the
+    recall play the single-pass rankers (BM25 q63, Dirichlet-QL q194)
+    cannot make: assume the first `fb_docs` results are relevant, mine
+    their strongest non-query terms, and rescore with the EXPANDED
+    query. Vocabulary-mismatch queries ("car" vs corpora that say
+    "automobile") only come back through expansion — the classic IR
+    fix, completing the stack next to fusion (RRF q93), proximity
+    (q215) and phrase (q103).
+
+    Expansion selection is deterministic: candidate terms from feedback
+    docs (original terms excluded), ranked by Σtf · idf — an int64 sum
+    times the ln of one rational, identical doubles both engines —
+    with term as tie-break; the top `exp_terms` join the query at
+    `exp_weight` (originals at 1.0). The rescore multiplies the SHARED
+    _bm25_term_score expression by the weight (w · s with explicit
+    grouping, mirrored verbatim in the oracle — float multiplication
+    is not associative, so the parenthesization is part of the
+    contract). Both passes fold per (query, doc) in term order.
+
+    Scale shape: two passes over the same broadcast-query postings
+    join — the feedback set is (queries × fb_docs) tiny, the expansion
+    aggregate is feedback-doc-sized, everything else inherits q63's
+    shape. Output: (qid, rank, doc_id, score)."""
+    toks = docs.select("doc_id", tokens_col.alias("ts"))
+    dl = toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = build_postings(toks, F.col("ts")).localCheckpoint(eager=False)
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).localCheckpoint(eager=False)
+
+    fb = bm25_topk(docs, query_terms, tokens_col, k1=k1, b=b, k=fb_docs)
+    cand = (
+        fb.select("qid", "doc_id")
+        .join(postings, "doc_id")
+        .join(
+            query_terms.select(
+                F.col("qid").alias("qqid"), F.col("term").alias("qt")
+            ),
+            (F.col("qid") == F.col("qqid")) & (F.col("term") == F.col("qt")),
+            "left_anti",
+        )
+        .groupBy("qid", "term")
+        .agg(F.sum("tf").cast("long").alias("tfs"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    wexp = Window.partitionBy("qid").orderBy(F.desc("es"), F.asc("term"))
+    expansion = (
+        cand.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "term", (F.col("tfs").cast("double") * idf).alias("es")
+        )
+        .withColumn("_rn", F.row_number().over(wexp))
+        .where(F.col("_rn") <= exp_terms)
+        .select("qid", "term", F.lit(float(exp_weight)).alias("w"))
+    )
+    wq = query_terms.select(
+        "qid", "term", F.lit(1.0).alias("w")
+    ).unionByName(expansion)
+    scored = (
+        F.broadcast(wq)
+        .join(postings, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.col("w") * _bm25_term_score(k1, b))
+    )
+    folded = scored.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
     )

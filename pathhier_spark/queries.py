@@ -14287,6 +14287,103 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Q226 — pseudo-relevance-feedback BM25 (operators/retrieval.
+# prf_bm25_topk): the Rocchio two-pass recall play completing the IR
+# stack (BM25 q63, QL q194, RRF q93, proximity q215, phrase q103) —
+# feedback from the top-5 first-pass docs mines the 2 strongest
+# non-query terms (Σtf·idf, term tie-break), which rejoin the query at
+# weight 0.5 for the rescore. The weighted score is w·(shared BM25
+# term expression) with the parenthesization mirrored verbatim (float
+# multiplication is not associative — the grouping is part of the
+# cross-engine contract). Reuses q63's SQL chain.
+# DuckDB feature req: list(... ORDER BY) + list_sum (q63 precedent).
+# ---------------------------------------------------------------------------
+
+_PRF_FB = 5
+_PRF_EXP = 2
+_PRF_W = 0.5
+
+
+def q226_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.retrieval import prf_bm25_topk
+    from pathhier_spark.operators.textstats import _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _tokens("text").alias("ts"))
+    qsrc = (
+        toks.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.posexplode("ts").alias("pos", "term"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.min("pos").alias("mp"))
+    )
+    qw = Window.partitionBy("qid").orderBy("mp", "term")
+    qterms = (
+        qsrc.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _BM25_QLEN)
+        .select("qid", "term")
+    )
+    out = prf_bm25_topk(
+        toks, qterms, F.col("ts"),
+        fb_docs=_PRF_FB, exp_terms=_PRF_EXP, exp_weight=_PRF_W,
+        k1=_BM25_K1, b=_BM25_B, k=_BM25_K,
+    )
+    return out.select(
+        "qid", "rank", "doc_id", _rz(F.col("score"), 6).alias("score")
+    ).orderBy("qid", "rank")
+
+
+def _q226_sql() -> str:
+    k1p1 = _BM25_K1 + 1.0
+    omb = 1.0 - _BM25_B
+    return _sql_bm25_chain() + f""",
+fb AS (
+  SELECT qid, doc_id FROM ranked WHERE "rank" <= {_PRF_FB}
+), expd AS (
+  SELECT f.qid, p.term, sum(p.tf)::bigint AS tfs
+  FROM fb f JOIN postings p ON p.doc_id = f.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                    WHERE q.qid = f.qid AND q.term = p.term)
+  GROUP BY f.qid, p.term
+), exps AS (
+  SELECT qid, term FROM (
+    SELECT e.qid, e.term,
+           row_number() OVER (PARTITION BY e.qid ORDER BY
+             (e.tfs::double * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5)
+                                 + 1.0)) DESC, e.term) AS rn
+    FROM expd e JOIN dfreq d USING (term), stats s
+  ) WHERE rn <= {_PRF_EXP}
+), wq AS (
+  SELECT qid, term, 1.0 AS w FROM qterms
+  UNION ALL SELECT qid, term, {_PRF_W!r} FROM exps
+), scored2 AS (
+  SELECT q.qid, p.doc_id, q.term,
+         q.w * (ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                * (p.tf * {k1p1!r})
+                / (p.tf + {_BM25_K1!r}
+                   * ({omb!r} + {_BM25_B!r} * l.dl / s.avgdl))) AS sc
+  FROM wq q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id, stats s
+), folded2 AS (
+  SELECT qid, doc_id, list_sum(list(sc ORDER BY term)) AS score
+  FROM scored2 GROUP BY qid, doc_id
+), ranked2 AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS "rank"
+  FROM folded2
+)
+SELECT qid, "rank", doc_id, round(score, 6) + 0.0 AS score
+FROM ranked2 WHERE "rank" <= {_BM25_K}
+ORDER BY qid, "rank"
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14514,6 +14611,7 @@ def queries():
         "q223_maximal_matching": q223_maximal_matching,
         "q224_rake_keyphrases": q224_rake_keyphrases,
         "q225_v_optimal": q225_v_optimal,
+        "q226_prf_bm25": q226_prf_bm25,
     }
 
 
@@ -14744,4 +14842,5 @@ def oracle_sql():
         "q223_maximal_matching": _q223_sql(),
         "q224_rake_keyphrases": _q224_sql(),
         "q225_v_optimal": _q225_sql(),
+        "q226_prf_bm25": _q226_sql(),
     }

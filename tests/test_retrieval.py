@@ -595,3 +595,52 @@ def test_proximity_search_slop_semantics(spark):
         for r in proximity_search(df, "join", "merge", slop=3).collect()
     }
     assert got == {1: (1, 3), 3: (1, 1), 4: (2, 1)}
+
+
+def test_prf_expansion_recovers_vocabulary_mismatch(spark):
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.retrieval import bm25_topk, prf_bm25_topk
+    from pathhier_spark.operators.textstats import _tokens
+
+    # query: "car". Feedback doc 1 pairs car with automobile; doc 3
+    # says only "automobile" and can NEVER match the raw query — PRF
+    # must expand to 'automobile' and retrieve doc 3.
+    rows = [
+        (1, "car automobile automobile automobile"),
+        (2, "car common"),
+        (3, "automobile engine factory"),
+        (4, "common words everywhere"),
+        (5, "common other stuff"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", _tokens("text").alias("ts")
+    )
+    q = spark.createDataFrame([(100, "car")], "qid long, term string")
+    base = {r["doc_id"] for r in bm25_topk(docs, q, F.col("ts"), k=10).collect()}
+    assert base == {1, 2}  # raw query cannot see doc 3
+    prf = {
+        r["doc_id"]
+        for r in prf_bm25_topk(
+            docs, q, F.col("ts"), fb_docs=2, exp_terms=2, k=10
+        ).collect()
+    }
+    assert 3 in prf  # expansion bridged the vocabulary mismatch
+    assert {1, 2} <= prf
+
+
+def test_prf_expansion_excludes_original_terms(spark):
+    from pyspark.sql import functions as F
+
+    from pathhier_spark.operators.retrieval import prf_bm25_topk
+    from pathhier_spark.operators.textstats import _tokens
+
+    # degenerate corpus where the query term dominates every doc: the
+    # expansion must still pick NON-query terms (never re-add 'car')
+    rows = [(i, "car car unique%d filler" % i) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", _tokens("text").alias("ts")
+    )
+    q = spark.createDataFrame([(1, "car")], "qid long, term string")
+    out = prf_bm25_topk(docs, q, F.col("ts"), fb_docs=3, exp_terms=2, k=6)
+    assert out.count() == 6  # all docs still retrievable, no crash
