@@ -1462,3 +1462,78 @@ def shapley_attribution(
         "channel string, phi_num long, phi double, v_all_fp long,"
         " v_none_fp long",
     ).orderBy("channel")
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    period: int = 7,
+) -> DataFrame:
+    """Classical seasonal decomposition of daily volume (STL-lite):
+    trend = centered `period`-day moving average, seasonal = per-
+    day-of-week mean of the detrended series, remainder = what's left —
+    the decomposition family next to forecasting (q209), online drift
+    (q206) and offline changepoints (q212): "is Monday always low, or
+    is this week anomalous?" is unanswerable without splitting the
+    three components.
+
+    Exact integer throughout by SCALING instead of dividing: the trend
+    is carried as the 7-day SUM (int64; trend = sum/7 only in the one
+    reported rounded double); detrended r = 7·x − trend_sum (int64);
+    the seasonal index is the floor-mean of r per weekday slot; the
+    remainder is r − seasonal (still ×7-scaled). Weekday slots come
+    from epoch-day % 7 — pure integer arithmetic, immune to the
+    Spark-vs-DuckDB dayofweek origin mismatch (1=Sunday vs 0=Sunday).
+    Only days with a full centered window emit (the standard edge
+    convention). All windows run on the DAY domain.
+    Output: (day, x, trend_sum, trend, dow, seasonal_fp,
+    remainder_fp)."""
+    half = period // 2
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wd = Window.orderBy("day").rowsBetween(-half, half)
+    trended = (
+        daily.select(
+            "day",
+            "x",
+            F.sum("x").over(wd).cast("long").alias("trend_sum"),
+            F.count(F.lit(1)).over(wd).alias("_wn"),
+            (F.datediff(F.col("day"), F.lit("1970-01-01")) % period)
+            .cast("int")
+            .alias("dow"),
+        )
+        .where(F.col("_wn") == period)
+        .drop("_wn")
+        .localCheckpoint(eager=False)
+    )
+    detr = trended.select(
+        "day",
+        "x",
+        "trend_sum",
+        "dow",
+        (F.lit(int(period)) * F.col("x") - F.col("trend_sum")).alias("r"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.floor(
+            F.sum("r") / F.count(F.lit(1))
+        ).cast("long").alias("seasonal_fp")
+    )
+    return (
+        detr.join(seas, "dow")
+        .select(
+            "day",
+            "x",
+            "trend_sum",
+            (F.col("trend_sum").cast("double") / F.lit(float(period)))
+            .alias("trend"),
+            "dow",
+            "seasonal_fp",
+            (F.col("r") - F.col("seasonal_fp")).cast("long")
+            .alias("remainder_fp"),
+        )
+        .orderBy("day")
+    )

@@ -14384,6 +14384,57 @@ ORDER BY qid, "rank"
 """
 
 
+# ---------------------------------------------------------------------------
+# Q227 — seasonal decomposition (operators/temporal.
+# seasonal_decompose_daily): STL-lite trend / weekly-seasonal /
+# remainder split of daily volume — the "is Monday always low or is
+# THIS week anomalous" question none of q206/q209/q212 can answer
+# alone. Integer-exact by SCALING (trend carried as the 7-day sum,
+# detrended = 7x − sum, floor-mean seasonal index); weekday = epoch
+# day % 7, immune to the engines' dayofweek-origin mismatch. All
+# windows on the day domain. DuckDB feature req: core windows.
+# ---------------------------------------------------------------------------
+
+
+def q227_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import seasonal_decompose_daily
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = seasonal_decompose_daily(ev)
+    return out.select(
+        "day", "x", "trend_sum", _rz(F.col("trend"), 6).alias("trend"),
+        "dow", "seasonal_fp", "remainder_fp",
+    )
+
+
+_Q227_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY ts::date
+), trended AS (
+  SELECT day, x,
+         sum(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+                      3 FOLLOWING)::bigint AS trend_sum,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+                        3 FOLLOWING) AS wn,
+         ((day - DATE '1970-01-01') % 7)::int AS dow
+  FROM daily
+), detr AS (
+  SELECT day, x, trend_sum, dow, 7 * x - trend_sum AS r
+  FROM trended WHERE wn = 7
+), seas AS (
+  SELECT dow, floor(sum(r)::double / count(*))::bigint AS seasonal_fp
+  FROM detr GROUP BY dow
+)
+SELECT d.day, d.x, d.trend_sum,
+       (round(d.trend_sum::double / 7.0, 6) + 0.0) AS trend,
+       d.dow, s.seasonal_fp,
+       (d.r - s.seasonal_fp)::bigint AS remainder_fp
+FROM detr d JOIN seas s ON d.dow = s.dow
+ORDER BY day
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14612,6 +14663,7 @@ def queries():
         "q224_rake_keyphrases": q224_rake_keyphrases,
         "q225_v_optimal": q225_v_optimal,
         "q226_prf_bm25": q226_prf_bm25,
+        "q227_seasonal_decompose": q227_seasonal_decompose,
     }
 
 
@@ -14843,4 +14895,5 @@ def oracle_sql():
         "q224_rake_keyphrases": _q224_sql(),
         "q225_v_optimal": _q225_sql(),
         "q226_prf_bm25": _q226_sql(),
+        "q227_seasonal_decompose": _Q227_SQL,
     }

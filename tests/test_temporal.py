@@ -753,3 +753,27 @@ def test_continuation_operators_handle_empty_inputs(spark):
     assert markov_attribution(eev).count() == 4  # channels, all zero
     assert shapley_attribution(eev).count() == 4
     assert hash_priority_matching(eedges).count() == 0
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    from datetime import datetime as dt, timedelta
+
+    from pathhier_spark.operators.temporal import seasonal_decompose_daily
+
+    # 28 days: base 20/day with +14 every 7th day (a planted weekly
+    # spike). Trend sums are constant (7*20 + 14 = 154); the spike slot's
+    # seasonal index is 7*34-154 = 84, others 7*20-154 = -14; remainders 0.
+    t0 = dt(2024, 9, 2)
+    rows = []
+    for d in range(28):
+        n = 20 + (14 if d % 7 == 0 else 0)
+        rows += [(t0 + timedelta(days=d, hours=1),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = seasonal_decompose_daily(df).collect()
+    assert len(out) == 28 - 6  # full centered windows only
+    assert all(r["trend_sum"] == 154 for r in out)
+    spike = [r for r in out if r["x"] == 34]
+    flat = [r for r in out if r["x"] == 20]
+    assert spike and all(r["seasonal_fp"] == 84 for r in spike)
+    assert all(r["seasonal_fp"] == -14 for r in flat)
+    assert all(r["remainder_fp"] == 0 for r in out)
