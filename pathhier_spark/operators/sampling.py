@@ -650,3 +650,94 @@ def pareto_frontier2d(
             F.col("_y").alias(y_col),
         )
     )
+
+
+def priority_sample_sums(
+    df: DataFrame,
+    *,
+    id_col: str = "event_id",
+    weight_col: str = "w",
+    group_col: str = "event_type",
+    k: int = 100,
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup) for SUBSET-SUM
+    estimation — the weighted counterpart of the distinct sketches
+    (KMV q50, HLL q68): keep the k items of highest priority
+    q_i = w_i / u_i and any subset's weight sum is estimated by
+    Σ max(w_i, τ) over its sampled members, τ = the (k+1)-th priority.
+    DLT prove the estimator unbiased with near-optimal variance — ONE
+    k-item sample answers every posterior group-by-sum question, which
+    is exactly the regime of interactive corpus analytics over 100 TB.
+
+    RNG-free determinism: u_i is an exact dyadic rational from the
+    item's md5 ((first-8-hex + 1) / 2^32), so priorities are identical
+    doubles on both engines and the (priority DESC, id) order — and
+    therefore the sample and τ — is bit-reproducible. Global top-(k+1)
+    is the standard scalable pattern (per-partition partial top-k,
+    then merge k·parts rows). Output per group: (group, n_items,
+    exact_sum, n_sampled, est_sum) — the exact sum ships alongside so
+    the estimate is auditable row-by-row."""
+    items = df.where(
+        F.col(id_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("i"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("i").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 32))
+    pri = items.select(
+        "g", "i", "w", (F.col("w").cast("double") / u).alias("q")
+    )
+    wtop = Window.orderBy(F.desc("q"), F.asc("i"))
+    ranked = pri.withColumn("_rn", F.row_number().over(wtop)).where(
+        F.col("_rn") <= k + 1
+    ).localCheckpoint(eager=False)
+    # tau as a 1-row aggregate: NULL (-> 0.0) when fewer than k+1 items,
+    # which degrades the estimator to the exact sum — the DLT convention
+    tau = ranked.agg(
+        F.max(F.when(F.col("_rn") == k + 1, F.col("q"))).alias("tau")
+    )
+    sample = ranked.where(F.col("_rn") <= k)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .select(
+            "g",
+            "i",
+            F.greatest(
+                F.col("w").cast("double"),
+                F.coalesce(F.col("tau"), F.lit(0.0)),
+            ).alias("e"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            # float sum folds in ID order (never a shuffled double sum)
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "e"))),
+                    lambda s: s["e"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("est_sum"),
+        )
+    )
+    exact = items.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("w").cast("long").alias("exact_sum"),
+    )
+    return (
+        exact.join(est, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_items",
+            "exact_sum",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long")
+            .alias("n_sampled"),
+            F.coalesce(F.col("est_sum"), F.lit(0.0)).alias("est_sum"),
+        )
+    )

@@ -14435,6 +14435,75 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q228 — priority sampling for subset sums (operators/sampling.
+# priority_sample_sums): the DLT weighted counterpart of the distinct
+# sketches (KMV q50, HLL q68) — one k-item sample answers every
+# posterior group-by-sum question via Σ max(w, τ). RNG-free: u is an
+# exact dyadic rational from the item md5 (the q22 hex32 idiom), so
+# priorities, the (q DESC, id) order, the sample and τ are
+# bit-reproducible; per-group estimate folds in ID order. Exact sums
+# ship alongside for auditability.
+# DuckDB feature req: list(... ORDER BY) + list_sum.
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 100
+
+
+def q228_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.sampling import priority_sample_sums
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    items = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("w"),
+    )
+    out = priority_sample_sums(
+        items, id_col="event_id", weight_col="w",
+        group_col="event_type", k=_PRIO_K,
+    )
+    return out.select(
+        "event_type", "n_items", "exact_sum", "n_sampled",
+        _rz(F.col("est_sum"), 6).alias("est_sum"),
+    ).orderBy("event_type")
+
+
+def _q228_sql() -> str:
+    hex32 = _sql_hex32("i::varchar")
+    return f"""
+WITH items AS (
+  SELECT event_type AS g, event_id AS i, floor(value * 100)::bigint AS w
+  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+), pos AS (
+  SELECT g, i, w FROM items WHERE w > 0
+), pri AS (
+  SELECT g, i, w,
+         w::double / (({hex32} + 1)::double / 4294967296.0) AS q
+  FROM pos
+), ranked AS (
+  SELECT g, i, w, q, row_number() OVER (ORDER BY q DESC, i) AS rn
+  FROM pri
+), tau AS (
+  SELECT max(CASE WHEN rn = {_PRIO_K + 1} THEN q END) AS tau FROM ranked
+), est AS (
+  SELECT s.g, count(*)::bigint AS n_sampled,
+         list_sum(list(greatest(s.w::double, coalesce(t.tau, 0.0))
+                       ORDER BY s.i)) AS est_sum
+  FROM (SELECT g, i, w FROM ranked WHERE rn <= {_PRIO_K}) s, tau t
+  GROUP BY s.g
+), exact AS (
+  SELECT g, count(*)::bigint AS n_items, sum(w)::bigint AS exact_sum
+  FROM pos GROUP BY g
+)
+SELECT e.g AS event_type, e.n_items, e.exact_sum,
+       coalesce(est.n_sampled, 0)::bigint AS n_sampled,
+       (round(coalesce(est.est_sum, 0.0), 6) + 0.0) AS est_sum
+FROM exact e LEFT JOIN est ON e.g = est.g
+ORDER BY event_type
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14664,6 +14733,7 @@ def queries():
         "q225_v_optimal": q225_v_optimal,
         "q226_prf_bm25": q226_prf_bm25,
         "q227_seasonal_decompose": q227_seasonal_decompose,
+        "q228_priority_sample": q228_priority_sample,
     }
 
 
@@ -14896,4 +14966,5 @@ def oracle_sql():
         "q225_v_optimal": _q225_sql(),
         "q226_prf_bm25": _q226_sql(),
         "q227_seasonal_decompose": _Q227_SQL,
+        "q228_priority_sample": _q228_sql(),
     }

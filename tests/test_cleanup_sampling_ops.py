@@ -283,3 +283,34 @@ def test_pareto_frontier_equals_brute_force(spark):
         )
     )
     assert got == want
+
+
+def test_priority_sample_exact_when_k_covers_all(spark):
+    from pathhier_spark.operators.sampling import priority_sample_sums
+
+    # k >= population: tau is NULL -> estimator degrades to the exact sum
+    rows = [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, w long")
+    got = {
+        r["event_type"]: (r["n_items"], r["exact_sum"], r["n_sampled"],
+                          r["est_sum"])
+        for r in priority_sample_sums(df, k=100).collect()
+    }
+    assert got["a"] == (2, 30, 2, 30.0)
+    assert got["b"] == (1, 5, 1, 5.0)
+
+
+def test_priority_sample_estimates_within_bounds(spark):
+    from pathhier_spark.operators.sampling import priority_sample_sums
+
+    # 500 items, k=100: estimates stay positive and in a sane envelope
+    # of the exact sums, and the sample size equals k overall
+    rows = [("g%d" % (i % 4), i, 1 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, w long")
+    out = priority_sample_sums(df, k=100).collect()
+    tot_sampled = sum(r["n_sampled"] for r in out)
+    assert tot_sampled == 100
+    for r in out:
+        assert r["est_sum"] > 0
+        # DLT at k=100 over near-uniform weights: generous 2x envelope
+        assert 0.5 * r["exact_sum"] < r["est_sum"] < 2.0 * r["exact_sum"]
