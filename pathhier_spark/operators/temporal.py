@@ -1537,3 +1537,69 @@ def seasonal_decompose_daily(
         )
         .orderBy("day")
     )
+
+
+def pla_segments(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    eps: int = 10,
+) -> DataFrame:
+    """Error-bounded piecewise-linear segmentation of the daily volume
+    series (the swing/slope-cone filter behind time-series compression
+    à la PMC/Swing): a segment extends while SOME line from its anchor
+    passes within ±eps of every point — the slope cone [lo, hi]
+    narrows with each point and the segment closes when it empties.
+    The segment count IS the compression story: a stable series
+    collapses to a few (anchor, end) pairs; level shifts and ramps
+    each cost one segment — a compression-shaped complement to the
+    changepoint ops (a changepoint is where a new segment STARTS).
+
+    Determinism: the cone bounds are divisions of exact integers
+    ((y ± eps − y_a) / (t − t_a)); both engines run the identical
+    sequence of double ops and comparisons, so the segmentation is
+    bit-reproducible (the oracle replays it as a recursive CTE with
+    the cone carried in the state row). Sequential, but over the DAY
+    domain only — combiner groupBy to daily counts, driver fold,
+    ±inf sentinels as literal ±1e308 on both engines.
+    Output: (seg, t_start, t_end, n_points, y_start, y_end)."""
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    pts = [(i + 1, int(r["x"])) for i, r in enumerate(daily)]
+    spark = df.sparkSession
+    if not pts:
+        return spark.createDataFrame(
+            [],
+            "seg long, t_start long, t_end long, n_points long,"
+            " y_start long, y_end long",
+        )
+    segs = []
+    seg_id = 1
+    ta, ya = pts[0]
+    lo, hi = -1e308, 1e308
+    for j in range(1, len(pts)):
+        t, y = pts[j]
+        cl = (y - eps - ya) / (t - ta)
+        ch = (y + eps - ya) / (t - ta)
+        nlo, nhi = max(lo, cl), min(hi, ch)
+        if nlo > nhi:
+            pt, py = pts[j - 1]
+            segs.append((seg_id, ta, pt, pt - ta + 1, ya, py))
+            seg_id += 1
+            ta, ya = pt, py
+            lo = (y - eps - ya) / (t - ta)
+            hi = (y + eps - ya) / (t - ta)
+        else:
+            lo, hi = nlo, nhi
+    te, ye = pts[-1]
+    segs.append((seg_id, ta, te, te - ta + 1, ya, ye))
+    return spark.createDataFrame(
+        segs,
+        "seg long, t_start long, t_end long, n_points long,"
+        " y_start long, y_end long",
+    ).orderBy("seg")

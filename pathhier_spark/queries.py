@@ -14504,6 +14504,95 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q229 — error-bounded PLA segmentation (operators/temporal.
+# pla_segments): the swing/slope-cone filter of time-series
+# compression — a segment extends while some line from its anchor
+# stays within ±eps of every point; the cone narrows per point and the
+# segment closes when it empties. Segment count IS the compression
+# ratio; changepoints are where new segments start. Bit-reproducible:
+# cone bounds are divisions of exact integers, identical double ops
+# both engines, ±1e308 literal sentinels; day-domain driver fold +
+# recursive-CTE oracle carrying the cone in the state row.
+# DuckDB feature req: WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+_PLA_EPS = 10
+
+
+def q229_pla_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.temporal import pla_segments
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return pla_segments(ev, eps=_PLA_EPS)
+
+
+def _q229_sql() -> str:
+    e = _PLA_EPS
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY ts::date
+), seq AS (
+  SELECT row_number() OVER (ORDER BY day)::bigint AS idx, x AS y
+  FROM daily
+), rec AS (
+  SELECT 1::bigint AS idx, 1::bigint AS seg, 1::bigint AS ta,
+         y AS ya, -1e308 AS lo, 1e308 AS hi
+  FROM seq WHERE idx = 1
+  UNION ALL
+  SELECT s.idx,
+         CASE WHEN greatest(r.lo, (s.y - {e} - r.ya)::double
+                                  / (s.idx - r.ta)::double)
+                   > least(r.hi, (s.y + {e} - r.ya)::double
+                                 / (s.idx - r.ta)::double)
+              THEN r.seg + 1 ELSE r.seg END,
+         CASE WHEN greatest(r.lo, (s.y - {e} - r.ya)::double
+                                  / (s.idx - r.ta)::double)
+                   > least(r.hi, (s.y + {e} - r.ya)::double
+                                 / (s.idx - r.ta)::double)
+              THEN p.idx ELSE r.ta END,
+         CASE WHEN greatest(r.lo, (s.y - {e} - r.ya)::double
+                                  / (s.idx - r.ta)::double)
+                   > least(r.hi, (s.y + {e} - r.ya)::double
+                                 / (s.idx - r.ta)::double)
+              THEN p.y ELSE r.ya END,
+         CASE WHEN greatest(r.lo, (s.y - {e} - r.ya)::double
+                                  / (s.idx - r.ta)::double)
+                   > least(r.hi, (s.y + {e} - r.ya)::double
+                                 / (s.idx - r.ta)::double)
+              THEN (s.y - {e} - p.y)::double / (s.idx - p.idx)::double
+              ELSE greatest(r.lo, (s.y - {e} - r.ya)::double
+                                  / (s.idx - r.ta)::double) END,
+         CASE WHEN greatest(r.lo, (s.y - {e} - r.ya)::double
+                                  / (s.idx - r.ta)::double)
+                   > least(r.hi, (s.y + {e} - r.ya)::double
+                                 / (s.idx - r.ta)::double)
+              THEN (s.y + {e} - p.y)::double / (s.idx - p.idx)::double
+              ELSE least(r.hi, (s.y + {e} - r.ya)::double
+                               / (s.idx - r.ta)::double) END
+  FROM rec r
+  JOIN seq s ON s.idx = r.idx + 1
+  JOIN seq p ON p.idx = r.idx
+), segrows AS (
+  SELECT seg, min(ta)::bigint AS t_start FROM rec GROUP BY seg
+), nn AS (
+  SELECT max(idx)::bigint AS n FROM seq
+), segs AS (
+  SELECT s.seg, s.t_start,
+         coalesce(nx.t_start, nn.n)::bigint AS t_end
+  FROM segrows s LEFT JOIN segrows nx ON nx.seg = s.seg + 1, nn
+)
+SELECT g.seg, g.t_start, g.t_end,
+       (g.t_end - g.t_start + 1)::bigint AS n_points,
+       ys.y AS y_start, ye.y AS y_end
+FROM segs g
+JOIN seq ys ON ys.idx = g.t_start
+JOIN seq ye ON ye.idx = g.t_end
+ORDER BY seg
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14734,6 +14823,7 @@ def queries():
         "q226_prf_bm25": q226_prf_bm25,
         "q227_seasonal_decompose": q227_seasonal_decompose,
         "q228_priority_sample": q228_priority_sample,
+        "q229_pla_segments": q229_pla_segments,
     }
 
 
@@ -14967,4 +15057,5 @@ def oracle_sql():
         "q226_prf_bm25": _q226_sql(),
         "q227_seasonal_decompose": _Q227_SQL,
         "q228_priority_sample": _q228_sql(),
+        "q229_pla_segments": _q229_sql(),
     }

@@ -777,3 +777,40 @@ def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
     assert spike and all(r["seasonal_fp"] == 84 for r in spike)
     assert all(r["seasonal_fp"] == -14 for r in flat)
     assert all(r["remainder_fp"] == 0 for r in out)
+
+
+def test_pla_segments_ramp_then_shift(spark):
+    from datetime import datetime as dt, timedelta
+
+    from pathhier_spark.operators.temporal import pla_segments
+
+    # perfect ramp 10,12,...,28 (ONE segment at eps=1 — every point on
+    # the slope-2 line), then a level shift to 100,100,100: the jump
+    # costs a one-step connector segment (anchored at the old level, a
+    # line cannot also hold the plateau) and the plateau is the third
+    t0 = dt(2024, 10, 1)
+    counts = [10 + 2 * i for i in range(10)] + [100, 100, 100]
+    rows = []
+    for d, c in enumerate(counts):
+        rows += [(t0 + timedelta(days=d),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = pla_segments(df, eps=1).collect()
+    assert [(r["t_start"], r["t_end"]) for r in out] == [
+        (1, 10), (10, 11), (11, 13)
+    ]
+    assert (out[0]["y_start"], out[0]["y_end"]) == (10, 28)
+    assert out[2]["y_end"] == 100
+
+
+def test_pla_flat_series_is_one_segment(spark):
+    from datetime import datetime as dt, timedelta
+
+    from pathhier_spark.operators.temporal import pla_segments
+
+    t0 = dt(2024, 10, 1)
+    rows = []
+    for d in range(20):
+        rows += [(t0 + timedelta(days=d),)] * 15
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = pla_segments(df, eps=1).collect()
+    assert len(out) == 1 and out[0]["n_points"] == 20
