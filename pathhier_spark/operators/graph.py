@@ -3392,3 +3392,85 @@ def hash_priority_matching(
         "round",
         F.lit(int(n_left)).cast("long").alias("n_left"),
     )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 12,
+) -> DataFrame:
+    """Charikar peeling for the densest subgraph — dense-CORE mining
+    (spam farms, bot rings, over-represented template clusters appear
+    as unusually dense cores long before any community algorithm
+    names them): repeatedly peel every minimum-degree vertex; the
+    densest prefix of the peel order 2-approximates the true maximum
+    average degree |E(S)|/|S|. Peeling ALL min-degree vertices per
+    round is the standard parallel variant and is fully deterministic
+    (no tie order to break — they all go).
+
+    Exactness: the best round is chosen by CROSS-MULTIPLIED integer
+    density comparison (e_i·n_j vs e_j·n_i — never a float argmax),
+    with the earliest round winning ties; the reported density double
+    is presentation only. Fixed `rounds` with the standard
+    truncation-as-semantics contract; a graph that empties earlier
+    simply stops emitting rows, and the last emitted round's
+    remainder is visible in its own (n_nodes, n_edges).
+
+    Scale shape: per round one union-degree groupBy, one scalar min,
+    two semi-joins — the connected-components/matching loop
+    discipline (localCheckpoint per round). Output one row per
+    surviving round: (round, n_nodes, n_edges, min_deg, density,
+    is_best)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    stats = []
+    for r in range(rounds + 1):
+        deg = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = deg.count()
+        if n_nodes == 0:
+            break
+        n_edges = e.count()
+        mind = deg.agg(F.min("deg")).collect()[0][0]
+        stats.append((r, n_nodes, n_edges, int(mind)))
+        if r == rounds:
+            break
+        keep = deg.where(F.col("deg") > mind).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("s")), "s")
+            .join(keep.select(F.col("node").alias("d")), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    best_i = 0
+    for i in range(1, len(stats)):
+        # denser iff e_i * n_best > e_best * n_i (exact integers)
+        if stats[i][2] * stats[best_i][1] > stats[best_i][2] * stats[i][1]:
+            best_i = i
+    rows = [
+        (
+            r,
+            n,
+            m,
+            mind,
+            float(m) / float(n),
+            i == best_i,
+        )
+        for i, (r, n, m, mind) in enumerate(stats)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, n_nodes long, n_edges long, min_deg long,"
+        " density double, is_best boolean",
+    ).orderBy("round")

@@ -14593,6 +14593,87 @@ ORDER BY seg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q230 — densest-subgraph peeling (operators/graph.
+# densest_subgraph_peel) over the part–supplier graph: Charikar's
+# 2-approx dense-core miner — peel all min-degree vertices per round,
+# densest prefix wins — the spam-farm / bot-ring / template-cluster
+# detector. Best round chosen by CROSS-MULTIPLIED integer density
+# (never a float argmax), earliest round on ties; rows emit only while
+# the graph survives. Unrolled MATERIALIZED oracle with a NOT EXISTS
+# argmax mirror. DuckDB feature req: AS MATERIALIZED.
+# ---------------------------------------------------------------------------
+
+_PEEL_ROUNDS = 12
+
+
+def q230_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.graph import densest_subgraph_peel
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    out = densest_subgraph_peel(edges, rounds=_PEEL_ROUNDS)
+    return out.select(
+        "round", "n_nodes", "n_edges", "min_deg",
+        _rz(F.col("density"), 6).alias("density"), "is_best",
+    )
+
+
+def _q230_sql() -> str:
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT 'p' || l_partkey::varchar AS s,
+                  's' || l_suppkey::varchar AS d
+  FROM lineitem
+)"""
+    ]
+    for r in range(_PEEL_ROUNDS + 1):
+        parts.append(f"""deg{r} AS MATERIALIZED (
+  SELECT node, count(*)::bigint AS deg FROM (
+    SELECT s AS node FROM e{r} UNION ALL SELECT d FROM e{r}
+  ) GROUP BY node
+)""")
+        if r < _PEEL_ROUNDS:
+            parts.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{r} e
+  JOIN deg{r} a ON e.s = a.node
+  JOIN deg{r} b ON e.d = b.node
+  WHERE a.deg > (SELECT min(deg) FROM deg{r})
+    AND b.deg > (SELECT min(deg) FROM deg{r})
+)""")
+    stat_rows = "\n  UNION ALL ".join(
+        f"""SELECT {r} AS round,
+         (SELECT count(*)::bigint FROM deg{r}) AS n_nodes,
+         (SELECT count(*)::bigint FROM e{r}) AS n_edges,
+         (SELECT min(deg)::bigint FROM deg{r}) AS min_deg"""
+        for r in range(_PEEL_ROUNDS + 1)
+    )
+    return f"""
+WITH {", ".join(parts)},
+stats AS (
+  SELECT * FROM (
+  {stat_rows}
+  ) WHERE n_nodes > 0
+), best AS (
+  SELECT s.round FROM stats s WHERE NOT EXISTS (
+    SELECT 1 FROM stats t
+    WHERE t.n_edges * s.n_nodes > s.n_edges * t.n_nodes
+       OR (t.n_edges * s.n_nodes = s.n_edges * t.n_nodes
+           AND t.round < s.round)
+  )
+)
+SELECT st.round, st.n_nodes, st.n_edges, st.min_deg,
+       (round(st.n_edges::double / st.n_nodes::double, 6) + 0.0)
+         AS density,
+       (st.round = b.round) AS is_best
+FROM stats st, best b
+ORDER BY st.round
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14824,6 +14905,7 @@ def queries():
         "q227_seasonal_decompose": q227_seasonal_decompose,
         "q228_priority_sample": q228_priority_sample,
         "q229_pla_segments": q229_pla_segments,
+        "q230_densest_subgraph": q230_densest_subgraph,
     }
 
 
@@ -15058,4 +15140,5 @@ def oracle_sql():
         "q227_seasonal_decompose": _Q227_SQL,
         "q228_priority_sample": _q228_sql(),
         "q229_pla_segments": _q229_sql(),
+        "q230_densest_subgraph": _q230_sql(),
     }

@@ -1544,3 +1544,20 @@ def test_hash_priority_matching_star_matches_one(spark):
     )
     out = hash_priority_matching(e, rounds=4).collect()
     assert len(out) == 1 and out[0]["n_left"] == 0
+
+
+def test_densest_subgraph_peel_isolates_planted_clique(spark):
+    from pathhier_spark.operators.graph import densest_subgraph_peel
+
+    # a 6-clique (density 15/6 = 2.5) plus a long path of pendants:
+    # peeling strips the path first; the best round is the pure clique
+    clique = [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
+    path = [(f"p{i}", f"p{i+1}") for i in range(8)] + [("p0", "c0")]
+    e = spark.createDataFrame(clique + path, "src string, dst string")
+    out = densest_subgraph_peel(e, rounds=12).collect()
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1
+    assert (best[0]["n_nodes"], best[0]["n_edges"]) == (6, 15)
+    assert abs(best[0]["density"] - 2.5) < 1e-12
+    # round 0 contains the whole graph
+    assert out[0]["round"] == 0 and out[0]["n_nodes"] == 15
