@@ -3001,3 +3001,76 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_k)
     )
+
+
+def symspell_correct(
+    vocab: DataFrame,
+    queries: DataFrame,
+    *,
+    term_col: str = "term",
+    freq_col: str = "freq",
+    query_col: str = "query",
+) -> DataFrame:
+    """SymSpell-style spelling correction via a DELETES index — the
+    scalable alternative to a brute levenshtein join (q66's q-gram
+    blocking is the other route): every vocab term is indexed under
+    itself plus all single-character deletions; a query probes with ITS
+    deletes; any key collision bounds the true edit distance, and the
+    exact levenshtein (a JVM builtin — never a Python UDF) verifies
+    ≤ 1. Candidates rank (distance ASC, freq DESC, term ASC) — a total
+    order — and the top-1 is the correction. Queries with no surviving
+    candidate are REPORTED with a NULL correction (no silent drops).
+
+    Scale shape: the deletes index is |vocab|·(avg_len+1) narrow rows
+    from one transform+explode — the SymSpell trade (generate deletes
+    once, then every lookup is an equi-join) vs re-computing distances
+    against the whole vocabulary per query. The join is key-equi;
+    verification only touches colliding pairs.
+    Output: (query, corrected, distance, freq)."""
+    def deletes(col):
+        return F.array_union(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, F.lit(1), i - 1),
+                    col.substr(i + 1, F.lit(1 << 20)),
+                ),
+            ),
+        )
+
+    v = vocab.select(
+        F.col(term_col).alias("_t"), F.col(freq_col).cast("long").alias("f")
+    ).where(F.col("_t").isNotNull())
+    vkeys = v.select(
+        "_t", "f", F.explode(deletes(F.col("_t"))).alias("key")
+    ).distinct()
+    q = queries.select(F.col(query_col).alias("_q")).where(
+        F.col("_q").isNotNull()
+    ).distinct()
+    qk = q.select(
+        "_q", F.explode(deletes(F.col("_q"))).alias("key")
+    ).distinct()
+    cand = (
+        qk.join(vkeys, "key")
+        .select("_q", "_t", "f")
+        .distinct()
+        .withColumn("distance", F.levenshtein(F.col("_q"), F.col("_t")))
+        .where(F.col("distance") <= 1)
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.asc("distance"), F.desc("f"), F.asc("_t")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_t").alias("corrected"),
+            F.col("distance").cast("long").alias("distance"),
+            F.col("f").alias("freq"),
+        )
+    )
+    return q.select(F.col("_q").alias(query_col)).join(
+        best, query_col, "left"
+    )

@@ -14674,6 +14674,99 @@ ORDER BY st.round
 """
 
 
+# ---------------------------------------------------------------------------
+# Q231 — SymSpell spelling correction (operators/textstats.
+# symspell_correct): the deletes-index lookup that replaces a brute
+# levenshtein scan — vocab indexed under itself + all 1-deletes,
+# queries probe with theirs, key collisions verified by the exact JVM
+# levenshtein. Queries are synthesized deterministically: the top-30
+# corpus terms with their 2nd char dropped (real misspellings), five
+# exact terms (identity path), and one nonsense probe (REPORTED with a
+# NULL correction). DuckDB feature req: levenshtein (q66 precedent).
+# ---------------------------------------------------------------------------
+
+_SYM_MISS = 30
+_SYM_EXACT = 5
+
+
+def q231_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import _tokens, symspell_correct
+
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(_tokens("text")).alias("term"))
+        .where(F.length("term") >= 4)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    wv = Window.orderBy(F.desc("freq"), "term")
+    ranked = vocab.withColumn("rn", F.row_number().over(wv))
+    missp = ranked.where(F.col("rn") <= _SYM_MISS).select(
+        F.concat(
+            F.substring("term", 1, 1),
+            F.col("term").substr(F.lit(3), F.lit(1 << 20)),
+        ).alias("query")
+    )
+    exact = ranked.where(
+        (F.col("rn") > _SYM_MISS)
+        & (F.col("rn") <= _SYM_MISS + _SYM_EXACT)
+    ).select(F.col("term").alias("query"))
+    nonsense = spark.createDataFrame([("zzzzqq",)], "query string")
+    qs = missp.union(exact).union(nonsense)
+    return symspell_correct(vocab, qs).orderBy("query")
+
+
+def _q231_sql() -> str:
+    dele = (
+        "list_distinct(list_prepend({c}, "
+        "list_transform(generate_series(1, len({c})), "
+        "i -> substr({c}, 1, i - 1) || substr({c}, i + 1))))"
+    )
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::bigint AS freq FROM (
+    SELECT unnest({_SQL_WS_TOKS}) AS term FROM documents
+  ) WHERE length(term) >= 4 GROUP BY term
+), ranked AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rn
+  FROM vocab
+), qs AS (
+  SELECT DISTINCT query FROM (
+    SELECT substr(term, 1, 1) || substr(term, 3) AS query
+    FROM ranked WHERE rn <= {_SYM_MISS}
+    UNION ALL
+    SELECT term FROM ranked
+    WHERE rn > {_SYM_MISS} AND rn <= {_SYM_MISS + _SYM_EXACT}
+    UNION ALL SELECT 'zzzzqq'
+  )
+), vkeys AS (
+  SELECT DISTINCT term AS t, freq AS f, key FROM (
+    SELECT term, freq, unnest({dele.format(c="term")}) AS key FROM vocab
+  )
+), qkeys AS (
+  SELECT DISTINCT query AS q, key FROM (
+    SELECT query, unnest({dele.format(c="query")}) AS key FROM qs
+  )
+), cand AS (
+  SELECT DISTINCT q, t, f FROM qkeys JOIN vkeys USING (key)
+), verified AS (
+  SELECT q, t, f, levenshtein(q, t)::bigint AS distance
+  FROM cand WHERE levenshtein(q, t) <= 1
+), best AS (
+  SELECT q, t, distance, f FROM (
+    SELECT q, t, distance, f,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY distance, f DESC, t) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT qs.query, b.t AS corrected, b.distance, b.f AS freq
+FROM qs LEFT JOIN best b ON qs.query = b.q
+ORDER BY query
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -14906,6 +14999,7 @@ def queries():
         "q228_priority_sample": q228_priority_sample,
         "q229_pla_segments": q229_pla_segments,
         "q230_densest_subgraph": q230_densest_subgraph,
+        "q231_symspell": q231_symspell,
     }
 
 
@@ -15141,4 +15235,5 @@ def oracle_sql():
         "q228_priority_sample": _q228_sql(),
         "q229_pla_segments": _q229_sql(),
         "q230_densest_subgraph": _q230_sql(),
+        "q231_symspell": _q231_sql(),
     }

@@ -1221,3 +1221,41 @@ def test_pairwise_bleu_sharded_pairs_stay_in_group(spark):
     assert 40 - 8 <= len(out) < 40
     full = pairwise_bleu(df).collect()
     assert len(full) == 40 - 2  # unsharded: one lost pair per lang
+
+
+def test_symspell_corrects_and_reports_misses(spark):
+    from pathhier_spark.operators.textstats import symspell_correct
+
+    vocab = spark.createDataFrame(
+        [("spark", 100), ("shark", 40), ("spare", 10), ("table", 50)],
+        "term string, freq long",
+    )
+    qs = spark.createDataFrame(
+        [("sprk",), ("spark",), ("tible",), ("qqqq",)], "query string"
+    )
+    got = {
+        r["query"]: (r["corrected"], r["distance"], r["freq"])
+        for r in symspell_correct(vocab, qs).collect()
+    }
+    # deletion typo: 'sprk' is a 1-delete of 'spark' (and of 'spare'?
+    # no: spare deletes are spar/spae/sare... 'sprk' only hits spark)
+    assert got["sprk"] == ("spark", 1, 100)
+    # exact term: distance 0 beats any distance-1 neighbor
+    assert got["spark"] == ("spark", 0, 100)
+    # substitution typo: both within ED 1 via shared delete keys
+    assert got["tible"] == ("table", 1, 50)
+    # nonsense: reported with NULL correction, not dropped
+    assert got["qqqq"] == (None, None, None)
+
+
+def test_symspell_frequency_breaks_candidate_ties(spark):
+    from pathhier_spark.operators.textstats import symspell_correct
+
+    # 'par?' typo 'pak' is distance 1 from both; higher freq wins
+    vocab = spark.createDataFrame(
+        [("pak1", 5), ("paks", 80), ("pakz", 80)], "term string, freq long"
+    )
+    qs = spark.createDataFrame([("pak",)], "query string")
+    r = symspell_correct(vocab, qs).collect()[0]
+    # freq tie between paks/pakz -> lexicographic term wins
+    assert (r["corrected"], r["freq"]) == ("paks", 80)
