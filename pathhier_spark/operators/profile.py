@@ -1757,3 +1757,47 @@ def v_optimal_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def fd_mode_repair(
+    df: DataFrame,
+    *,
+    lhs_col: str,
+    rhs_col: str,
+) -> DataFrame:
+    """Minimal-change repair for an ALMOST-holding functional dependency
+    (the HoloClean-lite rule-repair step downstream of q213's
+    discovery): for each LHS class, the majority RHS value is the
+    repair target and every disagreeing row is a REPORTED repair —
+    never silently rewritten; the audit table is the output, and the
+    caller applies it (the q220 suppression-policy discipline).
+
+    Exact: one combiner groupBy to (lhs, rhs) counts; majority per LHS
+    via a count-DESC/value-ASC row_number (deterministic ties); repair
+    counts are exact integer differences. Output per LHS class:
+    (lhs, majority_rhs, n_rows, n_values, n_repaired)."""
+    cells = (
+        df.where(F.col(lhs_col).isNotNull() & F.col(rhs_col).isNotNull())
+        .groupBy(F.col(lhs_col).alias("l"), F.col(rhs_col).alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("l").orderBy(F.desc("c"), F.asc("r"))
+    per_l = cells.groupBy("l").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    maj = (
+        cells.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("l", F.col("r").alias("majority_rhs"), F.col("c").alias("mc"))
+    )
+    return (
+        per_l.join(maj, "l")
+        .select(
+            F.col("l").alias(lhs_col),
+            "majority_rhs",
+            "n_rows",
+            "n_values",
+            (F.col("n_rows") - F.col("mc")).cast("long").alias("n_repaired"),
+        )
+    )

@@ -14767,6 +14767,49 @@ ORDER BY query
 """
 
 
+# ---------------------------------------------------------------------------
+# Q232 — FD mode repair (operators/profile.fd_mode_repair): the
+# HoloClean-lite rule-repair step downstream of q213's discovery — for
+# the almost-FD source→lang, each source's majority lang is the repair
+# target and disagreeing rows are REPORTED as an audit table (never
+# silently rewritten; application is the caller's policy, the q220
+# discipline). One combiner groupBy + a per-class argmax with
+# deterministic (count DESC, value ASC) ties.
+# DuckDB feature req: core only.
+# ---------------------------------------------------------------------------
+
+
+def q232_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.profile import fd_mode_repair
+
+    docs = _docs(spark, sf_dir)
+    return fd_mode_repair(
+        docs, lhs_col="source", rhs_col="lang"
+    ).orderBy("source")
+
+
+_Q232_SQL = """
+WITH cells AS (
+  SELECT source AS l, lang AS r, count(*)::bigint AS c
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang
+), per_l AS (
+  SELECT l, sum(c)::bigint AS n_rows, count(*)::bigint AS n_values
+  FROM cells GROUP BY l
+), maj AS (
+  SELECT l, r AS majority_rhs, c AS mc FROM (
+    SELECT l, r, c, row_number() OVER (PARTITION BY l
+                                       ORDER BY c DESC, r) AS rn
+    FROM cells
+  ) WHERE rn = 1
+)
+SELECT p.l AS source, m.majority_rhs, p.n_rows, p.n_values,
+       (p.n_rows - m.mc)::bigint AS n_repaired
+FROM per_l p JOIN maj m ON p.l = m.l
+ORDER BY source
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -15000,6 +15043,7 @@ def queries():
         "q229_pla_segments": q229_pla_segments,
         "q230_densest_subgraph": q230_densest_subgraph,
         "q231_symspell": q231_symspell,
+        "q232_fd_repair": q232_fd_repair,
     }
 
 
@@ -15236,4 +15280,5 @@ def oracle_sql():
         "q229_pla_segments": _q229_sql(),
         "q230_densest_subgraph": _q230_sql(),
         "q231_symspell": _q231_sql(),
+        "q232_fd_repair": _Q232_SQL,
     }

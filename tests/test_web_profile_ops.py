@@ -663,3 +663,23 @@ def test_v_optimal_histogram_beats_equiwidth(spark):
     solo = [r for r in out if r["lo"] == 3 and r["hi"] == 3]
     assert len(solo) == 1 and solo[0]["total_freq"] == 500
     assert sum(r["sse"] for r in out) == 0.0
+
+
+def test_fd_mode_repair_counts(spark):
+    from pathhier_spark.operators.profile import fd_mode_repair
+
+    rows = (
+        [("s1", "en")] * 7 + [("s1", "fr")] * 2 + [("s1", "de")]
+        + [("s2", "en")] * 3
+        # s3: tie 2-2 -> lexicographic 'de' wins deterministically
+        + [("s3", "fr")] * 2 + [("s3", "de")] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {
+        r["source"]: (r["majority_rhs"], r["n_rows"], r["n_values"],
+                      r["n_repaired"])
+        for r in fd_mode_repair(df, lhs_col="source", rhs_col="lang").collect()
+    }
+    assert got["s1"] == ("en", 10, 3, 3)
+    assert got["s2"] == ("en", 3, 1, 0)
+    assert got["s3"] == ("de", 4, 2, 2)
