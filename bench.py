@@ -279,6 +279,10 @@ def main() -> None:
         # family) and the CBO histogram DP (profiling family)
         "q219_cdc_chunks",
         "q225_v_optimal",
+        # closing families: two-pass PRF retrieval and the deletes-index
+        # corrector — one per family
+        "q226_prf_bm25",
+        "q231_symspell",
     ]
     registry = q.queries()
     timings: dict[str, float] = {}

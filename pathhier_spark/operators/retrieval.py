@@ -861,10 +861,14 @@ def prf_bm25_topk(
     is not associative, so the parenthesization is part of the
     contract). Both passes fold per (query, doc) in term order.
 
-    Scale shape: two passes over the same broadcast-query postings
-    join — the feedback set is (queries × fb_docs) tiny, the expansion
-    aggregate is feedback-doc-sized, everything else inherits q63's
-    shape. Output: (qid, rank, doc_id, score)."""
+    Scale shape: two broadcast-query postings joins — the feedback set
+    is (queries × fb_docs) tiny, the expansion aggregate is
+    feedback-doc-sized, everything else inherits q63's shape. Honest
+    cost note: the first pass delegates to bm25_topk, which builds its
+    own postings/df tables, so the index derivation runs twice; in a
+    serving deployment both passes read ONE materialized index (the
+    warehouse bucketed-table path) and the second build disappears.
+    Output: (qid, rank, doc_id, score)."""
     toks = docs.select("doc_id", tokens_col.alias("ts"))
     dl = toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
     stats = dl.agg(
