@@ -713,3 +713,59 @@ def dbscan_2d(
         .select("i", F.lit("noise").alias("role"), F.lit(None).cast("long").alias("cluster"))
     )
     return core_out.union(border).union(noise).withColumnRenamed("i", id_col)
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining — for every labeled vector, the NEAREST
+    vector of a DIFFERENT label: the contrastive/metric-learning
+    training signal q122's hash-corruption negatives cannot give
+    (random negatives are easy; the nearest wrong-label point is the
+    one the model actually confuses), and the per-anchor dual of the
+    label medoid (q203: most central same-label; this: closest
+    other-label).
+
+    Exactness: quantized int64 squared L2 (_sqdist_l2 — the q203
+    bound applies) with the argmin on (distance, id) — fully integer,
+    engine-portable. The pairwise cross-label join is the honest
+    exact form, quadratic in corpus size — at web scale run it
+    blocked per LSH/IVF cell (q24/q36 machinery) exactly as the
+    near-dup family does, keeping this as the in-cell verifier.
+    Anchors with no other-label point (single-label corpus) are
+    REPORTED with NULLs. Output: (id, label, neg_id, neg_label,
+    sqdist)."""
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("i"),
+        F.col(label_col).alias("l"),
+        _quantized(F.col(vec_col)).alias("_qv"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col("a.l") != F.col("b.l")).select(
+        F.col("a.i").alias("i"),
+        F.col("a.l").alias("l"),
+        F.col("b.i").alias("ni"),
+        F.col("b.l").alias("nl"),
+        _sqdist_l2(F.col("a._qv"), F.col("b._qv")).alias("d"),
+    )
+    w = Window.partitionBy("i").orderBy("d", "ni")
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("i", "ni", "nl", "d")
+    )
+    return base.select("i", "l").join(best, "i", "left").select(
+        F.col("i").alias(id_col),
+        F.col("l").alias(label_col),
+        F.col("ni").alias("neg_id"),
+        F.col("nl").alias("neg_label"),
+        F.col("d").alias("sqdist"),
+    )

@@ -14810,6 +14810,51 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q233 — hard-negative mining (operators/similarity.hard_negatives):
+# each labeled vector's NEAREST different-label neighbor — the
+# contrastive-training signal q122's hash-corruption negatives cannot
+# give (random negatives are easy; the closest wrong-label point is
+# what the model confuses), and q203's per-anchor dual. All-integer
+# quantized sqdist argmin on (d, id); exact quadratic form scoped to
+# in-cell verification at web scale (q24/q36 blocking).
+# DuckDB feature req: list ops (q203 precedent).
+# ---------------------------------------------------------------------------
+
+
+def q233_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return hard_negatives(emb).orderBy("vec_id")
+
+
+_Q233_SQL = """
+WITH base AS (
+  SELECT vec_id AS i, label AS l,
+         list_transform(embedding,
+                        x -> floor(x::double * 1000000)::bigint) AS qv
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+), pairs AS (
+  SELECT a.i, a.l, b.i AS ni, b.l AS nl,
+         list_sum(list_transform(generate_series(1, len(a.qv)),
+             j -> (a.qv[j] - b.qv[j]) * (a.qv[j] - b.qv[j])))::bigint AS d
+  FROM base a JOIN base b ON a.l <> b.l
+), best AS (
+  SELECT i, ni, nl, d FROM (
+    SELECT i, ni, nl, d,
+           row_number() OVER (PARTITION BY i ORDER BY d, ni) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT base.i AS vec_id, base.l AS label,
+       b.ni AS neg_id, b.nl AS neg_label, b.d AS sqdist
+FROM base LEFT JOIN best b ON base.i = b.i
+ORDER BY vec_id
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -15044,6 +15089,7 @@ def queries():
         "q230_densest_subgraph": q230_densest_subgraph,
         "q231_symspell": q231_symspell,
         "q232_fd_repair": q232_fd_repair,
+        "q233_hard_negatives": q233_hard_negatives,
     }
 
 
@@ -15281,4 +15327,5 @@ def oracle_sql():
         "q230_densest_subgraph": _q230_sql(),
         "q231_symspell": _q231_sql(),
         "q232_fd_repair": _Q232_SQL,
+        "q233_hard_negatives": _Q233_SQL,
     }

@@ -313,3 +313,24 @@ def test_dbscan_2d_roles_and_min_label(spark):
         assert got[i] == ("core", 1), (i, got[i])
     assert got[6] == ("border", 1)
     assert got[7] == ("noise", None)
+
+
+def test_hard_negatives_geometry_and_null_report(spark):
+    from pathhier_spark.operators.similarity import hard_negatives
+
+    rows = [
+        # label 1 cluster near origin; label 2 point at x=1; far label 2
+        (1, 1, [0.0, 0.0]), (2, 1, [0.1, 0.0]),
+        (3, 2, [1.0, 0.0]), (4, 2, [5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["neg_id"], r["neg_label"])
+        for r in hard_negatives(df).collect()
+    }
+    assert got[1] == (3, 2)   # nearest wrong-label, not the far one
+    assert got[2] == (3, 2)
+    assert got[3] == (2, 1)   # symmetric direction picks the closer anchor
+    assert got[4] == (2, 1)   # 4's nearest wrong-label is 2 (4.9 < 5.0)
