@@ -3074,3 +3074,62 @@ def symspell_correct(
     return q.select(F.col("_q").alias(query_col)).join(
         best, query_col, "left"
     )
+
+
+def token_gini(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution — the
+    canonical inequality statistic applied to vocabulary concentration:
+    0 = every token equally common, →1 = a handful of tokens carry the
+    corpus. The scalar that summarizes what Zipf/power-law fitting
+    (q130) models and Heaps growth (q114) tracks — and the single
+    number to watch for template collapse across corpus versions.
+
+    Exact and SinglePartition-free: the textbook formula needs a
+    global rank over the vocabulary (a corpus-scale sort); instead the
+    computation runs on the FREQUENCY-VALUE histogram (q45/q189
+    discipline): for frequency value v held by m tokens with b tokens
+    at smaller values, the tied block contributes v·m·(2b + m − n) to
+    Σ(2i − n − 1)·x_i exactly — int64 end-to-end — and
+    gini = that sum / (n·Σx) is the one final rounded division.
+    Distinct frequency VALUES are far fewer than tokens (Zipf), so the
+    cumulative window is domain-bounded. Overflow: v·m·(2b+m) ≤
+    ~totaltokens·2·vocab must stay < 2^63 — fine past 1e9-token
+    corpora; shard past that. Output: one row
+    (n_tokens_distinct, total_count, gini)."""
+    freqs = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(_tokens(text_col)).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    hist = freqs.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wc = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
+    tot = hist.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("m")).cast("long").alias("s"),
+    )
+    terms = hist.select(
+        "f",
+        "m",
+        F.coalesce(F.sum("m").over(wc), F.lit(0)).cast("long").alias("b"),
+    ).crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("f")
+            * F.col("m")
+            * (2 * F.col("b") + F.col("m") - F.col("n"))
+        ).alias("t"),
+        "n",
+        "s",
+    )
+    return terms.groupBy("n", "s").agg(
+        F.sum("t").cast("long").alias("num")
+    ).select(
+        F.col("n").alias("n_tokens_distinct"),
+        F.col("s").alias("total_count"),
+        F.when(
+            (F.col("n") > 0) & (F.col("s") > 0),
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double")),
+        ).alias("gini"),
+    )

@@ -14855,6 +14855,54 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q234 — token-frequency Gini (operators/textstats.token_gini): the
+# canonical inequality scalar over vocabulary concentration — the one
+# number that summarizes what q130's power-law fit models, computed
+# WITHOUT the textbook global vocabulary rank: tied frequency blocks
+# contribute v·m·(2b+m−n) exactly on the frequency-VALUE histogram
+# (q45 discipline), int64 end-to-end, one final rounded division.
+# DuckDB feature req: core windows.
+# ---------------------------------------------------------------------------
+
+
+def q234_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathhier_spark.operators.textstats import token_gini
+
+    docs = _docs(spark, sf_dir)
+    out = token_gini(docs)
+    return out.select(
+        "n_tokens_distinct", "total_count", _rz(F.col("gini"), 6).alias("gini")
+    )
+
+
+_Q234_SQL = f"""
+WITH freqs AS (
+  SELECT tok, count(*)::bigint AS f FROM (
+    SELECT unnest({_SQL_WS_TOKS}) AS tok FROM documents
+    WHERE text IS NOT NULL
+  ) GROUP BY tok
+), hist AS (
+  SELECT f, count(*)::bigint AS m FROM freqs GROUP BY f
+), tot AS (
+  SELECT sum(m)::bigint AS n, sum(f * m)::bigint AS s FROM hist
+), terms AS (
+  SELECT f, m,
+         coalesce(sum(m) OVER (ORDER BY f
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::bigint AS b
+  FROM hist
+)
+SELECT tot.n AS n_tokens_distinct, tot.s AS total_count,
+       CASE WHEN tot.n > 0 AND tot.s > 0 THEN
+         round(sum(f * m * (2 * b + m - tot.n))::bigint::double
+               / (tot.n::double * tot.s::double), 6) + 0.0
+       END AS gini
+FROM terms, tot
+GROUP BY tot.n, tot.s
+"""
+
+
 def queries():
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -15090,6 +15138,7 @@ def queries():
         "q231_symspell": q231_symspell,
         "q232_fd_repair": q232_fd_repair,
         "q233_hard_negatives": q233_hard_negatives,
+        "q234_token_gini": q234_token_gini,
     }
 
 
@@ -15328,4 +15377,5 @@ def oracle_sql():
         "q231_symspell": _q231_sql(),
         "q232_fd_repair": _Q232_SQL,
         "q233_hard_negatives": _Q233_SQL,
+        "q234_token_gini": _Q234_SQL,
     }

@@ -1259,3 +1259,24 @@ def test_symspell_frequency_breaks_candidate_ties(spark):
     r = symspell_correct(vocab, qs).collect()[0]
     # freq tie between paks/pakz -> lexicographic term wins
     assert (r["corrected"], r["freq"]) == ("paks", 80)
+
+
+def test_token_gini_extremes(spark):
+    from pathhier_spark.operators.textstats import token_gini
+
+    # perfectly equal frequencies -> gini 0
+    eq = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    r = token_gini(eq).collect()[0]
+    assert (r["n_tokens_distinct"], r["total_count"]) == (4, 8)
+    assert abs(r["gini"]) < 1e-12
+    # one dominant token among singletons -> strongly unequal
+    skew = spark.createDataFrame(
+        [(1, " ".join(["hot"] * 96 + ["u%d" % i for i in range(4)]))],
+        "doc_id long, text string",
+    )
+    r2 = token_gini(skew).collect()[0]
+    # exact hand value: sorted x = [1,1,1,1,96], n=5, s=100
+    # num = sum((2i-6)*x_i) = (-4-2+0*1) ... = (-4*1)+(-2*1)+(0*1)+(2*1)+(4*96) = 380
+    assert abs(r2["gini"] - 380 / (5 * 100)) < 1e-12
