@@ -51,21 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
         candidate_pairs(m_tokens, dict_tokens, top_n=1)
         .select(F.col("s_id").alias("mention"), F.col("t_id").alias("linked_name"))
     )
+    # NO forced broadcast of `links`: it is distinct-surface-form-sized and
+    # grows with the corpus (billions of rows at 10^12 docs), exactly the
+    # broadcast plans/pipeline.py:203-208 refuses — let AQE pick the
+    # strategy (it broadcasts at gate scale on its own size evidence)
     return (
         triples.join(
-            F.broadcast(
-                links.withColumnRenamed("mention", "subj").withColumnRenamed(
-                    "linked_name", "subj_link"
-                )
+            links.withColumnRenamed("mention", "subj").withColumnRenamed(
+                "linked_name", "subj_link"
             ),
             "subj",
             "left",
         )
         .join(
-            F.broadcast(
-                links.withColumnRenamed("mention", "obj").withColumnRenamed(
-                    "linked_name", "obj_link"
-                )
+            links.withColumnRenamed("mention", "obj").withColumnRenamed(
+                "linked_name", "obj_link"
             ),
             "obj",
             "left",

@@ -459,11 +459,17 @@ def containment_join_exact(
     sh_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("_ts", i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_ts", i + j) for j in range(n)]
+            ),
         )
     )
+    # lazy checkpoint: the first downstream job materializes the shingle
+    # sets while doing useful work (no standalone materialization pass);
+    # later uses (candidate b-side, both verification joins) read the
+    # cached arrays
     sets = toks.select("_id", sh_arr.alias("ss")).localCheckpoint(
-        eager=True
+        eager=False
     )
     posts = sets.select(
         "_id",
@@ -486,13 +492,23 @@ def containment_join_exact(
         posts.join(F.broadcast(freq) if broadcast_freq else freq, "sh")
         .withColumn("pos", F.row_number().over(order_w))
         .filter(F.col("pos") <= pref_len)
-        .select(F.col("_id").alias("a"), "sh")
+        .select(F.col("_id").alias("a"), F.col("setlen").alias("la"), "sh")
     )
     cands = (
         prefix.join(
-            posts.select(F.col("_id").alias("b"), "sh"), "sh"
+            posts.select(
+                F.col("_id").alias("b"), F.col("setlen").alias("lb"), "sh"
+            ),
+            "sh",
         )
         .filter(F.col("a") != F.col("b"))
+        # lossless size prune BEFORE the distinct + verification joins:
+        # C(a->b) >= t needs |a ∩ b| >= ceil(t*La), and the intersection
+        # can never exceed |b| — so any candidate with Lb < ceil(t*La)
+        # is impossible and skips verification entirely
+        .filter(
+            F.col("lb") >= F.ceil(F.lit(threshold) * F.col("la")).cast("long")
+        )
         .select("a", "b")
         .distinct()
     )
@@ -512,10 +528,10 @@ def containment_join_exact(
             F.size(F.array_intersect("ss_a", "ss_b")).cast("long").alias(
                 "inter"
             ),
-            (
-                F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
-                / F.size("ss_a")
-            ).alias("containment"),
+        )
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("size_a"),
         )
         .filter(F.col("containment") >= threshold)
     )

@@ -218,3 +218,17 @@ def test_allen_census_pair_join_is_keyed(spark):
     plan = _plan(allen_relation_counts(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entry_links_join_not_hint_broadcast(spark):
+    """entry()'s links table is distinct-surface-form-sized and grows
+    with the corpus — the flagship query must NOT force-broadcast it
+    (VERDICT r5 item 1; plans/pipeline.py:203-208 states the rule).
+    AQE may still choose a broadcast at gate scale from size evidence;
+    what is pinned here is that no broadcast HINT forces it."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    assert df.count() > 0
