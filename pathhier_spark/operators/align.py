@@ -118,21 +118,26 @@ def fused_similarity_cells(
     Inputs: left_emb/right_emb (pair_id, idx, emb ARRAY<DOUBLE>,
     top_emb ARRAY<DOUBLE>), rule_cells = prelim_alignments output.
     Output: (pair_id, i, j, score) — ready for align_pairs."""
+    from pathhier_spark.operators.similarity import cosine_from_norms, norm_expr
+
     l = left_emb.select(
         F.col(pair_col),
         F.col("idx").alias("i"),
         F.concat(F.col(emb_col), F.col(top_col)).alias("ev_l"),
-    )
+    ).withColumn("_nl", norm_expr(F.col("ev_l")))
     r = right_emb.select(
         F.col(pair_col),
         F.col("idx").alias("j"),
         F.concat(F.col(emb_col), F.col(top_col)).alias("ev_r"),
-    )
-    from pathhier_spark.operators.similarity import cosine_expr
-
+    ).withColumn("_nr", norm_expr(F.col("ev_r")))
     cells = l.join(r, pair_col).select(
         pair_col, "i", "j",
-        F.greatest(cosine_expr(F.col("ev_l"), F.col("ev_r")), F.lit(0.0)).alias("cos"),
+        F.greatest(
+            cosine_from_norms(
+                F.col("ev_l"), F.col("ev_r"), F.col("_nl"), F.col("_nr")
+            ),
+            F.lit(0.0),
+        ).alias("cos"),
     )
     return cells.join(rule_cells, [pair_col, "i", "j"], "left").select(
         pair_col, "i", "j",

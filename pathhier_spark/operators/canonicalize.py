@@ -121,10 +121,13 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iterations):
-        # eager localCheckpoint every round: without it each star op would
+        # localCheckpoint every round: without it each star op would
         # re-execute the whole prior lineage several times (both star ops
-        # reference their input twice), and Catalyst plans grow superlinearly
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # reference their input twice), and Catalyst plans grow superlinearly.
+        # LAZY + the signature aggregate below = ONE job per round (the agg
+        # computes every partition, which materializes the checkpoint as a
+        # side effect) instead of a materialization job plus a collect job
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(

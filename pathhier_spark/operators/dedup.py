@@ -235,14 +235,28 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup: all pairs with cosine >= threshold.
     Brute-force form (for verification scale); production path buckets via
     similarity.lsh_bucket_topk. Output: (id_a, id_b, cos)."""
-    from pathhier_spark.operators.similarity import cosine_expr
+    from pathhier_spark.operators.similarity import cosine_from_norms, norm_expr
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -284,8 +298,9 @@ def embedding_neardup_bucketed(
     (id_a, id_b, cos), identical schema/semantics to the brute form."""
     from pathhier_spark.operators.similarity import (
         _banded_buckets,
-        cosine_expr,
+        cosine_from_norms,
         md5_hyperplanes,
+        norm_expr,
     )
 
     if dim is None:
@@ -313,13 +328,25 @@ def embedding_neardup_bucketed(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    va = e.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        norm_expr(F.col("_v")).alias("_na"),
+    )
+    vb = e.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        norm_expr(F.col("_v")).alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos")
+            "id_a",
+            "id_b",
+            cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -3043,6 +3043,10 @@ def bellman_bounded(
             .groupBy("root", "node")
             .agg(F.min("d").alias("d"))
         )
+        # lazy checkpoint + full count = ONE job that materializes the
+        # improvement frontier AND answers the emptiness test (the eager
+        # checkpoint + limit(1).count pair ran two); dist's lazy
+        # checkpoint materializes inside the next round's frontier job
         imp = (
             cand.join(
                 dist.select("root", "node", F.col("d").alias("old")),
@@ -3051,15 +3055,15 @@ def bellman_bounded(
             )
             .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
             .select("root", "node", "d")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if imp.limit(1).count() == 0:
+        if imp.count() == 0:
             break
         dist = (
             dist.unionByName(imp)
             .groupBy("root", "node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = imp
     return dist.select("root", "node", F.col("d").alias("dist"))

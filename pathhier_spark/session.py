@@ -34,6 +34,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set folds) falls back to
+        # SORT-based aggregation once a partition sees more than this many
+        # distinct keys; the default 128 is far below the per-partition group
+        # counts of every fold here (per-doc, per-(query,doc), per-pair
+        # groups: 10^3-10^5 per partition at ANY scale, local or cluster).
+        # The in-memory map holds one small buffer per group, so the memory
+        # cost is bounded by groups/partition x buffer size — raise the
+        # threshold so the hash path survives realistic group counts
+        # (overridable via env for low-memory executors).
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072"),
+        )
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
