@@ -1622,11 +1622,95 @@ def benford_digit_test(
     return scored.crossJoin(F.broadcast(total))
 
 
+def _v_optimal_driver(spark, vtype, rows, n_buckets: int) -> DataFrame:
+    """Driver-side finish of the V-optimal DP for domain-bounded frequency
+    vectors — bit-identical arithmetic to the distributed layered DP: the
+    same prefix int64 sums, the same SSE double expression, the same
+    lexicographic (cost, split) min. `rows` is the (v, f) frequency vector
+    already sorted by v."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    n = len(rows)
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("lo", vtype),
+            StructField("hi", vtype),
+            StructField("n_values", LongType()),
+            StructField("total_freq", LongType()),
+            StructField("sse", DoubleType()),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    vs = [r["v"] for r in rows]
+    cf = [0] * (n + 1)
+    cf2 = [0] * (n + 1)
+    for i, r in enumerate(rows, start=1):
+        f = int(r["f"])
+        cf[i] = cf[i - 1] + f
+        cf2[i] = cf2[i - 1] + f * f
+
+    def sse(s: int, e: int) -> float:
+        tot = float(cf[e] - cf[s])
+        return float(cf2[e] - cf2[s]) - tot * tot / float(e - s)
+
+    k = min(n_buckets, n)
+    # cost[j][e]: min total SSE of splitting 1..e into j buckets;
+    # split[j][e]: the argmin boundary (lexicographic min on (cost, s),
+    # exactly the distributed min(struct(tc, s)))
+    cost = [0.0] + [sse(0, e) for e in range(1, n + 1)]
+    split = [0] * (n + 1)
+    tables = []
+    for _j in range(2, k + 1):
+        nc = [0.0] * (n + 1)
+        ns = [0] * (n + 1)
+        for e in range(1, n + 1):
+            best = None
+            for s in range(1, e):
+                tc = cost[s] + sse(s, e)
+                if best is None or (tc, s) < best:
+                    best = (tc, s)
+            if best is None:  # e == 1 in layer j >= 2: unreachable split
+                best = (cost[e], split[e])
+            nc[e], ns[e] = best
+        cost, split = nc, ns
+        tables.append((nc, ns))
+    bounds = [n]
+    cur = n
+    for j in range(k, 1, -1):
+        cur = tables[j - 2][1][cur] if tables else split[cur]
+        bounds.append(cur)
+    bounds.append(0)
+    bounds = bounds[::-1]
+    out = []
+    for bi in range(len(bounds) - 1):
+        s, e = bounds[bi], bounds[bi + 1]
+        out.append(
+            (
+                bi + 1,
+                vs[s],
+                vs[e - 1],
+                e - s,
+                cf[e] - cf[s],
+                sse(s, e),
+            )
+        )
+    return spark.createDataFrame(out, schema)
+
+
 def v_optimal_histogram(
     df: DataFrame,
     *,
     value_col: str,
     n_buckets: int = 4,
+    driver_finish: int = 4096,
 ) -> DataFrame:
     """V-optimal histogram construction — the optimizer-statistics
     classic (Ioannidis/Poosala): partition the value DOMAIN into
@@ -1646,12 +1730,28 @@ def v_optimal_histogram(
     tables. Corpus-scale work is ONE combiner groupBy to the frequency
     vector; the DP is O(k·domain²) on the domain table.
     Output: (bucket, lo, hi, n_values, total_freq, sse) — `sse` is the
-    bucket's own within-bucket frequency variance term."""
+    bucket's own within-bucket frequency variance term.
+
+    Domains at or below ``driver_finish`` distinct values run the DP on
+    the driver (the Borůvka Kruskal-finish discipline, graph.py): the
+    corpus-scale groupBy is the only cluster job, its ≤driver_finish-row
+    frequency vector is collected once, and the O(k·domain²) DP — pure
+    scalar arithmetic with zero data parallelism to exploit — runs in
+    Python instead of as ~2k+4 driver-orchestrated micro-jobs
+    (checkpoint/collect per layer). Every float op is the same IEEE
+    double expression in the same order, so the buckets are
+    bit-identical to the distributed path (asserted in tests); larger
+    domains (where the collect would be unbounded) keep the distributed
+    layered DP."""
     freq = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
+    rows = freq.orderBy("v").limit(driver_finish + 1).collect()
+    if len(rows) <= driver_finish:
+        return _v_optimal_driver(df.sparkSession, freq.schema["v"].dataType,
+                                 rows, n_buckets)
     wv = Window.orderBy("v")
     pts = freq.select(
         "v",

@@ -47,6 +47,32 @@ def get_spark(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072"),
         )
+        # AQE coalesces post-shuffle partitions by BYTE size, but this
+        # engine's hot columns (token arrays, shingle sets, embeddings)
+        # are compute-dense: a 1 MB partition of shingle arrays carries
+        # ~10 s of array_intersect CPU, and the default 1m floor was
+        # observed collapsing verification stages to 5 tasks with 50+ s
+        # of CPU (q85: 2x wall). A lower floor keeps "parallelismFirst"
+        # honest for compute-bound stages; at cluster scale, where
+        # partitions run 100 MB+, the floor is inert (coalescing never
+        # splits below the configured shuffle partition count). 256k was
+        # the measured sweet spot: 64k over-fragments light aggregation
+        # stages (q11/q07 +20-90% from task overhead), 1m starves the
+        # array-verification stages (q85 8.5s vs 3.2s).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
+        )
+        # Long-running sessions (the bench runs ~60 queries; a production
+        # driver runs micro-batches for days) accumulate localCheckpoint
+        # RDD blocks whose driver-side references die with each query;
+        # ContextCleaner only frees them after a driver GC, and the
+        # default 30min periodicGC lets dead blocks pile up in executor
+        # storage memory, degrading later queries. 30s bounds the pile.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"),
+        )
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
