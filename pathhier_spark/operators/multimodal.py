@@ -96,7 +96,15 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
     npix = width * height
     if npix == 0:
         return (width, height, [None, None, None])
-    means = [sum(pixels[c::3]) / npix for c in range(3)]
+    # vectorized EXACT per-channel means (guide §4.2): int64 numpy sums are
+    # the same integers a Python loop accumulates, so sum/npix is the same
+    # IEEE division bit-for-bit — only ~100x faster per image
+    import numpy as np
+
+    sums = np.frombuffer(pixels, dtype=np.uint8).reshape(npix, 3).sum(
+        axis=0, dtype=np.int64
+    )
+    means = [int(s) / npix for s in sums]
     return (width, height, means)
 
 
@@ -126,15 +134,17 @@ def resize_ppm_nearest(
         w, h, pixels = parsed
         if w == 0 or h == 0:
             return None
-        out = bytearray(f"P6\n{out_w} {out_h}\n255\n".encode())
-        for y in range(out_h):
-            sy = y * h // out_h
-            row = sy * w
-            for x in range(out_w):
-                sx = x * w // out_w
-                off = (row + sx) * 3
-                out += pixels[off : off + 3]
-        return bytes(out)
+        # vectorized nearest-neighbor gather (guide §4.2): the index
+        # arrays are the same floor-division source coordinates the old
+        # per-pixel Python loop computed, so the emitted bytes (and the
+        # checksum the oracle verifies) are identical
+        import numpy as np
+
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+        sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        header = f"P6\n{out_w} {out_h}\n255\n".encode()
+        return header + arr[sy][:, sx].tobytes()
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -133,6 +133,7 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _TBL_KEY = {
+    "part": "p_partkey",
     "documents": "doc_id",
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
@@ -352,8 +353,11 @@ FROM tok, n GROUP BY token, n.n_docs ORDER BY token
 
 def q07_candidate_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    part = spark.read.parquet(_t(sf_dir, "part"))
-    n_parts = part.count()
+    # _tbl: the broadcast-side BUILD (tokenize+explode+idf groupBy) was a
+    # 1.9s single-task stage on the one-file scan; count stays on the bare
+    # scan (metadata-speed)
+    part = _tbl(spark, sf_dir, "part")
+    n_parts = spark.read.parquet(_t(sf_dir, "part")).count()
     src = docs.select(
         F.col("doc_id").alias("s_id"), tokenize(F.col("text")).alias("tokens")
     )
@@ -408,7 +412,7 @@ FROM ranked WHERE rank <= 5
 
 
 def q08_bow_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    part = _tbl(spark, sf_dir, "part")
     names = part.select(F.col("p_name")).distinct()
     n_names = names.count()
     toks = names.select(
@@ -1214,7 +1218,7 @@ _LR_INTERCEPT = -2.0
 def q27_lr_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.linking import lr_score, pair_features
 
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    part = _tbl(spark, sf_dir, "part")
     names = part.select(F.col("p_name")).distinct()
     n_names = names.count()
     toks = names.select(
@@ -10473,7 +10477,7 @@ ORDER BY s.node
 def q168_er_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.er import er_resolve
 
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    part = _tbl(spark, sf_dir, "part")
     name = F.concat(
         F.lower(F.col("p_name")),
         F.lit(" "),
