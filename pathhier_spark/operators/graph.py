@@ -561,6 +561,14 @@ def hits_fixedpoint(
 
     def _half(score: DataFrame, col_in: str, key_in: str, key_out: str,
               col_out: str) -> DataFrame:
+        # SPARSE half-step (r6): the score table carries only nodes
+        # reachable in this direction; an absent node's score is exactly
+        # 0, so the inner edge join drops only zero contributions, the
+        # max is unchanged (raw >= 0), and the normalized table equals
+        # the dense form row-for-row on every present node. The dense
+        # nodes-left-join that used to run here per half-step (two
+        # re-exchanges of checkpointed RDDs each time) now happens ONCE
+        # at the end, where the output contract needs every node.
         raw = (
             e.join(
                 score.select(
@@ -574,13 +582,12 @@ def hits_fixedpoint(
         )
         mx = raw.agg(F.max("raw").alias("m"))
         return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(mx))
+            raw.crossJoin(F.broadcast(mx))
             .select(
                 "node",
                 F.when(
                     F.col("m") > 0,
-                    F.expr(f"(coalesce(raw, 0L) * {int(scale)}L) div m"),
+                    F.expr(f"(raw * {int(scale)}L) div m"),
                 )
                 .otherwise(F.lit(0))
                 .cast("long")
@@ -594,8 +601,15 @@ def hits_fixedpoint(
     for _ in range(iterations):
         auth = _half(hub, "h_fp", "s", "d", "a_fp")
         hub = _half(auth, "a_fp", "d", "s", "h_fp")
+    # densify once: nodes absent from a sparse side score exactly 0
     return (
-        hub.join(auth, "node")
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h_fp"), F.lit(0).cast("long")).alias("h_fp"),
+            F.coalesce(F.col("a_fp"), F.lit(0).cast("long")).alias("a_fp"),
+        )
         .select(
             "node",
             "h_fp",
