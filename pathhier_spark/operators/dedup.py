@@ -130,6 +130,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # lazy checkpoint: `banded` feeds THREE consumers (sizes + both join
+    # sides) whose differing pruned columns defeat ReusedExchange, so the
+    # whole upstream signature build (shingle explode + per-seed md5
+    # minima) would otherwise execute three times in one plan (the
+    # dbscan_2d lazy-materialization pattern)
+    banded = banded.localCheckpoint(eager=False)
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
     small = banded.join(
         sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
@@ -155,7 +161,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard; keep pairs with
     jaccard >= threshold. Output: (id_a, id_b, jacc)."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+    # lazy checkpoint: both join sides read the same shingle-set frame —
+    # without materialization the full tokenize+shingle pass over the
+    # corpus executes once per side
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("sh")
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

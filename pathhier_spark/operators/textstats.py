@@ -1210,7 +1210,14 @@ def ctfidf_top_terms(
     gt = df.select(
         F.col(group_col).alias("g"), F.explode(tokens_col).alias("term")
     )
-    tf = gt.groupBy("g", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy checkpoint: tf feeds THREE consumers (scored, gdf, ng) whose
+    # differing pruned columns defeat ReusedExchange — without the
+    # materialization the corpus-scale explode+count runs three times in
+    # one plan (the dbscan_2d lazy pattern); tf itself is only
+    # vocabulary x groups sized
+    tf = gt.groupBy("g", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     gdf = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("group_df")
     )

@@ -5932,10 +5932,17 @@ def q98_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathhier_spark.operators.graph import neighborhood_aggregate
 
     docs = _docs(spark, sf_dir)
+    # checkpoint: edges feeds FOUR consumers (nodes x2, outdeg, and the
+    # hop joins inside neighborhood_aggregate) and feats feeds both the
+    # hop-1 message job and the final assembly job — without the eager
+    # materialization the tokenize+explode extraction subtree re-executes
+    # in every branch of every job (~7 Generates total; the q82
+    # "checkpoint: read twice" discipline)
     edges = (
         extract_token_triples(docs, TRIGGERS)
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -5949,7 +5956,7 @@ def q98_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = nodes.join(outdeg, "node", "left").select(
         "node", F.coalesce(F.col("feat"), F.lit(0)).cast("long").alias("feat")
-    )
+    ).localCheckpoint(eager=True)
     return neighborhood_aggregate(edges, feats, hops=2).orderBy("node")
 
 
